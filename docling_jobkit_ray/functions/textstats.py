@@ -1,0 +1,241 @@
+"""Text-analysis operators over the `documents` table (training-data ops).
+
+Language-ID, quality scoring, token counting, fingerprinting — the text
+pipeline primitives a 100 TB training-data run needs.  All are per-row pure
+functions applied vectorized (or in tight per-row loops where the kernel is
+genuinely scalar, e.g. rolling hash) inside ``map_batches``; stateful setup
+(compiled regexes, stopword/profile tables) happens once per actor in
+``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+# ---------------------------------------------------------------------------
+# token counting — definition shared with the DuckDB oracle:
+#   n_tokens = number of \S+ runs  (len(regexp_extract_all(text,'\S+')))
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # count_substring with a regex via pc is not available for \S+ runs;
+        # split_pattern_regex + list_value_length is the vectorized kernel.
+        toks = pc.extract_regex_span(batch["text"], pattern=r"\S+") if hasattr(pc, "extract_regex_span") else None
+        if toks is not None:
+            n = pc.list_value_length(toks.combine_chunks())
+            n = n.cast(pa.int64())
+        else:
+            texts = batch.column("text").to_pylist()
+            n = pa.array([len(_TOKEN_RE.findall(t)) for t in texts], pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — stateful stage (compiled regexes once per actor)
+# ---------------------------------------------------------------------------
+
+class QualityScorer:
+    """Actor-pool UDF: length / punctuation / stopword / alpha ratios and a
+    composite quality score.  Compiled patterns + stopword set built once per
+    actor (never per batch)."""
+
+    STOPWORDS = frozenset(
+        "the a an and or of to in is are was were be been for on with as at by "
+        "it this that from not have has had but they you we he she".split()
+    )
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[A-Za-z']+")
+        self.punct_re = re.compile(r"[.,;:!?]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, dtype=np.int64)
+        n_words = np.empty(n, dtype=np.int64)
+        stop_ratio = np.empty(n, dtype=np.float64)
+        punct_ratio = np.empty(n, dtype=np.float64)
+        mean_word_len = np.empty(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            words = self.word_re.findall(t.lower())
+            n_chars[i] = len(t)
+            n_words[i] = len(words)
+            stop_ratio[i] = (
+                sum(1 for w in words if w in self.STOPWORDS) / len(words) if words else 0.0
+            )
+            punct_ratio[i] = len(self.punct_re.findall(t)) / len(t) if t else 0.0
+            mean_word_len[i] = (
+                sum(len(w) for w in words) / len(words) if words else 0.0
+            )
+        # Composite score in [0,1]: rewards stopword presence (natural prose),
+        # moderate word length, some punctuation; penalizes empty docs.
+        score = (
+            np.clip(stop_ratio / 0.4, 0, 1) * 0.4
+            + np.clip(1 - np.abs(mean_word_len - 5.0) / 5.0, 0, 1) * 0.3
+            + np.clip(punct_ratio / 0.03, 0, 1) * 0.2
+            + (n_words > 10).astype(np.float64) * 0.1
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars),
+                "n_words": pa.array(n_words),
+                "stop_ratio": pa.array(stop_ratio),
+                "punct_ratio": pa.array(punct_ratio),
+                "quality_score": pa.array(score),
+            }
+        )
+
+
+def quality_scores(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        QualityScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# language ID — n-gram profile heuristic, stateful actor
+# ---------------------------------------------------------------------------
+
+# Tiny per-language trigram/stopword profiles (public-knowledge function
+# words). Deterministic scoring: language with the max hit count wins; ties
+# break lexicographically.
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it for with as was on are".split()),
+    "de": frozenset("der die das und ist nicht ein eine mit von für auf den".split()),
+    "fr": frozenset("le la les et des est une dans pour que qui sur pas".split()),
+    "es": frozenset("el la los las y de que en un una por con para".split()),
+    "it": frozenset("il lo la gli le e di che un una per con non".split()),
+    "pt": frozenset("o os as um uma de que em não para com por mais".split()),
+    "nl": frozenset("de het een en van dat is in op te met voor niet".split()),
+}
+
+
+class LangId:
+    """Actor-pool UDF: weighted function-word voting per language."""
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.markers = _LANG_MARKERS
+
+    def detect(self, text: str) -> str:
+        words = self.word_re.findall(text.lower())
+        if not words:
+            return "und"
+        best_lang, best_score = "und", 0
+        for lang in sorted(self.markers):
+            score = sum(1 for w in words if w in self.markers[lang])
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = pa.array([self.detect(t) for t in texts], pa.string())
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": langs})
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — sha256 content hash + 64-bit rolling hash
+# ---------------------------------------------------------------------------
+
+def _rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Deterministic 64-bit fingerprint: min of Karp-Rabin rolling hashes of
+    `window`-byte windows (a winnowing-lite document sketch)."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        return zlib.crc32(data) & 0xFFFFFFFFFFFFFFFF
+    base, mod = 257, (1 << 61) - 1
+    h = 0
+    pw = pow(base, window - 1, mod)
+    best = None
+    for i, b in enumerate(data):
+        h = (h * base + b) % mod
+        if i >= window:
+            h = (h - data[i - window] * pw * base) % mod
+        if i >= window - 1:
+            best = h if best is None or h < best else best
+    return int(best)
+
+
+def fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """sha256 hex digest (matches DuckDB's sha256) + rolling fingerprint."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sha = pa.array(
+            [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts], pa.string()
+        )
+        roll = pa.array([_rolling_fingerprint(t) for t in texts], pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "sha256": sha, "fingerprint": roll})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+FINGERPRINT_SHA_SQL = """
+SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id
+"""
+
+
+def doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Grouped doc stats per (lang, source): partial pre-agg then final."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["lang", "source"])
+            .aggregate([("n_chars", "sum"), ("n_chars", "count"), ("n_chars", "max")])
+            .rename_columns(["lang", "source", "sum_chars", "n_docs", "max_chars"])
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        partials.groupby(["lang", "source"])
+        .aggregate(
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("n_docs", alias_name="n_docs"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+        .sort(["lang", "source"])
+    )
+
+
+DOC_STATS_BY_LANG_SQL = """
+SELECT lang, source, sum(n_chars) AS sum_chars, count(*) AS n_docs,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""

@@ -1,0 +1,154 @@
+"""The flagship extraction pipeline: pages parquet -> extracted dataset.
+
+Ray-Data-native replacement for the reference's whole orchestration stack
+(queue/dispatcher/Serve replicas, ``orchestrators/ray/serve_deployment.py``):
+the streaming executor provides the drain loop, backpressure and retries; the
+pipeline is just Dataset transforms (SURVEY.md §3.4).
+
+Three modes:
+
+- ``inline`` (default, mirrors the reference default
+  ``enable_pdf_page_slice_fanout=False``, ``orchestrators/ray/config.py:238-246``):
+  one actor-pool ``map_batches`` pass, no shuffle.  Ray's dynamic block
+  splitting + streaming backpressure absorb per-document cost variance.
+- ``sliced``: oversized binary docs fan out into page slices
+  (``flat_map``-style plan), are extracted in parallel and reassembled by
+  ``groupby("url").map_groups`` — the reference's slice fan-out
+  (``serve_deployment.py:437-464,510-549``) as a shuffle keyed on url.
+  The big-binary filter re-reads the input; it is cheap (header-only
+  inspection) and only pays off when oversized docs dominate wall time.
+- ``size_bucketed``: rows are routed into a small-row branch (large batches)
+  and a big-row branch (small batches, more CPU per task) before the heavy
+  parse — the north rule's size-class bucketing.  Avoids one multi-MB row
+  serializing a whole large batch behind one task.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..extract.errors import STATUS_FAILURE
+from ..extract.record import ExtractOptions
+from ..sources.pages import read_pages
+from ..stages.extract import ExtractDocuments, options_to_kwargs
+from ..stages.slices import (
+    ExtractSlices,
+    drop_big_binary,
+    keep_big_binary,
+    plan_slices,
+    reassemble_group,
+)
+
+DEFAULT_BATCH_SIZE = 64
+BIG_ROW_BYTES = 1 * 1024 * 1024  # rows above this go to the big-row branch
+
+
+def _actor_map(ds: ray.data.Dataset, options: ExtractOptions, *, batch_size: int, concurrency) -> ray.data.Dataset:
+    return ds.map_batches(
+        ExtractDocuments,
+        fn_constructor_kwargs={"options": options_to_kwargs(options)},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def extract_pipeline(
+    input_path: str | list[str],
+    *,
+    options: ExtractOptions | None = None,
+    mode: str = "inline",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Build (lazily) the extracted dataset for a pages corpus.
+
+    Returns the combined output (SUCCESS/PARTIAL_SUCCESS/FAILURE rows in one
+    dataset, EXTRACTED_SCHEMA); use :func:`dead_letter` / :func:`successes`
+    to view either side."""
+    options = options or ExtractOptions()
+    if mode == "inline":
+        ds = read_pages(input_path)
+        return _actor_map(ds, options, batch_size=batch_size, concurrency=concurrency)
+
+    if mode == "size_bucketed":
+        # Size-class routing: cheap vectorized split on binary_length, then
+        # per-class batch sizing (north rule's groupby-on-size-class, done as
+        # two filtered branches + union — cheaper than a true shuffle since
+        # extraction is per-row and needs no co-location).
+        def _small(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.less_equal(pc.binary_length(batch["html"]), BIG_ROW_BYTES))
+
+        def _big(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.greater(pc.binary_length(batch["html"]), BIG_ROW_BYTES))
+
+        small = read_pages(input_path).map_batches(_small, batch_format="pyarrow", zero_copy_batch=True)
+        big = read_pages(input_path).map_batches(_big, batch_format="pyarrow", zero_copy_batch=True)
+        small_out = _actor_map(small, options, batch_size=batch_size, concurrency=concurrency)
+        big_out = _actor_map(big, options, batch_size=4, concurrency=concurrency)
+        return small_out.union(big_out)
+
+    if mode == "sliced":
+        slice_pages = options.slice_pages
+        # Branch 1: everything except oversized binaries — inline extraction.
+        rest = read_pages(input_path).map_batches(
+            drop_big_binary(slice_pages), batch_format="pyarrow", zero_copy_batch=True
+        )
+        rest_out = _actor_map(rest, options, batch_size=batch_size, concurrency=concurrency)
+        # Branch 2: oversized binaries — plan -> per-slice extract -> groupby
+        # url -> reassemble (the reference's fan-out/collect, as a shuffle).
+        big = read_pages(input_path).map_batches(
+            keep_big_binary(slice_pages), batch_format="pyarrow", zero_copy_batch=True
+        )
+        slices = big.map_batches(
+            plan_slices(slice_pages), batch_format="pyarrow", zero_copy_batch=True
+        )
+        slice_parts = slices.map_batches(
+            ExtractSlices,
+            fn_constructor_kwargs={"options": options_to_kwargs(options)},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        big_out = slice_parts.groupby("url").map_groups(
+            reassemble_group, batch_format="pandas"
+        )
+        # Cast the pandas-built blocks to the exact EXTRACTED_SCHEMA so the
+        # union with the Arrow-native branch has one schema.
+        from ..stages.extract import rows_to_extracted_table
+
+        big_out = big_out.map_batches(
+            lambda df: rows_to_extracted_table(df.to_dict("records")),
+            batch_format="pandas",
+        )
+        return rest_out.union(big_out)
+
+    raise ValueError(f"unknown mode: {mode!r}")
+
+
+def successes(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    return extracted.map_batches(
+        lambda t: t.filter(pc.not_equal(t["status"], STATUS_FAILURE)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def dead_letter(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """The dead-letter view with lineage (FIXTURES.md §3 `dead_letter`)."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        failed = t.filter(pc.equal(t["status"], STATUS_FAILURE))
+        return failed.select(["url", "partition_id", "error", "category", "retryable"])
+
+    return extracted.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def status_counts(extracted: ray.data.Dataset):
+    """Per-status counters, the reference's num_succeeded/failed aggregate
+    (``convert/results.py:76-88``) as a Ray Data groupby-count."""
+    return extracted.groupby("status").count()

@@ -1,0 +1,366 @@
+"""Relational pipeline helpers over the driver testdata tables.
+
+Each function takes ``sf_dir`` and lazily builds a Ray Data pipeline; the
+matching DuckDB oracle SQL lives in ``__ray_entry__.oracle_sql``.  These are
+the "standard query surface" of the engine (SURVEY.md §2.6-2.8): filters,
+projections, grouped aggregates (with partial pre-aggregation), broadcast
+joins, sort/top-k, distinct, window-bucketed aggregates.
+
+Scale notes (100 TB discipline):
+- every read prunes columns (`columns=[...]`);
+- grouped aggregates pre-aggregate inside map_batches before the shuffle
+  whenever the key cardinality is small (partial+final, like the reference's
+  child-counter merge, ``serve_deployment.py:237-253``);
+- small dimension tables are broadcast (read once on the driver, shipped in
+  the UDF closure via the object store) instead of a shuffle join.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _broadcast_table(sf_dir: str, name: str, columns: list[str]) -> pa.Table:
+    """Load a small dimension table once on the driver.  Ray ships the UDF
+    closure (and thus this table) to the object store ONCE per stage, not
+    per batch — the broadcast-join pattern for small sides."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _dict_from(table: pa.Table, key: str, value: str) -> dict:
+    return dict(zip(table.column(key).to_pylist(), table.column(value).to_pylist()))
+
+
+# ---------------------------------------------------------------------------
+# q1: TPC-H Q1-style pricing summary (grouped aggregate w/ partial pre-agg)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """Filter on shipdate, then group by (returnflag, linestatus).
+
+    Pre-aggregates per batch (the key space is ~6 combos), then runs the
+    final small groupby — the shuffle moves O(batches x 6) rows, not O(N).
+    """
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pa.compute.strptime("1998-09-02", format="%Y-%m-%d", unit="us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        return (
+            batch.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("l_quantity", "sum"),
+                    ("l_extendedprice", "sum"),
+                    ("disc_price", "sum"),
+                    ("l_quantity", "count"),
+                ]
+            )
+            .rename_columns(
+                [
+                    "l_returnflag",
+                    "l_linestatus",
+                    "sum_qty",
+                    "sum_base_price",
+                    "sum_disc_price",
+                    "count_order",
+                ]
+            )
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter + projection
+# ---------------------------------------------------------------------------
+
+def filter_project_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Vectorized predicate inside map_batches + computed revenue column."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_quantity"], pa.scalar(45.0)))
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        out = batch.select(["l_orderkey", "l_linenumber", "l_quantity"])
+        return out.append_column("revenue", revenue)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast join: orders x customer (+ nation)
+# ---------------------------------------------------------------------------
+
+def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
+    """Fact-side map_batches with a broadcast dict lookup of the small side —
+    no shuffle join (SURVEY.md §2.6)."""
+    cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    name_by_key = _dict_from(cust, "c_custkey", "c_name")
+    seg_by_key = _dict_from(cust, "c_custkey", "c_mktsegment")
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").to_pylist()
+        names = pa.array([name_by_key.get(k) for k in keys], pa.string())
+        segs = pa.array([seg_by_key.get(k) for k in keys], pa.string())
+        return (
+            batch.select(["o_orderkey", "o_custkey", "o_totalprice"])
+            .append_column("c_name", names)
+            .append_column("c_mktsegment", segs)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+JOIN_ORDERS_CUSTOMER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Multi-hop broadcast join (customer->nation) + pre-aggregated groupby:
+    revenue per nation from orders."""
+    cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _broadcast_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nationkey_by_cust = _dict_from(cust, "c_custkey", "c_nationkey")
+    name_by_nation = _dict_from(nation, "n_nationkey", "n_name")
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").to_pylist()
+        nations = pa.array(
+            [name_by_nation[nationkey_by_cust[k]] for k in keys], pa.string()
+        )
+        t = pa.table({"n_name": nations, "o_totalprice": batch["o_totalprice"]})
+        return (
+            t.group_by("n_name")
+            .aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            .rename_columns(["n_name", "total_revenue", "n_orders"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        partials.groupby("n_name")
+        .aggregate(
+            Sum("total_revenue", alias_name="total_revenue"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .sort("n_name")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       sum(o_totalprice) AS total_revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k
+# ---------------------------------------------------------------------------
+
+def topk_orders(sf_dir: str) -> ray.data.Dataset:
+    """Top 10 orders by totalprice; deterministic tiebreak on o_orderkey."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct
+# ---------------------------------------------------------------------------
+
+def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
+    """Distinct via per-batch dedup (partial) + global groupby — the
+    pre-aggregate-before-shuffle pattern applied to DISTINCT."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("event_type").aggregate([]).select(["event_type"])
+
+    from ray.data.aggregate import Count
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby("event_type").aggregate(Count(alias_name="_n"))
+    return out.select_columns(["event_type"]).sort("event_type")
+
+
+DISTINCT_EVENT_TYPES_SQL = """
+SELECT DISTINCT event_type FROM events ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregate over the events stream table
+# ---------------------------------------------------------------------------
+
+def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window per event_type: count + sum(value).
+
+    Ray Data has no event-time windows (SURVEY.md §2.11); the window key is
+    derived as a column (floor ts to hour) and the window IS a groupby —
+    partial per batch, final across the shuffle."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table(
+            {"window_start": hour, "event_type": batch["event_type"], "value": batch["value"]}
+        )
+        return (
+            t.group_by(["window_start", "event_type"])
+            .aggregate([("value", "sum"), ("value", "count")])
+            .rename_columns(["window_start", "event_type", "sum_value", "n_events"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        partials.groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .sort(["window_start", "event_type"])
+    )
+
+
+EVENTS_HOURLY_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       sum(value) AS sum_value, count(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user sessionization (groupby + in-group ordered scan)
+# ---------------------------------------------------------------------------
+
+def events_user_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-user ordered aggregate: first/last event ts, count, sum(value).
+    groupby(user_id) with partial pre-agg (min/max are mergeable)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("user_id")
+            .aggregate([("ts", "min"), ("ts", "max"), ("value", "sum"), ("value", "count")])
+            .rename_columns(["user_id", "first_ts", "last_ts", "sum_value", "n_events"])
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        partials.groupby("user_id")
+        .aggregate(
+            Min("first_ts", alias_name="first_ts"),
+            Max("last_ts", alias_name="last_ts"),
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .sort("user_id")
+    )
+
+
+EVENTS_USER_STATS_SQL = """
+SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+       sum(value) AS sum_value, count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+RELATIONAL_QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "filter_project_lineitem": (filter_project_lineitem, FILTER_PROJECT_SQL),
+    "join_orders_customer": (join_orders_customer, JOIN_ORDERS_CUSTOMER_SQL),
+    "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "topk_orders": (topk_orders, TOPK_ORDERS_SQL),
+    "distinct_event_types": (distinct_event_types, DISTINCT_EVENT_TYPES_SQL),
+    "events_hourly_window": (events_hourly_window, EVENTS_HOURLY_WINDOW_SQL),
+    "events_user_stats": (events_user_stats, EVENTS_USER_STATS_SQL),
+}

@@ -1,0 +1,37 @@
+"""Pages-table source: column-pruned Parquet read.
+
+Replaces the reference's source-connector listing/fetch machinery
+(``/root/reference/docling_jobkit/connectors/source_processor.py:49-198``)
+with ``ray.data.read_parquet`` — Ray's read tasks ARE the listing + chunking
+(one `DocumentChunk` == one block).  ``include_paths=True`` attaches the
+input shard path per row, the lineage key for the dead-letter dataset and
+checkpoint manifest (SURVEY.md §4.2 resume).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+
+def read_pages(
+    path: str | list[str],
+    *,
+    columns: list[str] | None = None,
+    include_paths: bool = True,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Read the pages table, pruned to the columns the pipeline needs.
+
+    The extraction pipeline only needs (url, html) — never read text/lang
+    along for the ride (prune-at-the-read; a read that loads all columns for
+    a 2-column transform is wrong at 100 TB)."""
+    if columns is None:
+        columns = ["url", "html"]
+    return ray.data.read_parquet(
+        path, columns=columns, include_paths=include_paths, **kwargs
+    )
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    """Read one of the driver-generated testdata tables with column pruning."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)

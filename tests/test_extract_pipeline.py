@@ -1,0 +1,98 @@
+"""End-to-end Ray pipeline tests: byte-identity vs the single-process oracle.
+
+The north-rule invariant (BASELINE.json): byte-identical extracted text per
+url, across all pipeline modes (inline / sliced / size_bucketed).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_jobkit_ray.extract.errors import STATUS_FAILURE
+from docling_jobkit_ray.pipelines.extract import (
+    dead_letter,
+    extract_pipeline,
+    status_counts,
+    successes,
+)
+
+
+def _collect(ds):
+    return {r["url"]: r for r in ds.take_all()}
+
+
+@pytest.mark.parametrize("mode", ["inline", "sliced", "size_bucketed"])
+def test_pipeline_matches_oracle(ray_session, corpus_dir, corpus_oracle, mode):
+    ds = extract_pipeline(corpus_dir, mode=mode, concurrency=(1, 2))
+    got = _collect(ds)
+    assert set(got) == set(corpus_oracle)
+    for url, oracle_row in corpus_oracle.items():
+        g = got[url]
+        assert g["status"] == oracle_row["status"], url
+        assert g["text"] == oracle_row["text"], url  # byte-identical
+        assert g["n_chars"] == oracle_row["n_chars"], url
+        assert g["doc_json"] == oracle_row["doc_json"], url
+        assert list(g["spans"] or []) == oracle_row["spans"], url
+
+
+def test_spans_slice_validly(ray_session, corpus_dir):
+    ds = successes(extract_pipeline(corpus_dir, concurrency=(1, 2)))
+    for row in ds.take(50):
+        text = row["text"]
+        for s in row["spans"]:
+            assert 0 <= s["start"] <= s["end"] <= len(text)
+
+
+def test_dead_letter_lineage(ray_session, corpus_dir, corpus_oracle):
+    dl = _collect(dead_letter(extract_pipeline(corpus_dir, concurrency=(1, 2))))
+    expected_failures = {
+        u for u, r in corpus_oracle.items() if r["status"] == STATUS_FAILURE
+    }
+    assert set(dl) == expected_failures
+    assert len(dl) > 0  # the corpus really contains poisoned rows
+    for row in dl.values():
+        assert row["category"] in {
+            "policy",
+            "source_unavailable",
+            "timeout",
+            "capacity",
+            "internal",
+        }
+        assert row["error"]
+        assert row["partition_id"] is not None
+        assert row["retryable"] in (True, False)
+
+
+def test_status_counts(ray_session, corpus_dir, corpus_oracle):
+    counts = {
+        r["status"]: r["count()"]
+        for r in status_counts(extract_pipeline(corpus_dir, concurrency=(1, 2))).take_all()
+    }
+    from collections import Counter
+
+    expected = Counter(r["status"] for r in corpus_oracle.values())
+    assert counts == dict(expected)
+
+
+def test_sliced_mode_actually_slices(ray_session, corpus_dir):
+    """The corpus contains binary docs with > slice_pages pages, so the
+    sliced branch must process at least one multi-slice document."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.extract import binarydoc
+    from docling_jobkit_ray.extract.record import ExtractOptions
+
+    opts = ExtractOptions()
+    n_big = 0
+    for path in sorted(glob.glob(f"{corpus_dir}/*.parquet")):
+        t = pq.read_table(path, columns=["html"])
+        for payload in t.column("html").to_pylist():
+            if payload and binarydoc.is_binary_doc(payload):
+                try:
+                    if len(binarydoc.parse_directory(payload)) > opts.slice_pages:
+                        n_big += 1
+                except Exception:
+                    pass
+    assert n_big > 0
