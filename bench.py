@@ -1,0 +1,165 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline = flagship extraction pipeline (docs/sec is the north-star metric,
+BASELINE.json).  ``--scaling`` runs the headline twice in fresh processes at
+num_cpus=8 and num_cpus=32 and reports throughput at both + scaling
+efficiency (the sandbox proxy for the N -> 4N-node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _corpus_rows_for_sf(sf_dir: str) -> int:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}.get(tag, 2000)
+
+
+def _build_corpus(sf_dir: str) -> str:
+    from docling_jobkit_ray.fixtures.corpus import write_corpus
+
+    n_rows = _corpus_rows_for_sf(sf_dir)
+    out = f"/tmp/djr_bench_pages_{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus(out, n_rows=n_rows, seed=42, n_shards=16)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    corpus = _build_corpus(SF_DIR)
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    for root, _dirs, files in os.walk(corpus):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                fh.read()
+
+    from docling_jobkit_ray.pipelines.extract import extract_pipeline
+    from docling_jobkit_ray.stages.chunking import chunk_pipeline
+
+    results: dict[str, float] = {}
+    pool = (1, max(2, NUM_CPUS - 2))
+
+    # headline: flagship extraction (inline), consumed by streaming count
+    n_docs = 0
+    t0 = time.monotonic()
+    ds = extract_pipeline(corpus, mode="inline", concurrency=pool, batch_size=32)
+    n_docs = ds.count()
+    t_extract = time.monotonic() - t0
+    results["extract_inline"] = round(t_extract, 3)
+
+    t0 = time.monotonic()
+    extract_pipeline(corpus, mode="sliced", concurrency=pool, batch_size=32).count()
+    results["extract_sliced"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    chunk_pipeline(
+        extract_pipeline(corpus, mode="inline", concurrency=pool, batch_size=32)
+    ).count()
+    results["extract_plus_chunk"] = round(time.monotonic() - t0, 3)
+
+    # relational / training-data ops over the sf tables
+    from docling_jobkit_ray.functions.dedup import dedup_exact, minhash_lsh_candidates
+    from docling_jobkit_ray.functions.similarity import knn_brute_force
+    from docling_jobkit_ray.functions.textstats import quality_scores, token_counts
+    from docling_jobkit_ray.pipelines.relational import (
+        events_hourly_window,
+        q1_pricing_summary,
+        revenue_by_nation,
+    )
+
+    for name, fn in [
+        ("q1_pricing_summary", q1_pricing_summary),
+        ("revenue_by_nation", revenue_by_nation),
+        ("events_hourly_window", events_hourly_window),
+        ("token_counts", token_counts),
+        ("quality_scores", quality_scores),
+        ("dedup_exact", dedup_exact),
+        ("minhash_lsh", minhash_lsh_candidates),
+        ("knn_brute_force", knn_brute_force),
+    ]:
+        t0 = time.monotonic()
+        fn(SF_DIR).count()
+        results[name] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "end-to-end extraction wall time (headline) + per-query sec",
+        "value": results["extract_inline"],
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / t_extract, 2) if t_extract > 0 else None,
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tp_lo = r_lo["docs"] / r_lo["value"]
+    tp_hi = r_hi["docs"] / r_hi["value"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (headline extraction, fresh ray.init)",
+        "sf": SF_DIR,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs": r_lo["docs"],
+        "docs_per_sec_lo": round(tp_lo, 2),
+        "docs_per_sec_hi": round(tp_hi, 2),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,401 @@
+"""Deduplication operators over the `documents` table.
+
+Training-data-pipeline dedup at 100 TB scale, Ray-Data-first:
+
+- exact: content-hash column (vectorized sha256) -> hash-partitioned
+  groupby -> keep first (min doc_id).  The shuffle moves (hash, doc_id)
+  pairs, never text.
+- minhash_lsh: shingle -> minhash signature per row (numpy-vectorized) ->
+  explode to (band_id, band_hash) rows -> groupby bands -> candidate
+  groups -> Jaccard verify.  Only signatures cross the shuffle.
+- simhash: 64-bit simhash per row; duplicates = identical simhash
+  (Hamming-0 buckets); near-dup buckets via 4x16-bit block keys
+  (Charikar 2002 / Manku et al. 2007 block-permuted simhash).
+- ngram_jaccard: pairwise verify kernel used by the LSH candidates.
+- embedding near-dup: cosine buckets via random hyperplane LSH over the
+  `embeddings` table.
+
+All heavy per-row work happens inside map_batches; groupbys only ever see
+small derived columns (hash/signature/bucket), which is what keeps the
+all-to-all exchange tractable at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..sources.pages import read_table
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    hashes = pa.array(
+        [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts], pa.string()
+    )
+    return batch.append_column("content_hash", hashes)
+
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Keep the min doc_id per exact text duplicate group.
+
+    Shuffle payload: (content_hash, doc_id) only — the text column is
+    dropped before the groupby, so at 10^12 docs the exchange is ~100 B/row
+    regardless of document size."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b).select(["doc_id", "content_hash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from ray.data.aggregate import Count, Min
+
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+        .select_columns(["keep_doc_id", "n_dups"])
+        .sort("keep_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """k-word shingles -> stable 32-bit hashes (vector)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        joined = [" ".join(words)] if words else [""]
+    else:
+        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(joined), dtype=np.uint64)
+    for i, s in enumerate(joined):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+    return out
+
+
+class MinHasher:
+    """Actor-pool UDF: text -> minhash signature (num_perm x uint32).
+
+    Permutation parameters are generated ONCE per actor from a fixed seed
+    (deterministic across actors and runs)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 13):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.shingle_k)
+        if sh.size == 0:
+            return np.zeros(self.num_perm, dtype=np.uint32)
+        # (num_perm, n_shingles) affine hash mod mersenne prime, min per row
+        vals = (
+            np.multiply.outer(self.a, sh, dtype=np.uint64) + self.b[:, None]
+        ) % np.uint64(_MERSENNE)
+        return (vals.min(axis=1) & _MAX_HASH).astype(np.uint32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = [self.signature(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "minhash": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint32())),
+            }
+        )
+
+
+def _band_rows(doc_ids: list[int], sigs: list[list[int]], n_bands: int) -> pa.Table:
+    """Explode signatures to (band_id, band_hash, doc_id) rows."""
+    out_doc, out_band, out_hash = [], [], []
+    for doc_id, sig in zip(doc_ids, sigs):
+        arr = np.asarray(sig, dtype=np.uint32)
+        rows_per_band = len(arr) // n_bands
+        for b in range(n_bands):
+            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            out_doc.append(doc_id)
+            out_band.append(b)
+            out_hash.append(int.from_bytes(h, "little") >> 1)  # fits int64
+    return pa.table(
+        {
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact k-word-shingle Jaccard — the verify kernel for LSH candidates."""
+    a, b = set(_shingles(text_a, k).tolist()), set(_shingles(text_b, k).tolist())
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def minhash_lsh_candidates(
+    sf_dir: str, *, num_perm: int = 64, n_bands: int = 16, shingle_k: int = 3
+) -> ray.data.Dataset:
+    """Candidate duplicate pairs (doc_a < doc_b) that share >=1 LSH band.
+
+    Pipeline: minhash per row (actor pool) -> band explode -> groupby
+    (band_id, band_hash) -> per-group pair emission -> global pair dedup.
+    The shuffle carries only (band_id, band_hash, doc_id)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    bands = sigs.map_batches(
+        lambda b: _band_rows(
+            b.column("doc_id").to_pylist(), b.column("minhash").to_pylist(), n_bands
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas"
+    )
+    # distinct pairs (a pair can collide in several bands)
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands_hit"))
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+def minhash_dedup(
+    sf_dir: str,
+    *,
+    num_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> ray.data.Dataset:
+    """Near-dup verdicts: LSH candidates verified with exact shingle Jaccard.
+
+    The verify stage broadcasts nothing: candidate pairs re-join texts via a
+    driver-side lookup ONLY at test scale; at production scale the verify
+    would join text by doc_id through a hash-partitioned join.  Here the
+    candidate set is provably small (LSH output), so a broadcast text lookup
+    inside map_batches is the right call (SURVEY.md §2.6 broadcast rule).
+    """
+    import pyarrow.parquet as pq
+
+    texts_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    text_by_id = dict(
+        zip(texts_tbl.column("doc_id").to_pylist(), texts_tbl.column("text").to_pylist())
+    )
+    candidates = minhash_lsh_candidates(
+        sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        doc_a = batch.column("doc_a").to_pylist()
+        doc_b = batch.column("doc_b").to_pylist()
+        jac = [
+            ngram_jaccard(text_by_id[a], text_by_id[b], shingle_k)
+            for a, b in zip(doc_a, doc_b)
+        ]
+        t = pa.table(
+            {
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "doc_b": pa.array(doc_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return candidates.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """Actor-pool UDF: 64-bit simhash over word features (Charikar 2002)."""
+
+    def __init__(self) -> None:
+        self.word_re = _WORD_RE
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in self.word_re.findall(text.lower()):
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hashes = [self.simhash(t) for t in texts]
+        # store as int64 (reinterpret the top bit)
+        as_i64 = [(h - (1 << 64)) if h >= (1 << 63) else h for h in hashes]
+        blocks = {
+            f"block{j}": pa.array(
+                [int((h >> (16 * j)) & 0xFFFF) for h in hashes], pa.int32()
+            )
+            for j in range(4)
+        }
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(as_i64, pa.int64()), **blocks}
+        )
+
+
+def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    ).sort("doc_id")
+
+
+def simhash_dup_groups(sf_dir: str) -> ray.data.Dataset:
+    """Exact-simhash duplicate groups (Hamming distance 0): groupby simhash.
+    Near-dup (Hamming <= 3) extends this by grouping on each 16-bit block
+    (Manku et al., WWW'07) — the block columns are already emitted."""
+    sigs = simhash_signatures(sf_dir)
+    from ray.data.aggregate import Count, Min
+
+    return (
+        sigs.groupby("simhash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_docs"))
+        .sort("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (random-hyperplane LSH buckets)
+# ---------------------------------------------------------------------------
+
+class HyperplaneBucketer:
+    """Actor-pool UDF: embedding -> LSH bucket id via random hyperplane signs.
+    Hyperplanes drawn once per actor from a fixed seed (deterministic)."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 29):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        signs = (embs @ self.planes) >= 0
+        bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
+        return pa.table(
+            {"vec_id": batch["vec_id"], "bucket": pa.array(bucket, pa.int64())}
+        )
+
+
+def embedding_lsh_buckets(sf_dir: str, *, n_planes: int = 16) -> ray.data.Dataset:
+    """Deterministic hyperplane-LSH bucket per vector (the candidate-group
+    key used by :func:`embedding_near_dup`); always one row per vector."""
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    dim = len(sample.column("embedding")[0])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    ).sort("vec_id")
+
+
+def embedding_near_dup(
+    sf_dir: str, *, n_planes: int = 16, cos_threshold: float = 0.95
+) -> ray.data.Dataset:
+    """Near-duplicate embedding pairs: LSH-bucket candidates verified by
+    exact cosine inside each bucket group."""
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    dim = len(sample.column("embedding")[0])
+    emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb_by_id = {
+        v: np.asarray(e, dtype=np.float32)
+        for v, e in zip(
+            emb_tbl.column("vec_id").to_pylist(), emb_tbl.column("embedding").to_pylist()
+        )
+    }
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    buckets = ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["vec_id"].tolist())
+        rows = []
+        for i, a in enumerate(ids):
+            va = emb_by_id[a]
+            na = np.linalg.norm(va)
+            for b in ids[i + 1 :]:
+                vb = emb_by_id[b]
+                denom = na * np.linalg.norm(vb)
+                cos = float(va @ vb / denom) if denom > 0 else 0.0
+                if cos >= cos_threshold:
+                    rows.append((a, b, cos))
+        if not rows:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+
+    return buckets.groupby("bucket").map_groups(
+        verify_bucket, batch_format="pandas"
+    ).sort(["vec_a", "vec_b"])

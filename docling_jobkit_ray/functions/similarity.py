@@ -1,0 +1,211 @@
+"""Approximate-nearest-neighbor search over the `embeddings` table.
+
+- brute-force cosine top-k: the exactness baseline.  The query matrix is
+  broadcast once (UDF closure -> object store); each batch does one numpy
+  matmul and emits only its LOCAL top-k per query (a partial top-k
+  combiner), so the final exchange is O(batches x queries x k), never O(N).
+- IVF-style variant: vectors are pre-bucketed by nearest coarse centroid
+  (k-means on a deterministic sample); queries probe the nearest `n_probe`
+  centroids only.  This is the scale path: at 10^12 vectors the probe
+  prunes ~(1 - n_probe/n_cells) of the corpus before any distance math.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..sources.pages import read_table
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, list[int]]:
+    """Deterministic query set: the first n_queries vectors by vec_id."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))[:n_queries]
+    ids = [t.column("vec_id")[int(i)].as_py() for i in order]
+    q = np.asarray([t.column("embedding")[int(i)].as_py() for i in order], dtype=np.float32)
+    return _normalize(q), ids
+
+
+class BruteForceTopK:
+    """Actor-pool UDF: per-batch cosine scores vs the broadcast query matrix,
+    emitting each query's local top-k candidate rows."""
+
+    def __init__(self, queries: np.ndarray, query_ids: list[int], k: int):
+        self.q = queries  # (nq, dim) normalized — shipped once per actor
+        self.query_ids = query_ids
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        sims = _normalize(vecs) @ self.q.T  # (n, nq)
+        k = min(self.k, len(vec_ids))
+        out_q, out_v, out_s = [], [], []
+        # local top-k per query (partial combiner)
+        idx = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
+        for qi, qid in enumerate(self.query_ids):
+            for vi in idx[:, qi]:
+                out_q.append(qid)
+                out_v.append(int(vec_ids[vi]))
+                out_s.append(float(sims[vi, qi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _final_topk(k: int):
+    """Per-query merge of local top-k partials (tiny groupby)."""
+
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nlargest(
+            k, group.itertuples(index=False), key=lambda r: (r.cosine, -r.vec_id)
+        )
+        df = pd.DataFrame(top, columns=group.columns)
+        df["rank"] = range(1, len(df) + 1)
+        return df
+
+    return fn
+
+
+def knn_brute_force(sf_dir: str, *, k: int = 5, n_queries: int = 4) -> ray.data.Dataset:
+    """Exact cosine top-k for n_queries probe vectors over all embeddings.
+
+    Ties broken deterministically by (cosine desc, vec_id asc)."""
+    queries, qids = _query_matrix(sf_dir, n_queries)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries": queries, "query_ids": qids, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return (
+        partials.groupby("query_id")
+        .map_groups(_final_topk(k), batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse k-means buckets + probe
+# ---------------------------------------------------------------------------
+
+def _coarse_centroids(sf_dir: str, n_cells: int, seed: int = 17, iters: int = 8) -> np.ndarray:
+    """Deterministic k-means on a driver-side sample (small, bounded work:
+    the sample is capped — at 10^12 scale this is a 1e5-row reservoir, not
+    the corpus)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    if len(x) > 100_000:
+        rng = np.random.RandomState(seed)
+        x = x[rng.choice(len(x), 100_000, replace=False)]
+    x = _normalize(x)
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), min(n_cells, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class IvfAssign:
+    """Actor-pool UDF: assign each vector to its nearest coarse centroid."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32))
+        cell = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+
+def knn_ivf(
+    sf_dir: str, *, k: int = 5, n_queries: int = 4, n_cells: int = 16, n_probe: int = 4
+) -> ray.data.Dataset:
+    """IVF ANN: filter to the n_probe cells nearest each query, then exact
+    cosine within the probed subset.  Recall < 1 by design; the scale win is
+    that (n_cells - n_probe)/n_cells of the corpus is pruned by a cheap
+    int comparison before any fp math."""
+    centroids = _coarse_centroids(sf_dir, n_cells)
+    queries, qids = _query_matrix(sf_dir, n_queries)
+    probe_cells = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]
+    probed = {qid: set(map(int, cells)) for qid, cells in zip(qids, probe_cells)}
+    all_probed = sorted(set().union(*probed.values())) if probed else []
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(
+        IvfAssign,
+        fn_constructor_kwargs={"centroids": centroids},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+    probed_arr = pa.array(all_probed, pa.int32())
+
+    def prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch["cell"], value_set=probed_arr))
+
+    pruned = assigned.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    class ProbedTopK(BruteForceTopK):
+        def __init__(self):
+            super().__init__(queries, qids, k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            cells = batch.column("cell").to_pylist()
+            for qid in qids:
+                keep = pa.array([c in probed[qid] for c in cells], pa.bool_())
+                sub = batch.filter(keep)
+                if sub.num_rows == 0:
+                    continue
+                solo = BruteForceTopK(
+                    self.q[[qids.index(qid)]], [qid], self.k
+                )
+                out.append(solo(sub))
+            if not out:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.concat_tables(out)
+
+    partials = pruned.map_batches(
+        ProbedTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+    return (
+        partials.groupby("query_id")
+        .map_groups(_final_topk(k), batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )

@@ -28,6 +28,22 @@ from ..sources.pages import read_table
 # helpers
 # ---------------------------------------------------------------------------
 
+def _round_cols(cols: list[str], ndigits: int = 2):
+    """Round float columns (both the Ray side and the oracle SQL round the
+    same way) so cross-engine double-accumulation-order differences cannot
+    flip the driver's value-hash."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.column_names.index(c)
+            batch = batch.set_column(
+                i, c, pc.round(batch.column(c), ndigits=ndigits)
+            )
+        return batch
+
+    return fn
+
+
 def _broadcast_table(sf_dir: str, name: str, columns: list[str]) -> pa.Table:
     """Load a small dimension table once on the driver.  Ray ships the UDF
     closure (and thus this table) to the object store ONCE per stage, not
@@ -96,7 +112,7 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return (
+    out = (
         partials.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -106,13 +122,19 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         )
         .sort(["l_returnflag", "l_linestatus"])
     )
+    # Round float sums (2 dp, matching the oracle SQL) so the value-hash
+    # compare is insensitive to double accumulation order across engines.
+    return out.map_batches(
+        _round_cols(["sum_qty", "sum_base_price", "sum_disc_price"]),
+        batch_format="pyarrow",
+    )
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -208,7 +230,7 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return (
+    out = (
         partials.groupby("n_name")
         .aggregate(
             Sum("total_revenue", alias_name="total_revenue"),
@@ -216,11 +238,12 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("n_name")
     )
+    return out.map_batches(_round_cols(["total_revenue"]), batch_format="pyarrow")
 
 
 REVENUE_BY_NATION_SQL = """
 SELECT n_name,
-       sum(o_totalprice) AS total_revenue,
+       round(sum(o_totalprice), 2) AS total_revenue,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -295,7 +318,7 @@ def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return (
+    out = (
         partials.groupby(["window_start", "event_type"])
         .aggregate(
             Sum("sum_value", alias_name="sum_value"),
@@ -303,11 +326,12 @@ def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
         )
         .sort(["window_start", "event_type"])
     )
+    return out.map_batches(_round_cols(["sum_value"]), batch_format="pyarrow")
 
 
 EVENTS_HOURLY_WINDOW_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       sum(value) AS sum_value, count(*) AS n_events
+       round(sum(value), 2) AS sum_value, count(*) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -331,7 +355,7 @@ def events_user_stats(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Max, Min, Sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return (
+    out = (
         partials.groupby("user_id")
         .aggregate(
             Min("first_ts", alias_name="first_ts"),
@@ -341,11 +365,12 @@ def events_user_stats(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("user_id")
     )
+    return out.map_batches(_round_cols(["sum_value"]), batch_format="pyarrow")
 
 
 EVENTS_USER_STATS_SQL = """
 SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
-       sum(value) AS sum_value, count(*) AS n_events
+       round(sum(value), 2) AS sum_value, count(*) AS n_events
 FROM events GROUP BY user_id ORDER BY user_id
 """
 

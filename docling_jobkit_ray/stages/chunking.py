@@ -1,0 +1,126 @@
+"""Chunking stage: extracted documents -> RAG-ready chunk rows.
+
+Parity with the reference's TaskType.CHUNK path
+(``/root/reference/docling_jobkit/convert/chunking.py:250-262`` — per-chunk
+record with filename/chunk_index/text/num_tokens/headings/page_numbers), as a
+``map_batches`` fan-out (one doc row -> N chunk rows).  The reference's
+HybridChunker wraps a HF tokenizer (``chunking.py:136-148``, config-keyed LRU
+cache ``:121-173``); our deterministic stand-in packs whole spans up to a
+token budget, counting whitespace-delimited tokens — the chunker state (the
+compiled tokenizer regex + options) lives in ``__init__`` like the
+reference's chunker cache.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import ray.data
+
+CHUNK_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("chunk_index", pa.int32()),
+        ("text", pa.string()),
+        ("num_tokens", pa.int32()),
+        ("headings", pa.list_(pa.string())),
+        ("page_numbers", pa.list_(pa.int32())),
+        ("has_image", pa.bool_()),
+    ]
+)
+
+
+class ChunkDocuments:
+    """Actor-pool UDF: extracted rows -> chunk rows.
+
+    Packing rule (deterministic): walk spans in order; a span is appended to
+    the current chunk unless doing so would exceed max_tokens (spans larger
+    than max_tokens become their own chunk).  Headings attach to the NEXT
+    chunk as context (mirroring the reference's heading propagation,
+    chunking.py:250-262)."""
+
+    def __init__(self, max_tokens: int = 256):
+        self.max_tokens = max_tokens
+        self.token_re = re.compile(r"\S+")
+
+    def _count(self, text: str) -> int:
+        return len(self.token_re.findall(text))
+
+    def chunk_doc(self, url: str, text: str, spans: list[dict]) -> list[dict]:
+        chunks: list[dict] = []
+        cur_parts: list[str] = []
+        cur_tokens = 0
+        cur_headings: list[str] = []
+        cur_pages: set[int] = set()
+        pending_headings: list[str] = []
+
+        def flush():
+            nonlocal cur_parts, cur_tokens, cur_headings, cur_pages
+            if cur_parts:
+                chunk_text = "\n".join(cur_parts)
+                chunks.append(
+                    {
+                        "url": url,
+                        "chunk_index": len(chunks),
+                        "text": chunk_text,
+                        "num_tokens": self._count(chunk_text),
+                        "headings": list(cur_headings),
+                        "page_numbers": sorted(cur_pages),
+                        "has_image": False,
+                    }
+                )
+            cur_parts, cur_tokens, cur_headings, cur_pages = [], 0, [], set()
+
+        page_no = 0
+        for span in spans or []:
+            seg = text[span["start"] : span["end"]]
+            kind = span["kind"]
+            if kind == "page":
+                page_no += 1
+            if kind == "heading":
+                pending_headings.append(seg)
+                continue
+            n = self._count(seg)
+            if cur_tokens and cur_tokens + n > self.max_tokens:
+                flush()
+            if pending_headings:
+                cur_headings.extend(pending_headings)
+                pending_headings = []
+            cur_parts.append(seg)
+            cur_tokens += n
+            if kind == "page":
+                cur_pages.add(page_no)
+            if cur_tokens >= self.max_tokens:
+                flush()
+        flush()
+        return chunks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        statuses = batch.column("status").to_pylist()
+        for url, text, sp, status in zip(urls, texts, spans, statuses):
+            if status == "FAILURE" or not text:
+                continue
+            rows.extend(self.chunk_doc(url, text, sp or []))
+        cols = {name: [] for name in CHUNK_SCHEMA.names}
+        for r in rows:
+            for name in CHUNK_SCHEMA.names:
+                cols[name].append(r[name])
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in CHUNK_SCHEMA],
+            schema=CHUNK_SCHEMA,
+        )
+
+
+def chunk_pipeline(extracted: ray.data.Dataset, *, max_tokens: int = 256) -> ray.data.Dataset:
+    return extracted.map_batches(
+        ChunkDocuments,
+        fn_constructor_kwargs={"max_tokens": max_tokens},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )

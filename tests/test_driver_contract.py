@@ -1,0 +1,144 @@
+"""Driver-contract tests: mimic the driver's correctness gate.
+
+Every ``queries()`` entry runs at sf0.001; the SQL-backed subset is compared
+against DuckDB (row count + column names + order-insensitive values), the
+same check the driver performs at sf0.01.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (np.integer,)):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+def test_entry_smoke(entrymod):
+    ds = entrymod.entry()
+    assert ds.count() > 0
+    assert "url" in ds.schema().names
+
+
+def test_oracle_keys_subset_of_queries(entrymod):
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    missing = set(o) - set(q)
+    assert not missing, f"oracle_sql keys missing from queries: {missing}"
+
+
+SQL_BACKED = [
+    "q1_pricing_summary",
+    "filter_project_lineitem",
+    "join_orders_customer",
+    "revenue_by_nation",
+    "topk_orders",
+    "distinct_event_types",
+    "events_hourly_window",
+    "events_user_stats",
+    "token_counts",
+    "fingerprints_sha",
+    "doc_stats_by_lang",
+    "dedup_exact",
+]
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_duckdb(entrymod, name):
+    q = entrymod.queries()
+    sql = entrymod.oracle_sql()[name]
+    got = _canon(_to_pandas(q[name](SF_DIR)))
+    want = _canon(_duck(sql))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
+
+
+ROWS_ONLY = [
+    "quality_scores",
+    "lang_id",
+    "fingerprints_rolling",
+    "minhash_dedup",
+    "simhash_dup_groups",
+    "embedding_lsh_buckets",
+    "knn_brute_force",
+    "knn_ivf",
+    "extract_inline",
+    "extract_dead_letter",
+    "chunk_documents",
+    "media_features",
+    "frame_samples",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(entrymod, name):
+    df = _to_pandas(entrymod.queries()[name](SF_DIR))
+    assert df is not None
+    # named result with a stable schema
+    assert len(df.columns) > 0
+
+
+def test_knn_ivf_recall_vs_brute(entrymod):
+    """IVF with n_probe=n_cells must equal brute force exactly; with fewer
+    probes, recall should still be decent on this small corpus."""
+    from docling_jobkit_ray.functions.similarity import knn_brute_force, knn_ivf
+
+    bf = _to_pandas(knn_brute_force(SF_DIR, k=5, n_queries=3))
+    ivf = _to_pandas(knn_ivf(SF_DIR, k=5, n_queries=3, n_cells=8, n_probe=8))
+    got = set(zip(ivf["query_id"], ivf["vec_id"]))
+    want = set(zip(bf["query_id"], bf["vec_id"]))
+    assert got == want  # full probe == exact

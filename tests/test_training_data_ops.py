@@ -1,0 +1,162 @@
+"""Semantics tests for dedup / similarity / text-analysis / chunking /
+multimodal operators (beyond the driver's SQL gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session, tmp_path_factory):
+    """A documents.parquet with planted exact and near duplicates."""
+    import pyarrow.parquet as pq
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest where nobody can find it anymore"
+    )
+    near = base.replace("lazy dog", "sleepy dog")  # high jaccard
+    other = "completely different content about ray data pipelines and arrow batches in a distributed cluster environment"
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [base, base, near, other, other, "tiny"],
+        "lang": ["en"] * 6,
+        "source": ["t"] * 6,
+        "n_chars": [len(base), len(base), len(near), len(other), len(other), 4],
+    }
+    d = tmp_path_factory.mktemp("dups")
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    # embeddings with planted near-dups
+    rng = np.random.RandomState(3)
+    v = rng.standard_normal((4, 16)).astype(np.float32)
+    embs = [v[0], v[0] * 1.001, v[1], v[2]]  # 0 and 1 nearly identical
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "embedding": pa.array([e.tolist() for e in embs], pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 1, 2], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_dedup_exact_keeps_min_id(docs_with_dups):
+    from docling_jobkit_ray.functions.dedup import dedup_exact
+
+    df = dedup_exact(docs_with_dups).to_pandas()
+    by_keep = dict(zip(df["keep_doc_id"], df["n_dups"]))
+    assert by_keep[1] == 2  # docs 1,2 identical -> kept 1
+    assert by_keep[4] == 2  # docs 4,5 identical -> kept 4
+    assert by_keep[3] == 1 and by_keep[6] == 1
+
+
+def test_minhash_dedup_finds_near_dups(docs_with_dups):
+    from docling_jobkit_ray.functions.dedup import minhash_dedup, ngram_jaccard
+
+    pairs = minhash_dedup(docs_with_dups, threshold=0.5).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 2) in found  # exact dups
+    assert (1, 3) in found or (2, 3) in found  # near dup found via LSH
+    assert all(j >= 0.5 for j in pairs["jaccard"])
+    # the verify kernel agrees with a direct computation
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_simhash_groups(docs_with_dups):
+    from docling_jobkit_ray.functions.dedup import simhash_dup_groups
+
+    df = simhash_dup_groups(docs_with_dups).to_pandas()
+    by_keep = dict(zip(df["keep_doc_id"], df["n_docs"]))
+    assert by_keep[1] == 2  # identical texts share a simhash
+    assert by_keep[4] == 2
+
+
+def test_embedding_near_dup(docs_with_dups):
+    from docling_jobkit_ray.functions.dedup import embedding_near_dup
+
+    df = embedding_near_dup(docs_with_dups, cos_threshold=0.95).to_pandas()
+    assert (10, 11) in set(zip(df["vec_a"], df["vec_b"]))
+    assert all(df["cosine"] >= 0.95)
+
+
+def test_knn_brute_force_self_is_top1(ray_session):
+    from docling_jobkit_ray.functions.similarity import knn_brute_force
+
+    df = knn_brute_force("/root/testdata/sf0.001", k=3, n_queries=2).to_pandas()
+    top1 = df[df["rank"] == 1]
+    # each query's nearest neighbour is itself (cosine 1.0)
+    assert (top1["query_id"] == top1["vec_id"]).all()
+    assert (top1["cosine"] > 0.999).all()
+
+
+def test_lang_id_detects_english(ray_session, docs_with_dups):
+    from docling_jobkit_ray.functions.textstats import lang_id
+
+    df = lang_id(docs_with_dups).to_pandas()
+    by_id = dict(zip(df["doc_id"], df["lang_pred"]))
+    assert by_id[1] == "en"
+    assert by_id[6] == "und"  # "tiny" has no stopword signal
+
+
+def test_quality_scores_range(ray_session):
+    from docling_jobkit_ray.functions.textstats import quality_scores
+
+    df = quality_scores("/root/testdata/sf0.001").to_pandas()
+    assert ((df["quality_score"] >= 0) & (df["quality_score"] <= 1)).all()
+    assert (df["n_chars"] >= 0).all()
+
+
+def test_chunking_token_budget(ray_session, corpus_dir):
+    from docling_jobkit_ray.pipelines.extract import extract_pipeline
+    from docling_jobkit_ray.stages.chunking import ChunkDocuments, chunk_pipeline
+
+    chunks = chunk_pipeline(
+        extract_pipeline(corpus_dir, concurrency=(1, 2)), max_tokens=64
+    ).to_pandas()
+    assert len(chunks) > 0
+    # chunk_index dense per url
+    for url, g in chunks.groupby("url"):
+        assert sorted(g["chunk_index"]) == list(range(len(g)))
+    # single-span chunks exceeding the budget are allowed; multi-span are not
+    cd = ChunkDocuments(max_tokens=64)
+    text = "word " * 300
+    spans = [
+        {"start": 0, "end": 500, "kind": "paragraph"},
+        {"start": 500, "end": 1000, "kind": "paragraph"},
+    ]
+    out = cd.chunk_doc("u", text, spans)
+    assert len(out) == 2  # each oversized span its own chunk
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from docling_jobkit_ray.stages.multimodal import (
+        frame_sample_pipeline,
+        media_features_pipeline,
+        synthesize_media_table,
+    )
+
+    media = ray.data.from_arrow(synthesize_media_table(60, seed=5))
+    feats = media_features_pipeline(media).to_pandas()
+    assert len(feats) == 60
+    assert all(len(f) == 32 for f in feats["features"])
+    # deterministic across runs
+    feats2 = media_features_pipeline(
+        ray.data.from_arrow(synthesize_media_table(60, seed=5))
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id", ignore_index=True)[["media_id", "content_hash"]],
+        feats2.sort_values("media_id", ignore_index=True)[["media_id", "content_hash"]],
+    )
+    frames = frame_sample_pipeline(media).to_pandas()
+    assert (frames["frame_index"] >= 0).all()
+    n_videos = 60 // 3
+    assert frames["media_id"].nunique() == n_videos
