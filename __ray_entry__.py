@@ -80,6 +80,26 @@ def _chunks_query(sf_dir: str):
     ).sort(["url", "chunk_index"])
 
 
+def _export_query(sf_dir: str):
+    from docling_jobkit_ray.pipelines.extract import extract_pipeline, successes
+    from docling_jobkit_ray.stages.export import export_pipeline
+
+    ds = export_pipeline(
+        successes(extract_pipeline(_corpus_for(sf_dir), concurrency=(1, 4)))
+    )
+    return ds.select_columns(["url", "md", "doctags"]).sort("url")
+
+
+def _doc_stats_query(sf_dir: str):
+    from docling_jobkit_ray.pipelines.extract import extract_pipeline
+    from docling_jobkit_ray.stages.export import doc_stats_pipeline
+
+    ds = doc_stats_pipeline(extract_pipeline(_corpus_for(sf_dir), concurrency=(1, 4)))
+    return ds.select_columns(
+        ["url", "status", "num_characters", "num_spans", "num_tables", "num_headings", "num_pages"]
+    ).sort("url")
+
+
 def _media_features_query(sf_dir: str):
     import ray.data
 
@@ -157,8 +177,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["extract_inline"] = _extract_query("inline")
     q["extract_sliced"] = _extract_query("sliced")
     q["extract_size_bucketed"] = _extract_query("size_bucketed")
+    q["extract_fused"] = _extract_query("fused")
     q["extract_dead_letter"] = _dead_letter_query
     q["chunk_documents"] = _chunks_query
+    q["export_projections"] = _export_query
+    q["doc_stats"] = _doc_stats_query
     # multimodal plumbing
     q["media_features"] = _media_features_query
     q["frame_samples"] = _frame_samples_query

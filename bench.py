@@ -31,10 +31,10 @@ def _build_corpus(sf_dir: str) -> str:
     from docling_jobkit_ray.fixtures.corpus import write_corpus
 
     n_rows = _corpus_rows_for_sf(sf_dir)
-    out = f"/tmp/djr_bench_pages_{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}"
+    out = f"/tmp/djr_bench_pages_{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}_s64rg256"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        write_corpus(out, n_rows=n_rows, seed=42, n_shards=16)
+        write_corpus(out, n_rows=n_rows, seed=42, n_shards=64, row_group_size=256)
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -68,21 +68,54 @@ def run_bench() -> dict:
     results: dict[str, float] = {}
     pool = (1, max(2, NUM_CPUS - 2))
 
-    # headline: flagship extraction (inline), consumed by streaming count
+    nblocks = NUM_CPUS * 4
+
+    # untimed warmup: spawn worker processes + import modules once so the
+    # timed runs measure steady-state compute, not interpreter startup
+    extract_pipeline(corpus, mode="fused").count()
+
+    # headline: flagship extraction (fused read+extract tasks — the
+    # fastest measured plan; see BASELINE.md)
     n_docs = 0
     t0 = time.monotonic()
-    ds = extract_pipeline(corpus, mode="inline", concurrency=pool, batch_size=32)
+    ds = extract_pipeline(corpus, mode="fused")
     n_docs = ds.count()
     t_extract = time.monotonic() - t0
-    results["extract_inline"] = round(t_extract, 3)
+    results["extract_fused"] = round(t_extract, 3)
+
+    if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
+        ray.shutdown()
+        return {
+            "metric": "headline extraction wall time",
+            "value": results["extract_fused"],
+            "unit": "sec",
+            "queries": results,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / t_extract, 2),
+        }
 
     t0 = time.monotonic()
-    extract_pipeline(corpus, mode="sliced", concurrency=pool, batch_size=32).count()
+    extract_pipeline(
+        corpus, mode="inline", concurrency=pool, batch_size=64,
+        override_num_blocks=nblocks,
+    ).count()
+    results["extract_inline"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    extract_pipeline(
+        corpus, mode="sliced", concurrency=pool, batch_size=64,
+        override_num_blocks=nblocks,
+    ).count()
     results["extract_sliced"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
     chunk_pipeline(
-        extract_pipeline(corpus, mode="inline", concurrency=pool, batch_size=32)
+        extract_pipeline(
+            corpus, mode="inline", concurrency=pool, batch_size=32,
+            override_num_blocks=nblocks,
+        )
     ).count()
     results["extract_plus_chunk"] = round(time.monotonic() - t0, 3)
 
@@ -113,7 +146,7 @@ def run_bench() -> dict:
     ray.shutdown()
     return {
         "metric": "end-to-end extraction wall time (headline) + per-query sec",
-        "value": results["extract_inline"],
+        "value": results["extract_fused"],
         "unit": "sec",
         "queries": results,
         "sf": SF_DIR,
@@ -127,7 +160,7 @@ def run_scaling() -> dict:
     """Same headline job at num_cpus=8 and 32 in fresh processes."""
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR, BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -138,7 +171,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCALE_LO", "8"))
+    hi = int(os.environ.get("SCALE_HI", "32"))
     r_lo = one(lo)
     r_hi = one(hi)
     tp_lo = r_lo["docs"] / r_lo["value"]

@@ -209,11 +209,16 @@ def write_corpus(
     n_rows: int,
     seed: int = 42,
     n_shards: int = 4,
+    row_group_size: int = 512,
     **kwargs,
 ) -> list[str]:
     """Write the corpus as `n_shards` parquet shards (resumable-input layout:
     one shard = one checkpoint unit, SURVEY.md §7.1 step 8). Deterministic:
-    shard i gets seed `seed*1000+i` and `n_rows//n_shards` (+remainder) rows."""
+    shard i gets seed `seed*1000+i` and `n_rows//n_shards` (+remainder) rows.
+
+    Small row groups matter: Ray's parquet reader can only split a file into
+    blocks at row-group granularity, so row_group_size bounds the finest
+    read parallelism (`override_num_blocks` can't go below it)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     base = n_rows // n_shards
@@ -224,6 +229,6 @@ def write_corpus(
         cols["url"] = [u.replace("https://", f"https://s{i}-") for u in cols["url"]]
         table = rows_to_table(cols)
         path = os.path.join(out_dir, f"pages-{i:05d}.parquet")
-        pq.write_table(table, path)
+        pq.write_table(table, path, row_group_size=row_group_size)
         paths.append(path)
     return paths

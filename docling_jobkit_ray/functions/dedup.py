@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray.data
 
 from ..sources.pages import read_table
+from ._arrow import list_column_to_matrix
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -82,19 +83,33 @@ _MERSENNE = (1 << 61) - 1
 _MAX_HASH = np.uint64((1 << 32) - 1)
 
 
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix constants
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingles -> stable 32-bit hashes (vector)."""
+    """k-word shingles -> stable 64-bit hashes (vectorized).
+
+    Per-word crc32 (C speed) then a vectorized polynomial combine over the
+    k-gram windows — no per-shingle Python hashing. Deterministic."""
+    import zlib as _z
+
     words = _WORD_RE.findall(text.lower())
+    if not words:
+        return np.zeros(1, dtype=np.uint64)
+    wh = np.fromiter(
+        (_z.crc32(w.encode("utf-8")) for w in words), dtype=np.uint64, count=len(words)
+    )
+    # mix to 64 bits so crc collisions don't align across positions
+    wh = (wh + np.uint64(1)) * _SHINGLE_P
     if len(words) < k:
-        joined = [" ".join(words)] if words else [""]
-    else:
-        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(joined), dtype=np.uint64)
-    for i, s in enumerate(joined):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-    return out
+        out = np.zeros(1, dtype=np.uint64)
+        for i, h in enumerate(wh):
+            out[0] ^= h * _SHINGLE_P ** np.uint64(i + 1)
+        return out
+    acc = np.zeros(len(words) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc ^= wh[j : len(words) - k + 1 + j] * _SHINGLE_P ** np.uint64(j + 1)
+    return acc
 
 
 class MinHasher:
@@ -169,12 +184,12 @@ def minhash_lsh_candidates(
     (band_id, band_hash) -> per-group pair emission -> global pair dedup.
     The shuffle carries only (band_id, band_hash, doc_id)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # callable INSTANCE (not class): cheap deterministic state is built once
+    # on the driver and closure-shipped -> stateless task pool, which
+    # schedules better than an autoscaling actor pool for cheap-state UDFs
+    hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
+        hasher, batch_format="pyarrow", zero_copy_batch=True
     )
     bands = sigs.map_batches(
         lambda b: _band_rows(
@@ -296,7 +311,7 @@ class SimHasher:
 def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        SimHasher(), batch_format="pyarrow", zero_copy_batch=True
     ).sort("doc_id")
 
 
@@ -327,7 +342,7 @@ class HyperplaneBucketer:
         self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        embs = list_column_to_matrix(batch.column("embedding"))
         signs = (embs @ self.planes) >= 0
         bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
         return pa.table(
@@ -344,11 +359,9 @@ def embedding_lsh_buckets(sf_dir: str, *, n_planes: int = 16) -> ray.data.Datase
     dim = len(sample.column("embedding")[0])
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(
-        HyperplaneBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        HyperplaneBucketer(dim=dim, n_planes=n_planes),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     ).sort("vec_id")
 
 
@@ -371,11 +384,9 @@ def embedding_near_dup(
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     buckets = ds.map_batches(
-        HyperplaneBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        HyperplaneBucketer(dim=dim, n_planes=n_planes),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
 
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:

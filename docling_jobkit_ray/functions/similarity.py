@@ -20,6 +20,7 @@ import pyarrow as pa
 import ray.data
 
 from ..sources.pages import read_table
+from ._arrow import list_column_to_matrix
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -49,8 +50,8 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        vecs = list_column_to_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         sims = _normalize(vecs) @ self.q.T  # (n, nq)
         k = min(self.k, len(vec_ids))
         out_q, out_v, out_s = [], [], []
@@ -91,11 +92,9 @@ def knn_brute_force(sf_dir: str, *, k: int = 5, n_queries: int = 4) -> ray.data.
     queries, qids = _query_matrix(sf_dir, n_queries)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries": queries, "query_ids": qids, "k": k},
+        BruteForceTopK(queries, qids, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
     return (
         partials.groupby("query_id")
@@ -139,7 +138,7 @@ class IvfAssign:
         self.centroids = centroids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32))
+        vecs = _normalize(list_column_to_matrix(batch.column("embedding")))
         cell = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int32)
         return batch.append_column("cell", pa.array(cell, pa.int32()))
 
@@ -159,11 +158,7 @@ def knn_ivf(
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assigned = ds.map_batches(
-        IvfAssign,
-        fn_constructor_kwargs={"centroids": centroids},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
+        IvfAssign(centroids), batch_format="pyarrow", zero_copy_batch=True
     )
 
     probed_arr = pa.array(all_probed, pa.int32())
@@ -202,7 +197,7 @@ def knn_ivf(
             return pa.concat_tables(out)
 
     partials = pruned.map_batches(
-        ProbedTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        ProbedTopK(), batch_format="pyarrow", zero_copy_batch=True
     )
     return (
         partials.groupby("query_id")

@@ -113,7 +113,7 @@ class QualityScorer:
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        QualityScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        QualityScorer(), batch_format="pyarrow", zero_copy_batch=True
     ).sort("doc_id")
 
 
@@ -162,7 +162,7 @@ class LangId:
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        LangId(), batch_format="pyarrow", zero_copy_batch=True
     ).sort("doc_id")
 
 
@@ -170,23 +170,23 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
 # document fingerprinting — sha256 content hash + 64-bit rolling hash
 # ---------------------------------------------------------------------------
 
+_FP_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier, arithmetic mod 2^64
+
+
 def _rolling_fingerprint(text: str, window: int = 16) -> int:
-    """Deterministic 64-bit fingerprint: min of Karp-Rabin rolling hashes of
-    `window`-byte windows (a winnowing-lite document sketch)."""
-    data = text.encode("utf-8")
+    """Deterministic 64-bit fingerprint: min over polynomial hashes of all
+    `window`-byte windows (winnowing-lite document sketch), fully vectorized
+    (sliding windows x power vector, wrap-around mod 2^64)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(data) <= window:
-        return zlib.crc32(data) & 0xFFFFFFFFFFFFFFFF
-    base, mod = 257, (1 << 61) - 1
-    h = 0
-    pw = pow(base, window - 1, mod)
-    best = None
-    for i, b in enumerate(data):
-        h = (h * base + b) % mod
-        if i >= window:
-            h = (h - data[i - window] * pw * base) % mod
-        if i >= window - 1:
-            best = h if best is None or h < best else best
-    return int(best)
+        return zlib.crc32(data.tobytes()) & 0xFFFFFFFFFFFFFFFF
+    powers = np.empty(window, dtype=np.uint64)
+    powers[window - 1] = np.uint64(1)
+    for j in range(window - 2, -1, -1):
+        powers[j] = powers[j + 1] * _FP_BASE
+    windows = np.lib.stride_tricks.sliding_window_view(data, window).astype(np.uint64)
+    hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
+    return int(hashes.min()) & 0x7FFFFFFFFFFFFFFF  # fits int64 storage
 
 
 def fingerprints(sf_dir: str) -> ray.data.Dataset:

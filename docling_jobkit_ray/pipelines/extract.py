@@ -63,6 +63,7 @@ def extract_pipeline(
     mode: str = "inline",
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=(1, 8),
+    override_num_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Build (lazily) the extracted dataset for a pages corpus.
 
@@ -70,9 +71,46 @@ def extract_pipeline(
     dataset, EXTRACTED_SCHEMA); use :func:`dead_letter` / :func:`successes`
     to view either side."""
     options = options or ExtractOptions()
+    read_kwargs = (
+        {"override_num_blocks": override_num_blocks} if override_num_blocks else {}
+    )
     if mode == "inline":
-        ds = read_pages(input_path)
+        ds = read_pages(input_path, **read_kwargs)
         return _actor_map(ds, options, batch_size=batch_size, concurrency=concurrency)
+
+    if mode == "fused":
+        # One task = read one shard + extract it (read fused into the heavy
+        # map by hand).  Measured ~2x the chained ReadParquet->MapBatches
+        # plan on this workload: no intermediate block materialization, no
+        # cross-operator backpressure, and the shard is the natural work
+        # unit for checkpointing anyway.  Dataset-of-paths -> map_batches is
+        # the documented Ray Data pattern for custom-read workloads.
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        if isinstance(input_path, str) and _os.path.isdir(input_path):
+            paths = sorted(_glob.glob(_os.path.join(input_path, "*.parquet")))
+        elif isinstance(input_path, str):
+            paths = [input_path]
+        else:
+            paths = list(input_path)
+        opts_kwargs = options_to_kwargs(options)
+
+        def read_and_extract(batch) -> pa.Table:
+            udf = ExtractDocuments(opts_kwargs)
+            out = []
+            for p in batch["path"]:
+                t = _pq.read_table(str(p), columns=["url", "html"])
+                t = t.append_column(
+                    "path", pa.array([str(p)] * t.num_rows, pa.string())
+                )
+                out.append(udf(t))
+            return pa.concat_tables(out)
+
+        ds = ray.data.from_items([{"path": p} for p in paths]).repartition(len(paths))
+        return ds.map_batches(read_and_extract, batch_size=1, batch_format="numpy")
 
     if mode == "size_bucketed":
         # Size-class routing: cheap vectorized split on binary_length, then
@@ -85,8 +123,8 @@ def extract_pipeline(
         def _big(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.greater(pc.binary_length(batch["html"]), BIG_ROW_BYTES))
 
-        small = read_pages(input_path).map_batches(_small, batch_format="pyarrow", zero_copy_batch=True)
-        big = read_pages(input_path).map_batches(_big, batch_format="pyarrow", zero_copy_batch=True)
+        small = read_pages(input_path, **read_kwargs).map_batches(_small, batch_format="pyarrow", zero_copy_batch=True)
+        big = read_pages(input_path, **read_kwargs).map_batches(_big, batch_format="pyarrow", zero_copy_batch=True)
         small_out = _actor_map(small, options, batch_size=batch_size, concurrency=concurrency)
         big_out = _actor_map(big, options, batch_size=4, concurrency=concurrency)
         return small_out.union(big_out)
@@ -94,13 +132,13 @@ def extract_pipeline(
     if mode == "sliced":
         slice_pages = options.slice_pages
         # Branch 1: everything except oversized binaries — inline extraction.
-        rest = read_pages(input_path).map_batches(
+        rest = read_pages(input_path, **read_kwargs).map_batches(
             drop_big_binary(slice_pages), batch_format="pyarrow", zero_copy_batch=True
         )
         rest_out = _actor_map(rest, options, batch_size=batch_size, concurrency=concurrency)
         # Branch 2: oversized binaries — plan -> per-slice extract -> groupby
         # url -> reassemble (the reference's fan-out/collect, as a shuffle).
-        big = read_pages(input_path).map_batches(
+        big = read_pages(input_path, **read_kwargs).map_batches(
             keep_big_binary(slice_pages), batch_format="pyarrow", zero_copy_batch=True
         )
         slices = big.map_batches(

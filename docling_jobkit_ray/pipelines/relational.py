@@ -389,3 +389,201 @@ RELATIONAL_QUERIES = {
     "events_hourly_window": (events_hourly_window, EVENTS_HOURLY_WINDOW_SQL),
     "events_user_stats": (events_user_stats, EVENTS_USER_STATS_SQL),
 }
+
+# ---------------------------------------------------------------------------
+# q6: forecast revenue (pure filter + global aggregate)
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q6 shape: selective filter + one global sum — pre-aggregated to
+    one partial row per batch, so the 'shuffle' is a trivial gather."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo = pa.scalar(pc.strptime("1995-01-01", format="%Y-%m-%d", unit="us"))
+    hi = pa.scalar(pc.strptime("1996-01-01", format="%Y-%m-%d", unit="us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(batch["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        f = batch.filter(m)
+        rev = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"])).as_py() or 0.0
+        return pa.table({"revenue": pa.array([rev], pa.float64())})
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.aggregate(Sum("revenue", alias_name="revenue"))
+    # aggregate() returns a dict on the driver; wrap into a 1-row table
+    import pandas as pd
+
+    return pa.table({"revenue": pa.array([round(out["revenue"], 2)], pa.float64())})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3: shipping priority (join + groupby + topk)
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3 shape: broadcast-filter the fact table by two dimension
+    predicates, grouped revenue per order, top-10 by revenue."""
+    cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = {
+        k
+        for k, seg in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()
+        )
+        if seg == "BUILDING"
+    }
+    orders = _broadcast_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cutoff_date = pc.strptime("1995-03-15", format="%Y-%m-%d", unit="us")
+    odate_by_key = {}
+    for ok, ck, od in zip(
+        orders.column("o_orderkey").to_pylist(),
+        orders.column("o_custkey").to_pylist(),
+        orders.column("o_orderdate").to_pylist(),
+    ):
+        if ck in building and od < cutoff_date.as_py():
+            odate_by_key[ok] = od
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(cutoff_date)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        keys = batch.column("l_orderkey").to_pylist()
+        keep = pa.array([k in odate_by_key for k in keys], pa.bool_())
+        f = batch.filter(keep)
+        rev = pc.multiply(f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        t = pa.table({"l_orderkey": f["l_orderkey"], "revenue": rev})
+        return (
+            t.group_by("l_orderkey")
+            .aggregate([("revenue", "sum")])
+            .rename_columns(["l_orderkey", "revenue"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    grouped = partials.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+    grouped = grouped.map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+
+    def add_odate(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_orderkey").to_pylist()
+        od = pa.array([odate_by_key[k] for k in keys], pa.timestamp("us"))
+        return batch.append_column("o_orderdate", od)
+
+    return (
+        grouped.map_batches(add_odate, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join over events (custom operator Ray Data lacks)
+# ---------------------------------------------------------------------------
+
+def events_asof_login(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: for every event, the ts of the user's most recent event
+    with value >= 90 at-or-before it (a 'last big event as of now' join).
+
+    Implementation: hash-partition by user_id (``groupby``), per-group
+    pandas merge_asof-style scan over the ts-sorted group.  Partitioning
+    assumption: one user's events fit in one group (true for web-scale
+    per-user event counts; a hot user would need ts-range salting).
+    DuckDB oracle: correlated window max."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        big_ts = g["ts"].where(g["value"] >= 90.0)
+        # ts is sorted ascending, so the as-of "most recent big event at or
+        # before each row" is a forward fill of the big-event timestamps
+        g["last_big_ts"] = big_ts.ffill()
+        return g[["event_id", "user_id", "ts", "last_big_ts"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort("event_id")
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, user_id, ts,
+       max(CASE WHEN value >= 90.0 THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_ts
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic sample
+# ---------------------------------------------------------------------------
+
+def sample_orders(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic hash-based sample (~10%): keep rows where
+    hash(o_orderkey) mod 10 == 0.  Unlike random_sample this is reproducible
+    across engines, so it IS SQL-checkable."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch["o_orderkey"], pa.scalar(7, pa.int64())), pa.scalar(0, pa.int64()))
+        return batch.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("o_orderkey")
+
+
+SAMPLE_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE (o_orderkey & 7) = 0 ORDER BY o_orderkey
+"""
+
+RELATIONAL_QUERIES.update(
+    {
+        "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+        "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+        "events_asof_login": (events_asof_login, EVENTS_ASOF_SQL),
+        "sample_orders": (sample_orders, SAMPLE_ORDERS_SQL),
+    }
+)

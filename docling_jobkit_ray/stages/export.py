@@ -1,0 +1,108 @@
+"""Export projections: extracted rows -> md / txt / doctags columns + stats.
+
+Parity with the reference's in-body export projections
+(``/root/reference/docling_jobkit/convert/results.py:210-251``
+``_export_document_as_content`` — md/html/txt/doctags renderings of one
+DoclingDocument) and its per-document stats row
+(``convert/results.py:254-288`` — num_pages, num_characters, num_tables)
+and feature-count vector (``convert/results_processor.py:289-370``).
+
+All stateless vectorizable-ish map_batches stages: rendering walks the spans
+of each row (cheap string ops), so a plain task pool is enough — no actor
+state needed (unlike the parse stage)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..extract.html import (
+    KIND_HEADING,
+    KIND_LIST_ITEM,
+    KIND_PAGE,
+    KIND_PARAGRAPH,
+    KIND_TABLE,
+)
+
+# feature vector layout (analogue of FEATURE_LABELS, results_processor.py:30-47)
+FEATURE_KINDS = [KIND_PARAGRAPH, KIND_HEADING, KIND_LIST_ITEM, KIND_TABLE, KIND_PAGE]
+
+
+def render_markdown(text: str, spans: list[dict]) -> str:
+    """Deterministic markdown rendering from text + spans."""
+    parts: list[str] = []
+    for s in spans or []:
+        seg = text[s["start"] : s["end"]]
+        kind = s["kind"]
+        if kind == KIND_HEADING:
+            parts.append(f"## {seg}")
+        elif kind == KIND_LIST_ITEM:
+            parts.append(f"- {seg}")
+        elif kind == KIND_TABLE:
+            parts.append(f"| {seg} |")
+        else:
+            parts.append(seg)
+    return "\n\n".join(parts)
+
+
+def render_doctags(text: str, spans: list[dict]) -> str:
+    """Doctags-style flat markup: <kind>segment</kind> per span (stands in
+    for the reference's doctags serialization)."""
+    out = []
+    for s in spans or []:
+        seg = text[s["start"] : s["end"]]
+        out.append(f"<{s['kind']}>{seg}</{s['kind']}>")
+    return "".join(out)
+
+
+def export_projections(batch: pa.Table) -> pa.Table:
+    """Add md + doctags columns to extracted rows."""
+    texts = batch.column("text").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    md = pa.array(
+        [render_markdown(t, sp or []) for t, sp in zip(texts, spans)], pa.string()
+    )
+    doctags = pa.array(
+        [render_doctags(t, sp or []) for t, sp in zip(texts, spans)], pa.string()
+    )
+    return batch.append_column("md", md).append_column("doctags", doctags)
+
+
+def doc_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc stats projection (_build_document_completed_item analogue):
+    num_characters, num_spans, num_tables, num_headings, num_pages, and the
+    feature-count vector."""
+    texts = batch.column("text").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    n_spans, n_tables, n_headings, n_pages, features = [], [], [], [], []
+    for sp in spans:
+        sp = sp or []
+        kinds = [s["kind"] for s in sp]
+        n_spans.append(len(sp))
+        n_tables.append(kinds.count(KIND_TABLE))
+        n_headings.append(kinds.count(KIND_HEADING))
+        n_pages.append(kinds.count(KIND_PAGE))
+        features.append([kinds.count(k) for k in FEATURE_KINDS])
+    return pa.table(
+        {
+            "url": batch["url"],
+            "status": batch["status"],
+            "num_characters": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            "num_spans": pa.array(n_spans, pa.int32()),
+            "num_tables": pa.array(n_tables, pa.int32()),
+            "num_headings": pa.array(n_headings, pa.int32()),
+            "num_pages": pa.array(n_pages, pa.int32()),
+            "features": pa.array(features, pa.list_(pa.int32())),
+        }
+    )
+
+
+def export_pipeline(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    return extracted.map_batches(
+        export_projections, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_stats_pipeline(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    return extracted.map_batches(doc_stats, batch_format="pyarrow", zero_copy_batch=True)

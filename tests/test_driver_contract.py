@@ -91,6 +91,10 @@ SQL_BACKED = [
     "fingerprints_sha",
     "doc_stats_by_lang",
     "dedup_exact",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "events_asof_login",
+    "sample_orders",
 ]
 
 
@@ -121,6 +125,8 @@ ROWS_ONLY = [
     "chunk_documents",
     "media_features",
     "frame_samples",
+    "export_projections",
+    "doc_stats",
 ]
 
 

@@ -21,7 +21,7 @@ def _collect(ds):
     return {r["url"]: r for r in ds.take_all()}
 
 
-@pytest.mark.parametrize("mode", ["inline", "sliced", "size_bucketed"])
+@pytest.mark.parametrize("mode", ["inline", "sliced", "size_bucketed", "fused"])
 def test_pipeline_matches_oracle(ray_session, corpus_dir, corpus_oracle, mode):
     ds = extract_pipeline(corpus_dir, mode=mode, concurrency=(1, 2))
     got = _collect(ds)
