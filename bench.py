@@ -24,17 +24,17 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 def _corpus_rows_for_sf(sf_dir: str) -> int:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}.get(tag, 2000)
+    return {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 60000}.get(tag, 2000)
 
 
 def _build_corpus(sf_dir: str) -> str:
     from docling_jobkit_ray.fixtures.corpus import write_corpus
 
     n_rows = _corpus_rows_for_sf(sf_dir)
-    out = f"/tmp/djr_bench_pages_{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}_s64rg256"
+    out = f"/tmp/djr_bench_pages_{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}_s96rg256"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        write_corpus(out, n_rows=n_rows, seed=42, n_shards=64, row_group_size=256)
+        write_corpus(out, n_rows=n_rows, seed=42, n_shards=96, row_group_size=256)
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -161,8 +161,17 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR, BENCH_HEADLINE_ONLY="1")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # cage the WHOLE Ray session (raylet, object store, workers, driver)
+        # to exactly ncpu cores: without this, Ray helper threads spill onto
+        # the idle cores at the low level and flatter its throughput — a
+        # sandbox artifact a real N-node cluster does not have
+        import shutil as _sh
+
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

@@ -199,17 +199,38 @@ def minhash_lsh_candidates(
         zero_copy_batch=True,
     )
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    # Pair emission: grouping directly on (band_id, band_hash) would fire a
+    # Python map_groups call per TINY group (one per distinct band value —
+    # ~n_docs x n_bands of them).  Instead co-locate by a coarser hash
+    # bucket and emit pairs with ONE vectorized self-merge per bucket.
+    # Bucket count bounds group size skew; tune up at larger corpus sizes.
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas"
+        bucket = pc.bit_wise_and(batch["band_hash"], pa.scalar(4095, pa.int64()))
+        return batch.append_column("bucket", bucket)
+
+    bucketed = bands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["band_id", "band_hash", "doc_id"]]
+        m = g.merge(g, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
+            ["doc_a", "doc_b"]
+        ].drop_duplicates()
+
+    pairs = bucketed.groupby("bucket").map_groups(
+        emit_pairs_bucket, batch_format="pandas"
     )
-    # distinct pairs (a pair can collide in several bands)
+    # distinct pairs (a pair can collide in several bands/buckets)
     from ray.data.aggregate import Count
 
     return (
