@@ -61,6 +61,107 @@ def _write_manifest(out_dir: str, rec: dict) -> None:
     os.replace(tmp, os.path.join(mdir, f"{rec['shard_key']}.json"))  # atomic
 
 
+def run_extract_checkpointed_fused(
+    input_dir: str,
+    out_dir: str,
+    *,
+    options: ExtractOptions | None = None,
+    progress_callback=None,
+) -> dict:
+    """Checkpointed run as ONE Ray Dataset execution (the scale path).
+
+    One fused task per pending shard: read shard -> extract -> write
+    `part-<shard>` parquet (temp-then-rename, atomic) -> return ONE manifest
+    row.  The driver only ever sees manifest rows (bytes-counted lineage),
+    never document data — so 10^5 shards is one streaming execution with a
+    tiny driver-side collect, instead of 10^5 separate pipeline launches.
+
+    Crash safety: an output dir renamed into place without its manifest
+    record is re-done (and overwritten) on the next run — outputs are
+    idempotent per shard, the manifest is the commit point, mirroring the
+    reference's atomic finalize (redis_helper.py:905-950).
+
+    ``progress_callback(rec)`` (optional) is invoked on the driver per
+    completed shard — the analogue of the reference's DocumentCompleted
+    progress callbacks (orchestrators/callback_invoker.py:19-110).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.extract import ExtractDocuments
+    from ..stages.extract import options_to_kwargs as _otk
+
+    options = options or ExtractOptions()
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_shards(out_dir)
+    shards = list_shards(input_dir)
+    pending = [s for s in shards if _shard_key(s) not in done]
+    opts_kwargs = _otk(options)
+    abs_out = os.path.abspath(out_dir)
+
+    def process_shard(batch) -> "pa.Table":
+        import shutil as _sh
+
+        udf = ExtractDocuments(opts_kwargs)
+        recs = {k: [] for k in ("shard_key", "shard_path", "docs", "parse_failures", "chars_out", "input_bytes", "wall_sec")}
+        for p in batch["path"]:
+            p = str(p)
+            key = _shard_key(p)
+            t0 = time.monotonic()
+            t = pq.read_table(p, columns=["url", "html"])
+            t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
+            out = udf(t)
+            tmp_dir = os.path.join(abs_out, f".tmp-{key}")
+            final_dir = os.path.join(abs_out, f"part-{key}")
+            _sh.rmtree(tmp_dir, ignore_errors=True)
+            os.makedirs(tmp_dir)
+            pq.write_table(out, os.path.join(tmp_dir, "data.parquet"))
+            _sh.rmtree(final_dir, ignore_errors=True)
+            os.replace(tmp_dir, final_dir)  # atomic publish of the partition
+            status = out.column("status").to_pylist()
+            recs["shard_key"].append(key)
+            recs["shard_path"].append(p)
+            recs["docs"].append(out.num_rows)
+            recs["parse_failures"].append(sum(1 for s in status if s == "FAILURE"))
+            recs["chars_out"].append(int(pc.sum(out["n_chars"]).as_py() or 0))
+            recs["input_bytes"].append(os.path.getsize(p))
+            recs["wall_sec"].append(round(time.monotonic() - t0, 3))
+        return pa.table(
+            {
+                "shard_key": pa.array(recs["shard_key"], pa.string()),
+                "shard_path": pa.array(recs["shard_path"], pa.string()),
+                "docs": pa.array(recs["docs"], pa.int64()),
+                "parse_failures": pa.array(recs["parse_failures"], pa.int64()),
+                "chars_out": pa.array(recs["chars_out"], pa.int64()),
+                "input_bytes": pa.array(recs["input_bytes"], pa.int64()),
+                "wall_sec": pa.array(recs["wall_sec"], pa.float64()),
+            }
+        )
+
+    if pending:
+        ds = ray.data.from_items([{"path": p} for p in pending]).repartition(len(pending))
+        manifest_rows = ds.map_batches(
+            process_shard, batch_size=1, batch_format="numpy"
+        ).take_all()
+        # driver is the single manifest writer (commit point)
+        for row in manifest_rows:
+            rec = {**row, "output_dir": f"part-{row['shard_key']}", "mode": "fused"}
+            _write_manifest(out_dir, rec)
+            done[rec["shard_key"]] = rec
+            if progress_callback is not None:
+                progress_callback(rec)
+
+    return {
+        "shards_total": len(shards),
+        "shards_skipped_resume": len(shards) - len(pending),
+        "docs": int(sum(r["docs"] for r in done.values())),
+        "parse_failures": int(sum(r["parse_failures"] for r in done.values())),
+        "input_bytes": int(sum(r["input_bytes"] for r in done.values())),
+        "chars_out": int(sum(r["chars_out"] for r in done.values())),
+    }
+
+
 def run_extract_checkpointed(
     input_dir: str,
     out_dir: str,
@@ -72,10 +173,17 @@ def run_extract_checkpointed(
 ) -> dict:
     """Run the extraction pipeline shard-by-shard with resume.
 
+    For mode='fused' this delegates to :func:`run_extract_checkpointed_fused`
+    (one Dataset execution for ALL pending shards — the scale path); other
+    modes run one pipeline per shard (useful when a shard itself is huge and
+    needs the sliced/size_bucketed plan inside).
+
     Returns run-level metrics (aggregated over manifests, including shards
     completed by PREVIOUS runs — the metrics are durable, not in-memory,
     mirroring the reference's monotonic lifecycle counters,
     ``redis_helper.py:718-812``)."""
+    if mode == "fused":
+        return run_extract_checkpointed_fused(input_dir, out_dir, options=options)
     import shutil
 
     options = options or ExtractOptions()

@@ -67,3 +67,27 @@ def test_manifest_atomicity_no_tmp_leftover(ray_session, corpus_dir, tmp_path):
         assert not f.startswith(".tmp-")
         rec = json.load(open(os.path.join(out, "_manifest", f)))
         assert {"shard_key", "docs", "parse_failures", "input_bytes"} <= set(rec)
+
+
+def test_checkpointed_fused_matches_oracle(ray_session, corpus_dir, corpus_oracle, tmp_path):
+    import glob
+
+    from docling_jobkit_ray.state.checkpoint import run_extract_checkpointed
+
+    out = str(tmp_path / "fused_out")
+    seen = []
+    from docling_jobkit_ray.state.checkpoint import run_extract_checkpointed_fused
+
+    totals = run_extract_checkpointed_fused(
+        corpus_dir, out, progress_callback=lambda rec: seen.append(rec["shard_key"])
+    )
+    assert totals["docs"] == len(corpus_oracle)
+    assert len(seen) == 3  # progress callback fired per shard
+    parts = sorted(glob.glob(os.path.join(out, "part-*", "*.parquet")))
+    ds = ray.data.read_parquet(parts)
+    got = {r["url"]: r["text"] for r in ds.take_all()}
+    assert got == {u: r["text"] for u, r in corpus_oracle.items()}
+    # resume skips everything
+    totals2 = run_extract_checkpointed(corpus_dir, out, mode="fused")
+    assert totals2["shards_skipped_resume"] == 3
+    assert totals2["docs"] == totals["docs"]
