@@ -587,3 +587,68 @@ RELATIONAL_QUERIES.update(
         "sample_orders": (sample_orders, SAMPLE_ORDERS_SQL),
     }
 )
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (streaming-shaped custom operator)
+# ---------------------------------------------------------------------------
+
+def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session windows per user: a new session starts when the gap to the
+    previous event exceeds `gap_minutes`.  groupby(user_id) + ordered scan
+    within the group (partitioning assumption: one user's events fit in one
+    group).  Output: one row per session with start/end/count/sum.
+
+    Oracle: DuckDB window functions (lag -> gap flag -> running session id).
+    """
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        new_session = g["ts"].diff() > gap
+        g["session_id"] = new_session.cumsum().astype("int64")
+        out = (
+            g.groupby("session_id")
+            .agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("ts", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .sort(["user_id", "session_id"])
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+RELATIONAL_QUERIES["events_sessionize"] = (events_sessionize, EVENTS_SESSIONIZE_SQL)

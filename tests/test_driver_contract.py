@@ -95,6 +95,7 @@ SQL_BACKED = [
     "q3_shipping_priority",
     "events_asof_login",
     "sample_orders",
+    "events_sessionize",
 ]
 
 
