@@ -652,3 +652,53 @@ ORDER BY user_id, session_id
 """
 
 RELATIONAL_QUERIES["events_sessionize"] = (events_sessionize, EVENTS_SESSIONIZE_SQL)
+
+# ---------------------------------------------------------------------------
+# grouped top-k (per-key top-n, a window-function-shaped operator)
+# ---------------------------------------------------------------------------
+
+def top_orders_per_customer(sf_dir: str, *, k: int = 2) -> ray.data.Dataset:
+    """Top-k orders by totalprice per customer.
+
+    Two-phase: per-batch partial top-k per key (vectorized pandas
+    sort+head inside map_batches — cuts the shuffle to <= k rows per key per
+    batch), then groupby(custkey) final top-k.  Deterministic tiebreak on
+    o_orderkey.  Oracle: row_number() window."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("o_custkey", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return (
+        partials.groupby("o_custkey")
+        .map_groups(final, batch_format="pandas")
+        .sort(["o_custkey", "rank"])
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 2 ORDER BY o_custkey, rank
+"""
+
+RELATIONAL_QUERIES["top_orders_per_customer"] = (
+    top_orders_per_customer,
+    TOP_ORDERS_PER_CUSTOMER_SQL,
+)

@@ -96,6 +96,7 @@ SQL_BACKED = [
     "events_asof_login",
     "sample_orders",
     "events_sessionize",
+    "top_orders_per_customer",
 ]
 
 
