@@ -123,21 +123,29 @@ def run_bench() -> dict:
     from docling_jobkit_ray.functions.dedup import dedup_exact, minhash_lsh_candidates
     from docling_jobkit_ray.functions.similarity import knn_brute_force
     from docling_jobkit_ray.functions.textstats import quality_scores, token_counts
+    from docling_jobkit_ray.functions.similarity import knn_ivf
     from docling_jobkit_ray.pipelines.relational import (
         events_hourly_window,
+        events_sessionize,
         q1_pricing_summary,
+        q3_shipping_priority,
         revenue_by_nation,
+        top_orders_per_customer,
     )
 
     for name, fn in [
         ("q1_pricing_summary", q1_pricing_summary),
+        ("q3_shipping_priority", q3_shipping_priority),
         ("revenue_by_nation", revenue_by_nation),
         ("events_hourly_window", events_hourly_window),
+        ("events_sessionize", events_sessionize),
+        ("top_orders_per_customer", top_orders_per_customer),
         ("token_counts", token_counts),
         ("quality_scores", quality_scores),
         ("dedup_exact", dedup_exact),
         ("minhash_lsh", minhash_lsh_candidates),
         ("knn_brute_force", knn_brute_force),
+        ("knn_ivf", knn_ivf),
     ]:
         t0 = time.monotonic()
         fn(SF_DIR).count()

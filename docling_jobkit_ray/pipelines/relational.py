@@ -675,16 +675,26 @@ def top_orders_per_customer(sf_dir: str, *, k: int = 2) -> ray.data.Dataset:
         )
         return df.groupby("o_custkey", sort=False).head(k)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = range(1, len(g) + 1)
-        return g
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # group by a coarse hash bucket, not the raw key: one vectorized
+        # pandas pass per bucket instead of a Python call per tiny key group
+        df["bucket"] = df["o_custkey"] % 1024
+        return df
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+        )
+        g = g.groupby("o_custkey", sort=False).head(k).reset_index(drop=True)
+        g["rank"] = (g.groupby("o_custkey", sort=False).cumcount() + 1).astype("int64")
+        return g.drop(columns=["bucket"])
+
+    partials = ds.map_batches(partial, batch_format="pandas").map_batches(
+        add_bucket, batch_format="pandas"
+    )
     return (
-        partials.groupby("o_custkey")
-        .map_groups(final, batch_format="pandas")
+        partials.groupby("bucket")
+        .map_groups(final_bucket, batch_format="pandas")
         .sort(["o_custkey", "rank"])
     )
 

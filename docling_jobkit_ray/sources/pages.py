@@ -32,6 +32,15 @@ def read_pages(
     )
 
 
+# Fact tables big enough that post-read block splitting pays: the driver
+# files are single-row-group, so the read is one task either way, but
+# override_num_blocks lets every DOWNSTREAM stage run wide.
+_SPLIT_TABLES = {"lineitem": 32, "orders": 16, "events": 16}
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
-    """Read one of the driver-generated testdata tables with column pruning."""
+    """Read one of the driver-generated testdata tables with column pruning
+    and fact-table block splitting."""
+    if "override_num_blocks" not in kwargs and name in _SPLIT_TABLES:
+        kwargs["override_num_blocks"] = _SPLIT_TABLES[name]
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)
