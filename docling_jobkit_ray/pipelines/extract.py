@@ -190,3 +190,23 @@ def status_counts(extracted: ray.data.Dataset):
     """Per-status counters, the reference's num_succeeded/failed aggregate
     (``convert/results.py:76-88``) as a Ray Data groupby-count."""
     return extracted.groupby("status").count()
+
+
+def dedup_pages_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact dedup by url for the resume path (SURVEY.md §2.9): when a rerun
+    re-reads a partially-written input, keep ONE row per url
+    deterministically (earliest warc_ts; ties broken by smallest payload).
+
+    Shuffle discipline: only (url, warc_ts, binary_length) decide the
+    winner, but the groupby must carry the payload along — so this is the
+    rare whole-row shuffle and is only meant for the rare-resume path; the
+    common path skips completed partitions via the manifest and never
+    pays it."""
+    import pandas as pd
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_len=g["html"].map(lambda b: len(b) if b is not None else 0))
+        g = g.sort_values(["warc_ts", "_len"]).drop(columns=["_len"])
+        return g.head(1)
+
+    return ds.groupby("url").map_groups(keep_first, batch_format="pandas")

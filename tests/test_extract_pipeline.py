@@ -96,3 +96,22 @@ def test_sliced_mode_actually_slices(ray_session, corpus_dir):
                 except Exception:
                     pass
     assert n_big > 0
+
+
+def test_dedup_pages_by_url(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from docling_jobkit_ray.pipelines.extract import dedup_pages_by_url
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {"url": "u1", "warc_ts": t0, "html": b"<p>first crawl body text</p>"},
+        {"url": "u1", "warc_ts": t0 + dt.timedelta(days=1), "html": b"<p>recrawl</p>"},
+        {"url": "u2", "warc_ts": t0, "html": b"<p>only one</p>"},
+    ]
+    out = dedup_pages_by_url(ray.data.from_items(rows)).take_all()
+    by_url = {r["url"]: r for r in out}
+    assert len(out) == 2
+    assert by_url["u1"]["html"] == b"<p>first crawl body text</p>"

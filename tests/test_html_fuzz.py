@@ -90,3 +90,32 @@ def test_arbitrary_text_never_crashes(junk):
     # malformed input must never raise from the fast scanner
     segment_blocks(junk)
     extract_html(junk)
+
+
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=200, deadline=None)
+@_given(_st.lists(_st.text(max_size=60), max_size=12))
+def test_binarydoc_roundtrip_property(pages):
+    from docling_jobkit_ray.extract import binarydoc
+
+    data = binarydoc.build_binary_doc(pages)
+    directory = binarydoc.parse_directory(data)
+    texts, errors = binarydoc.parse_pages(data, directory, 0, len(directory))
+    assert texts == pages and errors == []
+
+
+@_settings(max_examples=200, deadline=None)
+@_given(_st.binary(max_size=200))
+def test_binarydoc_arbitrary_bytes_never_crash(data):
+    from docling_jobkit_ray.extract import binarydoc
+    from docling_jobkit_ray.extract.errors import ExtractError
+
+    try:
+        directory = binarydoc.parse_directory(binarydoc.MAGIC + data)
+        binarydoc.parse_pages(binarydoc.MAGIC + data, directory, 0, len(directory))
+    except ExtractError:
+        pass  # typed rejection is the contract; anything else would fail
