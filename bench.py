@@ -98,9 +98,9 @@ def run_bench() -> dict:
 
     t0 = time.monotonic()
     extract_pipeline(
-        corpus, mode="inline", concurrency=pool, batch_size=64,
+        corpus, mode="inline", concurrency=max(2, NUM_CPUS - 2), batch_size=64,
         override_num_blocks=nblocks,
-    ).count()
+    ).count()  # fixed-size pool: autoscaling ramps too slowly for short jobs
     results["extract_inline"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()

@@ -712,3 +712,31 @@ RELATIONAL_QUERIES["top_orders_per_customer"] = (
     top_orders_per_customer,
     TOP_ORDERS_PER_CUSTOMER_SQL,
 )
+
+# ---------------------------------------------------------------------------
+# shuffle hash join (native Dataset.join) — the big-x-big strategy
+# ---------------------------------------------------------------------------
+
+def join_orders_customer_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Same semantics as :func:`join_orders_customer` but via Ray Data's
+    native hash-partitioned shuffle join — the strategy for BIG-x-BIG joins
+    where neither side fits a broadcast.  Kept alongside the broadcast
+    variant so the engine exposes both; pick by side size."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"]
+    )
+
+
+RELATIONAL_QUERIES["join_orders_customer_shuffle"] = (
+    join_orders_customer_shuffle,
+    JOIN_ORDERS_CUSTOMER_SQL,
+)

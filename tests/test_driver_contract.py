@@ -97,6 +97,7 @@ SQL_BACKED = [
     "sample_orders",
     "events_sessionize",
     "top_orders_per_customer",
+    "join_orders_customer_shuffle",
 ]
 
 
