@@ -47,6 +47,24 @@ class ExtractOptions:
     # Binary docs with more pages than this are sliced when fan-out is on.
     slice_pages: int = 10
 
+    def __post_init__(self):
+        # boundary validation, the reference's options-matrix discipline
+        # (convert/manager.py:1461-1552 validates every option at the edge)
+        if self.max_bytes <= 0:
+            raise ValueError(f"max_bytes must be positive, got {self.max_bytes}")
+        if self.max_pages <= 0:
+            raise ValueError(f"max_pages must be positive, got {self.max_pages}")
+        if not (0.0 <= self.max_link_density <= 1.0):
+            raise ValueError(
+                f"max_link_density must be in [0, 1], got {self.max_link_density}"
+            )
+        if self.min_paragraph_chars < 0:
+            raise ValueError(
+                f"min_paragraph_chars must be >= 0, got {self.min_paragraph_chars}"
+            )
+        if self.slice_pages <= 0:
+            raise ValueError(f"slice_pages must be positive, got {self.slice_pages}")
+
 
 def assemble_pages(page_texts: list[str]) -> tuple[str, list[dict]]:
     """Join page texts with PAGE_SEP and emit one span per page.

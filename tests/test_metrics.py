@@ -54,3 +54,57 @@ def test_merge_shard_timings():
         "count": 2, "total_sec": 4.0, "min_sec": 1.0, "max_sec": 3.0, "mean_sec": 2.0,
     }
     assert merge_shard_timings([])["count"] == 0
+
+
+def test_callback_invoker_retry_and_swallow():
+    from docling_jobkit_ray.pipelines.callbacks import CallbackInvoker
+
+    calls = []
+    fail_first = {"n": 0}
+
+    def flaky(msg):
+        fail_first["n"] += 1
+        if fail_first["n"] <= 2:
+            raise ConnectionError("transient")
+        calls.append(msg)
+
+    inv = CallbackInvoker(sink=flaky, retry_delay_s=0.001)
+    assert inv.set_num_docs(5) is True  # succeeds on 3rd attempt
+    assert calls[0] == {"event": "SET_NUM_DOCS", "total": 5}
+
+    def always_broken(msg):
+        raise RuntimeError("down")
+
+    inv2 = CallbackInvoker(sink=always_broken, retry_delay_s=0.001, max_retries=1)
+    assert inv2.document_completed("k", "SUCCESS", 1, 5) is False  # swallowed
+    assert inv2.n_failed == 1 and "RuntimeError" in inv2.failures[0]
+
+
+def test_checkpoint_with_callback_sequence(ray_session, corpus_dir, tmp_path):
+    from docling_jobkit_ray.pipelines.callbacks import (
+        CallbackInvoker,
+        progress_callback_from_invoker,
+    )
+    from docling_jobkit_ray.state.checkpoint import run_extract_checkpointed_fused
+
+    events = []
+    inv = CallbackInvoker(sink=events.append)
+    cb = progress_callback_from_invoker(inv, total_shards=3)
+    run_extract_checkpointed_fused(corpus_dir, str(tmp_path / "o"), progress_callback=cb)
+    assert events[0]["event"] == "SET_NUM_DOCS" and events[0]["total"] == 3
+    completed = [e for e in events if e["event"] == "DOCUMENT_COMPLETED"]
+    assert len(completed) == 3
+    assert [e["index"] for e in completed] == [1, 2, 3]
+
+
+def test_extract_options_validation():
+    import pytest
+
+    from docling_jobkit_ray.extract.record import ExtractOptions
+
+    with pytest.raises(ValueError):
+        ExtractOptions(max_bytes=0)
+    with pytest.raises(ValueError):
+        ExtractOptions(max_link_density=1.5)
+    with pytest.raises(ValueError):
+        ExtractOptions(slice_pages=-1)
