@@ -117,10 +117,11 @@ class ChunkDocuments:
 
 
 def chunk_pipeline(extracted: ray.data.Dataset, *, max_tokens: int = 256) -> ray.data.Dataset:
+    # callable instance -> stateless task pool: the chunker's state (one
+    # compiled regex) is trivial, and task pools schedule much better than a
+    # small autoscaling actor pool behind a fast upstream stage
     return extracted.map_batches(
-        ChunkDocuments,
-        fn_constructor_kwargs={"max_tokens": max_tokens},
+        ChunkDocuments(max_tokens=max_tokens),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
