@@ -169,6 +169,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_near_dup"] = _near_dup
     q["embedding_lsh_buckets"] = dedup.embedding_lsh_buckets
+    def _approx_distinct(sf_dir: str):
+        import pandas as pd
+
+        from docling_jobkit_ray.functions.sketches import approx_distinct_users
+
+        return pd.DataFrame({"approx_n_users": [round(approx_distinct_users(sf_dir))]})
+
+    q["approx_distinct_users"] = _approx_distinct
     # similarity search
     q["knn_brute_force"] = functools.partial(similarity.knn_brute_force, k=5, n_queries=4)
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)

@@ -740,3 +740,64 @@ RELATIONAL_QUERIES["join_orders_customer_shuffle"] = (
     join_orders_customer_shuffle,
     JOIN_ORDERS_CUSTOMER_SQL,
 )
+
+# ---------------------------------------------------------------------------
+# union
+# ---------------------------------------------------------------------------
+
+def union_order_segments(sf_dir: str) -> ray.data.Dataset:
+    """UNION ALL of two filtered scans (high-value orders + urgent orders).
+    Exercises ds.union; duplicates preserved (UNION ALL semantics)."""
+    base_cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    high = read_table(sf_dir, "orders", columns=base_cols).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(400000.0))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    urgent = read_table(sf_dir, "orders", columns=base_cols).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return high.union(urgent).sort(["o_orderkey", "o_totalprice"])
+
+
+UNION_ORDER_SEGMENTS_SQL = """
+SELECT * FROM (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+) ORDER BY o_orderkey, o_totalprice
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct count: exact (partial dedup) and approximate (HLL sketch)
+# ---------------------------------------------------------------------------
+
+def count_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT user_id): per-batch dedup partials (the shuffle
+    sees unique ids per batch, not every row) -> global distinct -> count."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("user_id").aggregate([])
+
+    from ray.data.aggregate import Count
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    uniq = partials.groupby("user_id").aggregate(Count(alias_name="_n"))
+    n = uniq.count()
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+
+COUNT_DISTINCT_USERS_SQL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+"""
+
+RELATIONAL_QUERIES.update(
+    {
+        "union_order_segments": (union_order_segments, UNION_ORDER_SEGMENTS_SQL),
+        "count_distinct_users": (count_distinct_users, COUNT_DISTINCT_USERS_SQL),
+    }
+)

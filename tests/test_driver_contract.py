@@ -98,6 +98,8 @@ SQL_BACKED = [
     "events_sessionize",
     "top_orders_per_customer",
     "join_orders_customer_shuffle",
+    "union_order_segments",
+    "count_distinct_users",
 ]
 
 
@@ -130,6 +132,7 @@ ROWS_ONLY = [
     "frame_samples",
     "export_projections",
     "doc_stats",
+    "approx_distinct_users",
 ]
 
 

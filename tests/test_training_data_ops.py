@@ -160,3 +160,37 @@ def test_multimodal_plumbing(ray_session):
     assert (frames["frame_index"] >= 0).all()
     n_videos = 60 // 3
     assert frames["media_id"].nunique() == n_videos
+
+
+def test_hll_sketch_accuracy_and_merge(ray_session):
+    import numpy as np
+
+    from docling_jobkit_ray.functions.sketches import HyperLogLog, approx_distinct_users
+
+    # direct accuracy on a known cardinality
+    hll = HyperLogLog(p=12)
+    hll.add_values([f"item-{i}" for i in range(10000)])
+    est = hll.estimate()
+    assert abs(est - 10000) / 10000 < 0.05  # ~1.6% std error at p=12
+
+    # merge associativity: sketch(A) ⊔ sketch(B) == sketch(A ∪ B)
+    a, b = HyperLogLog(p=12), HyperLogLog(p=12)
+    a.add_values([f"x{i}" for i in range(5000)])
+    b.add_values([f"x{i}" for i in range(2500, 7500)])
+    merged = a.merge(b)
+    both = HyperLogLog(p=12)
+    both.add_values([f"x{i}" for i in range(7500)])
+    assert np.array_equal(merged.registers, both.registers)
+
+    # distributed estimate vs exact over the events table
+    import duckdb
+
+    exact = duckdb.sql(
+        "SELECT count(DISTINCT user_id) FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    est2 = approx_distinct_users("/root/testdata/sf0.001")
+    assert abs(est2 - exact) / exact < 0.1
+
+    # serialization round-trip
+    rt = HyperLogLog.deserialize(a.serialize())
+    assert rt.estimate() == a.estimate()
