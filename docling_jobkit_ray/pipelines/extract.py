@@ -131,26 +131,60 @@ def extract_pipeline(
 
     if mode == "sliced":
         slice_pages = options.slice_pages
-        # Branch 1: everything except oversized binaries — inline extraction.
-        rest = read_pages(input_path, **read_kwargs).map_batches(
-            drop_big_binary(slice_pages), batch_format="pyarrow", zero_copy_batch=True
+        # Both branches use the fused per-shard read (see mode="fused"): the
+        # second read of the input is header-cheap (the big-binary filter
+        # touches only magic bytes + page directory and drops everything
+        # else before any parse).
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        if isinstance(input_path, str) and _os.path.isdir(input_path):
+            paths = sorted(_glob.glob(_os.path.join(input_path, "*.parquet")))
+        elif isinstance(input_path, str):
+            paths = [input_path]
+        else:
+            paths = list(input_path)
+        opts_kwargs = options_to_kwargs(options)
+        _drop = drop_big_binary(slice_pages)
+        _keep = keep_big_binary(slice_pages)
+        _plan = plan_slices(slice_pages)
+
+        def _read_shards(batch) -> pa.Table:
+            out = []
+            for p in batch["path"]:
+                t = _pq.read_table(str(p), columns=["url", "html"])
+                out.append(
+                    t.append_column("path", pa.array([str(p)] * t.num_rows, pa.string()))
+                )
+            return pa.concat_tables(out)
+
+        # Branch 1: everything except oversized binaries — read+filter+extract
+        # fused into one task per shard.
+        def rest_task(batch) -> pa.Table:
+            udf = ExtractDocuments(opts_kwargs)
+            return udf(_drop(_read_shards(batch)))
+
+        paths_ds = ray.data.from_items([{"path": p} for p in paths]).repartition(
+            len(paths)
         )
-        rest_out = _actor_map(rest, options, batch_size=batch_size, concurrency=concurrency)
-        # Branch 2: oversized binaries — plan -> per-slice extract -> groupby
-        # url -> reassemble (the reference's fan-out/collect, as a shuffle).
-        big = read_pages(input_path, **read_kwargs).map_batches(
-            keep_big_binary(slice_pages), batch_format="pyarrow", zero_copy_batch=True
-        )
-        slices = big.map_batches(
-            plan_slices(slice_pages), batch_format="pyarrow", zero_copy_batch=True
-        )
+        rest_out = paths_ds.map_batches(rest_task, batch_size=1, batch_format="numpy")
+
+        # Branch 2: oversized binaries — read+filter+slice-plan fused, then
+        # per-slice extract (task pool) -> groupby url -> reassemble (the
+        # reference's fan-out/collect, as a shuffle keyed on url).
+        def plan_task(batch) -> pa.Table:
+            return _plan(_keep(_read_shards(batch)))
+
+        slices = ray.data.from_items([{"path": p} for p in paths]).repartition(
+            len(paths)
+        ).map_batches(plan_task, batch_size=1, batch_format="numpy")
         slice_parts = slices.map_batches(
-            ExtractSlices,
-            fn_constructor_kwargs={"options": options_to_kwargs(options)},
+            ExtractSlices(opts_kwargs),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
-            concurrency=concurrency,
         )
         big_out = slice_parts.groupby("url").map_groups(
             reassemble_group, batch_format="pandas"
