@@ -33,15 +33,10 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        # count_substring with a regex via pc is not available for \S+ runs;
-        # split_pattern_regex + list_value_length is the vectorized kernel.
-        toks = pc.extract_regex_span(batch["text"], pattern=r"\S+") if hasattr(pc, "extract_regex_span") else None
-        if toks is not None:
-            n = pc.list_value_length(toks.combine_chunks())
-            n = n.cast(pa.int64())
-        else:
-            texts = batch.column("text").to_pylist()
-            n = pa.array([len(_TOKEN_RE.findall(t)) for t in texts], pa.int64())
+        # fully vectorized: count non-overlapping \S+ runs per row
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=r"\S+"), pa.int64()
+        )
         return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
