@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ["doc_id", "fingerprint"]
     )
     q["doc_stats_by_lang"] = textstats.doc_stats_by_lang
+    q["normalize_documents"] = textstats.normalize_documents
+    q["top_terms"] = textstats.top_terms
     # dedup family
     q["dedup_exact"] = dedup.dedup_exact
     q["minhash_dedup"] = functools.partial(dedup.minhash_dedup, threshold=0.8)
@@ -209,6 +211,13 @@ def oracle_sql() -> dict[str, str]:
     sql["token_counts"] = TOKEN_COUNTS_SQL
     sql["fingerprints_sha"] = FINGERPRINT_SHA_SQL
     sql["doc_stats_by_lang"] = DOC_STATS_BY_LANG_SQL
+    from docling_jobkit_ray.functions.textstats import (
+        NORMALIZE_DOCUMENTS_SQL,
+        TOP_TERMS_SQL,
+    )
+
+    sql["normalize_documents"] = NORMALIZE_DOCUMENTS_SQL
+    sql["top_terms"] = TOP_TERMS_SQL
     sql["dedup_exact"] = DEDUP_EXACT_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,

@@ -234,3 +234,73 @@ SELECT lang, source, sum(n_chars) AS sum_chars, count(*) AS n_docs,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang, source ORDER BY lang, source
 """
+
+
+# ---------------------------------------------------------------------------
+# text normalization — fully vectorized Arrow kernels
+# ---------------------------------------------------------------------------
+
+def normalize_documents(sf_dir: str) -> ray.data.Dataset:
+    """Lowercase + collapse whitespace runs + trim: the canonical text
+    normalization pre-pass before dedup/tokenization.  Pure pyarrow.compute
+    kernels (no Python per row)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+NORMALIZE_DOCUMENTS_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# global term frequency top-k (the canonical word-count with partial agg)
+# ---------------------------------------------------------------------------
+
+def top_terms(sf_dir: str, *, k: int = 100) -> ray.data.Dataset:
+    """Top-k terms by global frequency over the documents corpus.
+
+    Per-batch word explosion + LOCAL counting (the combiner — the shuffle
+    carries one (word, count) row per distinct word per batch, not one row
+    per token), then a global groupby-sum and top-k sort.  Deterministic
+    tiebreak: alphabetical."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update(re.findall(r"[a-z]+", t.lower()))
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        partials.groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_TERMS_SQL = """
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+) GROUP BY word ORDER BY n DESC, word LIMIT 100
+"""

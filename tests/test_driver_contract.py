@@ -100,6 +100,8 @@ SQL_BACKED = [
     "join_orders_customer_shuffle",
     "union_order_segments",
     "count_distinct_users",
+    "normalize_documents",
+    "top_terms",
 ]
 
 
