@@ -194,7 +194,7 @@ class _BlockParser(HTMLParser):
 
 def segment_blocks_htmlparser(html_text: str) -> list[Block]:
     """Reference tokenizer path (stdlib HTMLParser).  Kept for cross-checking
-    the fast scanner; ~4x slower."""
+    the fast scanner; ~3x slower."""
     parser = _BlockParser()
     parser.feed(html_text)
     parser.close()

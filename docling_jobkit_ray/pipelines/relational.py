@@ -532,7 +532,6 @@ def events_asof_login(sf_dir: str) -> ray.data.Dataset:
     assumption: one user's events fit in one group (true for web-scale
     per-user event counts; a hot user would need ts-range salting).
     DuckDB oracle: correlated window max."""
-    import numpy as np
     import pandas as pd
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])

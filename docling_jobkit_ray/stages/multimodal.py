@@ -17,7 +17,6 @@ bytes x batch_size x concurrency must fit the worker heap) — callers pass
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pyarrow as pa
