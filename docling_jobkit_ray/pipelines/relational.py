@@ -29,15 +29,31 @@ from ..sources.pages import read_table
 # ---------------------------------------------------------------------------
 
 def _round_cols(cols: list[str], ndigits: int = 2):
-    """Round float columns (both the Ray side and the oracle SQL round the
-    same way) so cross-engine double-accumulation-order differences cannot
-    flip the driver's value-hash."""
+    """Round float columns identically on both sides (use ONLY for per-row
+    values; SUMS must use exact integer-cents arithmetic — see _descale —
+    because cross-engine accumulation order shifts float sums across
+    rounding boundaries)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         for c in cols:
             i = batch.column_names.index(c)
             batch = batch.set_column(
                 i, c, pc.round(batch.column(c), ndigits=ndigits)
+            )
+        return batch
+
+    return fn
+
+
+def _descale(scales: dict[str, float]):
+    """Divide exact int64-cent sum columns back to currency doubles: the
+    same int / the same scale on both engines -> bitwise-identical."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for c, s in scales.items():
+            i = batch.column_names.index(c)
+            batch = batch.set_column(
+                i, c, pc.divide(pc.cast(batch.column(c), pa.float64()), pa.scalar(s))
             )
         return batch
 
@@ -83,18 +99,33 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
-        disc_price = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        # exact integer-cents arithmetic: money columns are 2-dp decimals
+        # stored as doubles; per-row quantization is deterministic across
+        # engines, and int64 sums are EXACT — so the final values are
+        # bitwise identical to the DuckDB oracle regardless of accumulation
+        # order (float sums were not: cross-engine diffs straddled rounding
+        # boundaries)
+        qty_c = pc.cast(pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0))), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0))), pa.int64())
+        disc_price_c4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "disc_price_c4": disc_price_c4,
+            }
         )
-        batch = batch.append_column("disc_price", disc_price)
         return (
-            batch.group_by(["l_returnflag", "l_linestatus"])
+            t.group_by(["l_returnflag", "l_linestatus"])
             .aggregate(
                 [
-                    ("l_quantity", "sum"),
-                    ("l_extendedprice", "sum"),
-                    ("disc_price", "sum"),
-                    ("l_quantity", "count"),
+                    ("qty_c", "sum"),
+                    ("price_c", "sum"),
+                    ("disc_price_c4", "sum"),
+                    ("qty_c", "count"),
                 ]
             )
             .rename_columns(
@@ -122,19 +153,19 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         )
         .sort(["l_returnflag", "l_linestatus"])
     )
-    # Round float sums (2 dp, matching the oracle SQL) so the value-hash
-    # compare is insensitive to double accumulation order across engines.
+    # descale the exact integer sums back to currency units
     return out.map_batches(
-        _round_cols(["sum_qty", "sum_base_price", "sum_disc_price"]),
+        _descale({"sum_qty": 100.0, "sum_base_price": 100.0, "sum_disc_price": 10000.0}),
         batch_format="pyarrow",
     )
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -220,10 +251,12 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         nations = pa.array(
             [name_by_nation[nationkey_by_cust[k]] for k in keys], pa.string()
         )
-        t = pa.table({"n_name": nations, "o_totalprice": batch["o_totalprice"]})
+        # exact int64-cents sums (see q1): per-row quantize, exact sum
+        tp_c = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"n_name": nations, "tp_c": tp_c})
         return (
             t.group_by("n_name")
-            .aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            .aggregate([("tp_c", "sum"), ("tp_c", "count")])
             .rename_columns(["n_name", "total_revenue", "n_orders"])
         )
 
@@ -238,12 +271,12 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("n_name")
     )
-    return out.map_batches(_round_cols(["total_revenue"]), batch_format="pyarrow")
+    return out.map_batches(_descale({"total_revenue": 100.0}), batch_format="pyarrow")
 
 
 REVENUE_BY_NATION_SQL = """
 SELECT n_name,
-       round(sum(o_totalprice), 2) AS total_revenue,
+       sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_revenue,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -306,12 +339,13 @@ def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
+        value_c = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
         t = pa.table(
-            {"window_start": hour, "event_type": batch["event_type"], "value": batch["value"]}
+            {"window_start": hour, "event_type": batch["event_type"], "value_c": value_c}
         )
         return (
             t.group_by(["window_start", "event_type"])
-            .aggregate([("value", "sum"), ("value", "count")])
+            .aggregate([("value_c", "sum"), ("value_c", "count")])
             .rename_columns(["window_start", "event_type", "sum_value", "n_events"])
         )
 
@@ -326,12 +360,13 @@ def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
         )
         .sort(["window_start", "event_type"])
     )
-    return out.map_batches(_round_cols(["sum_value"]), batch_format="pyarrow")
+    return out.map_batches(_descale({"sum_value": 100.0}), batch_format="pyarrow")
 
 
 EVENTS_HOURLY_WINDOW_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       round(sum(value), 2) AS sum_value, count(*) AS n_events
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value,
+       count(*) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -346,9 +381,11 @@ def events_user_stats(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        value_c = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"user_id": batch["user_id"], "ts": batch["ts"], "value_c": value_c})
         return (
-            batch.group_by("user_id")
-            .aggregate([("ts", "min"), ("ts", "max"), ("value", "sum"), ("value", "count")])
+            t.group_by("user_id")
+            .aggregate([("ts", "min"), ("ts", "max"), ("value_c", "sum"), ("value_c", "count")])
             .rename_columns(["user_id", "first_ts", "last_ts", "sum_value", "n_events"])
         )
 
@@ -365,12 +402,13 @@ def events_user_stats(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("user_id")
     )
-    return out.map_batches(_round_cols(["sum_value"]), batch_format="pyarrow")
+    return out.map_batches(_descale({"sum_value": 100.0}), batch_format="pyarrow")
 
 
 EVENTS_USER_STATS_SQL = """
 SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
-       round(sum(value), 2) AS sum_value, count(*) AS n_events
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value,
+       count(*) AS n_events
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
@@ -420,21 +458,24 @@ def q6_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
             ),
         )
         f = batch.filter(m)
-        rev = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"])).as_py() or 0.0
-        return pa.table({"revenue": pa.array([rev], pa.float64())})
+        price_c = pc.cast(pc.round(pc.multiply(f["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(f["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev_c4 = pc.sum(pc.multiply(price_c, disc_c)).as_py() or 0
+        return pa.table({"revenue_c4": pa.array([rev_c4], pa.int64())})
 
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = partials.aggregate(Sum("revenue", alias_name="revenue"))
+    out = partials.aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
     # aggregate() returns a dict on the driver; wrap into a 1-row table
-    import pandas as pd
-
-    return pa.table({"revenue": pa.array([round(out["revenue"], 2)], pa.float64())})
+    return pa.table(
+        {"revenue": pa.array([out["revenue_c4"] / 10000.0], pa.float64())}
+    )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round(l_discount*100) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -481,8 +522,10 @@ def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
         keys = batch.column("l_orderkey").to_pylist()
         keep = pa.array([k in odate_by_key for k in keys], pa.bool_())
         f = batch.filter(keep)
-        rev = pc.multiply(f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
-        t = pa.table({"l_orderkey": f["l_orderkey"], "revenue": rev})
+        price_c = pc.cast(pc.round(pc.multiply(f["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(f["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev_c4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        t = pa.table({"l_orderkey": f["l_orderkey"], "revenue": rev_c4})
         return (
             t.group_by("l_orderkey")
             .aggregate([("revenue", "sum")])
@@ -493,7 +536,7 @@ def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     grouped = partials.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
-    grouped = grouped.map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+    grouped = grouped.map_batches(_descale({"revenue": 10000.0}), batch_format="pyarrow")
 
     def add_odate(batch: pa.Table) -> pa.Table:
         keys = batch.column("l_orderkey").to_pylist()
@@ -508,7 +551,9 @@ def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
 
 
 Q3_SQL = """
-SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
        o_orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -608,19 +653,20 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset
         g = g.sort_values("ts").reset_index(drop=True)
         new_session = g["ts"].diff() > gap
         g["session_id"] = new_session.cumsum().astype("int64")
+        g["value_c"] = (g["value"] * 100).round().astype("int64")
         out = (
             g.groupby("session_id")
             .agg(
                 session_start=("ts", "min"),
                 session_end=("ts", "max"),
                 n_events=("ts", "size"),
-                sum_value=("value", "sum"),
+                sum_value=("value_c", "sum"),
             )
             .reset_index()
         )
         out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype("int64")
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = out["sum_value"] / 100.0  # exact int-cents sum
         return out
 
     return (
@@ -644,7 +690,8 @@ WITH flagged AS (
 )
 SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id

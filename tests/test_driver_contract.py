@@ -115,7 +115,9 @@ def test_query_matches_duckdb(entrymod, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
+    # strict: rounded aggregates must be bitwise-equal doubles across
+    # engines (the driver hashes values; loose rtol would mask real skew)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-12, atol=1e-12)
 
 
 ROWS_ONLY = [
