@@ -230,7 +230,7 @@ def doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
 
 
 DOC_STATS_BY_LANG_SQL = """
-SELECT lang, source, sum(n_chars) AS sum_chars, count(*) AS n_docs,
+SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(*) AS n_docs,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang, source ORDER BY lang, source
 """

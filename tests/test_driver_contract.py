@@ -109,8 +109,19 @@ SQL_BACKED = [
 def test_query_matches_duckdb(entrymod, name):
     q = entrymod.queries()
     sql = entrymod.oracle_sql()[name]
-    got = _canon(_to_pandas(q[name](SF_DIR)))
-    want = _canon(_duck(sql))
+    # dtype-kind check BEFORE canonicalization: the driver hashes raw values,
+    # so an int64-vs-float64 drift (e.g. DuckDB HUGEINT sums) fails its hash
+    # even when every value is equal — catch it here, not in CORRECTNESS_r{N}
+    got_raw = _to_pandas(q[name](SF_DIR))
+    want_raw = _duck(sql)
+    for c in sorted(got_raw.columns):
+        gk = got_raw[c].dtype.kind
+        wk = want_raw[c].dtype.kind if c in want_raw.columns else "?"
+        if {gk, wk} <= {"i", "u"}:
+            continue
+        assert gk == wk, f"{name}.{c}: dtype kind {gk!r} != oracle {wk!r}"
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
