@@ -129,7 +129,12 @@ class MinHasher:
         sh = _shingles(text, self.shingle_k)
         if sh.size == 0:
             return np.zeros(self.num_perm, dtype=np.uint32)
-        # (num_perm, n_shingles) affine hash mod mersenne prime, min per row
+        # (num_perm, n_shingles) per-permutation mixing hash, min per row.
+        # NOTE: the a*x+b product wraps mod 2^64 BEFORE the Mersenne modulo
+        # (uint64 arithmetic), so this is a deterministic wrap-around mix,
+        # not a true universal hash mod 2^61-1; collision accuracy is backed
+        # downstream by the exact-Jaccard verify stage, which filters any
+        # false candidates the weaker mix admits.
         vals = (
             np.multiply.outer(self.a, sh, dtype=np.uint64) + self.b[:, None]
         ) % np.uint64(_MERSENNE)
@@ -250,41 +255,66 @@ def minhash_dedup(
 ) -> ray.data.Dataset:
     """Near-dup verdicts: LSH candidates verified with exact shingle Jaccard.
 
-    The verify stage broadcasts nothing: candidate pairs re-join texts via a
-    driver-side lookup ONLY at test scale; at production scale the verify
-    would join text by doc_id through a hash-partitioned join.  Here the
-    candidate set is provably small (LSH output), so a broadcast text lookup
-    inside map_batches is the right call (SURVEY.md §2.6 broadcast rule).
-    """
-    import pyarrow.parquet as pq
+    The verify stage never touches the driver: candidate pairs are joined
+    back to their texts with TWO hash-partitioned joins on doc_id (once for
+    doc_a, once for doc_b), then the exact-Jaccard kernel runs per batch.
+    The shuffle carries (pair keys + the candidate docs' texts) — candidates
+    are the LSH output, a vanishing fraction of the corpus, so at 10^12 docs
+    this moves only the suspected-duplicate texts, never the corpus."""
+    import pyarrow.compute as pc
 
-    texts_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    text_by_id = dict(
-        zip(texts_tbl.column("doc_id").to_pylist(), texts_tbl.column("text").to_pylist())
-    )
+    from ..pipelines.joins import bucketed_join
+
     candidates = minhash_lsh_candidates(
         sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
+    ).select_columns(["doc_a", "doc_b"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    with_a = bucketed_join(
+        candidates,
+        docs,
+        on="doc_a",
+        right_on="doc_id",
+        left_schema=pair_schema,
+        right_schema=doc_schema,
+    ).map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "text_a"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    with_both = bucketed_join(
+        with_a,
+        docs,
+        on="doc_b",
+        right_on="doc_id",
+        left_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
+        ),
+        right_schema=doc_schema,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        doc_a = batch.column("doc_a").to_pylist()
-        doc_b = batch.column("doc_b").to_pylist()
+        # per-pair exact Jaccard: genuinely scalar kernel (set ops over
+        # shingle hashes); pair count is the tiny LSH candidate set
         jac = [
-            ngram_jaccard(text_by_id[a], text_by_id[b], shingle_k)
-            for a, b in zip(doc_a, doc_b)
+            ngram_jaccard(ta, tb, shingle_k)
+            for ta, tb in zip(
+                batch.column("text_a").to_pylist(), batch.column("text").to_pylist()
+            )
         ]
         t = pa.table(
             {
-                "doc_a": pa.array(doc_a, pa.int64()),
-                "doc_b": pa.array(doc_b, pa.int64()),
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
                 "jaccard": pa.array(jac, pa.float64()),
             }
         )
-        import pyarrow.compute as pc
-
         return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
-    return candidates.map_batches(
+    return with_both.map_batches(
         verify, batch_format="pyarrow", zero_copy_batch=True
     ).sort(["doc_a", "doc_b"])
 
@@ -294,28 +324,56 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """Actor-pool UDF: 64-bit simhash over word features (Charikar 2002)."""
+    """Actor-pool UDF: 64-bit simhash over word features (Charikar 2002).
+
+    Vectorized per batch: each DISTINCT word is blake2b-hashed once, all
+    digests unpack to a (vocab, 64) ±1 matrix in one ``np.unpackbits`` call
+    (little-endian bit order matches ``int.from_bytes(..., "little")`` bit
+    i), and each doc's signature is one fancy-index + column sum.  Output is
+    bit-identical to the per-word reference formulation."""
 
     def __init__(self) -> None:
         self.word_re = _WORD_RE
 
-    def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in self.word_re.findall(text.lower()):
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
+    @staticmethod
+    def _vocab_bits(vocab: dict[str, int]) -> np.ndarray:
+        digests = b"".join(
+            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest() for w in vocab
+        )
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        )
+        return bits.astype(np.int64) * 2 - 1  # (vocab, 64) in {-1, +1}
+
+    _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def simhash_batch(self, texts: list[str]) -> list[int]:
+        vocab: dict[str, int] = {}
+        idx_lists: list[np.ndarray] = []
+        for t in texts:
+            words = self.word_re.findall(t.lower())
+            idxs = np.empty(len(words), dtype=np.int64)
+            for j, w in enumerate(words):
+                k = vocab.get(w)
+                if k is None:
+                    k = vocab[w] = len(vocab)
+                idxs[j] = k
+            idx_lists.append(idxs)
+        pm = self._vocab_bits(vocab) if vocab else np.zeros((0, 64), dtype=np.int64)
+        out = []
+        for idxs in idx_lists:
+            acc = pm[idxs].sum(axis=0) if len(idxs) else np.zeros(64, dtype=np.int64)
+            out.append(int(((acc > 0).astype(np.uint64) * self._POW2).sum(dtype=np.uint64)))
         return out
+
+    def simhash(self, text: str) -> int:
+        return self.simhash_batch([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        hashes = [self.simhash(t) for t in texts]
+        hashes = self.simhash_batch(texts)
         # store as int64 (reinterpret the top bit)
         as_i64 = [(h - (1 << 64)) if h >= (1 << 63) else h for h in hashes]
         blocks = {
@@ -354,9 +412,21 @@ def simhash_dup_groups(sf_dir: str) -> ray.data.Dataset:
 # embedding cosine near-dup (random-hyperplane LSH buckets)
 # ---------------------------------------------------------------------------
 
+def embedding_dim(sf_dir: str) -> int:
+    """Probe the embedding dimensionality from ONE row (a single row-group
+    batch read — never the whole column)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0])
+
+
 class HyperplaneBucketer:
     """Actor-pool UDF: embedding -> LSH bucket id via random hyperplane signs.
-    Hyperplanes drawn once per actor from a fixed seed (deterministic)."""
+    Hyperplanes drawn once per actor from a fixed seed (deterministic).
+    Appends the ``bucket`` column, keeping the input columns — callers that
+    only need (vec_id, bucket) project afterwards."""
 
     def __init__(self, dim: int, n_planes: int = 16, seed: int = 29):
         rng = np.random.RandomState(seed)
@@ -366,67 +436,69 @@ class HyperplaneBucketer:
         embs = list_column_to_matrix(batch.column("embedding"))
         signs = (embs @ self.planes) >= 0
         bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
-        return pa.table(
-            {"vec_id": batch["vec_id"], "bucket": pa.array(bucket, pa.int64())}
-        )
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
 
 def embedding_lsh_buckets(sf_dir: str, *, n_planes: int = 16) -> ray.data.Dataset:
     """Deterministic hyperplane-LSH bucket per vector (the candidate-group
     key used by :func:`embedding_near_dup`); always one row per vector."""
-    import pyarrow.parquet as pq
-
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    dim = len(sample.column("embedding")[0])
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ds.map_batches(
-        HyperplaneBucketer(dim=dim, n_planes=n_planes),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).sort("vec_id")
+    return (
+        ds.map_batches(
+            HyperplaneBucketer(dim=embedding_dim(sf_dir), n_planes=n_planes),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .select_columns(["vec_id", "bucket"])
+        .sort("vec_id")
+    )
 
 
 def embedding_near_dup(
     sf_dir: str, *, n_planes: int = 16, cos_threshold: float = 0.95
 ) -> ray.data.Dataset:
     """Near-duplicate embedding pairs: LSH-bucket candidates verified by
-    exact cosine inside each bucket group."""
-    import pyarrow.parquet as pq
+    exact cosine inside each bucket group.
 
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    dim = len(sample.column("embedding")[0])
-    emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    emb_by_id = {
-        v: np.asarray(e, dtype=np.float32)
-        for v, e in zip(
-            emb_tbl.column("vec_id").to_pylist(), emb_tbl.column("embedding").to_pylist()
-        )
-    }
+    The embeddings ride THROUGH the bucket shuffle (each vector lands in
+    exactly one bucket, so the shuffle moves each embedding once — the same
+    bytes a hash-partitioned join would move); the per-bucket verify is one
+    normalized matmul + upper-triangle mask, no per-pair Python loop and no
+    driver-side embedding dict."""
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     buckets = ds.map_batches(
-        HyperplaneBucketer(dim=dim, n_planes=n_planes),
+        HyperplaneBucketer(dim=embedding_dim(sf_dir), n_planes=n_planes),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
+    _EMPTY = {
+        "vec_a": pd.Series([], dtype="int64"),
+        "vec_b": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["vec_id"].tolist())
-        rows = []
-        for i, a in enumerate(ids):
-            va = emb_by_id[a]
-            na = np.linalg.norm(va)
-            for b in ids[i + 1 :]:
-                vb = emb_by_id[b]
-                denom = na * np.linalg.norm(vb)
-                cos = float(va @ vb / denom) if denom > 0 else 0.0
-                if cos >= cos_threshold:
-                    rows.append((a, b, cos))
-        if not rows:
-            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                 "vec_b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+        if len(group) < 2:
+            return pd.DataFrame(_EMPTY)
+        ids = group["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.vstack(group["embedding"].to_numpy()[order]).astype(np.float32)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ (m / norms).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cos = sims[ia, ib].astype(np.float64)
+        keep = cos >= cos_threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]].astype("int64"),
+                "vec_b": ids[ib[keep]].astype("int64"),
+                "cosine": cos[keep],
+            }
+        )
 
     return buckets.groupby("bucket").map_groups(
         verify_bucket, batch_format="pandas"

@@ -30,13 +30,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, list[int]]:
-    """Deterministic query set: the first n_queries vectors by vec_id."""
-    import pyarrow.parquet as pq
+    """Deterministic query set: the first n_queries vectors by vec_id.
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))[:n_queries]
-    ids = [t.column("vec_id")[int(i)].as_py() for i in order]
-    q = np.asarray([t.column("embedding")[int(i)].as_py() for i in order], dtype=np.float32)
+    Streamed: each batch emits its LOCAL n smallest vec_ids (a partial
+    top-k combiner), so the driver only ever sees O(blocks x n_queries)
+    rows — never the embeddings table."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(n_queries, "vec_id")
+
+    small = ds.map_batches(local_min, batch_format="pandas").to_pandas()
+    small = small.nsmallest(n_queries, "vec_id").sort_values("vec_id")
+    ids = small["vec_id"].astype("int64").tolist()
+    q = np.vstack(small["embedding"].to_numpy()).astype(np.float32)
     return _normalize(q), ids
 
 
@@ -107,17 +114,19 @@ def knn_brute_force(sf_dir: str, *, k: int = 5, n_queries: int = 4) -> ray.data.
 # IVF-style ANN: coarse k-means buckets + probe
 # ---------------------------------------------------------------------------
 
-def _coarse_centroids(sf_dir: str, n_cells: int, seed: int = 17, iters: int = 8) -> np.ndarray:
-    """Deterministic k-means on a driver-side sample (small, bounded work:
-    the sample is capped — at 10^12 scale this is a 1e5-row reservoir, not
-    the corpus)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
-    if len(x) > 100_000:
-        rng = np.random.RandomState(seed)
-        x = x[rng.choice(len(x), 100_000, replace=False)]
+def _coarse_centroids(
+    sf_dir: str, n_cells: int, seed: int = 17, iters: int = 8, sample_cap: int = 100_000
+) -> np.ndarray:
+    """Deterministic k-means on a BOUNDED streamed sample: ``Dataset.limit``
+    stops the read after the first ``sample_cap`` rows, so the driver never
+    materializes the embeddings table (at 10^12 scale only the first few
+    blocks are ever produced)."""
+    sample = (
+        read_table(sf_dir, "embeddings", columns=["embedding"])
+        .limit(sample_cap)
+        .to_pandas()
+    )
+    x = np.vstack(sample["embedding"].to_numpy()).astype(np.float32)
     x = _normalize(x)
     rng = np.random.RandomState(seed)
     centroids = x[rng.choice(len(x), min(n_cells, len(x)), replace=False)].copy()
@@ -153,8 +162,7 @@ def knn_ivf(
     centroids = _coarse_centroids(sf_dir, n_cells)
     queries, qids = _query_matrix(sf_dir, n_queries)
     probe_cells = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]
-    probed = {qid: set(map(int, cells)) for qid, cells in zip(qids, probe_cells)}
-    all_probed = sorted(set().union(*probed.values())) if probed else []
+    all_probed = np.unique(probe_cells).tolist()
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assigned = ds.map_batches(
@@ -176,9 +184,9 @@ def knn_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             out = []
-            cells = batch.column("cell").to_pylist()
-            for qid in qids:
-                keep = pa.array([c in probed[qid] for c in cells], pa.bool_())
+            cells = batch.column("cell").to_numpy(zero_copy_only=False)
+            for qi, qid in enumerate(qids):
+                keep = pa.array(np.isin(cells, probe_cells[qi]), pa.bool_())
                 sub = batch.filter(keep)
                 if sub.num_rows == 0:
                     continue

@@ -1,0 +1,110 @@
+"""Bucketed shuffle join — a hash join built from groupby + per-bucket Arrow
+joins.
+
+Why not ``Dataset.join`` everywhere: Ray 2.49's native hash-shuffle join
+(``ray/data/_internal/execution/operators/join.py:finalize``) builds each
+partition side with an ``ArrowBlockBuilder``; a partition that receives ZERO
+shards from one side builds an EMPTY table with NO schema, and the per-
+partition ``pyarrow.Table.join`` then fails with ``ArrowInvalid: No match or
+multiple matches for key field reference ... on right side``.  Any join where
+one side is sparse (a heavily filtered dimension, an LSH candidate set) hits
+this as soon as ``num_partitions`` exceeds the sparse side's row spread.  We
+keep ``Dataset.join`` for dense-x-dense joins (``join_orders_customer_shuffle``)
+and use this helper when a side can be sparse.
+
+Shape: both sides are tagged and widened to a shared superset schema (typed
+Arrow nulls, so dtypes survive the shuffle exactly), unioned, hash-bucketed
+on the key (`key % num_buckets` — the CLAUDE.md bucketize rule), and each
+bucket group runs ONE in-memory ``pyarrow.Table.join``.  The shuffle payload
+is the same rows a native hash join would move; the per-bucket join is acero
+(C++), not a Python row loop.  Skewed keys: a bucket holds many keys, so one
+hot key cannot exceed a bucket; crank ``num_buckets`` for wider spread.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_SIDE = "__bj_side"
+_BUCKET = "__bj_bucket"
+
+
+def bucketed_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    join_type: str = "inner",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Join two datasets on integer key columns ``on`` (left) / ``right_on``
+    (right).  Column names (other than the keys) must be disjoint.  Output
+    columns follow ``pyarrow.Table.join``: left columns then right columns,
+    with the right key column dropped.
+
+    ``left_schema`` / ``right_schema`` are passed explicitly because calling
+    ``Dataset.schema()`` on a lazy pipeline executes it."""
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    if not pa.types.is_integer(left_schema.field(on).type):
+        raise TypeError(f"bucketed_join requires an integer key; got {left_schema.field(on).type}")
+    overlap = (set(left_schema.names) - {on}) & (set(right_schema.names) - {right_on})
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+
+    left_names = list(left_schema.names)
+    right_names = list(right_schema.names)
+    superset = list(left_schema) + [f for f in right_schema]
+
+    def _widen(side: int, key: str, own: pa.Schema):
+        own_names = set(own.names)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays, names = [], []
+            for f in superset:
+                names.append(f.name)
+                if f.name in own_names:
+                    arrays.append(pc.cast(batch[f.name], f.type))
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            names.append(_SIDE)
+            arrays.append(pa.array([side] * n, pa.int8()))
+            names.append(_BUCKET)
+            bucket = pc.bit_wise_and(
+                pc.cast(batch[key], pa.int64()), pa.scalar(num_buckets - 1, pa.int64())
+            )
+            arrays.append(bucket)
+            return pa.table(dict(zip(names, arrays)))
+
+        return fn
+
+    lt = left.map_batches(_widen(0, on, left_schema), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(_widen(1, right_on, right_schema), batch_format="pyarrow", zero_copy_batch=True)
+
+    expected = pa.schema(
+        superset + [pa.field(_SIDE, pa.int8()), pa.field(_BUCKET, pa.int64())]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        # Ray's shuffle can round-trip blocks through pandas, which degrades
+        # an all-null typed column to Arrow `null` type — re-cast to the
+        # declared superset schema before joining
+        group = group.select(expected.names).cast(expected)
+        side = group[_SIDE]
+        l_part = group.filter(pc.equal(side, 0)).select(left_names)
+        r_part = group.filter(pc.equal(side, 1)).select(right_names)
+        return l_part.join(
+            r_part, keys=[on], right_keys=[right_on], join_type=join_type
+        )
+
+    return (
+        lt.union(rt)
+        .groupby(_BUCKET)
+        .map_groups(merge, batch_format="pyarrow")
+    )

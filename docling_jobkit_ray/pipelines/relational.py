@@ -69,8 +69,19 @@ def _broadcast_table(sf_dir: str, name: str, columns: list[str]) -> pa.Table:
     return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-def _dict_from(table: pa.Table, key: str, value: str) -> dict:
-    return dict(zip(table.column(key).to_pylist(), table.column(value).to_pylist()))
+def _lookup(keys: pa.ChunkedArray | pa.Array, values: pa.ChunkedArray | pa.Array):
+    """Vectorized broadcast-join kernel: map a fact-side key column to the
+    small side's value column via ``pc.index_in`` + ``pc.take`` — no Python
+    per row, no ``to_pylist`` on fact columns."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+
+    def fn(col):
+        return pc.take(values, pc.index_in(col, value_set=keys))
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -212,19 +223,16 @@ def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
     """Fact-side map_batches with a broadcast dict lookup of the small side —
     no shuffle join (SURVEY.md §2.6)."""
     cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
-    name_by_key = _dict_from(cust, "c_custkey", "c_name")
-    seg_by_key = _dict_from(cust, "c_custkey", "c_mktsegment")
+    name_of = _lookup(cust["c_custkey"], cust["c_name"])
+    seg_of = _lookup(cust["c_custkey"], cust["c_mktsegment"])
 
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = batch.column("o_custkey").to_pylist()
-        names = pa.array([name_by_key.get(k) for k in keys], pa.string())
-        segs = pa.array([seg_by_key.get(k) for k in keys], pa.string())
         return (
             batch.select(["o_orderkey", "o_custkey", "o_totalprice"])
-            .append_column("c_name", names)
-            .append_column("c_mktsegment", segs)
+            .append_column("c_name", name_of(batch["o_custkey"]))
+            .append_column("c_mktsegment", seg_of(batch["o_custkey"]))
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -241,16 +249,17 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     revenue per nation from orders."""
     cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _broadcast_table(sf_dir, "nation", ["n_nationkey", "n_name"])
-    nationkey_by_cust = _dict_from(cust, "c_custkey", "c_nationkey")
-    name_by_nation = _dict_from(nation, "n_nationkey", "n_name")
+    # compose the two dimension hops ONCE on the driver: custkey -> n_name
+    nation_of_cust = pc.take(
+        nation["n_name"].combine_chunks(),
+        pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"].combine_chunks()),
+    )
+    nation_of = _lookup(cust["c_custkey"], nation_of_cust)
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column("o_custkey").to_pylist()
-        nations = pa.array(
-            [name_by_nation[nationkey_by_cust[k]] for k in keys], pa.string()
-        )
+        nations = nation_of(batch["o_custkey"])
         # exact int64-cents sums (see q1): per-row quantize, exact sum
         tp_c = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
         t = pa.table({"n_name": nations, "tp_c": tp_c})
@@ -487,41 +496,39 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-0
 # ---------------------------------------------------------------------------
 
 def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
-    """TPC-H Q3 shape: broadcast-filter the fact table by two dimension
-    predicates, grouped revenue per order, top-10 by revenue."""
+    """TPC-H Q3 shape: broadcast only the BUILDING custkey set (a filtered
+    dimension column), pre-aggregate lineitem revenue per order inside
+    map_batches, then attach ``o_orderdate`` by a hash-shuffle
+    ``Dataset.join`` against the FILTERED orders *Dataset* — the orders fact
+    table is never materialized on the driver (it is O(rows), not a
+    dimension).  The join's inner semantics also apply the
+    BUILDING + orderdate predicate to the grouped revenue rows."""
     cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = {
-        k
-        for k, seg in zip(
-            cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()
-        )
-        if seg == "BUILDING"
-    }
-    orders = _broadcast_table(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    building_keys = (
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .combine_chunks()
     )
-    cutoff_date = pc.strptime("1995-03-15", format="%Y-%m-%d", unit="us")
-    odate_by_key = {}
-    for ok, ck, od in zip(
-        orders.column("o_orderkey").to_pylist(),
-        orders.column("o_custkey").to_pylist(),
-        orders.column("o_orderdate").to_pylist(),
-    ):
-        if ck in building and od < cutoff_date.as_py():
-            odate_by_key[ok] = od
+    cutoff = pa.scalar(pc.strptime("1995-03-15", format="%Y-%m-%d", unit="us"))
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(batch["o_orderdate"], cutoff),
+            pc.is_in(batch["o_custkey"], value_set=building_keys),
+        )
+        return batch.filter(keep).select(["o_orderkey", "o_orderdate"])
+
+    orders_f = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(filter_orders, batch_format="pyarrow", zero_copy_batch=True)
 
     ds = read_table(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
-    cutoff = pa.scalar(cutoff_date)
 
     def partial(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
-        keys = batch.column("l_orderkey").to_pylist()
-        keep = pa.array([k in odate_by_key for k in keys], pa.bool_())
-        f = batch.filter(keep)
+        f = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
         price_c = pc.cast(pc.round(pc.multiply(f["l_extendedprice"], pa.scalar(100.0))), pa.int64())
         disc_c = pc.cast(pc.round(pc.multiply(f["l_discount"], pa.scalar(100.0))), pa.int64())
         rev_c4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
@@ -538,13 +545,22 @@ def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
     grouped = partials.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
     grouped = grouped.map_batches(_descale({"revenue": 10000.0}), batch_format="pyarrow")
 
-    def add_odate(batch: pa.Table) -> pa.Table:
-        keys = batch.column("l_orderkey").to_pylist()
-        od = pa.array([odate_by_key[k] for k in keys], pa.timestamp("us"))
-        return batch.append_column("o_orderdate", od)
+    # bucketed shuffle join, not Dataset.join: orders_f is SPARSE after the
+    # two predicates, and Ray 2.49's native hash join crashes on partitions
+    # that receive zero rows of one side (see pipelines/joins.py docstring)
+    from .joins import bucketed_join
 
+    joined = bucketed_join(
+        grouped,
+        orders_f,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("revenue", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]),
+        join_type="inner",
+    )
     return (
-        grouped.map_batches(add_odate, batch_format="pyarrow")
+        joined.select_columns(["l_orderkey", "revenue", "o_orderdate"])
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
@@ -572,24 +588,36 @@ def events_asof_login(sf_dir: str) -> ray.data.Dataset:
     """As-of join: for every event, the ts of the user's most recent event
     with value >= 90 at-or-before it (a 'last big event as of now' join).
 
-    Implementation: hash-partition by user_id (``groupby``), per-group
-    pandas merge_asof-style scan over the ts-sorted group.  Partitioning
-    assumption: one user's events fit in one group (true for web-scale
-    per-user event counts; a hot user would need ts-range salting).
+    Implementation: hash-partition by a COARSE bucket of user_id (grouping
+    on the raw key would fire one Python call per user — the CLAUDE.md
+    bucketize rule), then ONE vectorized pandas pass per bucket: sort by
+    (user_id, ts), per-user forward-fill of the big-event timestamps via
+    groupby-ffill.  Partitioning assumption: one bucket's events fit in one
+    group (buckets bound skew; a hot user would need ts-range salting).
     DuckDB oracle: correlated window max."""
     import pandas as pd
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pc.bit_wise_and(batch["user_id"], pa.scalar(1023, pa.int64()))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         big_ts = g["ts"].where(g["value"] >= 90.0)
-        # ts is sorted ascending, so the as-of "most recent big event at or
-        # before each row" is a forward fill of the big-event timestamps
-        g["last_big_ts"] = big_ts.ffill()
+        # within each user ts is sorted ascending, so the as-of "most recent
+        # big event at or before each row" is a per-user forward fill
+        g["last_big_ts"] = big_ts.groupby(g["user_id"]).ffill()
         return g[["event_id", "user_id", "ts", "last_big_ts"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort("event_id")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("event_id")
+    )
 
 
 EVENTS_ASOF_SQL = """
@@ -606,9 +634,10 @@ FROM events ORDER BY event_id
 # ---------------------------------------------------------------------------
 
 def sample_orders(sf_dir: str) -> ray.data.Dataset:
-    """Deterministic hash-based sample (~10%): keep rows where
-    hash(o_orderkey) mod 10 == 0.  Unlike random_sample this is reproducible
-    across engines, so it IS SQL-checkable."""
+    """Deterministic key-based sample (~12.5%): keep rows where
+    (o_orderkey & 7) == 0 — a power-of-two bitmask keeps both engines'
+    predicates trivially identical.  Unlike random_sample this is
+    reproducible across engines, so it IS SQL-checkable."""
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -638,9 +667,11 @@ RELATIONAL_QUERIES.update(
 
 def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows per user: a new session starts when the gap to the
-    previous event exceeds `gap_minutes`.  groupby(user_id) + ordered scan
-    within the group (partitioning assumption: one user's events fit in one
-    group).  Output: one row per session with start/end/count/sum.
+    previous event exceeds `gap_minutes`.  groupby on a coarse user_id
+    bucket (one vectorized pandas pass per bucket, not one Python call per
+    user), per-user gap flags + cumulative session ids via
+    groupby-shift/cumsum.  Output: one row per session with
+    start/end/count/sum.
 
     Oracle: DuckDB window functions (lag -> gap flag -> running session id).
     """
@@ -649,13 +680,19 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        new_session = g["ts"].diff() > gap
-        g["session_id"] = new_session.cumsum().astype("int64")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pc.bit_wise_and(batch["user_id"], pa.scalar(1023, pa.int64()))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        prev_ts = g.groupby("user_id")["ts"].shift()
+        new_session = ((g["ts"] - prev_ts) > gap).astype("int64")
+        g["session_id"] = new_session.groupby(g["user_id"]).cumsum()
         g["value_c"] = (g["value"] * 100).round().astype("int64")
         out = (
-            g.groupby("session_id")
+            g.groupby(["user_id", "session_id"], sort=True)
             .agg(
                 session_start=("ts", "min"),
                 session_end=("ts", "max"),
@@ -664,14 +701,16 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset
             )
             .reset_index()
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype("int64")
         out["sum_value"] = out["sum_value"] / 100.0  # exact int-cents sum
-        return out
+        return out[
+            ["user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"]
+        ]
 
     return (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .sort(["user_id", "session_id"])
     )
 
