@@ -35,10 +35,11 @@ from ..sources.pages import read_pages
 from ..stages.extract import ExtractDocuments, options_to_kwargs
 from ..stages.slices import (
     ExtractSlices,
+    add_url_bucket,
     drop_big_binary,
     keep_big_binary,
     plan_slices,
-    reassemble_group,
+    reassemble_bucket,
 )
 
 DEFAULT_BATCH_SIZE = 64
@@ -131,10 +132,15 @@ def extract_pipeline(
 
     if mode == "sliced":
         slice_pages = options.slice_pages
-        # Both branches use the fused per-shard read (see mode="fused"): the
-        # second read of the input is header-cheap (the big-binary filter
-        # touches only magic bytes + page directory and drops everything
-        # else before any parse).
+        # Both branches use the fused per-shard read (see mode="fused").  A
+        # shared one-pass plan is not expressible without a materialize
+        # barrier (branching a Dataset re-executes the shared parent —
+        # measured), so the input IS read twice; what makes the second pass
+        # cheap is the vectorized big_binary_mask: lengths + a 10-byte
+        # header slice decide the split with zero full-payload copies, and
+        # only the claimed-big minority is structurally parsed.  Docs over
+        # max_pages/max_bytes route to the rest branch so admission
+        # preflight emits the same FAILURE rows as the other modes.
         import glob as _glob
         import os as _os
 
@@ -147,8 +153,9 @@ def extract_pipeline(
         else:
             paths = list(input_path)
         opts_kwargs = options_to_kwargs(options)
-        _drop = drop_big_binary(slice_pages)
-        _keep = keep_big_binary(slice_pages)
+        caps = {"max_pages": options.max_pages, "max_bytes": options.max_bytes}
+        _drop = drop_big_binary(slice_pages, **caps)
+        _keep = keep_big_binary(slice_pages, **caps)
         _plan = plan_slices(slice_pages)
 
         def _read_shards(batch) -> pa.Table:
@@ -184,10 +191,16 @@ def extract_pipeline(
             ExtractSlices(opts_kwargs),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=batch_size,
+            # slice rows are small (one byte-range each): larger batches cut
+            # task dispatch overhead without hurting load spread
+            batch_size=max(batch_size, 256),
         )
-        big_out = slice_parts.groupby("url").map_groups(
-            reassemble_group, batch_format="pandas"
+        big_out = (
+            slice_parts.map_batches(
+                add_url_bucket, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("bucket")
+            .map_groups(reassemble_bucket, batch_format="pandas")
         )
         # Cast the pandas-built blocks to the exact EXTRACTED_SCHEMA so the
         # union with the Arrow-native branch has one schema.

@@ -19,8 +19,12 @@ slice plan, ``:510-549`` reassembly, ``:467-482`` timing merge):
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..extract import binarydoc
 from ..extract.errors import (
@@ -44,35 +48,95 @@ SLICE_SCHEMA = pa.schema(
 )
 
 
-def is_big_binary(payload: bytes, slice_pages: int) -> bool:
+def is_big_binary(
+    payload: bytes,
+    slice_pages: int,
+    *,
+    max_pages: int | None = None,
+    max_bytes: int | None = None,
+) -> bool:
+    """True iff the row should take the slice fan-out path.
+
+    Docs that would FAIL admission preflight (over ``max_pages`` /
+    ``max_bytes``) return False so they route through the rest branch and
+    ``extract_record`` emits the proper FAILURE row — sliced mode must not
+    silently succeed on documents the other modes reject."""
     if payload is None or not binarydoc.is_binary_doc(payload):
+        return False
+    if max_bytes is not None and len(payload) > max_bytes:
         return False
     try:
         directory = binarydoc.parse_directory(payload)
     except Exception:
         return False
+    if max_pages is not None and len(directory) > max_pages:
+        return False
     return len(directory) > slice_pages
 
 
-def keep_big_binary(slice_pages: int):
-    """Vectorized-ish filter stage: keep only rows needing slice fan-out.
-    Cheap: only the fixed-size header + directory is inspected per row."""
+_PREFIX_LEN = len(binarydoc.MAGIC) + 2  # magic + u16 page_count
+_MAGIC_ARR = np.frombuffer(binarydoc.MAGIC, dtype=np.uint8)
+
+
+def big_binary_mask(
+    batch: pa.Table,
+    slice_pages: int,
+    *,
+    max_pages: int | None = None,
+    max_bytes: int | None = None,
+) -> np.ndarray:
+    """Vectorized slice-fan-out decision, ZERO full-payload copies for the
+    common (small/HTML) rows: lengths via ``pc.binary_length``, the container
+    magic + page_count via a 10-byte ``pc.binary_slice`` prefix (the only
+    bytes that leave Arrow for non-candidates), and the full structural
+    ``parse_directory`` check only on the few rows whose header claims more
+    than ``slice_pages`` pages."""
+    col = batch.column("html")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = batch.num_rows
+    mask = np.zeros(n, dtype=bool)
+    if n == 0:
+        return mask
+    lengths = pc.binary_length(col).to_numpy(zero_copy_only=False)
+    cand = lengths >= _PREFIX_LEN
+    if max_bytes is not None:
+        cand &= lengths <= max_bytes  # oversize -> rest branch -> preflight FAILURE
+    idx = np.flatnonzero(cand)
+    if idx.size == 0:
+        return mask
+    prefixes = pc.binary_slice(col.take(pa.array(idx)), 0, _PREFIX_LEN).to_pylist()
+    arr = np.frombuffer(b"".join(prefixes), dtype=np.uint8).reshape(-1, _PREFIX_LEN)
+    magic_ok = (arr[:, : len(binarydoc.MAGIC)] == _MAGIC_ARR).all(axis=1)
+    page_count = arr[:, -2].astype(np.int32) | (arr[:, -1].astype(np.int32) << 8)
+    claim = magic_ok & (page_count > slice_pages)
+    if max_pages is not None:
+        claim &= page_count <= max_pages
+    cidx = idx[claim]
+    if cidx.size:
+        # full structural validation on the claimed-big minority only
+        payloads = col.take(pa.array(cidx)).to_pylist()
+        for j, p in zip(cidx, payloads):
+            mask[j] = is_big_binary(
+                p, slice_pages, max_pages=max_pages, max_bytes=max_bytes
+            )
+    return mask
+
+
+def keep_big_binary(slice_pages: int, *, max_pages: int | None = None, max_bytes: int | None = None):
+    """Filter stage: keep only rows needing slice fan-out (vectorized)."""
 
     def _fn(batch: pa.Table) -> pa.Table:
-        payloads = batch.column("html").to_pylist()
-        mask = pa.array([is_big_binary(p, slice_pages) for p in payloads], pa.bool_())
-        return batch.filter(mask)
+        m = big_binary_mask(batch, slice_pages, max_pages=max_pages, max_bytes=max_bytes)
+        return batch.filter(pa.array(m))
 
     return _fn
 
 
-def drop_big_binary(slice_pages: int):
+def drop_big_binary(slice_pages: int, *, max_pages: int | None = None, max_bytes: int | None = None):
     def _fn(batch: pa.Table) -> pa.Table:
-        payloads = batch.column("html").to_pylist()
-        mask = pa.array(
-            [not is_big_binary(p, slice_pages) for p in payloads], pa.bool_()
-        )
-        return batch.filter(mask)
+        m = big_binary_mask(batch, slice_pages, max_pages=max_pages, max_bytes=max_bytes)
+        return batch.filter(pa.array(~m))
 
     return _fn
 
@@ -184,22 +248,22 @@ class ExtractSlices:
         )
 
 
-def reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
-    """map_groups(key="url") UDF: merge slices back into one document row.
-
-    In-group sort by slice_index; text concat with PAGE_SEP (byte-identical
-    to the inline path by the assemble_pages invariant); status merge per
-    ``_assemble_slice_results`` (serve_deployment.py:510-549)."""
-    group = group.sort_values("slice_index")
-    url = group["url"].iloc[0]
-    statuses = list(group["status"])
-    errors = [e for e in group["error"] if e]
-    n_pages_total = int(group["n_pages"].sum())
-
-    # Concatenate per-page texts in absolute page order and assemble with the
-    # SAME helper the inline path uses — byte-identity by construction.
+def _merge_one(
+    url: str,
+    statuses: list[str],
+    errors_in: list[str | None],
+    n_pages_list: list[int],
+    page_text_lists: list[list[str]],
+    partition_id: int,
+) -> dict:
+    """Merge one url's slice partials (already in slice_index order) into a
+    document row.  Text concat with PAGE_SEP via the SAME ``assemble_pages``
+    helper the inline path uses — byte-identity by construction; status
+    merge per ``_assemble_slice_results`` (serve_deployment.py:510-549)."""
+    errors = [e for e in errors_in if e]
+    n_pages_total = int(sum(n_pages_list))
     page_texts: list[str] = []
-    for pts in group["page_texts"]:
+    for pts in page_text_lists:
         page_texts.extend(pts)
     text, spans = assemble_pages(page_texts)
     doc_json = pages_doc_json(text, spans, n_pages_total)
@@ -212,7 +276,7 @@ def reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
         status = STATUS_PARTIAL_SUCCESS
 
     if status == STATUS_FAILURE:
-        row = {
+        return {
             "url": url,
             "status": status,
             "text": "",
@@ -222,22 +286,82 @@ def reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
             "error": "; ".join(errors),
             "category": "internal",
             "retryable": False,
-            "partition_id": int(group["partition_id"].iloc[0]),
+            "partition_id": int(partition_id),
         }
-    else:
-        row = {
-            "url": url,
-            "status": status,
-            "text": text,
-            "spans": spans,
-            "doc_json": doc_json,
-            "n_chars": len(text),
-            "error": "; ".join(errors) if errors else None,
-            "category": None,
-            "retryable": None,
-            "partition_id": int(group["partition_id"].iloc[0]),
-        }
-    return pd.DataFrame([row])
+    return {
+        "url": url,
+        "status": status,
+        "text": text,
+        "spans": spans,
+        "doc_json": doc_json,
+        "n_chars": len(text),
+        "error": "; ".join(errors) if errors else None,
+        "category": None,
+        "retryable": None,
+        "partition_id": int(partition_id),
+    }
+
+
+def reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups(key="url") UDF: merge ONE url's slices back into one
+    document row (kept as the single-url reference path; the pipeline uses
+    the bucketized :func:`reassemble_bucket`)."""
+    group = group.sort_values("slice_index")
+    return pd.DataFrame(
+        [
+            _merge_one(
+                group["url"].iloc[0],
+                list(group["status"]),
+                list(group["error"]),
+                list(group["n_pages"]),
+                list(group["page_texts"]),
+                group["partition_id"].iloc[0],
+            )
+        ]
+    )
+
+
+N_REASSEMBLY_BUCKETS = 64
+
+
+def add_url_bucket(batch: pa.Table) -> pa.Table:
+    """Shuffle key for reassembly: a COARSE url-hash bucket, not the raw url
+    — grouping on url fires one Python call (and one block build) per
+    document (CLAUDE.md bucketize rule); slice rows are only the oversized
+    minority, so the per-row crc is cheap."""
+    urls = batch.column("url").to_pylist()
+    b = pa.array(
+        [zlib.crc32(u.encode("utf-8")) & (N_REASSEMBLY_BUCKETS - 1) for u in urls],
+        pa.int32(),
+    )
+    return batch.append_column("bucket", b)
+
+
+def reassemble_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups(key="bucket") UDF: merge EVERY url in the bucket in one
+    vectorized pass (sort by (url, slice_index), url segment boundaries via
+    numpy, one ``_merge_one`` per document)."""
+    g = group.sort_values(["url", "slice_index"], kind="mergesort").reset_index(drop=True)
+    urls = g["url"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, urls[1:] != urls[:-1]])
+    bounds = np.append(starts, len(urls))
+    statuses = g["status"].to_numpy()
+    errors = g["error"].to_numpy()
+    n_pages = g["n_pages"].to_numpy()
+    ptexts = g["page_texts"].to_numpy()
+    pids = g["partition_id"].to_numpy()
+    rows = [
+        _merge_one(
+            urls[s],
+            list(statuses[s:e]),
+            list(errors[s:e]),
+            list(n_pages[s:e]),
+            list(ptexts[s:e]),
+            pids[s],
+        )
+        for s, e in zip(bounds[:-1], bounds[1:])
+    ]
+    return pd.DataFrame(rows)
 
 
 def reassembled_to_arrow(df: pd.DataFrame) -> pa.Table:

@@ -98,6 +98,46 @@ def test_sliced_mode_actually_slices(ray_session, corpus_dir):
     assert n_big > 0
 
 
+def test_sliced_mode_honors_preflight_caps(ray_session, corpus_dir):
+    """A doc over max_pages must FAIL identically in sliced and inline modes
+    (the slice router must not bypass admission preflight): with max_pages
+    set below the corpus's largest binary doc, both modes emit the same
+    TooManyPagesError rows, and byte-identity holds across the board."""
+    from docling_jobkit_ray.extract.record import ExtractOptions
+
+    opts = ExtractOptions(max_pages=15)  # corpus binaries go up to ~40 pages
+    inline = _collect(extract_pipeline(corpus_dir, mode="inline", options=opts, concurrency=(1, 2)))
+    sliced = _collect(extract_pipeline(corpus_dir, mode="sliced", options=opts, concurrency=(1, 2)))
+    assert set(inline) == set(sliced)
+    for url, i_row in inline.items():
+        s_row = sliced[url]
+        assert s_row["status"] == i_row["status"], url
+        assert s_row["text"] == i_row["text"], url
+        assert s_row["error"] == i_row["error"], url
+    too_many = [u for u, r in inline.items() if r["error"] and "TooManyPages" in r["error"]]
+    assert too_many, "cap should reject at least one corpus doc"
+    # and those rejects must be FAILURES in sliced mode too
+    for u in too_many:
+        assert sliced[u]["status"] == STATUS_FAILURE
+
+
+def test_big_binary_mask_matches_scalar(ray_session, corpus_dir):
+    """The vectorized split mask must agree with the scalar is_big_binary
+    on every corpus row, with and without preflight caps."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.stages.slices import big_binary_mask, is_big_binary
+
+    for caps in ({}, {"max_pages": 15, "max_bytes": 20_000}):
+        for path in sorted(glob.glob(f"{corpus_dir}/*.parquet"))[:2]:
+            t = pq.read_table(path, columns=["url", "html"])
+            mask = big_binary_mask(t, 10, **caps)
+            for got, payload in zip(mask, t.column("html").to_pylist()):
+                assert bool(got) == is_big_binary(payload, 10, **caps)
+
+
 def test_dedup_pages_by_url(ray_session):
     import datetime as dt
 
