@@ -39,12 +39,13 @@ def _corpus_for(sf_dir: str) -> str:
 
 
 def entry() -> Any:
-    """Flagship pipeline on the sf0.001-scale corpus: read pages parquet ->
-    actor-pool extraction -> extracted dataset (combined output schema)."""
+    """Flagship pipeline on the sf0.001-scale corpus: fused read+extract
+    tasks -> extracted dataset (combined output schema).  mode="fused" is
+    the headline plan (BASELINE.md: ~2x the chained read->map plan)."""
     from docling_jobkit_ray.pipelines.extract import extract_pipeline
 
     corpus = _corpus_for("/root/testdata/sf0.001")
-    return extract_pipeline(corpus, mode="inline", concurrency=(1, 4))
+    return extract_pipeline(corpus, mode="fused")
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +185,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
     # extraction pipelines (pages corpus; oracle is the in-repo single-process
     # extractor, checked in pytest — rows-only here)
+    def _extract_vlm(sf_dir: str):
+        from docling_jobkit_ray.pipelines.extract import extract_pipeline
+
+        ds = extract_pipeline(
+            _corpus_for(sf_dir), mode="fused", pipeline="vlm"
+        )
+        return ds.select_columns(["url", "status", "vlm_json"]).sort("url")
+
+    q["extract_vlm"] = _extract_vlm
     q["extract_inline"] = _extract_query("inline")
     q["extract_sliced"] = _extract_query("sliced")
     q["extract_size_bucketed"] = _extract_query("size_bucketed")

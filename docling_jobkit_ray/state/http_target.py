@@ -1,0 +1,128 @@
+"""HTTP-PUT target: push per-document results to an endpoint from workers.
+
+Parity with the reference's HTTP target processor
+(``/root/reference/docling_jobkit/connectors/http/target_processor.py:1-108``
+— PUT each converted document to a caller-supplied endpoint) and, via a
+per-row ``target_url`` column, the presigned-URL serving shape
+(``connectors/s3/presigned_target_processor.py:1-124`` — each document gets
+its own signed destination).
+
+Ray-Data shape: an actor-pool ``map_batches`` stage; the transport (HTTP
+session / connection pool) is built once per actor in ``__init__``; each
+batch PUTs its rows and emits (url, target_url, status_code, put_error) —
+a delivery report the caller can dead-letter on.  No network exists in this
+sandbox, so the default transport raises; inject ``transport=`` (a
+``requests.Session.put`` adapter in real deployments) or use
+:func:`filesystem_transport` (writes bodies under a root dir — also a
+useful local target in its own right).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Callable
+
+import pyarrow as pa
+import ray.data
+
+# (target_url, body, headers) -> HTTP status code
+Transport = Callable[[str, bytes, dict], int]
+
+
+def no_network_transport(target_url: str, body: bytes, headers: dict) -> int:
+    raise NotImplementedError(
+        "no network in this environment — inject transport= (e.g. a "
+        "requests.Session.put adapter) to deliver results over HTTP"
+    )
+
+
+def filesystem_transport(root: str) -> Transport:
+    """A transport that 'PUTs' to the local filesystem: body lands at
+    ``<root>/<sha256(target_url)[:24]>``.  Worker-process-safe (plain file
+    writes), used by tests and usable as a real local-dir target."""
+
+    def put(target_url: str, body: bytes, headers: dict) -> int:
+        os.makedirs(root, exist_ok=True)
+        name = hashlib.sha256(target_url.encode("utf-8")).hexdigest()[:24]
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(body)
+        return 201
+
+    return put
+
+
+class HttpPutTarget:
+    """Actor-pool UDF: result rows -> delivery-report rows."""
+
+    def __init__(
+        self,
+        *,
+        url_template: str = "",
+        target_url_col: str | None = None,
+        body_col: str = "doc_json",
+        transport: Transport | None = None,
+        headers: dict | None = None,
+    ):
+        if not url_template and not target_url_col:
+            raise ValueError("need url_template or target_url_col")
+        self.url_template = url_template
+        self.target_url_col = target_url_col
+        self.body_col = body_col
+        self.transport = transport or no_network_transport
+        self.headers = headers or {"content-type": "application/json"}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        bodies = batch.column(self.body_col).to_pylist()
+        if self.target_url_col:
+            targets = batch.column(self.target_url_col).to_pylist()
+        else:
+            targets = [self.url_template.format(url=u) for u in urls]
+        codes: list[int | None] = []
+        errors: list[str | None] = []
+        for tgt, body in zip(targets, bodies):
+            data = body.encode("utf-8") if isinstance(body, str) else bytes(body or b"")
+            try:
+                codes.append(int(self.transport(tgt, data, self.headers)))
+                errors.append(None)
+            except Exception as exc:  # delivery failure -> report row
+                codes.append(None)
+                errors.append(f"{type(exc).__name__}: {exc}")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "target_url": pa.array(targets, pa.string()),
+                "status_code": pa.array(codes, pa.int32()),
+                "put_error": pa.array(errors, pa.string()),
+            }
+        )
+
+
+def http_put_pipeline(
+    results: ray.data.Dataset,
+    *,
+    url_template: str = "",
+    target_url_col: str | None = None,
+    body_col: str = "doc_json",
+    transport: Transport | None = None,
+    headers: dict | None = None,
+    concurrency=(1, 8),
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """results dataset -> delivery-report dataset.  Small batches: delivery
+    latency dominates and bodies x batch_size bounds per-task heap."""
+    return results.map_batches(
+        HttpPutTarget,
+        fn_constructor_kwargs={
+            "url_template": url_template,
+            "target_url_col": target_url_col,
+            "body_col": body_col,
+            "transport": transport,
+            "headers": headers,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,86 @@
+"""Preset registry + allowlist gate, and the VLM pipeline family."""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_jobkit_ray.extract.presets import (
+    PresetNotAllowedError,
+    get_preset,
+    list_presets,
+    register_preset,
+    set_allowed_presets,
+)
+from docling_jobkit_ray.extract.record import ExtractOptions
+from docling_jobkit_ray.pipelines.extract import extract_pipeline
+
+
+def test_preset_registry_and_allowlist():
+    assert {"default", "strict", "permissive", "aggressive_strip"} <= set(list_presets())
+    assert get_preset("strict").max_bytes == 4 * 1024 * 1024
+    with pytest.raises(KeyError):
+        get_preset("nope")
+    with pytest.raises(ValueError):
+        register_preset("default", ExtractOptions())  # no silent override
+    with pytest.raises(TypeError):
+        register_preset("bad", {"max_bytes": 1})
+    try:
+        set_allowed_presets(["default", "strict"])
+        get_preset("strict")  # allowed
+        with pytest.raises(PresetNotAllowedError):
+            get_preset("permissive")
+        with pytest.raises(KeyError):
+            set_allowed_presets(["typo_preset"])
+    finally:
+        set_allowed_presets(None)
+    get_preset("permissive")  # gate lifted
+
+
+def test_extract_pipeline_resolves_preset(ray_session, corpus_dir):
+    # strict preset (max_pages=100) behaves like the explicit options object
+    via_preset = extract_pipeline(corpus_dir, preset="strict", concurrency=(1, 2))
+    via_opts = extract_pipeline(
+        corpus_dir,
+        options=ExtractOptions(max_bytes=4 * 1024 * 1024, max_pages=100, slice_pages=10),
+        concurrency=(1, 2),
+    )
+    a = sorted((r["url"], r["status"]) for r in via_preset.select_columns(["url", "status"]).take_all())
+    b = sorted((r["url"], r["status"]) for r in via_opts.select_columns(["url", "status"]).take_all())
+    assert a == b
+    with pytest.raises(ValueError):
+        extract_pipeline(corpus_dir, preset="strict", options=ExtractOptions())
+
+
+def test_vlm_pipeline_family(ray_session, corpus_dir):
+    with pytest.raises(ValueError):
+        extract_pipeline(corpus_dir, pipeline="quantum")
+    std = extract_pipeline(corpus_dir, mode="inline", concurrency=(1, 2))
+    vlm = extract_pipeline(corpus_dir, mode="inline", pipeline="vlm", concurrency=(1, 2))
+    assert "vlm_json" not in std.schema().names
+    rows = {r["url"]: r for r in vlm.take_all()}
+    assert "vlm_json" in next(iter(rows.values()))
+    import json
+
+    n_described = 0
+    for r in rows.values():
+        if r["status"] == "FAILURE":
+            assert r["vlm_json"] == ""
+            continue
+        payload = json.loads(r["vlm_json"])
+        assert payload["model"] == "fake-page-describer/1"
+        assert len(payload["pages"]) >= 1
+        n_described += 1
+    assert n_described > 0
+    # extraction columns are untouched by the enrichment stage
+    std_rows = {r["url"]: r for r in std.take_all()}
+    for url, r in rows.items():
+        assert r["text"] == std_rows[url]["text"]
+
+    # determinism: the fake model is a pure function of page text
+    vlm2 = {
+        r["url"]: r["vlm_json"]
+        for r in extract_pipeline(
+            corpus_dir, mode="inline", pipeline="vlm", concurrency=(1, 2)
+        ).take_all()
+    }
+    assert vlm2 == {u: r["vlm_json"] for u, r in rows.items()}

@@ -83,3 +83,55 @@ def test_registry_custom_stage(ray_session):
     ds = ray.data.from_items([{"x": i} for i in range(10)])
     out = sorted(apply_stage(ds, "twice").take_all(), key=lambda r: r["x"])
     assert [r["twice"] for r in out] == [2 * i for i in range(10)]
+
+
+def test_plugin_discovery_entry_points(ray_session, tmp_path, monkeypatch):
+    """Entry-point plugin discovery with the allow_external_plugins gate
+    (reference: connectors/connector_factory.py:74-198): a third-party
+    dist-info on sys.path is invisible by default and loads with the gate."""
+    import sys
+    import textwrap
+
+    import ray.data
+
+    from docling_jobkit_ray.stages.registry import (
+        apply_stage,
+        discover_plugins,
+        list_stages,
+    )
+
+    pkg_dir = tmp_path / "site"
+    pkg_dir.mkdir()
+    (pkg_dir / "djr_test_plugin.py").write_text(
+        textwrap.dedent(
+            """
+            import pyarrow.compute as pc
+
+            def upper_factory(opts):
+                def udf(batch):
+                    i = batch.column_names.index("text")
+                    return batch.set_column(i, "text", pc.utf8_upper(batch["text"]))
+                return udf, {"batch_format": "pyarrow", "zero_copy_batch": True}
+            """
+        )
+    )
+    di = pkg_dir / "djr_test_plugin-0.1.dist-info"
+    di.mkdir()
+    (di / "METADATA").write_text("Metadata-Version: 2.1\nName: djr-test-plugin\nVersion: 0.1\n")
+    (di / "entry_points.txt").write_text(
+        "[docling_jobkit_ray.stages]\nupper_text = djr_test_plugin:upper_factory\n"
+    )
+    (di / "RECORD").write_text("")
+    monkeypatch.syspath_prepend(str(pkg_dir))
+    import importlib
+
+    importlib.invalidate_caches()
+
+    # gate closed: the external plugin must NOT load
+    assert "upper_text" not in discover_plugins(allow_external_plugins=False)
+    assert "upper_text" not in list_stages()
+    # gate open: it loads and runs as a stage
+    assert "upper_text" in discover_plugins(allow_external_plugins=True)
+    ds = ray.data.from_items([{"text": "hello"}, {"text": "world"}])
+    out = sorted(r["text"] for r in apply_stage(ds, "upper_text").take_all())
+    assert out == ["HELLO", "WORLD"]

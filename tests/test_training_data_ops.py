@@ -135,6 +135,35 @@ def test_chunking_token_budget(ray_session, corpus_dir):
     assert len(out) == 2  # each oversized span its own chunk
 
 
+def test_chunking_pluggable_tokenizer(ray_session):
+    """A non-whitespace tokenizer must change the packing: a char-count
+     'tokenizer' makes the budget much tighter than \\S+ runs, so the same
+    doc yields more chunks, and num_tokens comes from the injected counter
+    (the reference's HybridChunker tokenizer hook, convert/chunking.py:136-148)."""
+    from docling_jobkit_ray.stages.chunking import ChunkDocuments
+
+    text = ("alpha beta gamma delta. " * 8).strip()
+    spans = [
+        {"start": i * 24, "end": min((i + 1) * 24, len(text)), "kind": "paragraph"}
+        for i in range(8)
+    ]
+    default = ChunkDocuments(max_tokens=16).chunk_doc("u", text, spans)
+    by_chars = ChunkDocuments(max_tokens=16, tokenizer=len).chunk_doc("u", text, spans)
+    assert len(by_chars) > len(default)
+    assert all(c["num_tokens"] == len(c["text"]) for c in by_chars)
+
+    class BpeIsh:
+        def count_tokens(self, t: str) -> int:
+            return len(t) // 4 + 1
+
+    by_obj = ChunkDocuments(max_tokens=16, tokenizer=BpeIsh()).chunk_doc("u", text, spans)
+    assert all(c["num_tokens"] == len(c["text"]) // 4 + 1 for c in by_obj)
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        ChunkDocuments(tokenizer=object())
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data
 
@@ -194,3 +223,19 @@ def test_hll_sketch_accuracy_and_merge(ray_session):
     # serialization round-trip
     rt = HyperLogLog.deserialize(a.serialize())
     assert rt.estimate() == a.estimate()
+
+
+def test_hll_leading_zeros_exact():
+    """The clz ladder must be exact where float64 log2 rounds up (values
+    just below a power of two) and across random uint64s."""
+    import numpy as np
+
+    from docling_jobkit_ray.functions.sketches import HyperLogLog
+
+    vals = [1, 2, 3, (1 << 60) - 1, 1 << 60, (1 << 63) - 1, 1 << 63, (1 << 64) - 1]
+    rng = np.random.RandomState(7)
+    vals += [int(x) for x in rng.randint(1, 1 << 62, size=200, dtype=np.uint64)]
+    arr = np.array(vals, dtype=np.uint64)
+    got = HyperLogLog._leading_zeros64(arr)
+    want = [64 - int(v).bit_length() for v in vals]
+    assert got.tolist() == want
