@@ -36,7 +36,7 @@ KIND_TABLE = "table"
 KIND_PAGE = "page"
 
 # Tags whose text content never contributes to output.
-_SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "head", "title", "svg", "iframe"})
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "head", "title", "svg", "iframe", "textarea"})
 # Structural boilerplate containers.
 _BOILER_TAGS = frozenset({"nav", "header", "footer", "aside"})
 # Tags that terminate the current text block.
@@ -314,9 +314,13 @@ def segment_blocks(html_text: str) -> list[Block]:
     """Fast single-pass tokenizer driving the same block state machine.
 
     Semantics match the HTMLParser path on well-formed HTML (cross-checked
-    in tests); known divergence: a literal '>' inside a quoted attribute
-    value terminates the tag early.  ~4x faster — this is the hot kernel of
-    the whole engine, so the tokenizer matters."""
+    in tests); known divergences: (1) a literal '>' inside a quoted
+    attribute value terminates the tag early; (2) MARKUP inside
+    <textarea> — both paths drop textarea text (form UI is boilerplate;
+    textarea is in _SKIP_TAGS), but this scanner blind-jumps to the close
+    tag while HTMLParser still interprets nested tags as structure.
+    ~4x faster — this is the hot kernel of the whole engine, so the
+    tokenizer matters."""
     import html as _htmlmod
 
     b = _BlockBuilder()

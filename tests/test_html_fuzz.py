@@ -20,7 +20,7 @@ from docling_jobkit_ray.extract.html import (
 TAGS = [
     "p", "div", "span", "em", "b", "a", "ul", "li", "table", "tr", "td",
     "h1", "h2", "h3", "nav", "footer", "header", "aside", "main", "section",
-    "script", "style", "br", "img", "blockquote", "pre", "title",
+    "script", "style", "br", "img", "blockquote", "pre", "title", "textarea",
 ]
 
 text_chunk = st.text(
@@ -49,7 +49,9 @@ def html_fragment(draw, depth=0):
             tag = draw(st.sampled_from(TAGS))
             if tag in ("br", "img"):
                 parts.append(f"<{tag}>")
-            elif tag in ("script", "style", "title"):
+            elif tag in ("script", "style", "title", "textarea"):
+                # raw-text elements: plain bodies (markup inside textarea is
+                # a documented scanner/parser divergence, html.py:segment_blocks)
                 body = draw(text_chunk)
                 parts.append(f"<{tag}>{body}</{tag}>")
             else:
