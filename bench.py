@@ -120,12 +120,7 @@ def run_bench() -> dict:
     results["extract_sliced"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
-    chunk_pipeline(
-        extract_pipeline(
-            corpus, mode="inline", concurrency=pool, batch_size=32,
-            override_num_blocks=nblocks,
-        )
-    ).count()
+    chunk_pipeline(extract_pipeline(corpus, mode="fused")).count()
     results["extract_plus_chunk"] = round(time.monotonic() - t0, 3)
 
     # relational / training-data ops over the sf tables

@@ -151,23 +151,39 @@ class MinHasher:
         )
 
 
+_BAND_P = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
 def _band_rows(doc_ids: list[int], sigs: list[list[int]], n_bands: int) -> pa.Table:
-    """Explode signatures to (band_id, band_hash, doc_id) rows."""
-    out_doc, out_band, out_hash = [], [], []
-    for doc_id, sig in zip(doc_ids, sigs):
-        arr = np.asarray(sig, dtype=np.uint32)
-        rows_per_band = len(arr) // n_bands
-        for b in range(n_bands):
-            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            out_doc.append(doc_id)
-            out_band.append(b)
-            out_hash.append(int.from_bytes(h, "little") >> 1)  # fits int64
+    """Explode signatures to (band_id, band_hash, doc_id) rows — fully
+    vectorized: one (docs, bands, rows_per_band) reshape, then a
+    multiply-xor fold over the band axis (r vectorized steps, no per-band
+    Python hashing).  The fold is a wrap-around mix, not cryptographic;
+    any extra collisions only add candidates the exact-Jaccard verify
+    stage discards."""
+    n = len(doc_ids)
+    if n == 0:
+        return pa.table(
+            {
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+    arr = np.asarray(sigs, dtype=np.uint64)  # (n, num_perm)
+    rows_per_band = arr.shape[1] // n_bands
+    bands = arr[:, : n_bands * rows_per_band].reshape(n, n_bands, rows_per_band)
+    h = np.full((n, n_bands), np.uint64(0x8B72E4C1D3A5F607), dtype=np.uint64)
+    for j in range(rows_per_band):
+        h = (h ^ (bands[:, :, j] + np.uint64(1))) * _BAND_P
+    # mix band_id in so identical chunks in different bands don't collide
+    h = (h ^ np.arange(n_bands, dtype=np.uint64)[None, :]) * _BAND_P
+    band_hash = (h >> np.uint64(1)).astype(np.int64).ravel()  # fits int64
     return pa.table(
         {
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            "doc_id": pa.array(out_doc, pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hash, pa.int64()),
+            "doc_id": pa.array(np.repeat(np.asarray(doc_ids, dtype=np.int64), n_bands)),
         }
     )
 

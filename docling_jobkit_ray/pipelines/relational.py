@@ -539,28 +539,78 @@ def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
             .rename_columns(["l_orderkey", "revenue"])
         )
 
-    from ray.data.aggregate import Sum
+    # ONE bucketed shuffle does both the final revenue aggregation AND the
+    # join: lineitem partials and filtered orders are tagged, widened to a
+    # shared schema, unioned and grouped on key%64; each bucket group runs
+    # an in-memory arrow group_by (final agg) + arrow join.  (Not
+    # Dataset.join: orders_f is SPARSE after the two predicates, and Ray
+    # 2.49's native hash join crashes on partitions that receive zero rows
+    # of one side — see pipelines/joins.py docstring.  Not
+    # aggregate-then-join either: that costs a second all-to-all.)
+    n_buckets = 64
+    superset = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("revenue_c4", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def _widen_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["l_orderkey"],
+                "revenue_c4": batch["revenue"],
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["l_orderkey"], pa.scalar(n_buckets - 1, pa.int64())),
+            }
+        )
+
+    def _widen_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_orderkey"],
+                "revenue_c4": pa.nulls(n, pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["o_orderkey"], pa.scalar(n_buckets - 1, pa.int64())),
+            }
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    grouped = partials.groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
-    grouped = grouped.map_batches(_descale({"revenue": 10000.0}), batch_format="pyarrow")
+    lt = partials.map_batches(_widen_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = orders_f.map_batches(_widen_right, batch_format="pyarrow", zero_copy_batch=True)
 
-    # bucketed shuffle join, not Dataset.join: orders_f is SPARSE after the
-    # two predicates, and Ray 2.49's native hash join crashes on partitions
-    # that receive zero rows of one side (see pipelines/joins.py docstring)
-    from .joins import bucketed_join
+    def agg_join_bucket(group: pa.Table) -> pa.Table:
+        # shuffle may round-trip through pandas, degrading all-null typed
+        # columns to Arrow null — re-cast to the declared schema first
+        group = group.select(superset.names).cast(superset)
+        side = group["side"]
+        li = (
+            group.filter(pc.equal(side, 0))
+            .select(["key", "revenue_c4"])
+            .group_by("key")
+            .aggregate([("revenue_c4", "sum")])
+            .rename_columns(["l_orderkey", "revenue_c4"])
+        )
+        orders_part = group.filter(pc.equal(side, 1)).select(["key", "o_orderdate"])
+        joined = li.join(
+            orders_part, keys=["l_orderkey"], right_keys=["key"], join_type="inner"
+        )
+        return joined.append_column(
+            "revenue",
+            pc.divide(pc.cast(joined["revenue_c4"], pa.float64()), pa.scalar(10000.0)),
+        ).select(["l_orderkey", "revenue", "o_orderdate"])
 
-    joined = bucketed_join(
-        grouped,
-        orders_f,
-        on="l_orderkey",
-        right_on="o_orderkey",
-        left_schema=pa.schema([("l_orderkey", pa.int64()), ("revenue", pa.float64())]),
-        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]),
-        join_type="inner",
-    )
     return (
-        joined.select_columns(["l_orderkey", "revenue", "o_orderdate"])
+        lt.union(rt)
+        .groupby("bucket")
+        .map_groups(agg_join_bucket, batch_format="pyarrow")
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
