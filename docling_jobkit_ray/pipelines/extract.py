@@ -271,13 +271,25 @@ def dedup_pages_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
     Shuffle discipline: only (url, warc_ts, binary_length) decide the
     winner, but the groupby must carry the payload along — so this is the
     rare whole-row shuffle and is only meant for the rare-resume path; the
-    common path skips completed partitions via the manifest and never
-    pays it."""
+    common path skips completed partitions via the manifest and never pays
+    it.  Grouping is on a coarse url-hash bucket (one vectorized pandas
+    pass per bucket), not per url."""
+    import zlib
+
     import pandas as pd
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(_len=g["html"].map(lambda b: len(b) if b is not None else 0))
-        g = g.sort_values(["warc_ts", "_len"]).drop(columns=["_len"])
-        return g.head(1)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        b = pa.array([zlib.crc32(u.encode("utf-8")) & 255 for u in urls], pa.int32())
+        return batch.append_column("bucket", b)
 
-    return ds.groupby("url").map_groups(keep_first, batch_format="pandas")
+    def keep_first_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_len=g["html"].map(lambda b: len(b) if b is not None else 0))
+        g = g.sort_values(["url", "warc_ts", "_len"], kind="mergesort")
+        return g.groupby("url", sort=False).head(1).drop(columns=["_len", "bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(keep_first_bucket, batch_format="pandas")
+    )

@@ -931,9 +931,53 @@ COUNT_DISTINCT_USERS_SQL = """
 SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
 """
 
+def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """Anti join: customers with no URGENT order.  Uses the bucketed
+    shuffle join with arrow's "left anti" verb — Dataset.join would hit the
+    sparse-partition crash here (the right side is a filtered fact table;
+    see pipelines/joins.py), and anti joins are the canonical
+    dedup/backfill primitive at scale (which inputs are NOT yet
+    processed)."""
+    from .joins import bucketed_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    urgent = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    out = bucketed_join(
+        cust,
+        urgent,
+        on="c_custkey",
+        right_on="o_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+        join_type="left anti",
+    )
+    return out.sort("c_custkey")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
 RELATIONAL_QUERIES.update(
     {
         "union_order_segments": (union_order_segments, UNION_ORDER_SEGMENTS_SQL),
         "count_distinct_users": (count_distinct_users, COUNT_DISTINCT_USERS_SQL),
+        "customers_without_orders": (
+            customers_without_orders,
+            CUSTOMERS_WITHOUT_ORDERS_SQL,
+        ),
     }
 )

@@ -102,6 +102,7 @@ SQL_BACKED = [
     "count_distinct_users",
     "normalize_documents",
     "top_terms",
+    "customers_without_orders",
 ]
 
 
