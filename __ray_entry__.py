@@ -56,7 +56,7 @@ def _extract_query(mode: str):
     def run(sf_dir: str):
         from docling_jobkit_ray.pipelines.extract import extract_pipeline
 
-        ds = extract_pipeline(_corpus_for(sf_dir), mode=mode, concurrency=(1, 4))
+        ds = extract_pipeline(_corpus_for(sf_dir), mode=mode)
         # project off the nested spans column for the driver's value-hash
         # compare (kept columns are scalar + deterministic)
         return ds.select_columns(["url", "status", "text", "n_chars", "doc_json"]).sort("url")
@@ -67,7 +67,7 @@ def _extract_query(mode: str):
 def _dead_letter_query(sf_dir: str):
     from docling_jobkit_ray.pipelines.extract import dead_letter, extract_pipeline
 
-    ds = dead_letter(extract_pipeline(_corpus_for(sf_dir), concurrency=(1, 4)))
+    ds = dead_letter(extract_pipeline(_corpus_for(sf_dir)))
     return ds.select_columns(["url", "error", "category", "retryable"]).sort("url")
 
 
@@ -75,7 +75,7 @@ def _chunks_query(sf_dir: str):
     from docling_jobkit_ray.pipelines.extract import extract_pipeline
     from docling_jobkit_ray.stages.chunking import chunk_pipeline
 
-    extracted = extract_pipeline(_corpus_for(sf_dir), concurrency=(1, 4))
+    extracted = extract_pipeline(_corpus_for(sf_dir))
     return chunk_pipeline(extracted).select_columns(
         ["url", "chunk_index", "text", "num_tokens"]
     ).sort(["url", "chunk_index"])
@@ -86,7 +86,7 @@ def _export_query(sf_dir: str):
     from docling_jobkit_ray.stages.export import export_pipeline
 
     ds = export_pipeline(
-        successes(extract_pipeline(_corpus_for(sf_dir), concurrency=(1, 4)))
+        successes(extract_pipeline(_corpus_for(sf_dir)))
     )
     return ds.select_columns(["url", "md", "doctags"]).sort("url")
 
@@ -95,7 +95,7 @@ def _doc_stats_query(sf_dir: str):
     from docling_jobkit_ray.pipelines.extract import extract_pipeline
     from docling_jobkit_ray.stages.export import doc_stats_pipeline
 
-    ds = doc_stats_pipeline(extract_pipeline(_corpus_for(sf_dir), concurrency=(1, 4)))
+    ds = doc_stats_pipeline(extract_pipeline(_corpus_for(sf_dir)))
     return ds.select_columns(
         ["url", "status", "num_characters", "num_spans", "num_tables", "num_headings", "num_pages"]
     ).sort("url")

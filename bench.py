@@ -107,9 +107,8 @@ def run_bench() -> dict:
 
     t0 = time.monotonic()
     extract_pipeline(
-        corpus, mode="inline", concurrency=max(2, NUM_CPUS - 2), batch_size=64,
-        override_num_blocks=nblocks,
-    ).count()  # fixed-size pool: autoscaling ramps too slowly for short jobs
+        corpus, mode="inline", batch_size=64, override_num_blocks=nblocks,
+    ).count()  # chained plan, instance-closure task pool (see _actor_map)
     results["extract_inline"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()

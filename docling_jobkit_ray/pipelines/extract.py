@@ -47,6 +47,19 @@ BIG_ROW_BYTES = 1 * 1024 * 1024  # rows above this go to the big-row branch
 
 
 def _actor_map(ds: ray.data.Dataset, options: ExtractOptions, *, batch_size: int, concurrency) -> ray.data.Dataset:
+    if concurrency is None:
+        # ExtractDocuments state is just compiled options — cheap — so the
+        # default is an instance-closure TASK pool, which schedules far
+        # better than an actor pool behind a fast read (measured 2.6 s vs
+        # 11.6 s on sf0.1/32cpu for the chained plan).  Pass concurrency=
+        # to get a warm actor pool (the shape a real model-loading
+        # converter needs, and what the reference's replicas are).
+        return ds.map_batches(
+            ExtractDocuments(options_to_kwargs(options)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         ExtractDocuments,
         fn_constructor_kwargs={"options": options_to_kwargs(options)},
@@ -65,7 +78,7 @@ def extract_pipeline(
     mode: str = "inline",
     pipeline: str = "standard",
     batch_size: int = DEFAULT_BATCH_SIZE,
-    concurrency=(1, 8),
+    concurrency=None,
     override_num_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Build (lazily) the extracted dataset for a pages corpus.
@@ -93,7 +106,10 @@ def extract_pipeline(
 
     def _family(ds: ray.data.Dataset) -> ray.data.Dataset:
         if pipeline == PIPELINE_VLM:
-            return vlm_enrich(ds, concurrency=concurrency, batch_size=batch_size)
+            # the VLM stage is a callable CLASS (warm model) — it always
+            # needs a real actor-pool concurrency
+            vlm_conc = concurrency if concurrency is not None else (1, 4)
+            return vlm_enrich(ds, concurrency=vlm_conc, batch_size=batch_size)
         return ds
 
     read_kwargs = (

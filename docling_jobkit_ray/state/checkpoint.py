@@ -168,7 +168,7 @@ def run_extract_checkpointed(
     *,
     options: ExtractOptions | None = None,
     mode: str = "inline",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 64,
 ) -> dict:
     """Run the extraction pipeline shard-by-shard with resume.
