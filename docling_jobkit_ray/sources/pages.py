@@ -35,7 +35,7 @@ def read_pages(
 # Fact tables big enough that post-read block splitting pays: the driver
 # files are single-row-group, so the read is one task either way, but
 # override_num_blocks lets every DOWNSTREAM stage run wide.
-_SPLIT_TABLES = {"lineitem": 32, "orders": 16, "events": 16}
+_SPLIT_TABLES = {"lineitem": 32, "orders": 16, "events": 16, "documents": 16, "embeddings": 8}
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
