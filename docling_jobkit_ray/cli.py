@@ -30,8 +30,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--concurrency", type=int, default=8)
-    p.add_argument("--max-bytes", type=int, default=64 * 1024 * 1024)
+    p.add_argument(
+        "--concurrency",
+        type=int,
+        default=None,
+        help="actor-pool size; omit for the (faster) instance task pool",
+    )
+    p.add_argument("--max-bytes", type=int, default=None)
+    p.add_argument(
+        "--preset",
+        default=None,
+        help="named ExtractOptions preset (extract/presets.py); mutually "
+        "exclusive with --max-bytes",
+    )
+    p.add_argument(
+        "--pipeline",
+        default="standard",
+        choices=["standard", "vlm"],
+        help="pipeline family: standard, or vlm (adds the per-page description stage)",
+    )
     p.add_argument("--no-checkpoint", action="store_true", help="single pass, no manifest")
     args = p.parse_args(argv)
 
@@ -48,7 +65,17 @@ def main(argv: list[str] | None = None) -> int:
 
     from .extract.record import ExtractOptions
 
-    options = ExtractOptions(max_bytes=args.max_bytes)
+    if args.preset is not None:
+        if args.max_bytes is not None:
+            p.error("--preset and --max-bytes are mutually exclusive")
+        from .extract.presets import get_preset
+
+        options = get_preset(args.preset)
+    elif args.max_bytes is not None:
+        options = ExtractOptions(max_bytes=args.max_bytes)
+    else:
+        options = ExtractOptions()
+    concurrency = (1, args.concurrency) if args.concurrency else None
     try:
         if args.no_checkpoint:
             from .pipelines.extract import extract_pipeline
@@ -57,8 +84,9 @@ def main(argv: list[str] | None = None) -> int:
                 args.input,
                 options=options,
                 mode=args.mode,
+                pipeline=args.pipeline,
                 batch_size=args.batch_size,
-                concurrency=(1, args.concurrency),
+                concurrency=concurrency,
             )
             ds.write_parquet(args.output)
             totals = {"docs": "written", "output": args.output}
@@ -70,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.output,
                 options=options,
                 mode=args.mode,
-                concurrency=(1, args.concurrency),
+                concurrency=concurrency,
                 batch_size=args.batch_size,
             )
         print(json.dumps(totals))

@@ -971,6 +971,115 @@ ORDER BY c_custkey
 """
 
 
+def order_priority_semi(sf_dir: str) -> ray.data.Dataset:
+    """Semi join + grouped count (TPC-H Q4 shape): priorities of orders that
+    have at least one high-quantity lineitem.  The right side shrinks to
+    per-batch-distinct orderkeys BEFORE the shuffle (semi joins never need
+    duplicates), then arrow's "left semi" verb runs per bucket; the count is
+    a partial-per-batch + tiny final groupby."""
+    from .joins import bucketed_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    big_items = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], pa.scalar(49.0)))
+        .select(["l_orderkey"])
+        .group_by("l_orderkey")
+        .aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    matched = bucketed_join(
+        orders,
+        big_items,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64())]),
+        join_type="left semi",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["o_orderpriority"])
+            .group_by("o_orderpriority")
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_orderpriority", "n_orders"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        matched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .sort("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def revenue_by_year(sf_dir: str) -> ray.data.Dataset:
+    """Grouped aggregate on a DERIVED date key (year(o_orderdate)) —
+    temporal kernel coverage; exact int-cents sums as everywhere."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        year = pc.cast(pc.year(batch["o_orderdate"]), pa.int64())
+        tp_c = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"o_year": year, "tp_c": tp_c})
+        return (
+            t.group_by("o_year")
+            .aggregate([("tp_c", "sum"), ("tp_c", "count")])
+            .rename_columns(["o_year", "total_revenue", "n_orders"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year")
+        .aggregate(
+            Sum("total_revenue", alias_name="total_revenue"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .sort("o_year")
+    )
+    return out.map_batches(_descale({"total_revenue": 100.0}), batch_format="pyarrow")
+
+
+REVENUE_BY_YEAR_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_revenue,
+       count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def parts_named_bolt(sf_dir: str) -> ray.data.Dataset:
+    """Substring filter on a string column (LIKE '%bolt%') via
+    pc.match_substring — string-kernel coverage."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.match_substring(batch["p_name"], "bolt"))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("p_partkey")
+
+
+PARTS_NAMED_BOLT_SQL = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+WHERE p_name LIKE '%bolt%' ORDER BY p_partkey
+"""
+
+
 RELATIONAL_QUERIES.update(
     {
         "union_order_segments": (union_order_segments, UNION_ORDER_SEGMENTS_SQL),
@@ -979,5 +1088,8 @@ RELATIONAL_QUERIES.update(
             customers_without_orders,
             CUSTOMERS_WITHOUT_ORDERS_SQL,
         ),
+        "order_priority_semi": (order_priority_semi, ORDER_PRIORITY_SEMI_SQL),
+        "revenue_by_year": (revenue_by_year, REVENUE_BY_YEAR_SQL),
+        "parts_named_bolt": (parts_named_bolt, PARTS_NAMED_BOLT_SQL),
     }
 )

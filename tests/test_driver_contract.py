@@ -103,6 +103,9 @@ SQL_BACKED = [
     "normalize_documents",
     "top_terms",
     "customers_without_orders",
+    "order_priority_semi",
+    "revenue_by_year",
+    "parts_named_bolt",
 ]
 
 
