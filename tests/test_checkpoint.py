@@ -91,3 +91,35 @@ def test_checkpointed_fused_matches_oracle(ray_session, corpus_dir, corpus_oracl
     totals2 = run_extract_checkpointed(corpus_dir, out, mode="fused")
     assert totals2["shards_skipped_resume"] == 3
     assert totals2["docs"] == totals["docs"]
+
+
+def test_crash_between_publish_and_manifest_redoes_shard(
+    ray_session, corpus_dir, corpus_oracle, tmp_path
+):
+    """The manifest is the commit point: a part-* dir that was renamed into
+    place but whose manifest record never landed (crash window) must be
+    re-done and OVERWRITTEN on the next run."""
+    import glob
+
+    from docling_jobkit_ray.state.checkpoint import run_extract_checkpointed
+
+    out = str(tmp_path / "out")
+    run_extract_checkpointed(corpus_dir, out, concurrency=(1, 2))
+    mdir = os.path.join(out, "_manifest")
+    victim = sorted(os.listdir(mdir))[0]
+    victim_key = victim[: -len(".json")]
+    # simulate the crash window: manifest gone, published output corrupted
+    os.remove(os.path.join(mdir, victim))
+    part_dir = os.path.join(out, f"part-{victim_key}")
+    for f in os.listdir(part_dir):
+        os.remove(os.path.join(part_dir, f))
+    with open(os.path.join(part_dir, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+
+    totals = run_extract_checkpointed(corpus_dir, out, concurrency=(1, 2))
+    assert totals["shards_skipped_resume"] == 2
+    # the corrupted partition was rebuilt: full corpus reads back correct
+    parts = sorted(glob.glob(os.path.join(out, "part-*", "*.parquet")))
+    ds = ray.data.read_parquet(parts)
+    got = {r["url"]: r["text"] for r in ds.take_all()}
+    assert got == {u: r["text"] for u, r in corpus_oracle.items()}
