@@ -1,0 +1,65 @@
+"""Simulated multi-node execution: the same pipelines on a 4-raylet cluster.
+
+The sandbox cannot start real machines, but ``ray.cluster_utils.Cluster``
+runs N separate raylets + object stores in one box — blocks genuinely
+transfer between node object stores, which is the part of the N-node story
+``ray.init(num_cpus=...)`` cannot exercise.  Byte-identical results across
+1-node and 4-node topologies is the cross-node correctness evidence for the
+north rule's fixed-size-cluster criterion (the throughput side is
+bench.py --scaling).
+
+Runs in a subprocess so the session-scoped local Ray fixture is untouched.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import json, sys
+from ray.cluster_utils import Cluster
+import ray
+corpus = sys.argv[1]
+cluster = Cluster(initialize_head=True, head_node_args={"num_cpus": 2, "object_store_memory": 400*1024*1024})
+for _ in range(3):
+    cluster.add_node(num_cpus=2, object_store_memory=400*1024*1024)
+ray.init(address=cluster.address, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from docling_jobkit_ray.pipelines.extract import extract_pipeline
+from docling_jobkit_ray.pipelines.relational import q1_pricing_summary
+rows = extract_pipeline(corpus).select_columns(["url", "status", "n_chars"]).take_all()
+digest = sorted((r["url"], r["status"], r["n_chars"]) for r in rows)
+q1 = q1_pricing_summary("/root/testdata/sf0.001").to_pandas()
+out = {
+    "alive_nodes": len([n for n in ray.nodes() if n["Alive"]]),
+    "n_rows": len(digest),
+    "first": digest[0],
+    "last": digest[-1],
+    "n_chars_total": sum(d[2] for d in digest),
+    "q1_rows": len(q1),
+    "q1_count_order_sum": int(q1["count_order"].sum()),
+}
+ray.shutdown(); cluster.shutdown()
+print("RESULT " + json.dumps(out))
+"""
+
+
+def test_pipelines_on_simulated_4_node_cluster(ray_session, corpus_dir, corpus_oracle):
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, corpus_dir],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")][-1]
+    out = json.loads(line[len("RESULT "):])
+    assert out["alive_nodes"] == 4
+    # byte-level agreement with the single-process oracle
+    assert out["n_rows"] == len(corpus_oracle)
+    assert out["n_chars_total"] == sum(r["n_chars"] for r in corpus_oracle.values())
+    assert out["q1_rows"] == 6
