@@ -47,13 +47,28 @@ def _build_corpus(sf_dir: str) -> str:
 def run_bench() -> dict:
     import ray
 
-    ray.init(
-        address="local",
-        num_cpus=NUM_CPUS,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
+    n_nodes = int(os.environ.get("BENCH_CLUSTER_NODES", "0"))
+    if n_nodes:
+        # simulated multi-node: N separate raylets + object stores (blocks
+        # genuinely transfer between nodes); 4 CPUs per node
+        from ray.cluster_utils import Cluster
+
+        store = 1_000 * 1024 * 1024
+        cluster = Cluster(
+            initialize_head=True,
+            head_node_args={"num_cpus": 4, "object_store_memory": store},
+        )
+        for _ in range(n_nodes - 1):
+            cluster.add_node(num_cpus=4, object_store_memory=store)
+        ray.init(address=cluster.address, include_dashboard=False, logging_level="ERROR")
+    else:
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -168,11 +183,19 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
-    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+def run_scaling(cluster_mode: bool = False) -> dict:
+    """Same headline job at two parallelism levels in fresh processes.
+
+    Default: num_cpus=LO vs HI in one local raylet.  ``cluster_mode``:
+    LO/4 vs HI/4 simulated NODES of 4 CPUs each (separate raylets + object
+    stores — the N-node vs 4N-node shape of the north rule; cross-node
+    block transfer included)."""
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR, BENCH_HEADLINE_ONLY="1")
+        if cluster_mode:
+            assert ncpu % 4 == 0, "cluster mode uses 4-cpu nodes"
+            env["BENCH_CLUSTER_NODES"] = str(ncpu // 4)
         cmd = [sys.executable, os.path.abspath(__file__)]
         # cage the WHOLE Ray session (raylet, object store, workers, driver)
         # to exactly ncpu cores: without this, Ray helper threads spill onto
@@ -211,9 +234,17 @@ def run_scaling() -> dict:
     tp_lo = r_lo["docs"] / r_lo["value"]
     tp_hi = r_hi["docs"] / r_hi["value"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    metric = (
+        "scaling efficiency (headline extraction, simulated N vs 4N NODE cluster "
+        "of 4-cpu raylets, fresh processes, best of reps)"
+        if cluster_mode
+        else "scaling efficiency (headline extraction, fresh ray.init, best of reps)"
+    )
     return {
-        "metric": "scaling efficiency (headline extraction, fresh ray.init, best of reps)",
+        "metric": metric,
         "sf": SF_DIR,
+        "nodes_lo": (lo // 4) if cluster_mode else None,
+        "nodes_hi": (hi // 4) if cluster_mode else None,
         "cpus_lo": lo,
         "cpus_hi": hi,
         "reps": reps,
@@ -227,7 +258,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-cluster" in sys.argv:
+        print(json.dumps(run_scaling(cluster_mode=True)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -462,20 +462,35 @@ def embedding_dim(sf_dir: str) -> int:
 
 
 class HyperplaneBucketer:
-    """Actor-pool UDF: embedding -> LSH bucket id via random hyperplane signs.
-    Hyperplanes drawn once per actor from a fixed seed (deterministic).
-    Appends the ``bucket`` column, keeping the input columns — callers that
-    only need (vec_id, bucket) project afterwards."""
+    """Actor-pool UDF: embedding -> LSH bucket id(s) via random hyperplane
+    signs.  Hyperplanes drawn once per actor from a fixed seed
+    (deterministic).
 
-    def __init__(self, dim: int, n_planes: int = 16, seed: int = 29):
+    ``n_tables=1`` (default): appends a ``bucket`` column, keeping input
+    columns.  ``n_tables=L``: emits L rows per vector, one per hash table —
+    (table_id, bucket, input columns) — the standard multi-table LSH recall
+    knob (a true near-pair is missed only if it splits in EVERY table);
+    the shuffle payload scales xL, so L trades recall against exchange."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 29, n_tables: int = 1):
         rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
+        self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         embs = list_column_to_matrix(batch.column("embedding"))
-        signs = (embs @ self.planes) >= 0
-        bucket = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))
-        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+        weights = 1 << np.arange(self.planes.shape[2], dtype=np.int64)
+        if self.n_tables == 1:
+            bucket = ((embs @ self.planes[0]) >= 0) @ weights
+            return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+        parts = []
+        for t in range(self.n_tables):
+            bucket = ((embs @ self.planes[t]) >= 0) @ weights
+            parts.append(
+                batch.append_column("table_id", pa.array([t] * batch.num_rows, pa.int32()))
+                .append_column("bucket", pa.array(bucket, pa.int64()))
+            )
+        return pa.concat_tables(parts)
 
 
 def embedding_lsh_buckets(sf_dir: str, *, n_planes: int = 16) -> ray.data.Dataset:
@@ -494,20 +509,23 @@ def embedding_lsh_buckets(sf_dir: str, *, n_planes: int = 16) -> ray.data.Datase
 
 
 def embedding_near_dup(
-    sf_dir: str, *, n_planes: int = 16, cos_threshold: float = 0.95
+    sf_dir: str, *, n_planes: int = 16, n_tables: int = 1, cos_threshold: float = 0.95
 ) -> ray.data.Dataset:
     """Near-duplicate embedding pairs: LSH-bucket candidates verified by
     exact cosine inside each bucket group.
 
     The embeddings ride THROUGH the bucket shuffle (each vector lands in
-    exactly one bucket, so the shuffle moves each embedding once — the same
-    bytes a hash-partitioned join would move); the per-bucket verify is one
-    normalized matmul + upper-triangle mask, no per-pair Python loop and no
-    driver-side embedding dict."""
+    exactly one bucket per table, so the shuffle moves each embedding
+    ``n_tables`` times — the same bytes a hash-partitioned join would
+    move); the per-bucket verify is one normalized matmul + upper-triangle
+    mask, no per-pair Python loop and no driver-side embedding dict.
+    ``n_tables>1`` raises recall (a near pair is missed only if every table
+    splits it); duplicate discoveries across tables collapse in a final
+    pair-key groupby."""
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     buckets = ds.map_batches(
-        HyperplaneBucketer(dim=embedding_dim(sf_dir), n_planes=n_planes),
+        HyperplaneBucketer(dim=embedding_dim(sf_dir), n_planes=n_planes, n_tables=n_tables),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -539,6 +557,13 @@ def embedding_near_dup(
             }
         )
 
-    return buckets.groupby("bucket").map_groups(
-        verify_bucket, batch_format="pandas"
-    ).sort(["vec_a", "vec_b"])
+    keys = ["bucket"] if n_tables == 1 else ["table_id", "bucket"]
+    pairs = buckets.groupby(keys).map_groups(verify_bucket, batch_format="pandas")
+    if n_tables > 1:
+        from ray.data.aggregate import Max
+
+        pairs = (
+            pairs.groupby(["vec_a", "vec_b"])
+            .aggregate(Max("cosine", alias_name="cosine"))
+        )
+    return pairs.sort(["vec_a", "vec_b"])

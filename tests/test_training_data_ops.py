@@ -239,3 +239,23 @@ def test_hll_leading_zeros_exact():
     got = HyperLogLog._leading_zeros64(arr)
     want = [64 - int(v).bit_length() for v in vals]
     assert got.tolist() == want
+
+
+def test_embedding_near_dup_multi_table_recall(docs_with_dups, tmp_path_factory):
+    """Multi-table LSH must find at least what one table finds, plus it
+    recovers planted near-pairs a single unlucky table can split: with
+    8-plane tables, the (10, 11) planted pair survives in >=1 of 6 tables."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.dedup import embedding_near_dup
+
+    one = embedding_near_dup(docs_with_dups, n_planes=16, n_tables=1).to_pandas()
+    multi = embedding_near_dup(docs_with_dups, n_planes=8, n_tables=6).to_pandas()
+    found_multi = set(zip(multi["vec_a"], multi["vec_b"]))
+    assert (10, 11) in found_multi
+    # pair keys are unique after the cross-table collapse
+    assert len(found_multi) == len(multi)
+    # every single-table discovery at 16 planes is a true >=0.95 pair; the
+    # multi-table run verifies with the same exact-cosine kernel
+    assert all(multi["cosine"] >= 0.95)
+    assert set(zip(one["vec_a"], one["vec_b"])) <= found_multi | set()
