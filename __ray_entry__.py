@@ -150,8 +150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_stats_by_lang"] = textstats.doc_stats_by_lang
     q["normalize_documents"] = textstats.normalize_documents
     q["top_terms"] = textstats.top_terms
+    q["doc_frequency"] = textstats.doc_frequency
+    q["doc_length_percentiles"] = textstats.doc_length_percentiles
     # dedup family
     q["dedup_exact"] = dedup.dedup_exact
+    q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["minhash_dedup"] = functools.partial(dedup.minhash_dedup, threshold=0.8)
     q["simhash_dup_groups"] = dedup.simhash_dup_groups
     def _near_dup(sf_dir: str):
@@ -229,6 +232,15 @@ def oracle_sql() -> dict[str, str]:
     sql["normalize_documents"] = NORMALIZE_DOCUMENTS_SQL
     sql["top_terms"] = TOP_TERMS_SQL
     sql["dedup_exact"] = DEDUP_EXACT_SQL
+    from docling_jobkit_ray.functions.dedup import DEDUP_EXACT_DOCS_SQL
+    from docling_jobkit_ray.functions.textstats import (
+        DOC_FREQUENCY_SQL,
+        DOC_LENGTH_PERCENTILES_SQL,
+    )
+
+    sql["dedup_exact_docs"] = DEDUP_EXACT_DOCS_SQL
+    sql["doc_frequency"] = DOC_FREQUENCY_SQL
+    sql["doc_length_percentiles"] = DOC_LENGTH_PERCENTILES_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -47,12 +47,9 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", hashes)
 
 
-def dedup_exact(sf_dir: str) -> ray.data.Dataset:
-    """Keep the min doc_id per exact text duplicate group.
-
-    Shuffle payload: (content_hash, doc_id) only — the text column is
-    dropped before the groupby, so at 10^12 docs the exchange is ~100 B/row
-    regardless of document size."""
+def _dedup_exact_groups(sf_dir: str) -> ray.data.Dataset:
+    """(keep_doc_id, n_dups) per exact duplicate group, UNSORTED (for
+    composition into joins without an extra all-to-all)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     hashed = ds.map_batches(
         lambda b: add_content_hash(b).select(["doc_id", "content_hash"]),
@@ -65,13 +62,51 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
         hashed.groupby("content_hash")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
         .select_columns(["keep_doc_id", "n_dups"])
-        .sort("keep_doc_id")
     )
+
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Keep the min doc_id per exact text duplicate group.
+
+    Shuffle payload: (content_hash, doc_id) only — the text column is
+    dropped before the groupby, so at 10^12 docs the exchange is ~100 B/row
+    regardless of document size."""
+    return _dedup_exact_groups(sf_dir).sort("keep_doc_id")
 
 
 DEDUP_EXACT_SQL = """
 SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
 FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id
+"""
+
+
+def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
+    """MATERIALIZED exact dedup: the deduplicated documents table itself
+    (what a training-data run actually consumes), not just the group
+    verdicts.  Keep-set = min doc_id per content hash (small: one id per
+    distinct document); the surviving rows come from a semi join of the
+    documents table against the keep-set through the bucketed shuffle —
+    texts move once, only for survivors' rows, never to the driver."""
+    from ..pipelines.joins import bucketed_join
+
+    keep = _dedup_exact_groups(sf_dir).select_columns(["keep_doc_id"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bucketed_join(
+        docs,
+        keep,
+        on="doc_id",
+        right_on="keep_doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("keep_doc_id", pa.int64())]),
+        join_type="left semi",
+    )
+    return out.sort("doc_id")
+
+
+DEDUP_EXACT_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+ORDER BY doc_id
 """
 
 

@@ -304,3 +304,87 @@ SELECT word, count(*) AS n FROM (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
 ) GROUP BY word ORDER BY n DESC, word LIMIT 100
 """
+
+
+def doc_frequency(sf_dir: str, *, k: int = 100) -> ray.data.Dataset:
+    """Top-k terms by DOCUMENT frequency (how many docs contain the word —
+    the DF of TF-IDF).  Combiner: each batch emits one (word, n_docs) row
+    per distinct word from its OWN distinct (word, doc) pairs, so the
+    shuffle carries per-batch vocabulary rows, never per-token or per-pair
+    rows.  Deterministic tiebreak: alphabetical."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update(set(re.findall(r"[a-z]+", t.lower())))
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "n_docs": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        partials.groupby("word")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort(["n_docs", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+DOC_FREQUENCY_SQL = """
+SELECT word, count(*) AS n_docs FROM (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+) GROUP BY word ORDER BY n_docs DESC, word LIMIT 100
+"""
+
+
+def doc_length_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """EXACT distributed percentiles of document length (p50/p90/p99 of
+    n_chars) without a global sort: lengths are a bounded integer domain,
+    so a groupby-count builds the exact histogram (the shuffle carries one
+    row per DISTINCT length per batch) and the driver walks the tiny
+    cumulative histogram.  percentile_disc semantics (smallest value with
+    cumulative count >= ceil(q*n))."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("n_chars")
+            .aggregate([([], "count_all")])
+            .rename_columns(["n_chars", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("n_chars")
+        .to_pandas()  # tiny: one row per distinct length
+    )
+    import math
+
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    out = {}
+    for q in (0.5, 0.9, 0.99):
+        rank = math.ceil(q * total)
+        out[f"p{int(q*100)}"] = int(hist["n_chars"][(cum >= rank).idxmax()])
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+
+
+DOC_LENGTH_PERCENTILES_SQL = """
+SELECT CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents
+"""

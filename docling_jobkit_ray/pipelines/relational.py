@@ -1080,8 +1080,90 @@ WHERE p_name LIKE '%bolt%' ORDER BY p_partkey
 """
 
 
+def events_value_zscore(sf_dir: str) -> ray.data.Dataset:
+    """Group-wise normalization (z-score of value per event_type): the
+    TWO-PASS broadcast-aggregate pattern.  Pass 1 reduces the stream to one
+    (n, sum, sum-of-squares) row per type — EXACT int64-cents sums, so both
+    engines derive bit-identical means/stds (sumsq fits int64 up to ~1e5
+    rows x 4-digit values; at larger scale split into hi/lo int64 words).
+    Pass 2 broadcasts the tiny stats table and computes z per row with the
+    SAME IEEE expression the oracle uses — values match bitwise, not just
+    to tolerance."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        value_c = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        sq = pc.multiply(value_c, value_c)
+        t = pa.table({"event_type": batch["event_type"], "sum_c": value_c, "sumsq_c": sq})
+        return (
+            t.group_by("event_type")
+            .aggregate([("sum_c", "sum"), ("sumsq_c", "sum"), ("sum_c", "count")])
+            .rename_columns(["event_type", "sum_c", "sumsq_c", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_c", alias_name="sum_c"),
+            Sum("sumsq_c", alias_name="sumsq_c"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()  # tiny: one row per event_type
+    )
+    import numpy as np
+
+    types = pa.array(stats["event_type"].tolist(), pa.string())
+    n = stats["n"].to_numpy().astype(np.float64)
+    mean = stats["sum_c"].to_numpy().astype(np.float64) / n
+    std = np.sqrt(stats["sumsq_c"].to_numpy().astype(np.float64) / n - mean * mean)
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = pc.index_in(batch["event_type"], value_set=types).to_numpy(
+            zero_copy_only=False
+        )
+        value_c = (
+            pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        z = (value_c - mean[idx]) / std[idx]
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "zscore": pa.array(z, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(add_z, batch_format="pyarrow", zero_copy_batch=True).sort("event_id")
+
+
+EVENTS_VALUE_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value*100) AS BIGINT)) AS sum_c,
+         sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS sumsq_c
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       (CAST(round(e.value*100) AS BIGINT)
+          - CAST(s.sum_c AS DOUBLE) / s.n)
+       / sqrt(CAST(s.sumsq_c AS DOUBLE) / s.n
+              - (CAST(s.sum_c AS DOUBLE) / s.n) * (CAST(s.sum_c AS DOUBLE) / s.n))
+         AS zscore
+FROM events e JOIN stats s USING (event_type)
+ORDER BY e.event_id
+"""
+
+
 RELATIONAL_QUERIES.update(
     {
+        "events_value_zscore": (events_value_zscore, EVENTS_VALUE_ZSCORE_SQL),
         "union_order_segments": (union_order_segments, UNION_ORDER_SEGMENTS_SQL),
         "count_distinct_users": (count_distinct_users, COUNT_DISTINCT_USERS_SQL),
         "customers_without_orders": (

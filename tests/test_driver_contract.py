@@ -106,6 +106,10 @@ SQL_BACKED = [
     "order_priority_semi",
     "revenue_by_year",
     "parts_named_bolt",
+    "events_value_zscore",
+    "dedup_exact_docs",
+    "doc_frequency",
+    "doc_length_percentiles",
 ]
 
 
