@@ -98,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.output,
                 options=options,
                 mode=args.mode,
+                pipeline=args.pipeline,
                 concurrency=concurrency,
                 batch_size=args.batch_size,
             )

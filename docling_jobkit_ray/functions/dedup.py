@@ -83,10 +83,12 @@ FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id
 def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
     """MATERIALIZED exact dedup: the deduplicated documents table itself
     (what a training-data run actually consumes), not just the group
-    verdicts.  Keep-set = min doc_id per content hash (small: one id per
-    distinct document); the surviving rows come from a semi join of the
-    documents table against the keep-set through the bucketed shuffle —
-    texts move once, only for survivors' rows, never to the driver."""
+    verdicts.  Keep-set = min doc_id per content hash; survivors come from
+    a semi join of the documents table against the keep-set through the
+    bucketed shuffle.  Cost model: document texts cross the exchange
+    exactly ONCE — inherent in materializing a deduped corpus (survivor
+    rows must reach their writers somehow); the keep-set side adds only
+    int64 ids, and nothing reaches the driver."""
     from ..pipelines.joins import bucketed_join
 
     keep = _dedup_exact_groups(sf_dir).select_columns(["keep_doc_id"])
@@ -251,14 +253,12 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(a & b) / len(a | b)
 
 
-def minhash_lsh_candidates(
+def _minhash_lsh_candidate_groups(
     sf_dir: str, *, num_perm: int = 64, n_bands: int = 16, shingle_k: int = 3
 ) -> ray.data.Dataset:
-    """Candidate duplicate pairs (doc_a < doc_b) that share >=1 LSH band.
-
-    Pipeline: minhash per row (actor pool) -> band explode -> groupby
-    (band_id, band_hash) -> per-group pair emission -> global pair dedup.
-    The shuffle carries only (band_id, band_hash, doc_id)."""
+    """UNSORTED candidate pairs (for composition — e.g. the verify stage —
+    without paying a presentation sort whose order the next shuffle
+    destroys)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     # callable INSTANCE (not class): cheap deterministic state is built once
     # on the driver and closure-shipped -> stateless task pool, which
@@ -312,11 +312,22 @@ def minhash_lsh_candidates(
     # distinct pairs (a pair can collide in several bands/buckets)
     from ray.data.aggregate import Count
 
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands_hit"))
-        .sort(["doc_a", "doc_b"])
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands_hit")
     )
+
+
+def minhash_lsh_candidates(
+    sf_dir: str, *, num_perm: int = 64, n_bands: int = 16, shingle_k: int = 3
+) -> ray.data.Dataset:
+    """Candidate duplicate pairs (doc_a < doc_b) that share >=1 LSH band.
+
+    Pipeline: minhash per row (task pool) -> band explode -> groupby
+    (band_id, band_hash) -> per-group pair emission -> global pair dedup.
+    The shuffle carries only (band_id, band_hash, doc_id)."""
+    return _minhash_lsh_candidate_groups(
+        sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
+    ).sort(["doc_a", "doc_b"])
 
 
 def minhash_dedup(
@@ -329,55 +340,53 @@ def minhash_dedup(
 ) -> ray.data.Dataset:
     """Near-dup verdicts: LSH candidates verified with exact shingle Jaccard.
 
-    The verify stage never touches the driver: candidate pairs are joined
-    back to their texts with TWO hash-partitioned joins on doc_id (once for
-    doc_a, once for doc_b), then the exact-Jaccard kernel runs per batch.
-    The shuffle carries (pair keys + the candidate docs' texts) — candidates
-    are the LSH output, a vanishing fraction of the corpus, so at 10^12 docs
-    this moves only the suspected-duplicate texts, never the corpus."""
+    Shuffle discipline: the verify stage moves ONLY candidate texts.  The
+    candidate pair set (the LSH output — a vanishing fraction of the
+    corpus; if it weren't, the LSH parameters are wrong) is small enough to
+    hold on the driver, so the candidate doc_id set is broadcast as an
+    ``is_in`` filter over a SCAN of the documents table (no shuffle — a
+    hash-partitioned join would push the full text column through an
+    all-to-all exchange just to discard non-candidates on the other side).
+    The filtered texts (bounded by 2x|pairs|) are broadcast back to the
+    verify tasks; the exact-Jaccard kernel then runs per pair."""
     import pyarrow.compute as pc
 
-    from ..pipelines.joins import bucketed_join
-
-    candidates = minhash_lsh_candidates(
-        sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
-    ).select_columns(["doc_a", "doc_b"])
+    pairs = (
+        _minhash_lsh_candidate_groups(
+            sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
+        )
+        .select_columns(["doc_a", "doc_b"])
+        .to_pandas()  # small by construction (LSH candidate pairs)
+    )
+    if pairs.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cand_ids = pa.array(
+        sorted(set(pairs["doc_a"]) | set(pairs["doc_b"])), pa.int64()
+    )
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
-
-    with_a = bucketed_join(
-        candidates,
-        docs,
-        on="doc_a",
-        right_on="doc_id",
-        left_schema=pair_schema,
-        right_schema=doc_schema,
-    ).map_batches(
-        lambda t: t.rename_columns(["doc_a", "doc_b", "text_a"]),
+    cand_texts = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    with_both = bucketed_join(
-        with_a,
-        docs,
-        on="doc_b",
-        right_on="doc_id",
-        left_schema=pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
-        ),
-        right_schema=doc_schema,
-    )
+    ).to_pandas()  # bounded by the candidate set, not the corpus
+    text_by_id = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
 
     def verify(batch: pa.Table) -> pa.Table:
         # per-pair exact Jaccard: genuinely scalar kernel (set ops over
         # shingle hashes); pair count is the tiny LSH candidate set
+        doc_a = batch.column("doc_a").to_pylist()
+        doc_b = batch.column("doc_b").to_pylist()
         jac = [
-            ngram_jaccard(ta, tb, shingle_k)
-            for ta, tb in zip(
-                batch.column("text_a").to_pylist(), batch.column("text").to_pylist()
-            )
+            ngram_jaccard(text_by_id[a], text_by_id[b], shingle_k)
+            for a, b in zip(doc_a, doc_b)
         ]
         t = pa.table(
             {
@@ -388,9 +397,11 @@ def minhash_dedup(
         )
         return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
-    return with_both.map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True
-    ).sort(["doc_a", "doc_b"])
+    return (
+        ray.data.from_pandas(pairs)
+        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["doc_a", "doc_b"])
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -346,13 +346,15 @@ SELECT word, count(*) AS n_docs FROM (
 """
 
 
-def doc_length_percentiles(sf_dir: str) -> ray.data.Dataset:
+def doc_length_percentiles(sf_dir: str) -> pa.Table:
     """EXACT distributed percentiles of document length (p50/p90/p99 of
     n_chars) without a global sort: lengths are a bounded integer domain,
     so a groupby-count builds the exact histogram (the shuffle carries one
     row per DISTINCT length per batch) and the driver walks the tiny
     cumulative histogram.  percentile_disc semantics (smallest value with
-    cumulative count >= ceil(q*n))."""
+    cumulative count >= ceil(q*n)).  Returns a one-row pyarrow.Table (a
+    driver-side scalar result, like q6_forecast_revenue — the driver
+    contract accepts Dataset | DataFrame | Table)."""
     ds = read_table(sf_dir, "documents", columns=["n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -119,20 +119,21 @@ def _register_builtins() -> None:
     from .chunking import ChunkDocuments
     from .export import doc_stats, export_projections
 
-    register_stage("extract", _extract_factory, allow_override=True)
-    register_stage(
-        "chunk",
-        lambda opts: (
-            ChunkDocuments,
-            {
-                "fn_constructor_kwargs": {"max_tokens": opts.get("max_tokens", 256)},
-                "batch_format": "pyarrow",
-                "zero_copy_batch": True,
-                "concurrency": opts.get("concurrency", (1, 4)),
+    def _chunk_factory(opts: dict):
+        kwargs = {
+            "fn_constructor_kwargs": {
+                "max_tokens": opts.get("max_tokens", 256),
+                "tokenizer": opts.get("tokenizer"),
             },
-        ),
-        allow_override=True,
-    )
+            "batch_format": "pyarrow",
+            "zero_copy_batch": True,
+            "concurrency": opts.get("concurrency", (1, 4)),
+        }
+        kwargs.update(opts.get("map_kwargs", {}))
+        return ChunkDocuments, kwargs
+
+    register_stage("extract", _extract_factory, allow_override=True)
+    register_stage("chunk", _chunk_factory, allow_override=True)
     register_stage("export", _simple_factory(lambda o: export_projections), allow_override=True)
     register_stage("doc_stats", _simple_factory(lambda o: doc_stats), allow_override=True)
     register_stage(
@@ -147,18 +148,16 @@ def _register_builtins() -> None:
     register_stage("simhash", _simple_factory(lambda o: SimHasher()), allow_override=True)
     from .vlm import VlmDescribe
 
-    register_stage(
-        "vlm_describe",
-        lambda opts: (
-            VlmDescribe,
-            {
-                "batch_format": "pyarrow",
-                "zero_copy_batch": True,
-                "concurrency": opts.get("concurrency", (1, 4)),
-            },
-        ),
-        allow_override=True,
-    )
+    def _vlm_factory(opts: dict):
+        kwargs = {
+            "batch_format": "pyarrow",
+            "zero_copy_batch": True,
+            "concurrency": opts.get("concurrency", (1, 4)),
+        }
+        kwargs.update(opts.get("map_kwargs", {}))
+        return VlmDescribe, kwargs
+
+    register_stage("vlm_describe", _vlm_factory, allow_override=True)
     register_stage("quality", _simple_factory(lambda o: QualityScorer()), allow_override=True)
     register_stage("lang_id", _simple_factory(lambda o: LangId()), allow_override=True)
 

@@ -66,6 +66,7 @@ def run_extract_checkpointed_fused(
     out_dir: str,
     *,
     options: ExtractOptions | None = None,
+    pipeline: str = "standard",
     progress_callback=None,
 ) -> dict:
     """Checkpointed run as ONE Ray Dataset execution (the scale path).
@@ -92,6 +93,10 @@ def run_extract_checkpointed_fused(
     from ..stages.extract import ExtractDocuments
     from ..stages.extract import options_to_kwargs as _otk
 
+    from ..stages.vlm import PIPELINES, VlmDescribe
+
+    if pipeline not in PIPELINES:
+        raise ValueError(f"unknown pipeline {pipeline!r}; known: {PIPELINES}")
     options = options or ExtractOptions()
     os.makedirs(out_dir, exist_ok=True)
     done = completed_shards(out_dir)
@@ -99,11 +104,13 @@ def run_extract_checkpointed_fused(
     pending = [s for s in shards if _shard_key(s) not in done]
     opts_kwargs = _otk(options)
     abs_out = os.path.abspath(out_dir)
+    vlm = pipeline == "vlm"
 
     def process_shard(batch) -> "pa.Table":
         import shutil as _sh
 
         udf = ExtractDocuments(opts_kwargs)
+        describe = VlmDescribe() if vlm else None
         recs = {k: [] for k in ("shard_key", "shard_path", "docs", "parse_failures", "chars_out", "input_bytes", "wall_sec")}
         for p in batch["path"]:
             p = str(p)
@@ -112,6 +119,8 @@ def run_extract_checkpointed_fused(
             t = pq.read_table(p, columns=["url", "html"])
             t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
             out = udf(t)
+            if describe is not None:  # vlm family: enrich in the same task
+                out = describe(out)
             tmp_dir = os.path.join(abs_out, f".tmp-{key}")
             final_dir = os.path.join(abs_out, f"part-{key}")
             _sh.rmtree(tmp_dir, ignore_errors=True)
@@ -168,6 +177,7 @@ def run_extract_checkpointed(
     *,
     options: ExtractOptions | None = None,
     mode: str = "inline",
+    pipeline: str = "standard",
     concurrency=None,
     batch_size: int = 64,
 ) -> dict:
@@ -183,7 +193,9 @@ def run_extract_checkpointed(
     mirroring the reference's monotonic lifecycle counters,
     ``redis_helper.py:718-812``)."""
     if mode == "fused":
-        return run_extract_checkpointed_fused(input_dir, out_dir, options=options)
+        return run_extract_checkpointed_fused(
+            input_dir, out_dir, options=options, pipeline=pipeline
+        )
     import shutil
 
     options = options or ExtractOptions()
@@ -199,7 +211,12 @@ def run_extract_checkpointed(
             continue
         t0 = time.monotonic()
         ds = extract_pipeline(
-            shard, options=options, mode=mode, concurrency=concurrency, batch_size=batch_size
+            shard,
+            options=options,
+            mode=mode,
+            pipeline=pipeline,
+            concurrency=concurrency,
+            batch_size=batch_size,
         )
         tmp_dir = os.path.join(out_dir, f".tmp-{key}")
         final_dir = os.path.join(out_dir, f"part-{key}")

@@ -84,3 +84,42 @@ def test_vlm_pipeline_family(ray_session, corpus_dir):
         ).take_all()
     }
     assert vlm2 == {u: r["vlm_json"] for u, r in rows.items()}
+
+
+def test_cli_checkpointed_vlm(ray_session, corpus_dir, tmp_path):
+    """--pipeline vlm must reach the checkpointed (default) CLI path: the
+    written partitions carry vlm_json."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.state.checkpoint import run_extract_checkpointed
+
+    out = str(tmp_path / "vlm_out")
+    totals = run_extract_checkpointed(corpus_dir, out, mode="fused", pipeline="vlm")
+    assert totals["docs"] == 600
+    parts = sorted(glob.glob(out + "/part-*/*.parquet"))
+    assert parts
+    schema = pq.read_schema(parts[0])
+    assert "vlm_json" in schema.names
+    t = pq.read_table(parts[0], columns=["status", "vlm_json"])
+    assert any(v for v in t.column("vlm_json").to_pylist())
+    with pytest.raises(ValueError):
+        run_extract_checkpointed(corpus_dir, out, mode="fused", pipeline="quantum")
+
+
+def test_registry_chunk_tokenizer_and_map_kwargs(ray_session, corpus_dir):
+    """The registry 'chunk' stage must forward the tokenizer option and
+    honor map_kwargs overrides (the documented extension contract)."""
+    from docling_jobkit_ray.pipelines.extract import extract_pipeline
+    from docling_jobkit_ray.stages.registry import apply_stage, get_stage
+
+    extracted = extract_pipeline(corpus_dir, concurrency=(1, 2))
+    chunks = apply_stage(
+        extracted, "chunk", {"max_tokens": 64, "tokenizer": len}
+    ).take(20)
+    assert chunks and all(c["num_tokens"] == len(c["text"]) for c in chunks)
+    _, kwargs = get_stage("chunk", {"map_kwargs": {"batch_size": 16}})
+    assert kwargs["batch_size"] == 16
+    _, vkwargs = get_stage("vlm_describe", {"map_kwargs": {"batch_size": 8}})
+    assert vkwargs["batch_size"] == 8
