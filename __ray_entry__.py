@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # similarity search
     q["knn_brute_force"] = functools.partial(similarity.knn_brute_force, k=5, n_queries=4)
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
+    q["embedding_clusters"] = similarity.embedding_clusters
     # extraction pipelines (pages corpus; oracle is the in-repo single-process
     # extractor, checked in pytest — rows-only here)
     def _extract_vlm(sf_dir: str):

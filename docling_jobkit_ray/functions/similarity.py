@@ -152,6 +152,19 @@ class IvfAssign:
         return batch.append_column("cell", pa.array(cell, pa.int32()))
 
 
+def embedding_clusters(sf_dir: str, *, n_cells: int = 16) -> ray.data.Dataset:
+    """Deterministic k-means cluster assignment per vector (the IVF coarse
+    quantizer exposed as a standalone clustering operator): centroids from
+    a bounded streamed sample, one matmul + argmax per batch."""
+    centroids = _coarse_centroids(sf_dir, n_cells)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(IvfAssign(centroids), batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["vec_id", "cell"])
+        .sort("vec_id")
+    )
+
+
 def knn_ivf(
     sf_dir: str, *, k: int = 5, n_queries: int = 4, n_cells: int = 16, n_probe: int = 4
 ) -> ray.data.Dataset:

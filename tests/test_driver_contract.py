@@ -149,6 +149,8 @@ ROWS_ONLY = [
     "knn_brute_force",
     "knn_ivf",
     "extract_inline",
+    "extract_vlm",
+    "embedding_clusters",
     "extract_dead_letter",
     "chunk_documents",
     "media_features",

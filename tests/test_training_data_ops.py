@@ -259,3 +259,14 @@ def test_embedding_near_dup_multi_table_recall(docs_with_dups, tmp_path_factory)
     # multi-table run verifies with the same exact-cosine kernel
     assert all(multi["cosine"] >= 0.95)
     assert set(zip(one["vec_a"], one["vec_b"])) <= found_multi | set()
+
+
+def test_embedding_clusters(ray_session):
+    from docling_jobkit_ray.functions.similarity import embedding_clusters
+
+    df = embedding_clusters("/root/testdata/sf0.001", n_cells=8).to_pandas()
+    assert len(df) == 500 and df["vec_id"].is_unique
+    assert df["cell"].between(0, 7).all()
+    # deterministic across runs
+    df2 = embedding_clusters("/root/testdata/sf0.001", n_cells=8).to_pandas()
+    assert df.equals(df2)
