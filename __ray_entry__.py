@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q[name] = fn
     # text analysis
     q["token_counts"] = textstats.token_counts
+    q["token_counts_bpe"] = textstats.token_counts_bpe
     q["quality_scores"] = textstats.quality_scores
     q["lang_id"] = textstats.lang_id
     q["fingerprints_sha"] = lambda sf: textstats.fingerprints(sf).select_columns(
@@ -242,6 +243,9 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_exact_docs"] = DEDUP_EXACT_DOCS_SQL
     sql["doc_frequency"] = DOC_FREQUENCY_SQL
     sql["doc_length_percentiles"] = DOC_LENGTH_PERCENTILES_SQL
+    from docling_jobkit_ray.functions.textstats import TOKEN_COUNTS_BPE_SQL
+
+    sql["token_counts_bpe"] = TOKEN_COUNTS_BPE_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

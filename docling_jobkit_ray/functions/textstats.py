@@ -48,6 +48,33 @@ FROM documents ORDER BY doc_id
 """
 
 
+# BPE-ish pre-tokenizer: GPT-2-style word/number/punctuation split, without
+# the lookahead (RE2 — the engine's pyarrow kernel and DuckDB run the SAME
+# pattern).  Counts pre-tokenizer pieces, the budget unit BPE merges shrink.
+_BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=_BPE_ISH_PATTERN),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+TOKEN_COUNTS_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # quality scoring — stateful stage (compiled regexes once per actor)
 # ---------------------------------------------------------------------------

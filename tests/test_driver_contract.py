@@ -107,6 +107,7 @@ SQL_BACKED = [
     "revenue_by_year",
     "parts_named_bolt",
     "events_value_zscore",
+    "token_counts_bpe",
     "dedup_exact_docs",
     "doc_frequency",
     "doc_length_percentiles",
