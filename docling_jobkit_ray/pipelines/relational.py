@@ -650,8 +650,12 @@ def events_asof_login(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        # 64 buckets ~ 2x cores: enough spread for the vectorized per-bucket
+        # pass while keeping the per-group Python-call count low (1024
+        # buckets measured 2.6x slower at sf0.1 — mostly singleton-user
+        # groups); scale the mask up with event volume
         return batch.append_column(
-            "bucket", pc.bit_wise_and(batch["user_id"], pa.scalar(1023, pa.int64()))
+            "bucket", pc.bit_wise_and(batch["user_id"], pa.scalar(63, pa.int64()))
         )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -731,8 +735,12 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        # 64 buckets ~ 2x cores: enough spread for the vectorized per-bucket
+        # pass while keeping the per-group Python-call count low (1024
+        # buckets measured 2.6x slower at sf0.1 — mostly singleton-user
+        # groups); scale the mask up with event volume
         return batch.append_column(
-            "bucket", pc.bit_wise_and(batch["user_id"], pa.scalar(1023, pa.int64()))
+            "bucket", pc.bit_wise_and(batch["user_id"], pa.scalar(63, pa.int64()))
         )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
