@@ -81,3 +81,66 @@ def test_slice_plan_shape(skewed_corpus):
     shipped = sum(len(p) for p in slices.column("payload").to_pylist())
     assert shipped == total_payload_bytes  # each slice ships ONLY its pages
     assert slices.column("slice_index").to_pylist() == list(range(20))
+
+
+def test_bucketed_join_hot_key(ray_session):
+    """90% of the left side on ONE key: the bucketed join must stay correct
+    (a hot key is bounded by its bucket, never a per-key Python group)."""
+    import pyarrow as pa
+    import ray.data
+
+    from docling_jobkit_ray.pipelines.joins import bucketed_join
+
+    hot = [7] * 9000 + list(range(1000))
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(hot, pa.int64()), "lv": pa.array(range(10000), pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([7, 3], pa.int64()), "rv": pa.array([70, 30], pa.int64())})
+    )
+    out = bucketed_join(
+        left, right, on="k", right_on="rk",
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        right_schema=pa.schema([("rk", pa.int64()), ("rv", pa.int64())]),
+    ).to_pandas()
+    assert len(out) == 9002  # 9001 matches on key 7 (hot + one in range) + key 3
+    assert (out[out["k"] == 7]["rv"] == 70).all()
+
+
+def test_sessionize_hot_user(ray_session, tmp_path):
+    """One user owning 95% of events must still sessionize correctly (the
+    bucket holds the whole user; ordering happens inside the vectorized
+    pandas pass)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.pipelines.relational import events_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = {"user_id": [], "ts": [], "value": []}
+    for i in range(1900):  # hot user: event every 10 min -> one session
+        rows["user_id"].append(1)
+        rows["ts"].append(t0 + dt.timedelta(minutes=10 * i))
+        rows["value"].append(1.0)
+    for u in range(2, 102):  # 100 cold users, 1 event each
+        rows["user_id"].append(u)
+        rows["ts"].append(t0)
+        rows["value"].append(2.0)
+    d = tmp_path / "skew_events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+                "value": pa.array(rows["value"], pa.float64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = events_sessionize(str(d)).to_pandas()
+    hot = out[out["user_id"] == 1]
+    assert len(hot) == 1 and hot["n_events"].iloc[0] == 1900  # one long session
+    assert len(out) == 101
