@@ -337,27 +337,52 @@ def minhash_dedup(
     n_bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    broadcast_pair_limit: int = 200_000,
 ) -> ray.data.Dataset:
     """Near-dup verdicts: LSH candidates verified with exact shingle Jaccard.
 
-    Shuffle discipline: the verify stage moves ONLY candidate texts.  The
-    candidate pair set (the LSH output — a vanishing fraction of the
-    corpus; if it weren't, the LSH parameters are wrong) is small enough to
-    hold on the driver, so the candidate doc_id set is broadcast as an
-    ``is_in`` filter over a SCAN of the documents table (no shuffle — a
-    hash-partitioned join would push the full text column through an
-    all-to-all exchange just to discard non-candidates on the other side).
-    The filtered texts (bounded by 2x|pairs|) are broadcast back to the
-    verify tasks; the exact-Jaccard kernel then runs per pair."""
+    HYBRID verify, chosen by candidate volume:
+
+    - small candidate set (the normal LSH regime): the pair list collects
+      once, the candidate doc_id set broadcasts as an ``is_in`` filter over
+      a SCAN of the documents table (no shuffle), the bounded candidate
+      texts broadcast to parallel verify tasks.  Moves only candidate
+      texts — a hash join would push the FULL text column through an
+      all-to-all just to discard non-candidates.
+    - large candidate set (dup-heavy corpora where candidates are not a
+      vanishing fraction): fall back to two hash-partitioned bucketed
+      joins on doc_id — bounded per bucket, nothing on the driver, at the
+      cost of shuffling the corpus texts once per join side."""
     import pyarrow.compute as pc
 
-    pairs = (
-        _minhash_lsh_candidate_groups(
-            sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
-        )
-        .select_columns(["doc_a", "doc_b"])
-        .to_pandas()  # small by construction (LSH candidate pairs)
-    )
+    candidates = _minhash_lsh_candidate_groups(
+        sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
+    ).select_columns(["doc_a", "doc_b"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def verify_with(text_of):
+        def verify(batch: pa.Table) -> pa.Table:
+            # per-pair exact Jaccard: genuinely scalar kernel (set ops
+            # over shingle hashes)
+            doc_a = batch.column("doc_a").to_pylist()
+            doc_b = batch.column("doc_b").to_pylist()
+            texts_a, texts_b = text_of(batch, doc_a, doc_b)
+            jac = [
+                ngram_jaccard(ta, tb, shingle_k)
+                for ta, tb in zip(texts_a, texts_b)
+            ]
+            t = pa.table(
+                {
+                    "doc_a": pa.array(doc_a, pa.int64()),
+                    "doc_b": pa.array(doc_b, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+            return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+        return verify
+
+    pairs = candidates.to_pandas()  # the LSH output, tiny in the normal regime
     if pairs.empty:
         return ray.data.from_arrow(
             pa.table(
@@ -368,40 +393,61 @@ def minhash_dedup(
                 }
             )
         )
-    cand_ids = pa.array(
-        sorted(set(pairs["doc_a"]) | set(pairs["doc_b"])), pa.int64()
-    )
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand_texts = docs.map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
+
+    if len(pairs) <= broadcast_pair_limit:
+        cand_ids = pa.array(sorted(set(pairs["doc_a"]) | set(pairs["doc_b"])), pa.int64())
+        cand_texts = docs.map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()  # bounded by the candidate set, not the corpus
+        text_by_id = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
+
+        def broadcast_lookup(batch, doc_a, doc_b):
+            return [text_by_id[a] for a in doc_a], [text_by_id[b] for b in doc_b]
+
+        n_blocks = max(1, min(64, len(pairs) // 256))
+        return (
+            ray.data.from_pandas(pairs)
+            .repartition(n_blocks)  # parallel verify, not one serial block
+            .map_batches(verify_with(broadcast_lookup), batch_format="pyarrow", zero_copy_batch=True)
+            .sort(["doc_a", "doc_b"])
+        )
+
+    # fallback: hash-partitioned text attachment (bounded per bucket)
+    from ..pipelines.joins import bucketed_join
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    with_a = bucketed_join(
+        ray.data.from_pandas(pairs).repartition(64),
+        docs,
+        on="doc_a",
+        right_on="doc_id",
+        left_schema=pair_schema,
+        right_schema=doc_schema,
+    ).map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "text_a"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).to_pandas()  # bounded by the candidate set, not the corpus
-    text_by_id = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        # per-pair exact Jaccard: genuinely scalar kernel (set ops over
-        # shingle hashes); pair count is the tiny LSH candidate set
-        doc_a = batch.column("doc_a").to_pylist()
-        doc_b = batch.column("doc_b").to_pylist()
-        jac = [
-            ngram_jaccard(text_by_id[a], text_by_id[b], shingle_k)
-            for a, b in zip(doc_a, doc_b)
-        ]
-        t = pa.table(
-            {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "jaccard": pa.array(jac, pa.float64()),
-            }
-        )
-        return t.filter(pc.greater_equal(t["jaccard"], threshold))
-
-    return (
-        ray.data.from_pandas(pairs)
-        .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["doc_a", "doc_b"])
     )
+    with_both = bucketed_join(
+        with_a,
+        docs,
+        on="doc_b",
+        right_on="doc_id",
+        left_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
+        ),
+        right_schema=doc_schema,
+    )
+
+    def joined_lookup(batch, doc_a, doc_b):
+        return batch.column("text_a").to_pylist(), batch.column("text").to_pylist()
+
+    return with_both.map_batches(
+        verify_with(joined_lookup), batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------

@@ -67,9 +67,11 @@ def token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
 
 
+# ONE source of truth for the pattern: interpolated into the SQL (DuckDB
+# single-quoted literals pass backslashes through to RE2 untouched)
 TOKEN_COUNTS_BPE_SQL = f"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+       CAST(len(regexp_extract_all(text, '{_BPE_ISH_PATTERN}'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """

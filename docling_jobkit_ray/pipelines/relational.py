@@ -69,6 +69,20 @@ def _broadcast_table(sf_dir: str, name: str, columns: list[str]) -> pa.Table:
     return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+# 64 buckets ~ 2x cores for the per-user operators: enough spread for the
+# vectorized per-bucket pass while keeping the per-group Python-call count
+# low (1024 buckets measured 2.6x slower at sf0.1 — mostly singleton-user
+# groups); scale the mask up with event volume.
+_USER_BUCKET_MASK = 63
+
+
+def _add_user_bucket(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "bucket",
+        pc.bit_wise_and(batch["user_id"], pa.scalar(_USER_BUCKET_MASK, pa.int64())),
+    )
+
+
 def _lookup(keys: pa.ChunkedArray | pa.Array, values: pa.ChunkedArray | pa.Array):
     """Vectorized broadcast-join kernel: map a fact-side key column to the
     small side's value column via ``pc.index_in`` + ``pc.take`` — no Python
@@ -649,15 +663,6 @@ def events_asof_login(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        # 64 buckets ~ 2x cores: enough spread for the vectorized per-bucket
-        # pass while keeping the per-group Python-call count low (1024
-        # buckets measured 2.6x slower at sf0.1 — mostly singleton-user
-        # groups); scale the mask up with event volume
-        return batch.append_column(
-            "bucket", pc.bit_wise_and(batch["user_id"], pa.scalar(63, pa.int64()))
-        )
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         big_ts = g["ts"].where(g["value"] >= 90.0)
@@ -667,7 +672,7 @@ def events_asof_login(sf_dir: str) -> ray.data.Dataset:
         return g[["event_id", "user_id", "ts", "last_big_ts"]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .sort("event_id")
@@ -734,15 +739,6 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        # 64 buckets ~ 2x cores: enough spread for the vectorized per-bucket
-        # pass while keeping the per-group Python-call count low (1024
-        # buckets measured 2.6x slower at sf0.1 — mostly singleton-user
-        # groups); scale the mask up with event volume
-        return batch.append_column(
-            "bucket", pc.bit_wise_and(batch["user_id"], pa.scalar(63, pa.int64()))
-        )
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
         prev_ts = g.groupby("user_id")["ts"].shift()
@@ -766,7 +762,7 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset
         ]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_add_user_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .sort(["user_id", "session_id"])
@@ -822,7 +818,8 @@ def top_orders_per_customer(sf_dir: str, *, k: int = 2) -> ray.data.Dataset:
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # group by a coarse hash bucket, not the raw key: one vectorized
         # pandas pass per bucket instead of a Python call per tiny key group
-        df["bucket"] = df["o_custkey"] % 1024
+        # (64 buckets ~ 2x cores — see _USER_BUCKET_MASK rationale)
+        df["bucket"] = df["o_custkey"] % 64
         return df
 
     def final_bucket(g: pd.DataFrame) -> pd.DataFrame:

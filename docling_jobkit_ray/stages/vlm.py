@@ -76,6 +76,18 @@ class VlmDescribe:
         return batch.append_column("vlm_json", pa.array(out, pa.string()))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def get_describe_udf(describer_cls=FakePageDescriber) -> VlmDescribe:
+    """Per-WORKER-PROCESS cache of the VlmDescribe UDF (and thus its warm
+    model) for stateless-task plans like the fused checkpoint path: the
+    model loads once per worker, not once per shard task — the task-pool
+    substitute for actor ``__init__`` state."""
+    return VlmDescribe(describer_cls=describer_cls)
+
+
 def vlm_enrich(
     extracted: ray.data.Dataset, *, describer_cls=FakePageDescriber, concurrency=(1, 4), batch_size: int = 64
 ) -> ray.data.Dataset:

@@ -50,6 +50,21 @@ def completed_shards(out_dir: str) -> dict[str, dict]:
     return done
 
 
+def _check_pipeline_consistent(done: dict, pipeline: str, out_dir: str) -> None:
+    """Resume must not silently mix pipeline families: a shard completed
+    under a different --pipeline would be skipped with the WRONG columns in
+    its partition.  Fail loudly instead."""
+    for rec in done.values():
+        rec_pipeline = rec.get("pipeline", "standard")
+        if rec_pipeline != pipeline:
+            raise ValueError(
+                f"output dir {out_dir!r} contains shards completed with "
+                f"pipeline={rec_pipeline!r} (shard {rec['shard_key']!r}); "
+                f"refusing to resume with pipeline={pipeline!r} — use a "
+                f"fresh output dir"
+            )
+
+
 def _write_manifest(out_dir: str, rec: dict) -> None:
     mdir = os.path.join(out_dir, "_manifest")
     os.makedirs(mdir, exist_ok=True)
@@ -93,13 +108,14 @@ def run_extract_checkpointed_fused(
     from ..stages.extract import ExtractDocuments
     from ..stages.extract import options_to_kwargs as _otk
 
-    from ..stages.vlm import PIPELINES, VlmDescribe
+    from ..stages.vlm import PIPELINES, get_describe_udf
 
     if pipeline not in PIPELINES:
         raise ValueError(f"unknown pipeline {pipeline!r}; known: {PIPELINES}")
     options = options or ExtractOptions()
     os.makedirs(out_dir, exist_ok=True)
     done = completed_shards(out_dir)
+    _check_pipeline_consistent(done, pipeline, out_dir)
     shards = list_shards(input_dir)
     pending = [s for s in shards if _shard_key(s) not in done]
     opts_kwargs = _otk(options)
@@ -110,7 +126,9 @@ def run_extract_checkpointed_fused(
         import shutil as _sh
 
         udf = ExtractDocuments(opts_kwargs)
-        describe = VlmDescribe() if vlm else None
+        # per-worker-cached model: loads once per worker process, not per
+        # shard task (the task-pool substitute for actor __init__ state)
+        describe = get_describe_udf() if vlm else None
         recs = {k: [] for k in ("shard_key", "shard_path", "docs", "parse_failures", "chars_out", "input_bytes", "wall_sec")}
         for p in batch["path"]:
             p = str(p)
@@ -155,7 +173,12 @@ def run_extract_checkpointed_fused(
         ).take_all()
         # driver is the single manifest writer (commit point)
         for row in manifest_rows:
-            rec = {**row, "output_dir": f"part-{row['shard_key']}", "mode": "fused"}
+            rec = {
+                **row,
+                "output_dir": f"part-{row['shard_key']}",
+                "mode": "fused",
+                "pipeline": pipeline,
+            }
             _write_manifest(out_dir, rec)
             done[rec["shard_key"]] = rec
             if progress_callback is not None:
@@ -201,6 +224,7 @@ def run_extract_checkpointed(
     options = options or ExtractOptions()
     os.makedirs(out_dir, exist_ok=True)
     done = completed_shards(out_dir)
+    _check_pipeline_consistent(done, pipeline, out_dir)
     shards = list_shards(input_dir)
     n_skipped = 0
 
@@ -254,6 +278,7 @@ def run_extract_checkpointed(
             "input_bytes": in_bytes,
             "wall_sec": round(time.monotonic() - t0, 3),
             "mode": mode,
+            "pipeline": pipeline,
         }
         _write_manifest(out_dir, rec)
         done[key] = rec

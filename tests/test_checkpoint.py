@@ -123,3 +123,19 @@ def test_crash_between_publish_and_manifest_redoes_shard(
     ds = ray.data.read_parquet(parts)
     got = {r["url"]: r["text"] for r in ds.take_all()}
     assert got == {u: r["text"] for u, r in corpus_oracle.items()}
+
+
+def test_resume_refuses_pipeline_mismatch(ray_session, corpus_dir, tmp_path):
+    """A shard completed under pipeline=standard must not be silently
+    skipped by a vlm resume (the partition would lack vlm_json)."""
+    import pytest
+
+    from docling_jobkit_ray.state.checkpoint import run_extract_checkpointed
+
+    out = str(tmp_path / "out")
+    run_extract_checkpointed(corpus_dir, out, mode="fused")
+    with pytest.raises(ValueError, match="pipeline"):
+        run_extract_checkpointed(corpus_dir, out, mode="fused", pipeline="vlm")
+    # same family resumes fine
+    totals = run_extract_checkpointed(corpus_dir, out, mode="fused")
+    assert totals["shards_skipped_resume"] == 3
