@@ -92,3 +92,63 @@ def test_validation_errors(ray_session):
             left, _mk([[1], [2.0]], overlap_r), on="k", right_on="rk",
             left_schema=L_SCHEMA, right_schema=overlap_r,
         )
+
+
+def test_null_keys_sql_semantics(ray_session):
+    """NULL keys never match (SQL): inner drops them, left-anti keeps the
+    left rows."""
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None, 2], pa.int64()), "lv": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1, None], pa.int64()), "rv": pa.array([100, 200], pa.int64())})
+    )
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("rk", pa.int64()), ("rv", pa.int64())])
+    inner = bucketed_join(left, right, on="k", right_on="rk", left_schema=ls, right_schema=rs).to_pandas()
+    assert inner["lv"].tolist() == [10]
+    anti = bucketed_join(
+        left, right, on="k", right_on="rk", left_schema=ls, right_schema=rs, join_type="left anti"
+    ).to_pandas()
+    assert sorted(anti["lv"]) == [20, 30]  # null-key and unmatched rows kept
+
+
+def test_property_matches_pandas_merge(ray_session):
+    """Randomized cross-check vs pandas for inner / left anti / left semi,
+    with duplicate keys on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    for trial in range(4):
+        nl, nr = rng.randint(1, 200), rng.randint(1, 60)
+        lk = rng.randint(0, 40, size=nl)
+        rk = rng.randint(0, 40, size=nr)
+        ldf = pd.DataFrame({"k": lk, "lv": np.arange(nl)})
+        rdf = pd.DataFrame({"rk": rk, "rv": np.arange(nr) * 7})
+        ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+        rs = pa.schema([("rk", pa.int64()), ("rv", pa.int64())])
+        left = ray.data.from_arrow(pa.Table.from_pandas(ldf, schema=ls))
+        right = ray.data.from_arrow(pa.Table.from_pandas(rdf, schema=rs))
+
+        inner = bucketed_join(
+            left, right, on="k", right_on="rk", left_schema=ls, right_schema=rs
+        ).to_pandas()
+        want = ldf.merge(rdf, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+        got = inner.sort_values(["k", "lv", "rv"], ignore_index=True)
+        want = want.sort_values(["k", "lv", "rv"], ignore_index=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        anti = bucketed_join(
+            left, right, on="k", right_on="rk", left_schema=ls, right_schema=rs,
+            join_type="left anti",
+        ).to_pandas()
+        want_anti = ldf[~ldf["k"].isin(rdf["rk"])]
+        assert sorted(anti["lv"]) == sorted(want_anti["lv"])
+
+        semi = bucketed_join(
+            left, right, on="k", right_on="rk", left_schema=ls, right_schema=rs,
+            join_type="left semi",
+        ).to_pandas()
+        want_semi = ldf[ldf["k"].isin(rdf["rk"])]
+        assert sorted(semi["lv"]) == sorted(want_semi["lv"])
