@@ -78,6 +78,19 @@ def test_oracle_keys_subset_of_queries(entrymod):
     assert not missing, f"oracle_sql keys missing from queries: {missing}"
 
 
+def test_every_query_locally_checked(entrymod):
+    """Completeness gate: every queries() key must appear in SQL_BACKED or
+    ROWS_ONLY, so a new operator cannot silently skip the local contract
+    tests; and every SQL_BACKED key must have oracle SQL."""
+    q = set(entrymod.queries())
+    covered = set(SQL_BACKED) | set(ROWS_ONLY)
+    assert q - covered == set(), f"queries missing local checks: {sorted(q - covered)}"
+    assert covered - q == set(), f"stale test-list entries: {sorted(covered - q)}"
+    o = set(entrymod.oracle_sql())
+    assert set(SQL_BACKED) <= o, f"SQL_BACKED without oracle: {sorted(set(SQL_BACKED) - o)}"
+    assert o <= set(SQL_BACKED), f"oracle queries not SQL-tested locally: {sorted(o - set(SQL_BACKED))}"
+
+
 SQL_BACKED = [
     "q1_pricing_summary",
     "filter_project_lineitem",
@@ -150,7 +163,11 @@ ROWS_ONLY = [
     "knn_brute_force",
     "knn_ivf",
     "extract_inline",
+    "extract_sliced",
+    "extract_size_bucketed",
+    "extract_fused",
     "extract_vlm",
+    "embedding_near_dup",
     "embedding_clusters",
     "extract_dead_letter",
     "chunk_documents",
