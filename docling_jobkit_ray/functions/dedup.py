@@ -382,8 +382,13 @@ def minhash_dedup(
 
         return verify
 
-    pairs = candidates.to_pandas()  # the LSH output, tiny in the normal regime
-    if pairs.empty:
+    # Materialize the candidate pairs in the OBJECT STORE (not the driver)
+    # and branch on their count — collecting them driver-side just to
+    # measure them would OOM in exactly the dup-heavy regime the fallback
+    # exists for.
+    candidates = candidates.materialize()
+    n_pairs = candidates.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -394,7 +399,8 @@ def minhash_dedup(
             )
         )
 
-    if len(pairs) <= broadcast_pair_limit:
+    if n_pairs <= broadcast_pair_limit:
+        pairs = candidates.to_pandas()  # small: under the broadcast limit
         cand_ids = pa.array(sorted(set(pairs["doc_a"]) | set(pairs["doc_b"])), pa.int64())
         cand_texts = docs.map_batches(
             lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
@@ -408,8 +414,7 @@ def minhash_dedup(
 
         n_blocks = max(1, min(64, len(pairs) // 256))
         return (
-            ray.data.from_pandas(pairs)
-            .repartition(n_blocks)  # parallel verify, not one serial block
+            candidates.repartition(n_blocks)  # parallel verify, not one serial block
             .map_batches(verify_with(broadcast_lookup), batch_format="pyarrow", zero_copy_batch=True)
             .sort(["doc_a", "doc_b"])
         )
@@ -420,7 +425,7 @@ def minhash_dedup(
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     with_a = bucketed_join(
-        ray.data.from_pandas(pairs).repartition(64),
+        candidates,  # the materialized distributed pair set, never collected
         docs,
         on="doc_a",
         right_on="doc_id",

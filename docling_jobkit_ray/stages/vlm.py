@@ -16,6 +16,7 @@ class whose ``__init__`` loads actual weights to go live.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 
@@ -74,9 +75,6 @@ class VlmDescribe:
                 )
             )
         return batch.append_column("vlm_json", pa.array(out, pa.string()))
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)

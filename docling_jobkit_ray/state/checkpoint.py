@@ -53,9 +53,23 @@ def completed_shards(out_dir: str) -> dict[str, dict]:
 def _check_pipeline_consistent(done: dict, pipeline: str, out_dir: str) -> None:
     """Resume must not silently mix pipeline families: a shard completed
     under a different --pipeline would be skipped with the WRONG columns in
-    its partition.  Fail loudly instead."""
+    its partition.  Fail loudly instead.  Manifests written before pipeline
+    tracking are classified from the partition's actual parquet schema
+    (vlm_json column present => vlm), not assumed standard."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
     for rec in done.values():
-        rec_pipeline = rec.get("pipeline", "standard")
+        rec_pipeline = rec.get("pipeline")
+        if rec_pipeline is None:  # legacy manifest: infer from the output
+            part_files = _glob.glob(
+                os.path.join(out_dir, rec["output_dir"], "*.parquet")
+            )
+            if not part_files:
+                continue  # partition gone; shard will be re-done anyway
+            names = _pq.read_schema(part_files[0]).names
+            rec_pipeline = "vlm" if "vlm_json" in names else "standard"
         if rec_pipeline != pipeline:
             raise ValueError(
                 f"output dir {out_dir!r} contains shards completed with "

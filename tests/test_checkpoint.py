@@ -139,3 +139,26 @@ def test_resume_refuses_pipeline_mismatch(ray_session, corpus_dir, tmp_path):
     # same family resumes fine
     totals = run_extract_checkpointed(corpus_dir, out, mode="fused")
     assert totals["shards_skipped_resume"] == 3
+
+
+def test_resume_infers_pipeline_from_legacy_manifest(ray_session, corpus_dir, tmp_path):
+    """Manifests written before pipeline tracking: the family is inferred
+    from the partition schema, so a legacy vlm dir refuses a standard
+    resume (and vice versa) instead of silently mixing schemas."""
+    import pytest
+
+    from docling_jobkit_ray.state.checkpoint import run_extract_checkpointed
+
+    out = str(tmp_path / "legacy")
+    run_extract_checkpointed(corpus_dir, out, mode="fused", pipeline="vlm")
+    # simulate legacy manifests: strip the pipeline field
+    mdir = os.path.join(out, "_manifest")
+    for f in os.listdir(mdir):
+        p = os.path.join(mdir, f)
+        rec = json.load(open(p))
+        rec.pop("pipeline", None)
+        json.dump(rec, open(p, "w"))
+    with pytest.raises(ValueError, match="pipeline"):
+        run_extract_checkpointed(corpus_dir, out, mode="fused")  # standard
+    totals = run_extract_checkpointed(corpus_dir, out, mode="fused", pipeline="vlm")
+    assert totals["shards_skipped_resume"] == 3

@@ -270,3 +270,15 @@ def test_embedding_clusters(ray_session):
     # deterministic across runs
     df2 = embedding_clusters("/root/testdata/sf0.001", n_cells=8).to_pandas()
     assert df.equals(df2)
+
+
+def test_minhash_dedup_fallback_join_path(docs_with_dups):
+    """broadcast_pair_limit=0 forces the bucketed-join fallback; output
+    must equal the broadcast path exactly (pins the join column order the
+    positional rename depends on)."""
+    from docling_jobkit_ray.functions.dedup import minhash_dedup
+
+    a = minhash_dedup(docs_with_dups, threshold=0.5).to_pandas()
+    b = minhash_dedup(docs_with_dups, threshold=0.5, broadcast_pair_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
