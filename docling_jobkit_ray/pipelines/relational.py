@@ -1085,6 +1085,66 @@ WHERE p_name LIKE '%bolt%' ORDER BY p_partkey
 """
 
 
+def events_sliding_window(sf_dir: str, *, window_hours: int = 3) -> ray.data.Dataset:
+    """SLIDING window (3h window, 1h slide) per event_type: each event is
+    emitted into the ``window_hours`` hourly windows that cover it (the
+    standard sliding-as-replicated-tumbling decomposition — Ray Data has no
+    event-time windows, so the window key is derived and the window IS a
+    groupby).  Replication happens inside the per-batch PARTIAL aggregate,
+    so the shuffle still carries one row per (window, type) per batch, not
+    per event x replicas.  Window ``w`` covers events with
+    hour in (w - window_hours, w]."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        value_c = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        parts = []
+        for k in range(window_hours):
+            w = pc.add(hour, pa.scalar(k * 3_600_000_000, pa.duration("us")))
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": pc.cast(w, pa.timestamp("us")),
+                        "event_type": batch["event_type"],
+                        "value_c": value_c,
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        return (
+            t.group_by(["window_start", "event_type"])
+            .aggregate([("value_c", "sum"), ("value_c", "count")])
+            .rename_columns(["window_start", "event_type", "sum_value", "n_events"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .sort(["window_start", "event_type"])
+    )
+    return out.map_batches(_descale({"sum_value": 100.0}), batch_format="pyarrow")
+
+
+EVENTS_SLIDING_WINDOW_SQL = """
+SELECT window_start, event_type,
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value,
+       count(*) AS n_events
+FROM (
+  SELECT date_trunc('hour', ts) + k * INTERVAL 1 HOUR AS window_start,
+         event_type, value
+  FROM events, (SELECT unnest([0, 1, 2]) AS k)
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_value_zscore(sf_dir: str) -> ray.data.Dataset:
     """Group-wise normalization (z-score of value per event_type): the
     TWO-PASS broadcast-aggregate pattern.  Pass 1 reduces the stream to one
@@ -1169,6 +1229,7 @@ ORDER BY e.event_id
 RELATIONAL_QUERIES.update(
     {
         "events_value_zscore": (events_value_zscore, EVENTS_VALUE_ZSCORE_SQL),
+        "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_WINDOW_SQL),
         "union_order_segments": (union_order_segments, UNION_ORDER_SEGMENTS_SQL),
         "count_distinct_users": (count_distinct_users, COUNT_DISTINCT_USERS_SQL),
         "customers_without_orders": (

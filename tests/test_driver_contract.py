@@ -120,6 +120,7 @@ SQL_BACKED = [
     "revenue_by_year",
     "parts_named_bolt",
     "events_value_zscore",
+    "events_sliding_window",
     "token_counts_bpe",
     "dedup_exact_docs",
     "doc_frequency",
