@@ -93,6 +93,8 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
 
     keep = _dedup_exact_groups(sf_dir).select_columns(["keep_doc_id"])
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..scale import estimate_rows
+
     out = bucketed_join(
         docs,
         keep,
@@ -101,6 +103,7 @@ def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
         left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
         right_schema=pa.schema([("keep_doc_id", pa.int64())]),
         join_type="left semi",
+        est_rows=estimate_rows(sf_dir, "documents"),
     )
     return out.sort("doc_id")
 
@@ -279,15 +282,26 @@ def _minhash_lsh_candidate_groups(
     # Python map_groups call per TINY group (one per distinct band value —
     # ~n_docs x n_bands of them).  Instead co-locate by a coarser hash
     # bucket and emit pairs with ONE vectorized self-merge per bucket.
-    # Bucket count trades per-group call overhead against skew: 256 buckets
-    # halved wall time vs 4096 at 5k docs (fewer, fatter groups); scale the
-    # count with corpus size so one bucket stays comfortably in a worker's
-    # heap (rows per bucket ~ n_docs x n_bands / n_buckets).
+    # Bucket count trades per-group call overhead against skew (256 buckets
+    # halved wall time vs 4096 at 5k docs — fewer, fatter groups) and is
+    # DERIVED from the corpus size: band-table rows = n_docs x n_bands, and
+    # one bucket group (~rows/n_buckets ~24-byte rows in a worker's heap)
+    # must stay bounded as the corpus grows.
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(
+        estimate_rows(sf_dir, "documents") * n_bands,
+        target_rows_per_bucket=1_000_000,
+        min_buckets=256,
+    )
+    bucket_mask = pa.scalar(n_buckets - 1, pa.int64())
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        bucket = pc.bit_wise_and(batch["band_hash"], pa.scalar(255, pa.int64()))
-        return batch.append_column("bucket", bucket)
+        return batch.append_column(
+            "bucket", pc.bit_wise_and(batch["band_hash"], bucket_mask)
+        )
 
     bucketed = bands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -338,21 +352,27 @@ def minhash_dedup(
     shingle_k: int = 3,
     threshold: float = 0.8,
     broadcast_pair_limit: int = 200_000,
+    broadcast_byte_limit: int = 256 * 1024 * 1024,
 ) -> ray.data.Dataset:
     """Near-dup verdicts: LSH candidates verified with exact shingle Jaccard.
 
-    HYBRID verify, chosen by candidate volume:
+    HYBRID verify, chosen by candidate volume IN BYTES, not just pairs:
 
     - small candidate set (the normal LSH regime): the pair list collects
       once, the candidate doc_id set broadcasts as an ``is_in`` filter over
       a SCAN of the documents table (no shuffle), the bounded candidate
       texts broadcast to parallel verify tasks.  Moves only candidate
       texts — a hash join would push the FULL text column through an
-      all-to-all just to discard non-candidates.
-    - large candidate set (dup-heavy corpora where candidates are not a
-      vanishing fraction): fall back to two hash-partitioned bucketed
-      joins on doc_id — bounded per bucket, nothing on the driver, at the
-      cost of shuffling the corpus texts once per join side."""
+      all-to-all just to discard non-candidates.  The broadcast is taken
+      only if BOTH the pair count is under ``broadcast_pair_limit`` AND
+      the total candidate-text bytes (one streamed ``binary_length`` sum
+      over the is_in-filtered scan) are under ``broadcast_byte_limit`` —
+      200k pairs of 100 KB documents would otherwise pull tens of GB onto
+      the driver.
+    - otherwise (dup-heavy corpora, or few pairs of huge documents): fall
+      back to two hash-partitioned bucketed joins on doc_id — bounded per
+      bucket, nothing on the driver, at the cost of shuffling the corpus
+      texts once per join side."""
     import pyarrow.compute as pc
 
     candidates = _minhash_lsh_candidate_groups(
@@ -402,26 +422,45 @@ def minhash_dedup(
     if n_pairs <= broadcast_pair_limit:
         pairs = candidates.to_pandas()  # small: under the broadcast limit
         cand_ids = pa.array(sorted(set(pairs["doc_a"]) | set(pairs["doc_b"])), pa.int64())
-        cand_texts = docs.map_batches(
-            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).to_pandas()  # bounded by the candidate set, not the corpus
-        text_by_id = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
 
-        def broadcast_lookup(batch, doc_a, doc_b):
-            return [text_by_id[a] for a in doc_a], [text_by_id[b] for b in doc_b]
+        # Byte-aware admission: ONE streamed scan sums the candidate texts'
+        # byte lengths (each batch emits a single int64 — no text ever
+        # reaches the driver here) before committing to the broadcast.
+        def cand_bytes(batch: pa.Table) -> pa.Table:
+            f = batch.filter(pc.is_in(batch["doc_id"], value_set=cand_ids))
+            nb = pc.sum(pc.binary_length(f["text"])).as_py() or 0
+            return pa.table({"nbytes": pa.array([nb], pa.int64())})
 
-        n_blocks = max(1, min(64, len(pairs) // 256))
-        return (
-            candidates.repartition(n_blocks)  # parallel verify, not one serial block
-            .map_batches(verify_with(broadcast_lookup), batch_format="pyarrow", zero_copy_batch=True)
-            .sort(["doc_a", "doc_b"])
+        from ray.data.aggregate import Sum
+
+        total_bytes = (
+            docs.map_batches(cand_bytes, batch_format="pyarrow", zero_copy_batch=True)
+            .aggregate(Sum("nbytes", alias_name="nbytes"))["nbytes"]
+            or 0
         )
+        if total_bytes <= broadcast_byte_limit:
+            cand_texts = docs.map_batches(
+                lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_pandas()  # bounded by the byte-checked candidate set
+            text_by_id = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
+
+            def broadcast_lookup(batch, doc_a, doc_b):
+                return [text_by_id[a] for a in doc_a], [text_by_id[b] for b in doc_b]
+
+            n_blocks = max(1, min(64, len(pairs) // 256))
+            return (
+                candidates.repartition(n_blocks)  # parallel verify, not one serial block
+                .map_batches(verify_with(broadcast_lookup), batch_format="pyarrow", zero_copy_batch=True)
+                .sort(["doc_a", "doc_b"])
+            )
 
     # fallback: hash-partitioned text attachment (bounded per bucket)
     from ..pipelines.joins import bucketed_join
+    from ..scale import estimate_rows
 
+    n_docs = estimate_rows(sf_dir, "documents")
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     with_a = bucketed_join(
@@ -431,6 +470,7 @@ def minhash_dedup(
         right_on="doc_id",
         left_schema=pair_schema,
         right_schema=doc_schema,
+        est_rows=max(n_docs, n_pairs),
     ).map_batches(
         lambda t: t.rename_columns(["doc_a", "doc_b", "text_a"]),
         batch_format="pyarrow",
@@ -445,6 +485,7 @@ def minhash_dedup(
             [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
         ),
         right_schema=doc_schema,
+        est_rows=max(n_docs, n_pairs),
     )
 
     def joined_lookup(batch, doc_a, doc_b):

@@ -117,15 +117,39 @@ def knn_brute_force(sf_dir: str, *, k: int = 5, n_queries: int = 4) -> ray.data.
 def _coarse_centroids(
     sf_dir: str, n_cells: int, seed: int = 17, iters: int = 8, sample_cap: int = 100_000
 ) -> np.ndarray:
-    """Deterministic k-means on a BOUNDED streamed sample: ``Dataset.limit``
-    stops the read after the first ``sample_cap`` rows, so the driver never
-    materializes the embeddings table (at 10^12 scale only the first few
-    blocks are ever produced)."""
-    sample = (
-        read_table(sf_dir, "embeddings", columns=["embedding"])
-        .limit(sample_cap)
-        .to_pandas()
-    )
+    """Deterministic k-means on a BOUNDED streamed sample.
+
+    The sample is a HASH-BASED row sample, not a prefix: keep rows where a
+    multiplicative hash of vec_id falls in a 1/m stripe, with m derived
+    from the table's footer row count so ~sample_cap rows survive.  A
+    prefix (``limit`` alone) biases centroids on sorted/clustered corpora;
+    the hash stripe is uniform over the whole table yet still streamed —
+    ``limit(sample_cap)`` stays only as a hard memory bound."""
+    from ..scale import estimate_rows
+
+    est = estimate_rows(sf_dir, "embeddings")
+    m = 1  # power-of-two inverse sampling rate
+    while m * sample_cap < est:
+        m <<= 1
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if m > 1:
+        import pyarrow.compute as pc
+
+        golden = pa.scalar(0x9E3779B97F4A7C15, pa.uint64())
+        shift = pa.scalar(29, pa.uint64())
+        stripe = pa.scalar(m - 1, pa.uint64())
+        zero = pa.scalar(0, pa.uint64())
+
+        def keep(batch: pa.Table) -> pa.Table:
+            # uint64 multiply wraps (unchecked kernel) — a deterministic
+            # Fibonacci-hash stripe over vec_id
+            h = pc.shift_right(
+                pc.multiply(pc.cast(batch["vec_id"], pa.uint64()), golden), shift
+            )
+            return batch.filter(pc.equal(pc.bit_wise_and(h, stripe), zero))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    sample = ds.limit(sample_cap).to_pandas()
     x = np.vstack(sample["embedding"].to_numpy()).astype(np.float32)
     x = _normalize(x)
     rng = np.random.RandomState(seed)

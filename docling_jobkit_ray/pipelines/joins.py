@@ -40,7 +40,8 @@ def bucketed_join(
     left_schema: pa.Schema,
     right_schema: pa.Schema,
     join_type: str = "inner",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Join two datasets on integer key columns ``on`` (left) / ``right_on``
     (right).  Column names (other than the keys) must be disjoint.  Output
@@ -48,7 +49,16 @@ def bucketed_join(
     with the right key column dropped.
 
     ``left_schema`` / ``right_schema`` are passed explicitly because calling
-    ``Dataset.schema()`` on a lazy pipeline executes it."""
+    ``Dataset.schema()`` on a lazy pipeline executes it.  Pass ``est_rows``
+    (an estimate of the LARGER side's row count, e.g. from
+    ``scale.estimate_table_rows`` — footer metadata only) to derive a
+    scale-appropriate ``num_buckets``; a bucket group holds
+    ~rows/num_buckets rows of both sides in one worker's heap, so a fixed
+    count does not survive 100x growth."""
+    if num_buckets is None:
+        from ..scale import bucket_count
+
+        num_buckets = bucket_count(est_rows or 0, min_buckets=64)
     if num_buckets & (num_buckets - 1):
         raise ValueError("num_buckets must be a power of two")
     if not pa.types.is_integer(left_schema.field(on).type):

@@ -69,18 +69,28 @@ def _broadcast_table(sf_dir: str, name: str, columns: list[str]) -> pa.Table:
     return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-# 64 buckets ~ 2x cores for the per-user operators: enough spread for the
-# vectorized per-bucket pass while keeping the per-group Python-call count
-# low (1024 buckets measured 2.6x slower at sf0.1 — mostly singleton-user
-# groups); scale the mask up with event volume.
-_USER_BUCKET_MASK = 63
+def _user_buckets(sf_dir: str, n_buckets: int | None) -> int:
+    """Bucket count for the per-user event operators: derived from the
+    events table's footer row count so one bucket group (~rows/n_buckets
+    event rows in one worker's pandas frame) stays bounded as the corpus
+    grows.  The 64 floor matches the measured small-scale sweet spot (1024
+    buckets were 2.6x slower at sf0.1 — mostly singleton-user groups)."""
+    if n_buckets is not None:
+        return n_buckets
+    from ..scale import bucket_count, estimate_rows
+
+    return bucket_count(estimate_rows(sf_dir, "events"), min_buckets=64)
 
 
-def _add_user_bucket(batch: pa.Table) -> pa.Table:
-    return batch.append_column(
-        "bucket",
-        pc.bit_wise_and(batch["user_id"], pa.scalar(_USER_BUCKET_MASK, pa.int64())),
-    )
+def _user_bucket_adder(n_buckets: int):
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pc.bit_wise_and(batch["user_id"], mask)
+        )
+
+    return fn
 
 
 def _lookup(keys: pa.ChunkedArray | pa.Array, values: pa.ChunkedArray | pa.Array):
@@ -555,13 +565,17 @@ def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
 
     # ONE bucketed shuffle does both the final revenue aggregation AND the
     # join: lineitem partials and filtered orders are tagged, widened to a
-    # shared schema, unioned and grouped on key%64; each bucket group runs
-    # an in-memory arrow group_by (final agg) + arrow join.  (Not
+    # shared schema, unioned and grouped on key%n_buckets; each bucket group
+    # runs an in-memory arrow group_by (final agg) + arrow join.  (Not
     # Dataset.join: orders_f is SPARSE after the two predicates, and Ray
     # 2.49's native hash join crashes on partitions that receive zero rows
     # of one side — see pipelines/joins.py docstring.  Not
-    # aggregate-then-join either: that costs a second all-to-all.)
-    n_buckets = 64
+    # aggregate-then-join either: that costs a second all-to-all.)  Bucket
+    # count scales with the orders row count (bucket rows are per-order
+    # partials, bounded by distinct orderkeys).
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=64)
     superset = pa.schema(
         [
             ("key", pa.int64()),
@@ -648,7 +662,7 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 # as-of join over events (custom operator Ray Data lacks)
 # ---------------------------------------------------------------------------
 
-def events_asof_login(sf_dir: str) -> ray.data.Dataset:
+def events_asof_login(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
     """As-of join: for every event, the ts of the user's most recent event
     with value >= 90 at-or-before it (a 'last big event as of now' join).
 
@@ -656,12 +670,14 @@ def events_asof_login(sf_dir: str) -> ray.data.Dataset:
     on the raw key would fire one Python call per user — the CLAUDE.md
     bucketize rule), then ONE vectorized pandas pass per bucket: sort by
     (user_id, ts), per-user forward-fill of the big-event timestamps via
-    groupby-ffill.  Partitioning assumption: one bucket's events fit in one
-    group (buckets bound skew; a hot user would need ts-range salting).
+    groupby-ffill.  The bucket count scales with the events row count
+    (scale.bucket_count) so one bucket group stays bounded in a worker's
+    heap; a hot user would additionally need ts-range salting.
     DuckDB oracle: correlated window max."""
     import pandas as pd
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    add_bucket = _user_bucket_adder(_user_buckets(sf_dir, n_buckets))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
@@ -672,7 +688,7 @@ def events_asof_login(sf_dir: str) -> ray.data.Dataset:
         return g[["event_id", "user_id", "ts", "last_big_ts"]]
 
     return (
-        ds.map_batches(_add_user_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .sort("event_id")
@@ -724,11 +740,14 @@ RELATIONAL_QUERIES.update(
 # gap-based sessionization (streaming-shaped custom operator)
 # ---------------------------------------------------------------------------
 
-def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset:
+def events_sessionize(
+    sf_dir: str, *, gap_minutes: int = 30, n_buckets: int | None = None
+) -> ray.data.Dataset:
     """Session windows per user: a new session starts when the gap to the
     previous event exceeds `gap_minutes`.  groupby on a coarse user_id
     bucket (one vectorized pandas pass per bucket, not one Python call per
-    user), per-user gap flags + cumulative session ids via
+    user; bucket count scales with the events row count so one group stays
+    bounded), per-user gap flags + cumulative session ids via
     groupby-shift/cumsum.  Output: one row per session with
     start/end/count/sum.
 
@@ -738,6 +757,7 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
     gap = pd.Timedelta(minutes=gap_minutes)
+    add_bucket = _user_bucket_adder(_user_buckets(sf_dir, n_buckets))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
@@ -762,7 +782,7 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> ray.data.Dataset
         ]
 
     return (
-        ds.map_batches(_add_user_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .sort(["user_id", "session_id"])
@@ -797,45 +817,64 @@ RELATIONAL_QUERIES["events_sessionize"] = (events_sessionize, EVENTS_SESSIONIZE_
 # grouped top-k (per-key top-n, a window-function-shaped operator)
 # ---------------------------------------------------------------------------
 
-def top_orders_per_customer(sf_dir: str, *, k: int = 2) -> ray.data.Dataset:
+def _grouped_head_rank(t: pa.Table, key: str, k: int):
+    """Rank rows within consecutive runs of ``key`` (table must already be
+    sorted so each key's rows are adjacent in priority order) and keep rank
+    < k.  One numpy pass — no pandas, no per-key Python loop.  Returns
+    (filtered table, 0-based ranks of kept rows)."""
+    import numpy as np
+
+    arr = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    if n == 0:
+        return t, np.empty(0, dtype=np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.where(arr[1:] != arr[:-1], idx[1:], 0)
+    np.maximum.accumulate(starts, out=starts)
+    rank = idx - starts
+    keep = rank < k
+    return t.filter(pa.array(keep)), rank[keep]
+
+
+def top_orders_per_customer(
+    sf_dir: str, *, k: int = 2, n_buckets: int | None = None
+) -> ray.data.Dataset:
     """Top-k orders by totalprice per customer.
 
-    Two-phase: per-batch partial top-k per key (vectorized pandas
-    sort+head inside map_batches — cuts the shuffle to <= k rows per key per
-    batch), then groupby(custkey) final top-k.  Deterministic tiebreak on
-    o_orderkey.  Oracle: row_number() window."""
-    import pandas as pd
+    Two-phase: per-batch partial top-k per key (Arrow sort_by + a numpy
+    run-head kernel inside map_batches — cuts the shuffle to <= k rows per
+    key per batch, no pandas conversion), then a bucketed final top-k (one
+    vectorized pass per bucket, bucket count scaled to the orders row
+    count).  Deterministic tiebreak on o_orderkey.  Oracle: row_number()
+    window."""
+    from ..scale import bucket_count, estimate_rows
+
+    if n_buckets is None:
+        n_buckets = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+    order_keys = [
+        ("o_custkey", "ascending"),
+        ("o_totalprice", "descending"),
+        ("o_orderkey", "ascending"),
+    ]
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["o_custkey", "o_totalprice", "o_orderkey"],
-            ascending=[True, False, True],
+    def partial(batch: pa.Table) -> pa.Table:
+        t, _ = _grouped_head_rank(batch.sort_by(order_keys), "o_custkey", k)
+        return t.append_column("bucket", pc.bit_wise_and(t["o_custkey"], mask))
+
+    def final_bucket(group: pa.Table) -> pa.Table:
+        t, rank = _grouped_head_rank(
+            group.drop_columns(["bucket"]).sort_by(order_keys), "o_custkey", k
         )
-        return df.groupby("o_custkey", sort=False).head(k)
+        return t.append_column("rank", pa.array(rank + 1, pa.int64()))
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # group by a coarse hash bucket, not the raw key: one vectorized
-        # pandas pass per bucket instead of a Python call per tiny key group
-        # (64 buckets ~ 2x cores — see _USER_BUCKET_MASK rationale)
-        df["bucket"] = df["o_custkey"] % 64
-        return df
-
-    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
-        )
-        g = g.groupby("o_custkey", sort=False).head(k).reset_index(drop=True)
-        g["rank"] = (g.groupby("o_custkey", sort=False).cumcount() + 1).astype("int64")
-        return g.drop(columns=["bucket"])
-
-    partials = ds.map_batches(partial, batch_format="pandas").map_batches(
-        add_bucket, batch_format="pandas"
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return (
         partials.groupby("bucket")
-        .map_groups(final_bucket, batch_format="pandas")
+        .map_groups(final_bucket, batch_format="pyarrow")
         .sort(["o_custkey", "rank"])
     )
 
@@ -956,6 +995,8 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
         zero_copy_batch=True,
     )
 
+    from ..scale import estimate_rows
+
     out = bucketed_join(
         cust,
         urgent,
@@ -964,6 +1005,7 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
         left_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
         right_schema=pa.schema([("o_custkey", pa.int64())]),
         join_type="left anti",
+        est_rows=estimate_rows(sf_dir, "orders"),
     )
     return out.sort("c_custkey")
 
@@ -995,6 +1037,8 @@ def order_priority_semi(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    from ..scale import estimate_rows
+
     matched = bucketed_join(
         orders,
         big_items,
@@ -1003,6 +1047,7 @@ def order_priority_semi(sf_dir: str) -> ray.data.Dataset:
         left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
         right_schema=pa.schema([("l_orderkey", pa.int64())]),
         join_type="left semi",
+        est_rows=estimate_rows(sf_dir, "orders"),
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1093,7 +1138,8 @@ def events_sliding_window(sf_dir: str, *, window_hours: int = 3) -> ray.data.Dat
     groupby).  Replication happens inside the per-batch PARTIAL aggregate,
     so the shuffle still carries one row per (window, type) per batch, not
     per event x replicas.  Window ``w`` covers events with
-    hour in (w - window_hours, w]."""
+    hour in [w, w + window_hours) — ``window_start`` is genuinely the
+    window's start: an event at hour h lands in windows h, h-1h, h-2h."""
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1101,7 +1147,7 @@ def events_sliding_window(sf_dir: str, *, window_hours: int = 3) -> ray.data.Dat
         value_c = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
         parts = []
         for k in range(window_hours):
-            w = pc.add(hour, pa.scalar(k * 3_600_000_000, pa.duration("us")))
+            w = pc.subtract(hour, pa.scalar(k * 3_600_000_000, pa.duration("us")))
             parts.append(
                 pa.table(
                     {
@@ -1137,7 +1183,7 @@ SELECT window_start, event_type,
        sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value,
        count(*) AS n_events
 FROM (
-  SELECT date_trunc('hour', ts) + k * INTERVAL 1 HOUR AS window_start,
+  SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
          event_type, value
   FROM events, (SELECT unnest([0, 1, 2]) AS k)
 )
@@ -1183,7 +1229,11 @@ def events_value_zscore(sf_dir: str) -> ray.data.Dataset:
     types = pa.array(stats["event_type"].tolist(), pa.string())
     n = stats["n"].to_numpy().astype(np.float64)
     mean = stats["sum_c"].to_numpy().astype(np.float64) / n
-    std = np.sqrt(stats["sumsq_c"].to_numpy().astype(np.float64) / n - mean * mean)
+    # clamp tiny negative float residue at 0 and guard zero variance: a
+    # constant-valued group gets a NULL z-score (mirrored in the oracle via
+    # greatest(...,0) + NULLIF), never inf/nan from a 0 divide
+    var = np.maximum(stats["sumsq_c"].to_numpy().astype(np.float64) / n - mean * mean, 0.0)
+    std = np.sqrt(var)
 
     def add_z(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -1196,12 +1246,14 @@ def events_value_zscore(sf_dir: str) -> ray.data.Dataset:
             .to_numpy(zero_copy_only=False)
             .astype(np.float64)
         )
-        z = (value_c - mean[idx]) / std[idx]
+        s = std[idx]
+        zero = s == 0.0
+        z = (value_c - mean[idx]) / np.where(zero, 1.0, s)
         return pa.table(
             {
                 "event_id": batch["event_id"],
                 "event_type": batch["event_type"],
-                "zscore": pa.array(z, pa.float64()),
+                "zscore": pa.array(z, pa.float64(), mask=zero),
             }
         )
 
@@ -1218,8 +1270,10 @@ WITH stats AS (
 SELECT e.event_id, e.event_type,
        (CAST(round(e.value*100) AS BIGINT)
           - CAST(s.sum_c AS DOUBLE) / s.n)
-       / sqrt(CAST(s.sumsq_c AS DOUBLE) / s.n
-              - (CAST(s.sum_c AS DOUBLE) / s.n) * (CAST(s.sum_c AS DOUBLE) / s.n))
+       / NULLIF(sqrt(greatest(
+              CAST(s.sumsq_c AS DOUBLE) / s.n
+              - (CAST(s.sum_c AS DOUBLE) / s.n) * (CAST(s.sum_c AS DOUBLE) / s.n),
+              0)), 0)
          AS zscore
 FROM events e JOIN stats s USING (event_type)
 ORDER BY e.event_id
