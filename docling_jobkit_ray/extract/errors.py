@@ -67,6 +67,28 @@ class TooManyPagesError(ExtractError):
     phase = PHASE_PREFLIGHT
 
 
+class DocumentTimeoutError(ExtractError):
+    """Per-document wall-clock budget exceeded (the reference's
+    ``document_timeout``, ``orchestrators/ray/config.py:369-371``): a
+    pathological payload must dead-letter, not stall an actor forever.
+    Retryable, mirroring the reference's retry-then-fail policy for
+    timeouts (load-induced timeouts can succeed on a quieter worker)."""
+
+    category = CATEGORY_TIMEOUT
+    retryable = True
+    phase = PHASE_PARSE
+
+    def __init__(
+        self,
+        message: str = "document exceeded wall-clock budget",
+        *,
+        phase: str | None = None,
+    ):
+        # default message: the watchdog injects this class via
+        # PyThreadState_SetAsyncExc, which instantiates it with no args
+        super().__init__(message, phase=phase)
+
+
 class DecodeError(ExtractError):
     """Payload is not valid UTF-8 where text was expected."""
 

@@ -193,10 +193,14 @@ def extract_pipeline(
         else:
             paths = list(input_path)
         opts_kwargs = options_to_kwargs(options)
-        caps = {"max_pages": options.max_pages, "max_bytes": options.max_bytes}
+        caps = {
+            "max_pages": options.max_pages,
+            "max_bytes": options.max_bytes,
+            "page_range": options.page_range,
+        }
         _drop = drop_big_binary(slice_pages, **caps)
         _keep = keep_big_binary(slice_pages, **caps)
-        _plan = plan_slices(slice_pages)
+        _plan = plan_slices(slice_pages, page_range=options.page_range)
 
         def _read_shards(batch) -> pa.Table:
             out = []

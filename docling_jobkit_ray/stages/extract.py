@@ -21,7 +21,7 @@ from dataclasses import asdict
 
 import pyarrow as pa
 
-from ..extract.record import ExtractOptions, extract_record
+from ..extract.record import ExtractOptions, extract_record_with_retry
 
 SPAN_TYPE = pa.list_(
     pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())])
@@ -92,7 +92,12 @@ class ExtractDocuments:
         )
         rows = []
         for url, payload, path in zip(urls, htmls, paths):
-            row = extract_record(url, payload if payload is not None else b"", self.options)
+            # retry-then-dead-letter wrapper: retryable failures (timeout,
+            # capacity) get options.retry_attempts re-drives before the
+            # FAILURE row is final (serve_deployment.py:693-747 analogue)
+            row = extract_record_with_retry(
+                url, payload if payload is not None else b"", self.options
+            )
             row["partition_id"] = partition_id_for_path(path, url)
             rows.append(row)
         return rows_to_extracted_table(rows)

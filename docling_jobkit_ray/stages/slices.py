@@ -32,7 +32,7 @@ from ..extract.errors import (
     STATUS_PARTIAL_SUCCESS,
     STATUS_SUCCESS,
 )
-from ..extract.record import ExtractOptions, assemble_pages, pages_doc_json
+from ..extract.record import ExtractOptions, assemble_pages, page_span, pages_doc_json
 from .extract import EXTRACTED_SCHEMA, partition_id_for_path, rows_to_extracted_table
 
 SLICE_SCHEMA = pa.schema(
@@ -54,13 +54,17 @@ def is_big_binary(
     *,
     max_pages: int | None = None,
     max_bytes: int | None = None,
+    page_range: tuple[int, int] | None = None,
 ) -> bool:
     """True iff the row should take the slice fan-out path.
 
     Docs that would FAIL admission preflight (over ``max_pages`` /
     ``max_bytes``) return False so they route through the rest branch and
     ``extract_record`` emits the proper FAILURE row — sliced mode must not
-    silently succeed on documents the other modes reject."""
+    silently succeed on documents the other modes reject.  With a
+    ``page_range``, the SELECTED page count decides (a 200-page doc whose
+    range selects 5 pages is not worth fanning out — and an empty selection
+    must route inline so its empty-success row is still emitted)."""
     if payload is None or not binarydoc.is_binary_doc(payload):
         return False
     if max_bytes is not None and len(payload) > max_bytes:
@@ -71,7 +75,8 @@ def is_big_binary(
         return False
     if max_pages is not None and len(directory) > max_pages:
         return False
-    return len(directory) > slice_pages
+    lo, hi = page_span(len(directory), page_range)
+    return (hi - lo) > slice_pages
 
 
 _PREFIX_LEN = len(binarydoc.MAGIC) + 2  # magic + u16 page_count
@@ -84,6 +89,7 @@ def big_binary_mask(
     *,
     max_pages: int | None = None,
     max_bytes: int | None = None,
+    page_range: tuple[int, int] | None = None,
 ) -> np.ndarray:
     """Vectorized slice-fan-out decision, ZERO full-payload copies for the
     common (small/HTML) rows: lengths via ``pc.binary_length``, the container
@@ -109,7 +115,14 @@ def big_binary_mask(
     arr = np.frombuffer(b"".join(prefixes), dtype=np.uint8).reshape(-1, _PREFIX_LEN)
     magic_ok = (arr[:, : len(binarydoc.MAGIC)] == _MAGIC_ARR).all(axis=1)
     page_count = arr[:, -2].astype(np.int32) | (arr[:, -1].astype(np.int32) << 8)
-    claim = magic_ok & (page_count > slice_pages)
+    if page_range is None:
+        selected = page_count
+    else:
+        # vectorized page_span: selected pages after per-doc clamping
+        selected = np.minimum(page_count, page_range[1]) - np.minimum(
+            page_count, page_range[0] - 1
+        )
+    claim = magic_ok & (selected > slice_pages)
     if max_pages is not None:
         claim &= page_count <= max_pages
     cidx = idx[claim]
@@ -118,33 +131,55 @@ def big_binary_mask(
         payloads = col.take(pa.array(cidx)).to_pylist()
         for j, p in zip(cidx, payloads):
             mask[j] = is_big_binary(
-                p, slice_pages, max_pages=max_pages, max_bytes=max_bytes
+                p, slice_pages, max_pages=max_pages, max_bytes=max_bytes,
+                page_range=page_range,
             )
     return mask
 
 
-def keep_big_binary(slice_pages: int, *, max_pages: int | None = None, max_bytes: int | None = None):
+def keep_big_binary(
+    slice_pages: int,
+    *,
+    max_pages: int | None = None,
+    max_bytes: int | None = None,
+    page_range: tuple[int, int] | None = None,
+):
     """Filter stage: keep only rows needing slice fan-out (vectorized)."""
 
     def _fn(batch: pa.Table) -> pa.Table:
-        m = big_binary_mask(batch, slice_pages, max_pages=max_pages, max_bytes=max_bytes)
+        m = big_binary_mask(
+            batch, slice_pages, max_pages=max_pages, max_bytes=max_bytes,
+            page_range=page_range,
+        )
         return batch.filter(pa.array(m))
 
     return _fn
 
 
-def drop_big_binary(slice_pages: int, *, max_pages: int | None = None, max_bytes: int | None = None):
+def drop_big_binary(
+    slice_pages: int,
+    *,
+    max_pages: int | None = None,
+    max_bytes: int | None = None,
+    page_range: tuple[int, int] | None = None,
+):
     def _fn(batch: pa.Table) -> pa.Table:
-        m = big_binary_mask(batch, slice_pages, max_pages=max_pages, max_bytes=max_bytes)
+        m = big_binary_mask(
+            batch, slice_pages, max_pages=max_pages, max_bytes=max_bytes,
+            page_range=page_range,
+        )
         return batch.filter(pa.array(~m))
 
     return _fn
 
 
-def plan_slices(slice_pages: int):
+def plan_slices(slice_pages: int, *, page_range: tuple[int, int] | None = None):
     """map_batches UDF: big-binary page rows -> slice rows (the slice plan,
     ``_build_slice_plan`` serve_deployment.py:437-464).  Each slice row
-    carries only its pages' bytes, cut using the page directory."""
+    carries only its pages' bytes, cut using the page directory.  With a
+    ``page_range`` only the selected sub-range is planned (the same
+    ``page_span`` clamp the inline parse path uses, manager.py:1739
+    analogue), so sliced output stays byte-identical to inline."""
 
     def _fn(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -157,11 +192,12 @@ def plan_slices(slice_pages: int):
         out = {name: [] for name in SLICE_SCHEMA.names}
         for url, payload, path in zip(urls, payloads, paths):
             directory = binarydoc.parse_directory(payload)
-            n_pages = len(directory)
-            n_slices = (n_pages + slice_pages - 1) // slice_pages
+            lo, hi = page_span(len(directory), page_range)
+            n_sel = hi - lo
+            n_slices = (n_sel + slice_pages - 1) // slice_pages
             for s in range(n_slices):
-                start = s * slice_pages
-                stop = min(start + slice_pages, n_pages)
+                start = lo + s * slice_pages
+                stop = min(start + slice_pages, hi)
                 first_off = directory[start][0]
                 last_off, last_len = directory[stop - 1]
                 out["url"].append(url)
