@@ -130,34 +130,36 @@ def _frame_samples_query(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered so the driver's 50-row cap covers EVERY operator family: the
+    33 SQL-oracle-checked queries first, then one rows-only entry per
+    remaining family, and redundant variants of already-listed families
+    (extract mode variants, component views) last — those are byte-identity
+    /pytest-covered and lose nothing if the harness truncates."""
     from docling_jobkit_ray.functions import dedup, similarity, textstats
     from docling_jobkit_ray.pipelines.relational import RELATIONAL_QUERIES
 
     q: dict[str, Callable[[str], Any]] = {}
-    # relational operator surface (SQL-checked)
+    # --- SQL-oracle-checked surface (relational + text + dedup) ---
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         q[name] = fn
-    # text analysis
     q["token_counts"] = textstats.token_counts
     q["token_counts_bpe"] = textstats.token_counts_bpe
-    q["quality_scores"] = textstats.quality_scores
-    q["lang_id"] = textstats.lang_id
     q["fingerprints_sha"] = lambda sf: textstats.fingerprints(sf).select_columns(
         ["doc_id", "sha256"]
-    )
-    q["fingerprints_rolling"] = lambda sf: textstats.fingerprints(sf).select_columns(
-        ["doc_id", "fingerprint"]
     )
     q["doc_stats_by_lang"] = textstats.doc_stats_by_lang
     q["normalize_documents"] = textstats.normalize_documents
     q["top_terms"] = textstats.top_terms
     q["doc_frequency"] = textstats.doc_frequency
     q["doc_length_percentiles"] = textstats.doc_length_percentiles
-    # dedup family
     q["dedup_exact"] = dedup.dedup_exact
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
+    # --- one rows-only entry per remaining family ---
+    q["quality_scores"] = textstats.quality_scores
+    q["lang_id"] = textstats.lang_id
     q["minhash_dedup"] = functools.partial(dedup.minhash_dedup, threshold=0.8)
     q["simhash_dup_groups"] = dedup.simhash_dup_groups
+
     def _near_dup(sf_dir: str):
         # pairs can legitimately be empty on random embeddings; return a
         # typed DataFrame so the driver always sees a stable schema
@@ -175,7 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return df
 
     q["embedding_near_dup"] = _near_dup
-    q["embedding_lsh_buckets"] = dedup.embedding_lsh_buckets
+
     def _approx_distinct(sf_dir: str):
         import pandas as pd
 
@@ -184,12 +186,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"approx_n_users": [round(approx_distinct_users(sf_dir))]})
 
     q["approx_distinct_users"] = _approx_distinct
-    # similarity search
     q["knn_brute_force"] = functools.partial(similarity.knn_brute_force, k=5, n_queries=4)
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
     q["embedding_clusters"] = similarity.embedding_clusters
-    # extraction pipelines (pages corpus; oracle is the in-repo single-process
-    # extractor, checked in pytest — rows-only here)
+    # extraction pipelines (pages corpus; oracle is the in-repo
+    # single-process extractor, checked in pytest — rows-only here)
+    q["extract_fused"] = _extract_query("fused")
+    q["extract_dead_letter"] = _dead_letter_query
+
     def _extract_vlm(sf_dir: str):
         from docling_jobkit_ray.pipelines.extract import extract_pipeline
 
@@ -199,17 +203,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["url", "status", "vlm_json"]).sort("url")
 
     q["extract_vlm"] = _extract_vlm
-    q["extract_inline"] = _extract_query("inline")
-    q["extract_sliced"] = _extract_query("sliced")
-    q["extract_size_bucketed"] = _extract_query("size_bucketed")
-    q["extract_fused"] = _extract_query("fused")
-    q["extract_dead_letter"] = _dead_letter_query
     q["chunk_documents"] = _chunks_query
     q["export_projections"] = _export_query
     q["doc_stats"] = _doc_stats_query
     # multimodal plumbing
     q["media_features"] = _media_features_query
     q["frame_samples"] = _frame_samples_query
+    # --- redundant variants of families already listed above ---
+    q["fingerprints_rolling"] = lambda sf: textstats.fingerprints(sf).select_columns(
+        ["doc_id", "fingerprint"]
+    )
+    q["embedding_lsh_buckets"] = dedup.embedding_lsh_buckets
+    q["extract_inline"] = _extract_query("inline")
+    q["extract_sliced"] = _extract_query("sliced")
+    q["extract_size_bucketed"] = _extract_query("size_bucketed")
     return q
 
 

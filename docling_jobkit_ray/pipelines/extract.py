@@ -35,11 +35,11 @@ from ..sources.pages import read_pages
 from ..stages.extract import ExtractDocuments, options_to_kwargs
 from ..stages.slices import (
     ExtractSlices,
-    add_url_bucket,
     drop_big_binary,
     keep_big_binary,
     plan_slices,
     reassemble_bucket,
+    url_bucket_adder,
 )
 
 DEFAULT_BATCH_SIZE = 64
@@ -239,9 +239,16 @@ def extract_pipeline(
             # task dispatch overhead without hurting load spread
             batch_size=max(batch_size, 256),
         )
+        # reassembly bucket count scales with the corpus footer row count
+        # (slice rows are bounded by a small multiple of the oversized-doc
+        # minority, for which total corpus rows is a cheap upper bound)
+        from ..scale import bucket_count, estimate_table_rows
+
+        est_rows = sum(estimate_table_rows(p) for p in paths)
+        n_reasm = bucket_count(est_rows, target_rows_per_bucket=100_000, min_buckets=64)
         big_out = (
             slice_parts.map_batches(
-                add_url_bucket, batch_format="pyarrow", zero_copy_batch=True
+                url_bucket_adder(n_reasm), batch_format="pyarrow", zero_copy_batch=True
             )
             .groupby("bucket")
             .map_groups(reassemble_bucket, batch_format="pandas")
@@ -283,7 +290,9 @@ def status_counts(extracted: ray.data.Dataset):
     return extracted.groupby("status").count()
 
 
-def dedup_pages_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_pages_by_url(
+    ds: ray.data.Dataset, *, est_rows: int | None = None, n_buckets: int | None = None
+) -> ray.data.Dataset:
     """Exact dedup by url for the resume path (SURVEY.md §2.9): when a rerun
     re-reads a partially-written input, keep ONE row per url
     deterministically (earliest warc_ts; ties broken by smallest payload).
@@ -293,14 +302,24 @@ def dedup_pages_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
     rare whole-row shuffle and is only meant for the rare-resume path; the
     common path skips completed partitions via the manifest and never pays
     it.  Grouping is on a coarse url-hash bucket (one vectorized pandas
-    pass per bucket), not per url."""
+    pass per bucket), not per url; pass ``est_rows`` (footer estimate) so
+    the bucket count scales with the input — these groups carry PAYLOADS,
+    so the per-bucket target is deliberately small."""
     import zlib
 
     import pandas as pd
 
+    if n_buckets is None:
+        from ..scale import bucket_count
+
+        n_buckets = bucket_count(
+            est_rows or 0, target_rows_per_bucket=50_000, min_buckets=256
+        )
+    mask = n_buckets - 1
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
-        b = pa.array([zlib.crc32(u.encode("utf-8")) & 255 for u in urls], pa.int32())
+        b = pa.array([zlib.crc32(u.encode("utf-8")) & mask for u in urls], pa.int32())
         return batch.append_column("bucket", b)
 
     def keep_first_bucket(g: pd.DataFrame) -> pd.DataFrame:

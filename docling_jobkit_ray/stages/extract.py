@@ -71,16 +71,55 @@ class ExtractDocuments:
         ds.map_batches(ExtractDocuments, fn_constructor_kwargs={"options": opts},
                        batch_format="pyarrow", zero_copy_batch=True,
                        concurrency=(1, n), batch_size=B)
+
+    Mixed-option batches: when ``options_col`` names a string column of
+    per-row options JSON, each row resolves through a small LRU of compiled
+    option-sets (``options_cache_size``, default 2) keyed by the JSON text —
+    the analogue of the reference's options-hash-keyed converter LRU
+    (``convert/manager.py:426-479``, ``options_cache_size=2``), so ONE pool
+    serves several concurrent option-sets instead of one pool per set.
+    Rows with a null options cell fall back to the constructor options.
     """
 
-    def __init__(self, options: ExtractOptions | dict | None = None):
+    def __init__(
+        self,
+        options: ExtractOptions | dict | None = None,
+        *,
+        options_col: str | None = None,
+        options_cache_size: int = 2,
+    ):
         # Once per actor: freeze options (analogue of the options-hash-keyed
         # warm converter, manager.py:456-479).
         if options is None:
             options = ExtractOptions()
         elif isinstance(options, dict):
             options = ExtractOptions(**options)
+        if options_cache_size < 1:
+            raise ValueError(f"options_cache_size must be >= 1, got {options_cache_size}")
         self.options = options
+        self.options_col = options_col
+        self.options_cache_size = options_cache_size
+        from collections import OrderedDict
+
+        self._options_lru: "OrderedDict[str, ExtractOptions]" = OrderedDict()
+
+    def _resolve_options(self, options_json: str | None) -> ExtractOptions:
+        if not options_json:
+            return self.options
+        cached = self._options_lru.get(options_json)
+        if cached is not None:
+            self._options_lru.move_to_end(options_json)
+            return cached
+        import json as _json
+
+        kwargs = _json.loads(options_json)
+        if kwargs.get("page_range") is not None:
+            kwargs["page_range"] = tuple(kwargs["page_range"])
+        opts = ExtractOptions(**kwargs)
+        self._options_lru[options_json] = opts
+        if len(self._options_lru) > self.options_cache_size:
+            self._options_lru.popitem(last=False)  # evict least-recently-used
+        return opts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -90,13 +129,18 @@ class ExtractDocuments:
             if "path" in batch.column_names
             else [None] * len(urls)
         )
+        opts_json = (
+            batch.column(self.options_col).to_pylist()
+            if self.options_col and self.options_col in batch.column_names
+            else [None] * len(urls)
+        )
         rows = []
-        for url, payload, path in zip(urls, htmls, paths):
+        for url, payload, path, oj in zip(urls, htmls, paths, opts_json):
             # retry-then-dead-letter wrapper: retryable failures (timeout,
             # capacity) get options.retry_attempts re-drives before the
             # FAILURE row is final (serve_deployment.py:693-747 analogue)
             row = extract_record_with_retry(
-                url, payload if payload is not None else b"", self.options
+                url, payload if payload is not None else b"", self._resolve_options(oj)
             )
             row["partition_id"] = partition_id_for_path(path, url)
             rows.append(row)

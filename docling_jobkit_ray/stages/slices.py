@@ -360,17 +360,28 @@ def reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
 N_REASSEMBLY_BUCKETS = 64
 
 
-def add_url_bucket(batch: pa.Table) -> pa.Table:
+def url_bucket_adder(n_buckets: int = N_REASSEMBLY_BUCKETS):
     """Shuffle key for reassembly: a COARSE url-hash bucket, not the raw url
     — grouping on url fires one Python call (and one block build) per
     document (CLAUDE.md bucketize rule); slice rows are only the oversized
-    minority, so the per-row crc is cheap."""
-    urls = batch.column("url").to_pylist()
-    b = pa.array(
-        [zlib.crc32(u.encode("utf-8")) & (N_REASSEMBLY_BUCKETS - 1) for u in urls],
-        pa.int32(),
-    )
-    return batch.append_column("bucket", b)
+    minority, so the per-row crc is cheap.  ``n_buckets`` must scale with
+    the slice-row volume (the pipeline derives it from the corpus footer
+    row count via ``scale.bucket_count``) so one bucket group stays bounded."""
+    mask = n_buckets - 1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        b = pa.array(
+            [zlib.crc32(u.encode("utf-8")) & mask for u in urls],
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
+
+    return fn
+
+
+# default-width adder kept for direct composition in tests/small jobs
+add_url_bucket = url_bucket_adder()
 
 
 def reassemble_bucket(group: pd.DataFrame) -> pd.DataFrame:

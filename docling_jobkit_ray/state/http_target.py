@@ -20,8 +20,11 @@ useful local target in its own right).
 from __future__ import annotations
 
 import hashlib
+import hmac
 import os
+import time
 from collections.abc import Callable
+from urllib.parse import parse_qs, urlsplit
 
 import pyarrow as pa
 import ray.data
@@ -50,6 +53,91 @@ def filesystem_transport(root: str) -> Transport:
         return 201
 
     return put
+
+
+# ---------------------------------------------------------------------------
+# presigned URLs (HMAC over method+key+expiry — works offline)
+# ---------------------------------------------------------------------------
+
+def presign_url(
+    endpoint: str,
+    key: str,
+    *,
+    secret: bytes,
+    expires_in: int = 3600,
+    method: str = "PUT",
+    now: int | None = None,
+) -> str:
+    """Generate a time-limited signed URL for ``key`` under ``endpoint`` —
+    the shape of the reference's presigned-target generation
+    (``connectors/s3/presigned_target_processor.py:1-124``), implemented as
+    an HMAC-SHA256 over (method, key, expiry) so it needs no cloud SDK or
+    network.  Deterministic given ``now`` (tests pin it)."""
+    if now is None:
+        now = int(time.time())
+    expires_at = now + int(expires_in)
+    sig = hmac.new(
+        secret, f"{method}\n{key}\n{expires_at}".encode("utf-8"), hashlib.sha256
+    ).hexdigest()
+    return f"{endpoint.rstrip('/')}/{key}?X-Expires={expires_at}&X-Signature={sig}"
+
+
+def check_presigned(
+    url: str, *, secret: bytes, method: str = "PUT", now: int | None = None
+) -> str | None:
+    """Validate a URL produced by :func:`presign_url`.  Returns ``None`` when
+    valid, else a reason string ("expired", "bad_signature",
+    "missing_params").  Constant-time signature compare."""
+    if now is None:
+        now = int(time.time())
+    parts = urlsplit(url)
+    q = parse_qs(parts.query)
+    if "X-Expires" not in q or "X-Signature" not in q:
+        return "missing_params"
+    try:
+        expires_at = int(q["X-Expires"][0])
+    except ValueError:
+        return "missing_params"
+    key = parts.path.lstrip("/")
+    want = hmac.new(
+        secret, f"{method}\n{key}\n{expires_at}".encode("utf-8"), hashlib.sha256
+    ).hexdigest()
+    if not hmac.compare_digest(want, q["X-Signature"][0]):
+        return "bad_signature"
+    if now > expires_at:
+        return "expired"
+    return None
+
+
+def add_presigned_targets(
+    ds: ray.data.Dataset,
+    *,
+    endpoint: str,
+    secret: bytes,
+    expires_in: int = 3600,
+    key_col: str = "url",
+    target_col: str = "target_url",
+    now: int | None = None,
+) -> ray.data.Dataset:
+    """Append a per-row presigned ``target_url`` (key = sha256 of the row's
+    ``key_col``), ready for :func:`http_put_pipeline` via
+    ``target_url_col=`` — each document gets its own expiring signed
+    destination, exactly the reference's per-document presigned-PUT flow."""
+    if now is None:
+        now = int(time.time())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.sha256(str(k).encode("utf-8")).hexdigest()
+            for k in batch.column(key_col).to_pylist()
+        ]
+        targets = [
+            presign_url(endpoint, k, secret=secret, expires_in=expires_in, now=now)
+            for k in keys
+        ]
+        return batch.append_column(target_col, pa.array(targets, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class HttpPutTarget:

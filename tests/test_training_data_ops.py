@@ -282,3 +282,18 @@ def test_minhash_dedup_fallback_join_path(docs_with_dups):
     b = minhash_dedup(docs_with_dups, threshold=0.5, broadcast_pair_limit=0).to_pandas()
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_minhash_dedup_byte_limit_forces_fallback(docs_with_dups):
+    """VERDICT r2 item 3: few pairs of large texts must take the
+    bucketed-join fallback — the broadcast decision is byte-aware, not just
+    pair-count-aware.  broadcast_byte_limit=1 rejects any candidate set,
+    and the result must still equal the broadcast path exactly."""
+    from docling_jobkit_ray.functions.dedup import minhash_dedup
+
+    a = minhash_dedup(docs_with_dups, threshold=0.5).to_pandas()
+    b = minhash_dedup(
+        docs_with_dups, threshold=0.5, broadcast_byte_limit=1
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
