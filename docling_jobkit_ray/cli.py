@@ -50,6 +50,26 @@ def main(argv: list[str] | None = None) -> int:
         help="pipeline family: standard, or vlm (adds the per-page description stage)",
     )
     p.add_argument("--no-checkpoint", action="store_true", help="single pass, no manifest")
+    p.add_argument(
+        "--document-timeout",
+        type=float,
+        default=None,
+        help="per-document wall-clock budget in seconds (expired docs "
+        "dead-letter with category=timeout; reference document_timeout=300)",
+    )
+    p.add_argument(
+        "--retry-attempts",
+        type=int,
+        default=0,
+        help="bounded re-drives for retryable per-document failures",
+    )
+    p.add_argument("--retry-delay", type=float, default=0.0)
+    p.add_argument(
+        "--page-range",
+        default=None,
+        metavar="LO:HI",
+        help="extract only this 1-based inclusive page range of binary docs",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -75,6 +95,23 @@ def main(argv: list[str] | None = None) -> int:
         options = ExtractOptions(max_bytes=args.max_bytes)
     else:
         options = ExtractOptions()
+    overrides = {}
+    if args.document_timeout is not None:
+        overrides["document_timeout"] = args.document_timeout
+    if args.retry_attempts:
+        overrides["retry_attempts"] = args.retry_attempts
+    if args.retry_delay:
+        overrides["retry_delay"] = args.retry_delay
+    if args.page_range is not None:
+        try:
+            lo, hi = args.page_range.split(":")
+            overrides["page_range"] = (int(lo), int(hi))
+        except ValueError:
+            p.error("--page-range must be LO:HI (1-based inclusive)")
+    if overrides:
+        import dataclasses
+
+        options = dataclasses.replace(options, **overrides)
     concurrency = (1, args.concurrency) if args.concurrency else None
     try:
         if args.no_checkpoint:

@@ -125,6 +125,7 @@ class _Watchdog:
         self._cv = threading.Condition()
         self._heap: list = []
         self._seq = 0
+        self._cancelled = 0
         self._thread: threading.Thread | None = None
 
     def arm(self, seconds: float) -> _DeadlineEntry:
@@ -146,15 +147,25 @@ class _Watchdog:
 
     def disarm(self, entry: _DeadlineEntry) -> None:
         import ctypes
+        import heapq
 
         with self._cv:
             entry.cancelled = True
+            self._cancelled += 1
             if entry.fired:
                 # the injection raced our exit: clear it if still pending
                 # (harmless no-op when it already propagated)
                 ctypes.pythonapi.PyThreadState_SetAsyncExc(
                     ctypes.c_ulong(entry.tid), None
                 )
+            # lazy compaction: fast documents disarm long before their
+            # deadline, so cancelled entries would otherwise pool in the
+            # heap for up to `seconds` (minutes x thousands of docs/s)
+            if self._cancelled > 1024 and self._cancelled * 2 > len(self._heap):
+                live = [e for e in self._heap if not e[2].cancelled]
+                heapq.heapify(live)
+                self._heap = live
+                self._cancelled = 0
 
     def _run(self) -> None:
         import ctypes
@@ -168,6 +179,7 @@ class _Watchdog:
                 now = time.monotonic()
                 if entry.cancelled:
                     heapq.heappop(self._heap)
+                    self._cancelled = max(0, self._cancelled - 1)
                     continue
                 if deadline > now:
                     self._cv.wait(deadline - now)

@@ -136,12 +136,21 @@ class ExtractDocuments:
         )
         rows = []
         for url, payload, path, oj in zip(urls, htmls, paths, opts_json):
-            # retry-then-dead-letter wrapper: retryable failures (timeout,
-            # capacity) get options.retry_attempts re-drives before the
-            # FAILURE row is final (serve_deployment.py:693-747 analogue)
-            row = extract_record_with_retry(
-                url, payload if payload is not None else b"", self._resolve_options(oj)
-            )
+            try:
+                opts = self._resolve_options(oj)
+            except Exception as exc:
+                # malformed per-row options JSON is a ROW failure, not a
+                # block failure: dead-letter it, don't kill the task
+                from ..extract.record import _failure_row
+
+                row = _failure_row(url, exc)
+            else:
+                # retry-then-dead-letter wrapper: retryable failures
+                # (timeout, capacity) get options.retry_attempts re-drives
+                # before the FAILURE row is final (serve_deployment.py:693-747)
+                row = extract_record_with_retry(
+                    url, payload if payload is not None else b"", opts
+                )
             row["partition_id"] = partition_id_for_path(path, url)
             rows.append(row)
         return rows_to_extracted_table(rows)

@@ -156,3 +156,14 @@ def test_options_cache_size_validation():
 
     with pytest.raises(ValueError):
         ExtractDocuments(options_cache_size=0)
+
+
+def test_malformed_options_json_dead_letters_row():
+    """A bad per-row options cell must fail THAT row, not the whole block."""
+    from docling_jobkit_ray.stages.extract import ExtractDocuments
+
+    udf = ExtractDocuments(options_col="options_json")
+    out = udf(_batch(["{not json", None]))
+    statuses = out.column("status").to_pylist()
+    assert statuses[0] == "FAILURE"
+    assert statuses[1] == "SUCCESS"

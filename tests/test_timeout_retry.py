@@ -234,3 +234,15 @@ def test_page_range_sliced_matches_inline(ray_session, tmp_path):
     # and the range is really applied: 38 pages selected from the 60-pager
     expected_text, _ = assemble_pages([f"Giant page {i} with words." for i in range(2, 40)])
     assert inline["https://x/big"]["text"] == expected_text
+
+
+def test_watchdog_heap_compaction():
+    """Fast documents disarm long before their deadline; the watchdog heap
+    must not pool thousands of cancelled entries (lazy compaction)."""
+    from docling_jobkit_ray.extract.record import _WATCHDOG, document_deadline
+
+    for _ in range(3000):
+        with document_deadline(300.0):
+            pass
+    with _WATCHDOG._cv:
+        assert len(_WATCHDOG._heap) < 2100  # compacted, not 3000 stale entries
