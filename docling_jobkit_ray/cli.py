@@ -111,7 +111,10 @@ def main(argv: list[str] | None = None) -> int:
     if overrides:
         import dataclasses
 
-        options = dataclasses.replace(options, **overrides)
+        try:
+            options = dataclasses.replace(options, **overrides)
+        except ValueError as exc:  # boundary validation (e.g. page_range 0:5)
+            p.error(str(exc))
     concurrency = (1, args.concurrency) if args.concurrency else None
     try:
         if args.no_checkpoint:

@@ -423,27 +423,30 @@ def minhash_dedup(
         pairs = candidates.to_pandas()  # small: under the broadcast limit
         cand_ids = pa.array(sorted(set(pairs["doc_a"]) | set(pairs["doc_b"])), pa.int64())
 
-        # Byte-aware admission: ONE streamed scan sums the candidate texts'
-        # byte lengths (each batch emits a single int64 — no text ever
-        # reaches the driver here) before committing to the broadcast.
+        # Byte-aware admission with ONE corpus scan: the is_in-filtered
+        # candidate subset materializes in the OBJECT STORE (distributed,
+        # spillable — never the driver), its byte total is a streamed
+        # binary_length sum, and only a subset under the byte budget is
+        # ever pulled to the driver for the broadcast.
+        cand_sub = docs.map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
         def cand_bytes(batch: pa.Table) -> pa.Table:
-            f = batch.filter(pc.is_in(batch["doc_id"], value_set=cand_ids))
-            nb = pc.sum(pc.binary_length(f["text"])).as_py() or 0
+            nb = pc.sum(pc.binary_length(batch["text"])).as_py() or 0
             return pa.table({"nbytes": pa.array([nb], pa.int64())})
 
         from ray.data.aggregate import Sum
 
         total_bytes = (
-            docs.map_batches(cand_bytes, batch_format="pyarrow", zero_copy_batch=True)
+            cand_sub.map_batches(cand_bytes, batch_format="pyarrow", zero_copy_batch=True)
             .aggregate(Sum("nbytes", alias_name="nbytes"))["nbytes"]
             or 0
         )
         if total_bytes <= broadcast_byte_limit:
-            cand_texts = docs.map_batches(
-                lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).to_pandas()  # bounded by the byte-checked candidate set
+            cand_texts = cand_sub.to_pandas()  # under the checked byte budget
             text_by_id = dict(zip(cand_texts["doc_id"], cand_texts["text"]))
 
             def broadcast_lookup(batch, doc_a, doc_b):

@@ -239,13 +239,19 @@ def extract_pipeline(
             # task dispatch overhead without hurting load spread
             batch_size=max(batch_size, 256),
         )
-        # reassembly bucket count scales with the corpus footer row count
-        # (slice rows are bounded by a small multiple of the oversized-doc
-        # minority, for which total corpus rows is a cheap upper bound)
+        # reassembly bucket count scales with the WORST-CASE slice-row
+        # volume: each admitted doc emits at most max_pages/slice_pages
+        # slice rows (the admission cap makes this a true cheap bound —
+        # corpus rows alone is NOT an upper bound on slice rows)
         from ..scale import bucket_count, estimate_table_rows
 
         est_rows = sum(estimate_table_rows(p) for p in paths)
-        n_reasm = bucket_count(est_rows, target_rows_per_bucket=100_000, min_buckets=64)
+        max_slices_per_doc = max(1, options.max_pages // slice_pages)
+        n_reasm = bucket_count(
+            est_rows * max_slices_per_doc,
+            target_rows_per_bucket=100_000,
+            min_buckets=64,
+        )
         big_out = (
             slice_parts.map_batches(
                 url_bucket_adder(n_reasm), batch_format="pyarrow", zero_copy_batch=True

@@ -24,9 +24,27 @@ import os
 def estimate_table_rows(path: str) -> int:
     """Row-count estimate from Parquet footers only (cheap at any scale:
     one footer read per file, no column data).  ``path`` may be a file, a
-    directory of parquet files, or a glob."""
+    directory of parquet files, or a glob — local or any fsspec URI
+    (``s3://...``): a remote corpus must NOT silently estimate as 0 rows,
+    or every scale-derived bucket count degrades to the minimum floor
+    exactly where it matters most."""
     import pyarrow.parquet as pq
 
+    if "://" in path:
+        import fsspec
+
+        fs, rpath = fsspec.core.url_to_fs(path)
+        if fs.isdir(rpath):
+            files = sorted(f for f in fs.find(rpath) if f.endswith(".parquet"))
+        elif fs.isfile(rpath):
+            files = [rpath]
+        else:
+            files = sorted(fs.glob(rpath))
+        total = 0
+        for f in files:
+            with fs.open(f, "rb") as fh:
+                total += pq.ParquetFile(fh).metadata.num_rows
+        return total
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     elif os.path.isfile(path):

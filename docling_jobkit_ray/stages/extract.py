@@ -129,11 +129,17 @@ class ExtractDocuments:
             if "path" in batch.column_names
             else [None] * len(urls)
         )
-        opts_json = (
-            batch.column(self.options_col).to_pylist()
-            if self.options_col and self.options_col in batch.column_names
-            else [None] * len(urls)
-        )
+        if self.options_col:
+            if self.options_col not in batch.column_names:
+                # a misconfigured multi-tenant job must not silently run
+                # every row on constructor defaults
+                raise ValueError(
+                    f"options_col {self.options_col!r} declared but absent "
+                    f"from batch columns {batch.column_names}"
+                )
+            opts_json = batch.column(self.options_col).to_pylist()
+        else:
+            opts_json = [None] * len(urls)
         rows = []
         for url, payload, path, oj in zip(urls, htmls, paths, opts_json):
             try:

@@ -28,11 +28,19 @@ import pyarrow.compute as pc
 
 from ..extract import binarydoc
 from ..extract.errors import (
+    CATEGORY_TIMEOUT,
     STATUS_FAILURE,
     STATUS_PARTIAL_SUCCESS,
     STATUS_SUCCESS,
+    DocumentTimeoutError,
 )
-from ..extract.record import ExtractOptions, assemble_pages, page_span, pages_doc_json
+from ..extract.record import (
+    ExtractOptions,
+    assemble_pages,
+    document_deadline,
+    page_span,
+    pages_doc_json,
+)
 from .extract import EXTRACTED_SCHEMA, partition_id_for_path, rows_to_extracted_table
 
 SLICE_SCHEMA = pa.schema(
@@ -226,6 +234,7 @@ SLICE_EXTRACT_SCHEMA = pa.schema(
         # including PAGE_SEP, so joining is deferred to reassembly)
         ("page_texts", pa.list_(pa.string())),
         ("error", pa.string()),
+        ("category", pa.string()),
         ("partition_id", pa.int32()),
     ]
 )
@@ -255,16 +264,26 @@ class ExtractSlices:
         ):
             texts: list[str] = []
             errors: list[str] = []
-            off = 0
-            for j, ln in enumerate(lens):
-                text, err = binarydoc.parse_page(payload, off, ln)
-                if err is not None:
-                    errors.append(f"slice {si} page {j}: {err}")
-                    texts.append("")
-                else:
-                    texts.append(text)
-                off += ln
-            if errors and len(errors) == len(lens):
+            category = None
+            # the per-document wall-clock budget applies PER SLICE here —
+            # slices are this mode's unit of parse work, mirroring the
+            # reference's per-child-conversion timeout
+            try:
+                with document_deadline(self.options.document_timeout):
+                    off = 0
+                    for j, ln in enumerate(lens):
+                        text, err = binarydoc.parse_page(payload, off, ln)
+                        if err is not None:
+                            errors.append(f"slice {si} page {j}: {err}")
+                            texts.append("")
+                        else:
+                            texts.append(text)
+                        off += ln
+            except DocumentTimeoutError as exc:
+                texts = [""] * len(lens)
+                errors = [f"slice {si}: {type(exc).__name__}: {exc}"]
+                category = CATEGORY_TIMEOUT
+            if category == CATEGORY_TIMEOUT or (errors and len(errors) == len(lens)):
                 status = STATUS_FAILURE
             elif errors:
                 status = STATUS_PARTIAL_SUCCESS
@@ -277,6 +296,7 @@ class ExtractSlices:
             out["status"].append(status)
             out["page_texts"].append(texts)
             out["error"].append("; ".join(errors) if errors else None)
+            out["category"].append(category)
             out["partition_id"].append(partition_id_for_path(path, url))
         return pa.Table.from_arrays(
             [pa.array(out[f.name], type=f.type) for f in SLICE_EXTRACT_SCHEMA],
@@ -291,6 +311,7 @@ def _merge_one(
     n_pages_list: list[int],
     page_text_lists: list[list[str]],
     partition_id: int,
+    categories: list[str | None] | None = None,
 ) -> dict:
     """Merge one url's slice partials (already in slice_index order) into a
     document row.  Text concat with PAGE_SEP via the SAME ``assemble_pages``
@@ -312,6 +333,9 @@ def _merge_one(
         status = STATUS_PARTIAL_SUCCESS
 
     if status == STATUS_FAILURE:
+        # propagate the most specific slice category (a timed-out slice is
+        # a TIMEOUT document, same as the inline path would report)
+        category = next((c for c in (categories or []) if c), "internal")
         return {
             "url": url,
             "status": status,
@@ -320,8 +344,8 @@ def _merge_one(
             "doc_json": "",
             "n_chars": 0,
             "error": "; ".join(errors),
-            "category": "internal",
-            "retryable": False,
+            "category": category,
+            "retryable": category == CATEGORY_TIMEOUT,
             "partition_id": int(partition_id),
         }
     return {
@@ -352,6 +376,7 @@ def reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
                 list(group["n_pages"]),
                 list(group["page_texts"]),
                 group["partition_id"].iloc[0],
+                categories=list(group["category"]) if "category" in group else None,
             )
         ]
     )
@@ -396,6 +421,7 @@ def reassemble_bucket(group: pd.DataFrame) -> pd.DataFrame:
     errors = g["error"].to_numpy()
     n_pages = g["n_pages"].to_numpy()
     ptexts = g["page_texts"].to_numpy()
+    cats = g["category"].to_numpy() if "category" in g else None
     pids = g["partition_id"].to_numpy()
     rows = [
         _merge_one(
@@ -405,6 +431,7 @@ def reassemble_bucket(group: pd.DataFrame) -> pd.DataFrame:
             list(n_pages[s:e]),
             list(ptexts[s:e]),
             pids[s],
+            categories=list(cats[s:e]) if cats is not None else None,
         )
         for s, e in zip(bounds[:-1], bounds[1:])
     ]

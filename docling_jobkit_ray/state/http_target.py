@@ -71,15 +71,19 @@ def presign_url(
     """Generate a time-limited signed URL for ``key`` under ``endpoint`` —
     the shape of the reference's presigned-target generation
     (``connectors/s3/presigned_target_processor.py:1-124``), implemented as
-    an HMAC-SHA256 over (method, key, expiry) so it needs no cloud SDK or
-    network.  Deterministic given ``now`` (tests pin it)."""
+    an HMAC-SHA256 over (method, full URL path, expiry) so it needs no cloud
+    SDK or network.  Signing the FULL path (endpoint base path included)
+    keeps generation and validation symmetric for endpoints like
+    ``https://host/tenant1``.  Deterministic given ``now`` (tests pin it)."""
     if now is None:
         now = int(time.time())
     expires_at = now + int(expires_in)
+    base = endpoint.rstrip("/")
+    full_path = (urlsplit(base).path.rstrip("/") + "/" + key).lstrip("/")
     sig = hmac.new(
-        secret, f"{method}\n{key}\n{expires_at}".encode("utf-8"), hashlib.sha256
+        secret, f"{method}\n{full_path}\n{expires_at}".encode("utf-8"), hashlib.sha256
     ).hexdigest()
-    return f"{endpoint.rstrip('/')}/{key}?X-Expires={expires_at}&X-Signature={sig}"
+    return f"{base}/{key}?X-Expires={expires_at}&X-Signature={sig}"
 
 
 def check_presigned(

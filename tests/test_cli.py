@@ -43,7 +43,7 @@ def test_cli_checkpointed_run_with_new_options(small_corpus, tmp_path):
         "--document-timeout", "60",
         "--retry-attempts", "2",
     )
-    assert totals.get("docs", 0) in (60, "written") or totals.get("docs_total") == 60 or totals
+    assert totals, "CLI must print a totals JSON line"
     files = glob.glob(f"{out}/**/*.parquet", recursive=True)
     assert files
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)

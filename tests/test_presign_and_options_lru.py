@@ -167,3 +167,20 @@ def test_malformed_options_json_dead_letters_row():
     statuses = out.column("status").to_pylist()
     assert statuses[0] == "FAILURE"
     assert statuses[1] == "SUCCESS"
+
+
+def test_presign_endpoint_with_base_path():
+    """An endpoint carrying a base path (multi-tenant prefix) must validate:
+    generation and validation both sign the FULL URL path."""
+    url = presign_url("https://sink.example/tenant1/", "docs/a.json", secret=SECRET, expires_in=60, now=1000)
+    assert "/tenant1/docs/a.json?" in url
+    assert check_presigned(url, secret=SECRET, now=1000) is None
+    assert check_presigned(url, secret=SECRET, now=2000) == "expired"
+
+
+def test_missing_declared_options_col_raises():
+    from docling_jobkit_ray.stages.extract import ExtractDocuments
+
+    udf = ExtractDocuments(options_col="options_jsn")  # typo'd column
+    with pytest.raises(ValueError, match="options_jsn"):
+        udf(_batch([None]).drop_columns(["options_json"]))

@@ -99,3 +99,19 @@ def test_bucketed_join_scales_with_est_rows(ray_session):
     )
     pd.testing.assert_frame_equal(wide, base)
     assert len(base) == 100
+
+
+def test_estimate_table_rows_fsspec_uri(tmp_path):
+    """Remote (fsspec) corpora must estimate real row counts — a silent 0
+    would collapse every derived bucket count to the floor at exactly the
+    scale the derivation exists for."""
+    import fsspec
+    import pyarrow.parquet as pq
+
+    fs = fsspec.filesystem("memory")
+    with fs.open("/scale_est/a.parquet", "wb") as f:
+        pq.write_table(pa.table({"x": list(range(40))}), f)
+    with fs.open("/scale_est/b.parquet", "wb") as f:
+        pq.write_table(pa.table({"x": list(range(25))}), f)
+    assert estimate_table_rows("memory://scale_est") == 65
+    assert estimate_table_rows("memory://scale_est/a.parquet") == 40

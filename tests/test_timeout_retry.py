@@ -246,3 +246,44 @@ def test_watchdog_heap_compaction():
             pass
     with _WATCHDOG._cv:
         assert len(_WATCHDOG._heap) < 2100  # compacted, not 3000 stale entries
+
+
+def test_sliced_branch_enforces_timeout(monkeypatch):
+    """The oversized-binary slice branch must honor document_timeout too:
+    a stalled slice parse dead-letters with CATEGORY_TIMEOUT after
+    reassembly, not hang the worker (parity with the inline branch)."""
+    from docling_jobkit_ray.extract import binarydoc
+    from docling_jobkit_ray.stages import slices as slices_mod
+    from docling_jobkit_ray.stages.slices import ExtractSlices, plan_slices, reassemble_bucket
+
+    doc = build_binary_doc([f"Page {i} words." for i in range(30)])
+    t = pa.table(
+        {
+            "url": pa.array(["https://x/big"], pa.string()),
+            "html": pa.array([doc], pa.binary()),
+            "path": pa.array(["shard0"], pa.string()),
+        }
+    )
+    slice_rows = plan_slices(10)(t)
+    assert slice_rows.num_rows == 3
+
+    real_parse = binarydoc.parse_page
+
+    def slow_parse(payload, off, ln):
+        tt = time.monotonic()
+        while time.monotonic() - tt < 0.2:
+            pass
+        return real_parse(payload, off, ln)
+
+    monkeypatch.setattr(slices_mod.binarydoc, "parse_page", slow_parse)
+    udf = ExtractSlices({"document_timeout": 0.02})
+    parts = udf(slice_rows)
+    assert set(parts.column("status").to_pylist()) == {"FAILURE"}
+    assert set(parts.column("category").to_pylist()) == {CATEGORY_TIMEOUT}
+    # reassembly propagates the timeout category + retryable flag
+    import pandas as pd
+
+    merged = reassemble_bucket(parts.to_pandas())
+    assert merged["status"].iloc[0] == "FAILURE"
+    assert merged["category"].iloc[0] == CATEGORY_TIMEOUT
+    assert bool(merged["retryable"].iloc[0]) is True
