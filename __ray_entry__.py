@@ -205,11 +205,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["extract_vlm"] = _extract_vlm
     q["chunk_documents"] = _chunks_query
     q["export_projections"] = _export_query
-    q["doc_stats"] = _doc_stats_query
     # multimodal plumbing
     q["media_features"] = _media_features_query
-    q["frame_samples"] = _frame_samples_query
     # --- redundant variants of families already listed above ---
+    # (doc_stats family: doc_stats_by_lang is SQL-green above; frame
+    # sampling: media_features keeps the multimodal row)
+    q["doc_stats"] = _doc_stats_query
+    q["frame_samples"] = _frame_samples_query
     q["fingerprints_rolling"] = lambda sf: textstats.fingerprints(sf).select_columns(
         ["doc_id", "fingerprint"]
     )

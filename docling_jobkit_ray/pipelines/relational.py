@@ -1280,8 +1280,189 @@ ORDER BY e.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling window aggregate (ROWS k PRECEDING — a true ordered window fn)
+# ---------------------------------------------------------------------------
+
+def events_rolling_sum(
+    sf_dir: str, *, window: int = 5, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Per-user rolling sum over the current + ``window-1`` preceding events
+    (ordered by ts, event_id) — the ROWS-window operator Ray Data lacks.
+
+    Same partitioning recipe as sessionize: coarse user_id buckets, one
+    vectorized pandas pass per bucket (groupby-rolling), bucket count
+    derived from the events row count.  Exactness: the rolling SUM is an
+    int64-cents sum (never AVG — windowed float averages accumulate in
+    engine-specific order), so values match the oracle bitwise."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    add_bucket = _user_bucket_adder(_user_buckets(sf_dir, n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        value_c = (g["value"] * 100).round().astype("int64")
+        grouped = value_c.groupby(g["user_id"])
+        roll = grouped.rolling(window, min_periods=1)
+        g["sum_window"] = roll.sum().reset_index(level=0, drop=True) / 100.0
+        g["n_window"] = roll.count().reset_index(level=0, drop=True).astype("int64")
+        return g[["event_id", "user_id", "ts", "sum_window", "n_window"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+EVENTS_ROLLING_SUM_SQL = """
+SELECT event_id, user_id, ts,
+       sum(CAST(round(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0 AS sum_window,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# range join (equi key + time-band predicate — the brief's "range join")
+# ---------------------------------------------------------------------------
+
+def events_orders_range_join(
+    sf_dir: str, *, days: int = 30, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """For every event: how many orders the same user placed in the
+    preceding ``days`` days (o_orderdate in [ts - days, ts]).
+
+    The distributed band-join recipe: co-partition BOTH sides by the equi
+    key's hash bucket through ONE shuffle (tagged union, like
+    ``bucketed_join``), then evaluate the range predicate inside each
+    bucket with a vectorized pandas merge + filter — never an all-pairs
+    cross join across the cluster.  Events with no orders in range keep a
+    zero count (left semantics).  Oracle: LEFT JOIN ... BETWEEN."""
+    import pandas as pd
+
+    if n_buckets is None:
+        from ..scale import bucket_count, estimate_rows
+
+        n_buckets = bucket_count(
+            max(estimate_rows(sf_dir, "events"), estimate_rows(sf_dir, "orders")),
+            min_buckets=64,
+        )
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+    lo_delta = pd.Timedelta(days=days)
+
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    superset = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("o_orderdate", pa.timestamp("us")),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def widen_events(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["user_id"], mask),
+            }
+        )
+
+    def widen_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_custkey"],
+                "event_id": pa.nulls(n, pa.int64()),
+                "ts": pa.nulls(n, pa.timestamp("us")),
+                "o_orderdate": batch["o_orderdate"],
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["o_custkey"], mask),
+            }
+        )
+
+    lt = events.map_batches(widen_events, batch_format="pyarrow", zero_copy_batch=True)
+    rt = orders.map_batches(widen_orders, batch_format="pyarrow", zero_copy_batch=True)
+
+    def band_join_bucket(group: pa.Table) -> pa.Table:
+        group = group.select(superset.names).cast(superset)
+        ev = group.filter(pc.equal(group["side"], 0)).select(["key", "event_id", "ts"]).to_pandas()
+        od = group.filter(pc.equal(group["side"], 1)).select(["key", "o_orderdate"]).to_pandas()
+        if ev.empty:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "n_recent_orders": pa.array([], pa.int64()),
+                }
+            )
+        m = ev.merge(od, on="key", how="inner")
+        in_band = m[
+            (m["o_orderdate"] >= m["ts"] - lo_delta) & (m["o_orderdate"] <= m["ts"])
+        ]
+        counts = in_band.groupby("event_id").size()
+        n = counts.reindex(ev["event_id"]).fillna(0).astype("int64")
+        out = pd.DataFrame(
+            {
+                "event_id": ev["event_id"].astype("int64"),
+                "user_id": ev["key"].astype("int64"),
+                "ts": ev["ts"],
+                "n_recent_orders": n.to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("n_recent_orders", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        lt.union(rt)
+        .groupby("bucket")
+        .map_groups(band_join_bucket, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_ORDERS_RANGE_JOIN_SQL = """
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_recent_orders
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate BETWEEN e.ts - INTERVAL 30 DAY AND e.ts
+GROUP BY e.event_id, e.user_id, e.ts
+ORDER BY e.event_id
+"""
+
+
 RELATIONAL_QUERIES.update(
     {
+        "events_rolling_sum": (events_rolling_sum, EVENTS_ROLLING_SUM_SQL),
+        "events_orders_range_join": (
+            events_orders_range_join,
+            EVENTS_ORDERS_RANGE_JOIN_SQL,
+        ),
         "events_value_zscore": (events_value_zscore, EVENTS_VALUE_ZSCORE_SQL),
         "events_sliding_window": (events_sliding_window, EVENTS_SLIDING_WINDOW_SQL),
         "union_order_segments": (union_order_segments, UNION_ORDER_SEGMENTS_SQL),

@@ -125,6 +125,8 @@ SQL_BACKED = [
     "dedup_exact_docs",
     "doc_frequency",
     "doc_length_percentiles",
+    "events_rolling_sum",
+    "events_orders_range_join",
 ]
 
 
