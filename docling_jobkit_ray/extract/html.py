@@ -213,6 +213,38 @@ _RAWTEXT_TAGS = ("script", "style", "textarea", "title")
 _AMP = "&"
 
 
+# Precomputed per-tag dispatch for the fast scanner: ONE dict lookup per tag
+# instead of seven set-membership tests (starttag/endtag are the hottest
+# Python calls in the whole engine).  Flags are DERIVED from the same tag
+# sets the stdlib _BlockParser path reads directly, so the two tokenizers
+# cannot drift (tests/test_html_fuzz.py asserts block-level parity).
+def _compute_tag_flags(tag: str) -> tuple:
+    if tag in _HEADING_TAGS:
+        kind = KIND_HEADING
+    elif tag == "li":
+        kind = KIND_LIST_ITEM
+    elif tag in ("td", "th"):
+        kind = KIND_TABLE
+    else:
+        kind = None
+    return (
+        tag in _BLOCK_TAGS,
+        tag in _VOID_TAGS,
+        tag in _SKIP_TAGS,
+        tag in _BOILER_TAGS,
+        kind,
+        tag == "a",
+        tag == "table",
+    )
+
+
+_SPECIAL_TAGS = (
+    _BLOCK_TAGS | _VOID_TAGS | _SKIP_TAGS | _BOILER_TAGS | _HEADING_TAGS
+    | {"a", "li", "td", "th", "table"}
+)
+_TAG_FLAGS = {t: _compute_tag_flags(t) for t in _SPECIAL_TAGS}
+
+
 class _BlockBuilder:
     """The tag/text state machine shared by both tokenizers (identical
     semantics to the _BlockParser hooks above)."""
@@ -259,43 +291,43 @@ class _BlockBuilder:
         )
 
     def starttag(self, tag: str) -> None:
-        if tag in _BLOCK_TAGS:
+        f = _TAG_FLAGS.get(tag)
+        if f is None:
+            return  # non-special tag: no state change (same as the set path)
+        is_block, is_void, is_skip, is_boiler, kind, is_anchor, is_table = f
+        if is_block and (self._parts or self._anchor_chars):
             self._flush()
-        if tag in _VOID_TAGS:
+        if is_void:
             return
-        if tag in _SKIP_TAGS:
+        if is_skip:
             self._skip_depth += 1
-        if tag in _BOILER_TAGS:
+        if is_boiler:
             self._boiler_depth += 1
-        if tag == "a":
+        if is_anchor:
             self._anchor_depth += 1
-        if tag in _HEADING_TAGS:
-            self._kind_stack.append(KIND_HEADING)
-        elif tag == "li":
-            self._kind_stack.append(KIND_LIST_ITEM)
-        elif tag in ("td", "th"):
-            self._kind_stack.append(KIND_TABLE)
-        if tag == "table":
+        if kind is not None:
+            self._kind_stack.append(kind)
+        if is_table:
             self._table_depth += 1
 
     def endtag(self, tag: str) -> None:
-        if tag in _BLOCK_TAGS:
-            self._flush()
-        if tag in _VOID_TAGS:
+        f = _TAG_FLAGS.get(tag)
+        if f is None:
             return
-        if tag in _SKIP_TAGS and self._skip_depth > 0:
+        is_block, is_void, is_skip, is_boiler, kind, is_anchor, is_table = f
+        if is_block and (self._parts or self._anchor_chars):
+            self._flush()
+        if is_void:
+            return
+        if is_skip and self._skip_depth > 0:
             self._skip_depth -= 1
-        if tag in _BOILER_TAGS and self._boiler_depth > 0:
+        if is_boiler and self._boiler_depth > 0:
             self._boiler_depth -= 1
-        if tag == "a" and self._anchor_depth > 0:
+        if is_anchor and self._anchor_depth > 0:
             self._anchor_depth -= 1
-        if tag in _HEADING_TAGS and self._kind_stack and self._kind_stack[-1] == KIND_HEADING:
+        if kind is not None and self._kind_stack and self._kind_stack[-1] == kind:
             self._kind_stack.pop()
-        elif tag == "li" and self._kind_stack and self._kind_stack[-1] == KIND_LIST_ITEM:
-            self._kind_stack.pop()
-        elif tag in ("td", "th") and self._kind_stack and self._kind_stack[-1] == KIND_TABLE:
-            self._kind_stack.pop()
-        if tag == "table" and self._table_depth > 0:
+        if is_table and self._table_depth > 0:
             self._table_depth -= 1
 
     def data(self, text: str) -> None:
@@ -329,16 +361,18 @@ def segment_blocks(html_text: str) -> list[Block]:
     pos = 0
     find = html_text.find
     unescape = _htmlmod.unescape
+    data = b.data
+    fulltag_match = _FULLTAG_RE.match
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
             seg = html_text[pos:]
             if seg:
-                b.data(unescape(seg) if _AMP in seg else seg)
+                data(unescape(seg) if _AMP in seg else seg)
             break
         if lt > pos:
             seg = html_text[pos:lt]
-            b.data(unescape(seg) if _AMP in seg else seg)
+            data(unescape(seg) if _AMP in seg else seg)
         # classify the tag
         nxt = html_text[lt + 1 : lt + 2]
         if nxt == "!":
@@ -353,17 +387,19 @@ def segment_blocks(html_text: str) -> list[Block]:
             end = find(">", lt + 2)
             pos = n if end < 0 else end + 1
             continue
-        m = _FULLTAG_RE.match(html_text, lt + 1)
+        m = fulltag_match(html_text, lt + 1)
         if not m:
             if _TAG_NAME_RE.match(html_text, lt + 1):
                 break  # truncated tag at EOF: drop the remainder
             # stray '<' treated as text (HTMLParser emits it as data)
-            b.data("<")
+            data("<")
             pos = lt + 1
             continue
         end = m.end() - 1
-        closing = m.group(1) == "/"
-        tag = m.group(2).lower()
+        slash, tag = m.group(1, 2)
+        closing = slash == "/"
+        if not tag.islower():  # already-lowercase tags skip the copy
+            tag = tag.lower()
         self_closing = html_text[end - 1] == "/"
         if closing:
             b.endtag(tag)
