@@ -208,8 +208,12 @@ def segment_blocks_htmlparser(html_text: str) -> list[Block]:
 _TAG_NAME_RE = re.compile(r"(/?)\s*([a-zA-Z][a-zA-Z0-9:_-]*)")
 # full tag in one C call: name + attrs up to the closing '>'
 _FULLTAG_RE = re.compile(r"(/?)\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>")
-# raw-text elements whose content must be skipped to the matching close tag
+# raw-text elements whose content must be skipped to the matching close tag;
+# the close search is a precompiled case-insensitive regex (C-speed, no
+# full-document .lower() copy — that copy was a measurable share of the
+# kernel's memory traffic)
 _RAWTEXT_TAGS = ("script", "style", "textarea", "title")
+_RAWTEXT_CLOSE_RE = {t: re.compile("</" + t, re.IGNORECASE) for t in _RAWTEXT_TAGS}
 _AMP = "&"
 
 
@@ -356,7 +360,6 @@ def segment_blocks(html_text: str) -> list[Block]:
     import html as _htmlmod
 
     b = _BlockBuilder()
-    low = html_text.lower()
     n = len(html_text)
     pos = 0
     find = html_text.find
@@ -409,11 +412,11 @@ def segment_blocks(html_text: str) -> list[Block]:
                 b.endtag(tag)
             elif tag in _RAWTEXT_TAGS:
                 # jump over raw content to the matching close tag
-                close = low.find("</" + tag, end + 1)
-                if close < 0:
+                mm = _RAWTEXT_CLOSE_RE[tag].search(html_text, end + 1)
+                if mm is None:
                     pos = n
                     continue
-                end = close - 1  # next loop starts at the close tag
+                end = mm.start() - 1  # next loop starts at the close tag
         pos = end + 1
     return b.finish()
 
