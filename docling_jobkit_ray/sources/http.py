@@ -51,29 +51,50 @@ class HttpFetch:
         fetcher: Fetcher | None = None,
         headers: dict | None = None,
         max_bytes: int = 64 * 1024 * 1024,
+        retry_attempts: int = 2,
+        retry_delay: float = 0.1,
+        sleep=None,
     ):
+        import time as _time
+
         self.fetcher = fetcher or deterministic_fake_fetcher
         self.headers = headers or {}
         self.max_bytes = max_bytes
+        # bounded in-worker retries for transient fetch faults — the
+        # reference's retry-then-fail for retryable failures
+        # (serve_deployment.py:693-747) applied at the fetch phase
+        self.retry_attempts = retry_attempts
+        self.retry_delay = retry_delay
+        self._sleep = sleep or _time.sleep
+
+    def _fetch_with_retry(self, url: str) -> tuple[bytes, str | None]:
+        err = None
+        for attempt in range(self.retry_attempts + 1):
+            try:
+                return self.fetcher(url, self.headers), None
+            except Exception as exc:  # fetch failure -> retry, then report
+                err = f"{type(exc).__name__}: {exc}"
+                if attempt < self.retry_attempts and self.retry_delay > 0:
+                    self._sleep(self.retry_delay)
+        return b"", err
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         payloads: list[bytes | None] = []
         errors: list[str | None] = []
         for url in urls:
-            try:
-                data = self.fetcher(url, self.headers)
-                if len(data) > self.max_bytes:
-                    payloads.append(b"")
-                    errors.append(
-                        f"PayloadTooLargeError: fetched {len(data)} > {self.max_bytes}"
-                    )
-                else:
-                    payloads.append(data)
-                    errors.append(None)
-            except Exception as exc:  # fetch failure -> dead-letter-able row
+            data, err = self._fetch_with_retry(url)
+            if err is not None:
                 payloads.append(b"")
-                errors.append(f"{type(exc).__name__}: {exc}")
+                errors.append(err)
+            elif len(data) > self.max_bytes:
+                payloads.append(b"")
+                errors.append(
+                    f"PayloadTooLargeError: fetched {len(data)} > {self.max_bytes}"
+                )
+            else:
+                payloads.append(data)
+                errors.append(None)
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),

@@ -287,3 +287,33 @@ def test_sliced_branch_enforces_timeout(monkeypatch):
     assert merged["status"].iloc[0] == "FAILURE"
     assert merged["category"].iloc[0] == CATEGORY_TIMEOUT
     assert bool(merged["retryable"].iloc[0]) is True
+
+
+def test_http_fetch_retries_transient_fault():
+    """Fetch-phase retry: a fetcher failing once then succeeding must
+    produce a clean row; one failing forever dead-letters after the bound."""
+    from docling_jobkit_ray.sources.http import HttpFetch
+
+    calls = {"n": 0}
+
+    def flaky(url, headers):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionError("transient")
+        return b"<html><body><main><p>ok body</p></main></body></html>"
+
+    udf = HttpFetch(fetcher=flaky, retry_attempts=2, sleep=lambda s: None)
+    out = udf(pa.table({"url": pa.array(["https://x/a"], pa.string())}))
+    assert out.column("fetch_error").to_pylist() == [None]
+    assert calls["n"] == 2
+
+    always = {"n": 0}
+
+    def dead(url, headers):
+        always["n"] += 1
+        raise ConnectionError("down")
+
+    udf2 = HttpFetch(fetcher=dead, retry_attempts=2, sleep=lambda s: None)
+    out2 = udf2(pa.table({"url": pa.array(["https://x/b"], pa.string())}))
+    assert out2.column("fetch_error").to_pylist()[0].startswith("ConnectionError")
+    assert always["n"] == 3  # initial + 2 retries
