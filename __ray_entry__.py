@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fingerprints_rolling"] = lambda sf: textstats.fingerprints(sf).select_columns(
         ["doc_id", "fingerprint"]
     )
+    q["simhash_near_dups"] = dedup.simhash_near_dups
     q["embedding_lsh_buckets"] = dedup.embedding_lsh_buckets
     q["extract_inline"] = _extract_query("inline")
     q["extract_sliced"] = _extract_query("sliced")

@@ -576,8 +576,7 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
 
 def simhash_dup_groups(sf_dir: str) -> ray.data.Dataset:
     """Exact-simhash duplicate groups (Hamming distance 0): groupby simhash.
-    Near-dup (Hamming <= 3) extends this by grouping on each 16-bit block
-    (Manku et al., WWW'07) — the block columns are already emitted."""
+    Near-dup (Hamming <= 3) is :func:`simhash_near_dups`."""
     sigs = simhash_signatures(sf_dir)
     from ray.data.aggregate import Count, Min
 
@@ -585,6 +584,103 @@ def simhash_dup_groups(sf_dir: str) -> ray.data.Dataset:
         sigs.groupby("simhash")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_docs"))
         .sort("keep_doc_id")
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (no Python loop): unpack to bits, sum."""
+    b = np.unpackbits(x.astype(np.uint64).view(np.uint8).reshape(-1, 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def simhash_near_dups(
+    sf_dir: str, *, max_hamming: int = 3, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Near-duplicate pairs with simhash Hamming distance <= ``max_hamming``
+    (default 3), via the Manku et al. (WWW'07) block-permuted recipe: a
+    64-bit signature splits into 4 x 16-bit blocks, and any pair within
+    Hamming <= 3 must agree on at least one block, so grouping on each
+    block yields a complete candidate set.
+
+    Shuffle discipline: only (block_id, block_val, doc_id, simhash) rows
+    move — 4 small rows per doc; candidates pair up with one vectorized
+    self-merge per coarse bucket (the minhash pair-emission pattern) and
+    verify with a numpy XOR+popcount, no per-pair Python.  Duplicate
+    discoveries across blocks collapse in a final pair-key groupby."""
+    sigs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        SimHasher(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if n_buckets is None:
+        from ..scale import bucket_count, estimate_rows
+
+        n_buckets = bucket_count(
+            estimate_rows(sf_dir, "documents") * 4,
+            target_rows_per_bucket=1_000_000,
+            min_buckets=256,
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for j in range(4):
+            bucket = pc.bit_wise_and(
+                pc.add(
+                    pc.multiply(pc.cast(batch[f"block{j}"], pa.int64()), pa.scalar(4, pa.int64())),
+                    pa.scalar(j, pa.int64()),
+                ),
+                pa.scalar(n_buckets - 1, pa.int64()),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "block_id": pa.array([j] * batch.num_rows, pa.int8()),
+                        "block_val": batch[f"block{j}"],
+                        "doc_id": batch["doc_id"],
+                        "simhash": batch["simhash"],
+                        "bucket": bucket,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["block_id", "block_val", "doc_id", "simhash"]]
+        m = g.merge(g, on=["block_id", "block_val"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        m = m.drop_duplicates(["doc_id_a", "doc_id_b"])
+        ham = _popcount64(
+            m["simhash_a"].to_numpy().astype(np.int64).view(np.uint64)
+            ^ m["simhash_b"].to_numpy().astype(np.int64).view(np.uint64)
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_id_a"].to_numpy()[keep].astype("int64"),
+                "doc_b": m["doc_id_b"].to_numpy()[keep].astype("int64"),
+                "hamming": ham[keep],
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .sort(["doc_a", "doc_b"])
     )
 
 

@@ -162,6 +162,7 @@ ROWS_ONLY = [
     "fingerprints_rolling",
     "minhash_dedup",
     "simhash_dup_groups",
+    "simhash_near_dups",
     "embedding_lsh_buckets",
     "knn_brute_force",
     "knn_ivf",

@@ -33,6 +33,9 @@ from docling_jobkit_ray.pipelines.relational import q1_pricing_summary
 rows = extract_pipeline(corpus).select_columns(["url", "status", "n_chars"]).take_all()
 digest = sorted((r["url"], r["status"], r["n_chars"]) for r in rows)
 q1 = q1_pricing_summary("/root/testdata/sf0.001").to_pandas()
+from docling_jobkit_ray.pipelines.relational import customers_without_orders, events_sessionize
+sess = events_sessionize("/root/testdata/sf0.001").to_pandas()
+anti = customers_without_orders("/root/testdata/sf0.001").to_pandas()
 out = {
     "alive_nodes": len([n for n in ray.nodes() if n["Alive"]]),
     "n_rows": len(digest),
@@ -41,6 +44,11 @@ out = {
     "n_chars_total": sum(d[2] for d in digest),
     "q1_rows": len(q1),
     "q1_count_order_sum": int(q1["count_order"].sum()),
+    "sess_rows": len(sess),
+    "sess_n_events_sum": int(sess["n_events"].sum()),
+    "sess_sum_value_sum": round(float(sess["sum_value"].sum()), 2),
+    "anti_rows": len(anti),
+    "anti_key_sum": int(anti["c_custkey"].sum()),
 }
 ray.shutdown(); cluster.shutdown()
 print("RESULT " + json.dumps(out))
@@ -63,3 +71,18 @@ def test_pipelines_on_simulated_4_node_cluster(ray_session, corpus_dir, corpus_o
     assert out["n_rows"] == len(corpus_oracle)
     assert out["n_chars_total"] == sum(r["n_chars"] for r in corpus_oracle.values())
     assert out["q1_rows"] == 6
+    # shuffle-heavy relational ops (bucketed sessionize groupby + bucketed
+    # anti join) agree with the same pipelines on the session-local Ray —
+    # the all-to-all exchange crosses real node object-store boundaries
+    from docling_jobkit_ray.pipelines.relational import (
+        customers_without_orders,
+        events_sessionize,
+    )
+
+    sess = events_sessionize("/root/testdata/sf0.001").to_pandas()
+    anti = customers_without_orders("/root/testdata/sf0.001").to_pandas()
+    assert out["sess_rows"] == len(sess)
+    assert out["sess_n_events_sum"] == int(sess["n_events"].sum())
+    assert out["sess_sum_value_sum"] == round(float(sess["sum_value"].sum()), 2)
+    assert out["anti_rows"] == len(anti)
+    assert out["anti_key_sum"] == int(anti["c_custkey"].sum())

@@ -297,3 +297,34 @@ def test_minhash_dedup_byte_limit_forces_fallback(docs_with_dups):
     ).to_pandas()
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_simhash_near_dups_matches_bruteforce(docs_with_dups):
+    """Manku block-key candidates + XOR/popcount verify must find EXACTLY
+    the pairs a brute-force all-pairs Hamming scan finds (completeness is
+    guaranteed by the 4x16-block pigeonhole for Hamming <= 3)."""
+    import itertools
+
+    import numpy as np
+
+    from docling_jobkit_ray.functions.dedup import (
+        SimHasher,
+        _popcount64,
+        simhash_near_dups,
+        simhash_signatures,
+    )
+
+    got = simhash_near_dups(docs_with_dups, max_hamming=3).to_pandas()
+    sigs = simhash_signatures(docs_with_dups).to_pandas()
+    expected = set()
+    ids = sigs["doc_id"].to_numpy()
+    hs = sigs["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        ham = int(_popcount64(np.array([hs[i] ^ hs[j]], dtype=np.uint64))[0])
+        if ham <= 3:
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            expected.add((a, b, ham))
+    assert {
+        (int(r.doc_a), int(r.doc_b), int(r.hamming)) for r in got.itertuples()
+    } == expected
+    assert len(expected) > 0  # the planted duplicates guarantee hits
