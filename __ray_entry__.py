@@ -131,7 +131,7 @@ def _frame_samples_query(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-row cap covers EVERY operator family: the
-    33 SQL-oracle-checked queries first, then one rows-only entry per
+    SQL-oracle-checked queries first, then one rows-only entry per
     remaining family, and redundant variants of already-listed families
     (extract mode variants, component views) last — those are byte-identity
     /pytest-covered and lose nothing if the harness truncates."""
@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_length_percentiles"] = textstats.doc_length_percentiles
     q["dedup_exact"] = dedup.dedup_exact
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
+    q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
     # --- one rows-only entry per remaining family ---
     q["quality_scores"] = textstats.quality_scores
     q["lang_id"] = textstats.lang_id
@@ -187,7 +188,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["approx_distinct_users"] = _approx_distinct
     q["knn_brute_force"] = functools.partial(similarity.knn_brute_force, k=5, n_queries=4)
-    q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
     q["embedding_clusters"] = similarity.embedding_clusters
     # extraction pipelines (pages corpus; oracle is the in-repo
     # single-process extractor, checked in pytest — rows-only here)
@@ -209,7 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_features"] = _media_features_query
     # --- redundant variants of families already listed above ---
     # (doc_stats family: doc_stats_by_lang is SQL-green above; frame
-    # sampling: media_features keeps the multimodal row)
+    # sampling: media_features keeps the multimodal row; knn_ivf: the ANN
+    # family keeps its driver row via knn_brute_force)
+    q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
     q["doc_stats"] = _doc_stats_query
     q["frame_samples"] = _frame_samples_query
     q["fingerprints_rolling"] = lambda sf: textstats.fingerprints(sf).select_columns(
@@ -256,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.textstats import TOKEN_COUNTS_BPE_SQL
 
     sql["token_counts_bpe"] = TOKEN_COUNTS_BPE_SQL
+    from docling_jobkit_ray.functions.dedup import ngram_jaccard_sql
+
+    sql["ngram_jaccard_pairs"] = ngram_jaccard_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -356,6 +356,36 @@ def minhash_dedup(
 ) -> ray.data.Dataset:
     """Near-dup verdicts: LSH candidates verified with exact shingle Jaccard.
 
+    Verify is the shared hybrid (:func:`_verify_pairs_hybrid`) — see its
+    docstring for the broadcast-vs-bucketed-join admission rules."""
+    candidates = _minhash_lsh_candidate_groups(
+        sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
+    ).select_columns(["doc_a", "doc_b"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return _verify_pairs_hybrid(
+        candidates,
+        docs,
+        sf_dir,
+        lambda ta, tb: ngram_jaccard(ta, tb, shingle_k),
+        threshold,
+        broadcast_pair_limit=broadcast_pair_limit,
+        broadcast_byte_limit=broadcast_byte_limit,
+    )
+
+
+def _verify_pairs_hybrid(
+    candidates: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    sf_dir: str,
+    score_of_texts,
+    threshold: float,
+    *,
+    broadcast_pair_limit: int = 200_000,
+    broadcast_byte_limit: int = 256 * 1024 * 1024,
+) -> ray.data.Dataset:
+    """Attach texts to candidate (doc_a, doc_b) pairs, score each with
+    ``score_of_texts(text_a, text_b) -> float``, keep scores >= threshold.
+
     HYBRID verify, chosen by candidate volume IN BYTES, not just pairs:
 
     - small candidate set (the normal LSH regime): the pair list collects
@@ -375,20 +405,15 @@ def minhash_dedup(
       texts once per join side."""
     import pyarrow.compute as pc
 
-    candidates = _minhash_lsh_candidate_groups(
-        sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
-    ).select_columns(["doc_a", "doc_b"])
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
     def verify_with(text_of):
         def verify(batch: pa.Table) -> pa.Table:
-            # per-pair exact Jaccard: genuinely scalar kernel (set ops
-            # over shingle hashes)
+            # per-pair exact scoring: genuinely scalar kernel (set ops
+            # over shingles)
             doc_a = batch.column("doc_a").to_pylist()
             doc_b = batch.column("doc_b").to_pylist()
             texts_a, texts_b = text_of(batch, doc_a, doc_b)
             jac = [
-                ngram_jaccard(ta, tb, shingle_k)
+                score_of_texts(ta, tb)
                 for ta, tb in zip(texts_a, texts_b)
             ]
             t = pa.table(
@@ -497,6 +522,188 @@ def minhash_dedup(
     return with_both.map_batches(
         verify_with(joined_lookup), batch_format="pyarrow", zero_copy_batch=True
     ).sort(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# all-pairs n-gram Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+_ASCII_WORD_RE = re.compile(r"[a-z0-9_]+")
+
+
+def _string_shingles(text: str, k: int = 3) -> set[str]:
+    """Distinct k-word shingles as STRINGS over ``[a-z0-9_]+`` tokens of
+    ``text.lower()`` — deliberately the exact tokenization DuckDB's
+    ``regexp_extract_all(lower(text), '[a-z0-9_]+')`` produces, so the SQL
+    oracle computes the same sets.  Docs with < k words have NO shingles
+    (matching the oracle's empty list_transform)."""
+    words = _ASCII_WORD_RE.findall(text.lower())
+    if len(words) < k:
+        return set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def string_shingle_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact Jaccard over string shingle sets.  Both operands' cardinalities
+    are exact ints, so inter/union is the same IEEE double DuckDB computes
+    with ``c::DOUBLE / (na + nb - c)`` — bit-identical, hash-safe."""
+    a, b = _string_shingles(text_a, k), _string_shingles(text_b, k)
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    *,
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    broadcast_pair_limit: int = 200_000,
+    broadcast_byte_limit: int = 256 * 1024 * 1024,
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram-Jaccard similarity join: every (doc_a < doc_b)
+    pair with word-``shingle_k``-gram Jaccard >= ``threshold`` — no LSH
+    approximation, provably complete via prefix filtering.
+
+    Prefix filtering (Chaudhuri et al. SSJoin'06 / Bayardo et al. WWW'07):
+    under ANY global total order on shingles, a pair with overlap >= a must
+    share a shingle within the first ``|X| - a + 1`` shingles of each side;
+    Jaccard >= t implies overlap >= ceil(t*|X|) for both sides, so emitting
+    only the first ``n - ceil(t*n) + 1`` shingles per doc (ordered by
+    (hash, shingle) — a deterministic total order) misses NO qualifying
+    pair.  At t=0.6 that's ~40% of each doc's shingles; the emitted rows
+    are (int64 shingle-hash, doc_id) only — text never rides this shuffle.
+
+    Candidate pairs come from one vectorized self-merge per coarse hash
+    bucket (the minhash pair-emission pattern; bucket count scales with the
+    corpus), then collapse to distinct pairs and flow through the shared
+    hybrid verify, which scores EXACT string-shingle Jaccard so the result
+    matches the DuckDB oracle bit-for-bit.  Hash collisions between
+    distinct shingles only ADD candidates (verify discards them) — they
+    can never cause a miss, because a truly shared prefix shingle always
+    hashes equal on both sides.
+
+    Scale note: hash order is frequency-oblivious, so a boilerplate shingle
+    that lands in many prefixes concentrates candidates; the classic
+    mitigation is ordering shingles by ascending document frequency (one
+    extra count pass) before taking prefixes — worth it when candidate
+    volume, not shingling, dominates."""
+    import math
+    import zlib as _z
+
+    import pyarrow.compute as pc
+
+    from ..scale import bucket_count, estimate_rows
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_h: list[int] = []
+        out_d: list[int] = []
+        for d, t in zip(doc_ids, texts):
+            gs = _string_shingles(t, shingle_k)
+            n = len(gs)
+            if n == 0:
+                continue
+            p = n - math.ceil(threshold * n) + 1
+            # (hash, string) sort = one deterministic GLOBAL total order on
+            # shingles, identical in every doc (the string tiebreak matters:
+            # hash-only order would be ambiguous across docs on collisions,
+            # voiding the prefix lemma's completeness guarantee)
+            ranked = sorted(
+                (((_z.crc32(g.encode("utf-8")) + 1) * 0x9E3779B97F4A7C15) & ((1 << 63) - 1), g)
+                for g in gs
+            )
+            out_h.extend(h for h, _ in ranked[:p])
+            out_d.extend([d] * p)
+        return pa.table(
+            {
+                "sh": pa.array(out_h, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    # emitted rows per doc ~ (1 - t) * shingle count; size buckets off the
+    # corpus row count with a words-per-doc allowance (footer metadata only)
+    n_docs = estimate_rows(sf_dir, "documents")
+    n_buckets = bucket_count(
+        n_docs * 128, target_rows_per_bucket=1_000_000, min_buckets=256
+    )
+    bucket_mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    prefix = ds.map_batches(prefix_rows, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = prefix.map_batches(
+        lambda b: b.append_column("bucket", pc.bit_wise_and(b["sh"], bucket_mask)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def emit_pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["sh", "doc_id"]]
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
+            ["doc_a", "doc_b"]
+        ].drop_duplicates()
+
+    from ray.data.aggregate import Count
+
+    candidates = (
+        bucketed.groupby("bucket")
+        .map_groups(emit_pairs_bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_hits"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return _verify_pairs_hybrid(
+        candidates,
+        docs,
+        sf_dir,
+        lambda ta, tb: string_shingle_jaccard(ta, tb, shingle_k),
+        threshold,
+        broadcast_pair_limit=broadcast_pair_limit,
+        broadcast_byte_limit=broadcast_byte_limit,
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.6, shingle_k: int = 3) -> str:
+    """DuckDB oracle for :func:`ngram_jaccard_pairs` — brute-force all-pairs
+    over the identical shingle definition (the engine must find every pair
+    the quadratic SQL finds, at any threshold)."""
+    joins = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(shingle_k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, g
+  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(w) - {shingle_k - 1}, 0)),
+                    i -> {joins})) AS u(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+isect AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+FROM isect
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,7 @@ SQL_BACKED = [
     "doc_length_percentiles",
     "events_rolling_sum",
     "events_orders_range_join",
+    "ngram_jaccard_pairs",
 ]
 
 

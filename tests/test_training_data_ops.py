@@ -328,3 +328,88 @@ def test_simhash_near_dups_matches_bruteforce(docs_with_dups):
         (int(r.doc_a), int(r.doc_b), int(r.hamming)) for r in got.itertuples()
     } == expected
     assert len(expected) > 0  # the planted duplicates guarantee hits
+
+
+@pytest.fixture(scope="module")
+def mutated_corpus(ray_session, tmp_path_factory):
+    """40 docs: 8 seeded base texts plus mutated copies at varying word
+    replacement rates, so pairwise Jaccard values straddle any threshold."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for b in range(8):
+        words = [vocab[rng.randint(len(vocab))] for _ in range(40)]
+        texts.append(" ".join(words))
+        for rate in (0.05, 0.15, 0.35, 0.7):
+            mut = [
+                vocab[rng.randint(len(vocab))] if rng.rand() < rate else w
+                for w in words
+            ]
+            texts.append(" ".join(mut))
+    d = tmp_path_factory.mktemp("mut")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d), texts
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.6, 0.8])
+def test_ngram_jaccard_pairs_matches_bruteforce(mutated_corpus, threshold):
+    """Prefix filtering is EXACT: the operator must find precisely the
+    pairs an exhaustive all-pairs scan finds, at any threshold (the prefix
+    lemma guarantees completeness; the verify guarantees precision)."""
+    import itertools
+
+    from docling_jobkit_ray.functions.dedup import (
+        ngram_jaccard_pairs,
+        string_shingle_jaccard,
+    )
+
+    sf_dir, texts = mutated_corpus
+    got = ngram_jaccard_pairs(sf_dir, threshold=threshold).to_pandas()
+    expected = {}
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        jac = string_shingle_jaccard(texts[i], texts[j])
+        if jac >= threshold:
+            expected[(i + 1, j + 1)] = jac
+    assert {
+        (int(r.doc_a), int(r.doc_b)): r.jaccard for r in got.itertuples()
+    } == expected
+    assert len(expected) > 0  # mutation rates guarantee hits at every level
+
+
+def test_ngram_jaccard_pairs_fallback_parity(docs_with_dups):
+    """Forcing the bucketed-join verify path must give the broadcast
+    path's exact result."""
+    from docling_jobkit_ray.functions.dedup import ngram_jaccard_pairs
+
+    a = ngram_jaccard_pairs(docs_with_dups, threshold=0.5).to_pandas()
+    b = ngram_jaccard_pairs(
+        docs_with_dups, threshold=0.5, broadcast_pair_limit=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (1, 2) in set(zip(a["doc_a"], a["doc_b"]))  # exact dups: jaccard 1.0
+
+
+def test_string_shingle_jaccard_kernel():
+    from docling_jobkit_ray.functions.dedup import (
+        _string_shingles,
+        string_shingle_jaccard,
+    )
+
+    assert _string_shingles("a b", 3) == set()  # < k words: no shingles
+    assert _string_shingles("A b-C d", 3) == {"a b c", "b c d"}  # lower+split
+    assert string_shingle_jaccard("a b c d", "a b c d") == 1.0
+    assert string_shingle_jaccard("a b c", "x y z") == 0.0
+    assert string_shingle_jaccard("tiny", "tiny") == 0.0  # both empty sets
