@@ -140,10 +140,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {}
     # --- SQL-oracle-checked surface (relational + text + dedup) ---
+    # redundant SQL variants of families that already have a SQL-green row
+    # go to the TAIL so the driver's cap spends its slots on distinct
+    # families first (they stay locally SQL-checked in pytest regardless)
+    _demoted_sql = ("join_orders_customer_shuffle", "token_counts_bpe")
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
-        q[name] = fn
+        if name not in _demoted_sql:
+            q[name] = fn
     q["token_counts"] = textstats.token_counts
-    q["token_counts_bpe"] = textstats.token_counts_bpe
     q["fingerprints_sha"] = lambda sf: textstats.fingerprints(sf).select_columns(
         ["doc_id", "sha256"]
     )
@@ -212,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampling: media_features keeps the multimodal row; knn_ivf: the ANN
     # family keeps its driver row via knn_brute_force)
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
+    q["join_orders_customer_shuffle"] = RELATIONAL_QUERIES["join_orders_customer_shuffle"][0]
+    q["token_counts_bpe"] = textstats.token_counts_bpe
     q["doc_stats"] = _doc_stats_query
     q["frame_samples"] = _frame_samples_query
     q["fingerprints_rolling"] = lambda sf: textstats.fingerprints(sf).select_columns(

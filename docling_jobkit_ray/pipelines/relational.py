@@ -1456,8 +1456,312 @@ ORDER BY e.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q5: six-table join chain (broadcast-pruned dims + ONE fact-fact shuffle)
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5 shape: revenue from lineitems where the supplier and the
+    ordering customer share a nation inside one region, grouped by nation.
+
+    The 6-table join costs ONE all-to-all: region -> nation -> supplier and
+    region -> nation -> customer collapse into two broadcast int64->int64
+    key maps (region/nation/supplier are genuinely tiny; the customer map
+    ships only (custkey, nationkey) ints, not the customer row), both fact
+    scans PRUNE to the region's nations before any exchange (~80% of
+    lineitem never moves for a 5-region split), and the surviving
+    lineitem partials meet the filtered orders in the same tagged-union
+    bucket shuffle q3 uses (aggregation folded into the join exchange).
+    The c_nationkey = s_nationkey equality evaluates inside each bucket as
+    a vectorized filter after the in-bucket arrow join."""
+    nation = _broadcast_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _broadcast_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    asia_keys = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nation_asia = nation.filter(pc.is_in(nation["n_regionkey"], value_set=asia_keys.combine_chunks()))
+    asian_nations = nation_asia["n_nationkey"].combine_chunks()
+
+    supp = _broadcast_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"], value_set=asian_nations))
+    supp_nation_of = _lookup(supp["s_suppkey"], supp["s_nationkey"])
+
+    cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=asian_nations))
+    cust_nation_of = _lookup(cust["c_custkey"], cust["c_nationkey"])
+
+    lo = pa.scalar(pc.strptime("1996-01-01", format="%Y-%m-%d", unit="us"))
+    hi = pa.scalar(pc.strptime("1997-01-01", format="%Y-%m-%d", unit="us"))
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi),
+        )
+        f = batch.filter(keep)
+        cn = cust_nation_of(f["o_custkey"])
+        f = f.append_column("cust_nation", pc.cast(cn, pa.int64()))
+        f = f.filter(pc.is_valid(f["cust_nation"]))  # non-ASIA customers drop
+        n = f.num_rows
+        return pa.table(
+            {
+                "key": f["o_orderkey"],
+                "nationkey": f["cust_nation"],
+                "rev_c4": pa.nulls(n, pa.int64()),
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(f["o_orderkey"], mask),
+            }
+        )
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        sn = supp_nation_of(batch["l_suppkey"])
+        f = batch.append_column("supp_nation", pc.cast(sn, pa.int64()))
+        f = f.filter(pc.is_valid(f["supp_nation"]))  # non-ASIA suppliers drop
+        price_c = pc.cast(pc.round(pc.multiply(f["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(f["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev_c4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        t = pa.table(
+            {"key": f["l_orderkey"], "nationkey": f["supp_nation"], "rev_c4": rev_c4}
+        )
+        # per-batch partial: one row per (order, supplier-nation)
+        t = (
+            t.group_by(["key", "nationkey"])
+            .aggregate([("rev_c4", "sum")])
+            .rename_columns(["key", "nationkey", "rev_c4"])
+        )
+        return pa.table(
+            {
+                "key": t["key"],
+                "nationkey": t["nationkey"],
+                "rev_c4": t["rev_c4"],
+                "side": pa.array([0] * t.num_rows, pa.int8()),
+                "bucket": pc.bit_wise_and(t["key"], mask),
+            }
+        )
+
+    superset = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("nationkey", pa.int64()),
+            ("rev_c4", pa.int64()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(lineitem_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        group = group.select(superset.names).cast(superset)
+        li_part = (
+            group.filter(pc.equal(group["side"], 0))
+            .select(["key", "nationkey", "rev_c4"])
+            .group_by(["key", "nationkey"])
+            .aggregate([("rev_c4", "sum")])
+            .rename_columns(["key", "supp_nation", "rev_c4"])
+        )
+        od_part = (
+            group.filter(pc.equal(group["side"], 1))
+            .select(["key", "nationkey"])
+            .rename_columns(["key", "cust_nation"])
+        )
+        j = li_part.join(od_part, keys=["key"], join_type="inner")
+        j = j.filter(pc.equal(j["supp_nation"], j["cust_nation"]))
+        # per-bucket partial per nation: the final exchange carries
+        # <= n_nations rows per bucket
+        return (
+            j.select(["supp_nation", "rev_c4"])
+            .group_by("supp_nation")
+            .aggregate([("rev_c4", "sum")])
+            .rename_columns(["nationkey", "rev_c4"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    name_of = _lookup(nation_asia["n_nationkey"], nation_asia["n_name"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": name_of(batch["nationkey"]),
+                "revenue": pc.divide(
+                    pc.cast(batch["rev_c4"], pa.float64()), pa.scalar(10000.0)
+                ),
+            }
+        )
+
+    return (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue", "n_name"], descending=[True, False])
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18: groupby-HAVING on the fact table, join folded into the same shuffle
+# ---------------------------------------------------------------------------
+
+def q18_large_volume_orders(sf_dir: str, *, min_qty: float = 250.0) -> ray.data.Dataset:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_qty``, with customer name, largest orders first.
+
+    The HAVING filter needs the FINAL per-order sum, so it evaluates inside
+    the bucket group after partials merge — the same single tagged-union
+    shuffle carries the lineitem partials and the orders rows (q3's fold;
+    no second all-to-all for the join).  Quantities sum in int64
+    hundredths (exact; float accumulation order is engine-specific).  The
+    customer name attaches AFTER the top-k limit — a lookup over <= k rows
+    — so the customer table never rides the fact shuffle; at a scale where
+    even the (custkey, name) map outgrows a broadcast, swap the post-limit
+    map for a bucketed semi join on the k surviving custkeys."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+    min_qty_c = pa.scalar(int(round(min_qty * 100)), pa.int64())
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        qty_c = pc.cast(pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"key": batch["l_orderkey"], "qty_c": qty_c})
+        t = (
+            t.group_by("key")
+            .aggregate([("qty_c", "sum")])
+            .rename_columns(["key", "qty_c"])
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "qty_c": t["qty_c"],
+                "o_custkey": pa.nulls(n, pa.int64()),
+                "o_totalprice": pa.nulls(n, pa.float64()),
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(t["key"], mask),
+            }
+        )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_orderkey"],
+                "qty_c": pa.nulls(n, pa.int64()),
+                "o_custkey": batch["o_custkey"],
+                "o_totalprice": batch["o_totalprice"],
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["o_orderkey"], mask),
+            }
+        )
+
+    superset = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("qty_c", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def having_join_bucket(group: pa.Table) -> pa.Table:
+        group = group.select(superset.names).cast(superset)
+        sums = (
+            group.filter(pc.equal(group["side"], 0))
+            .select(["key", "qty_c"])
+            .group_by("key")
+            .aggregate([("qty_c", "sum")])
+            .rename_columns(["key", "qty_c"])
+        )
+        big = sums.filter(pc.greater(sums["qty_c"], min_qty_c))  # HAVING
+        od = group.filter(pc.equal(group["side"], 1)).select(
+            ["key", "o_custkey", "o_totalprice"]
+        )
+        j = big.join(od, keys=["key"], join_type="inner")
+        return pa.table(
+            {
+                "o_orderkey": j["key"],
+                "o_custkey": j["o_custkey"],
+                "o_totalprice": j["o_totalprice"],
+                "sum_qty": pc.divide(pc.cast(j["qty_c"], pa.float64()), pa.scalar(100.0)),
+            }
+        )
+
+    cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    name_of = _lookup(cust["c_custkey"], cust["c_name"])
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_name": name_of(batch["o_custkey"]),
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+                "sum_qty": batch["sum_qty"],
+            }
+        )
+
+    return (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(having_join_bucket, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(20)
+        .map_batches(attach_name, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey, o_totalprice,
+       sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_name, o_orderkey, o_totalprice
+HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 25000
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
 RELATIONAL_QUERIES.update(
     {
+        "q5_local_supplier_revenue": (q5_local_supplier_revenue, Q5_SQL),
+        "q18_large_volume_orders": (q18_large_volume_orders, Q18_SQL),
         "events_rolling_sum": (events_rolling_sum, EVENTS_ROLLING_SUM_SQL),
         "events_orders_range_join": (
             events_orders_range_join,

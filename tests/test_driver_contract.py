@@ -128,6 +128,8 @@ SQL_BACKED = [
     "events_rolling_sum",
     "events_orders_range_join",
     "ngram_jaccard_pairs",
+    "q5_local_supplier_revenue",
+    "q18_large_volume_orders",
 ]
 
 
