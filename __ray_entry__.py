@@ -135,7 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     remaining family, and redundant variants of already-listed families
     (extract mode variants, component views) last — those are byte-identity
     /pytest-covered and lose nothing if the harness truncates."""
-    from docling_jobkit_ray.functions import dedup, similarity, textstats
+    from docling_jobkit_ray.functions import dedup, similarity, textstats, webtext
     from docling_jobkit_ray.pipelines.relational import RELATIONAL_QUERIES
 
     q: dict[str, Callable[[str], Any]] = {}
@@ -143,7 +143,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # redundant SQL variants of families that already have a SQL-green row
     # go to the TAIL so the driver's cap spends its slots on distinct
     # families first (they stay locally SQL-checked in pytest regardless)
-    _demoted_sql = ("join_orders_customer_shuffle", "token_counts_bpe")
+    _demoted_sql = (
+        "join_orders_customer_shuffle",  # shuffle-join family: q3 + bucketed variants stay
+        "token_counts_bpe",  # token-count family: token_counts stays
+        "parts_named_bolt",  # string-filter family: filter_project_lineitem stays
+        "revenue_by_year",  # date-key agg family: revenue_by_nation + q1 stay
+    )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
             q[name] = fn
@@ -157,8 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_frequency"] = textstats.doc_frequency
     q["doc_length_percentiles"] = textstats.doc_length_percentiles
     q["dedup_exact"] = dedup.dedup_exact
-    q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
+    q["decontaminate"] = webtext.decontaminate
+    q["duplicated_passages"] = webtext.duplicated_passages
+    q["top_bigram_stats"] = webtext.top_bigram_stats
     # --- one rows-only entry per remaining family ---
     q["quality_scores"] = textstats.quality_scores
     q["lang_id"] = textstats.lang_id
@@ -218,6 +225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
     q["join_orders_customer_shuffle"] = RELATIONAL_QUERIES["join_orders_customer_shuffle"][0]
     q["token_counts_bpe"] = textstats.token_counts_bpe
+    q["parts_named_bolt"] = RELATIONAL_QUERIES["parts_named_bolt"][0]
+    q["revenue_by_year"] = RELATIONAL_QUERIES["revenue_by_year"][0]
+    q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["doc_stats"] = _doc_stats_query
     q["frame_samples"] = _frame_samples_query
     q["fingerprints_rolling"] = lambda sf: textstats.fingerprints(sf).select_columns(
@@ -267,6 +277,15 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.dedup import ngram_jaccard_sql
 
     sql["ngram_jaccard_pairs"] = ngram_jaccard_sql()
+    from docling_jobkit_ray.functions.webtext import (
+        DECONTAMINATE_SQL,
+        DUPLICATED_PASSAGES_SQL,
+        TOP_BIGRAM_STATS_SQL,
+    )
+
+    sql["decontaminate"] = DECONTAMINATE_SQL
+    sql["duplicated_passages"] = DUPLICATED_PASSAGES_SQL
+    sql["top_bigram_stats"] = TOP_BIGRAM_STATS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

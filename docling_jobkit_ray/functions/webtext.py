@@ -1,0 +1,331 @@
+"""Web-scale training-corpus text operators: benchmark decontamination,
+boilerplate-passage detection, within-document repetition stats, and PII
+scrubbing.
+
+These extend the reference's per-document conversion surface with the
+corpus-level hygiene passes an LLM training-data pipeline runs after
+extraction (the reference stops at conversion; SURVEY.md §2.10 scalar
+functions are the nearest analogue, ``docling_jobkit/convert/results.py``
+doc-stats projections).  All are Ray-Data-first:
+
+* word-n-gram construction is one vectorized pass per Arrow batch (flat
+  word array + offset arithmetic, no per-row Python loop over documents);
+* decontamination BROADCASTS the benchmark gram set (an eval set is small
+  by definition) via UDF closure capture — shipped to the object store once
+  per stage, never per batch — so the 100 TB training scan stays a single
+  embarrassingly-parallel map;
+* duplicated-passage detection pre-aggregates per batch (distinct
+  (gram, doc) within the batch, then per-gram partial doc-counts) so the
+  groupby shuffle carries (gram, count) partials, never raw gram instances;
+* repetition stats never leave their batch (a document is one row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+__all__ = [
+    "decontaminate",
+    "duplicated_passages",
+    "top_bigram_stats",
+    "scrub_pii",
+    "ScrubPii",
+    "DECONTAMINATE_SQL",
+    "DUPLICATED_PASSAGES_SQL",
+    "TOP_BIGRAM_STATS_SQL",
+]
+
+
+# ---------------------------------------------------------------------------
+# vectorized word-n-gram construction
+# ---------------------------------------------------------------------------
+
+def _gram_frame(texts: pa.ChunkedArray | pa.Array, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word-n-grams of a batch of texts, vectorized.
+
+    Returns (doc_index, gram_string) numpy arrays, one entry per gram
+    occurrence, in document order.  Splitting is on a single literal space
+    (empties preserved) to match DuckDB's ``string_split(text, ' ')``
+    exactly — the oracle contract.  The only Python-object work is the
+    unavoidable string materialization + elementwise concat, both done as
+    flat numpy object-array ops (no per-document loop)."""
+    words = pc.split_pattern(texts, pattern=" ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(words.values.to_pylist(), dtype=object)
+    lens = np.diff(offsets)
+    cnt = np.maximum(lens - (n - 1), 0)  # grams per doc
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), cnt)
+    # start index of each gram in `flat`: per-doc ranges without a loop
+    base = np.repeat(offsets[:-1], cnt)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+    )
+    start = base + within
+    grams = flat[start]
+    for k in range(1, n):
+        grams = grams + " "
+        grams = grams + flat[start + k]
+    return doc_idx, grams
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (word-n-gram overlap with a held-out eval set)
+# ---------------------------------------------------------------------------
+
+def _benchmark_gram_set(sf_dir: str, *, n: int, benchmark_mod: int) -> frozenset:
+    """Distinct word-n-grams of the benchmark slice (doc_id % mod == 0).
+
+    An eval benchmark is SMALL by definition (thousands of documents, not
+    the corpus), so collecting its texts to the driver is the broadcast
+    build step, not a materialization of the dataset."""
+    bench = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.equal(_mod(b["doc_id"], benchmark_mod), 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    texts = pa.chunked_array(
+        [pa.array([r["text"] for r in bench.take_all()], type=pa.string())]
+    )
+    if len(texts) == 0:
+        return frozenset()
+    _, grams = _gram_frame(texts, n)
+    return frozenset(grams.tolist())
+
+
+def _mod(col: pa.ChunkedArray, m: int) -> pa.ChunkedArray:
+    out = np.mod(np.asarray(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col), m)
+    return pa.array(out)
+
+
+def decontaminate(
+    sf_dir: str, *, n: int = 4, benchmark_mod: int = 97
+) -> ray.data.Dataset:
+    """Per-document count of distinct word-n-grams shared with a held-out
+    benchmark slice — the train/test decontamination pass (GPT-3 App. C /
+    Gopher-style n-gram overlap).
+
+    The benchmark here is the deterministic ``doc_id % benchmark_mod == 0``
+    slice of the corpus itself (no external data in the sandbox); a real
+    deployment passes its eval set through the same gram builder.  Training
+    docs (the non-benchmark rest) stream through one map stage against the
+    broadcast gram set; output is every training doc that produced at least
+    one gram, with its contaminated-distinct-gram count (0 for clean)."""
+    bench_set = _benchmark_gram_set(sf_dir, n=n, benchmark_mod=benchmark_mod)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(_mod(batch["doc_id"], benchmark_mod), 0)
+        batch = batch.filter(keep)
+        doc_ids = batch["doc_id"].to_numpy()
+        doc_idx, grams = _gram_frame(batch["text"], n)
+        if len(doc_idx) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_contaminated": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame({"d": doc_idx, "g": grams}).drop_duplicates()
+        hit = df["g"].isin(bench_set)
+        per_doc = hit.groupby(df["d"]).sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[per_doc.index.to_numpy()], pa.int64()),
+                "n_contaminated": pa.array(per_doc.to_numpy(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+DECONTAMINATE_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM words, unnest(range(1, len(w) - 2)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT doc_id,
+       count(DISTINCT CASE WHEN g IN (SELECT g FROM bench) THEN g END) AS n_contaminated
+FROM grams
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicated-passage (boilerplate) detection
+# ---------------------------------------------------------------------------
+
+def duplicated_passages(
+    sf_dir: str, *, n: int = 4, min_docs: int = 2, k: int = 100
+) -> ray.data.Dataset:
+    """Top-k word-n-gram passages appearing in the most distinct documents
+    (>= min_docs) — the boilerplate/template detector a web corpus runs
+    before training (RefinedWeb/C4-style repeated-passage pruning).
+
+    Per batch: distinct (gram, doc) pairs, folded to per-gram partial
+    doc-counts — correct because a document lives in exactly one row/batch,
+    so batch-local distinct is globally distinct.  The shuffle then carries
+    only (gram, partial_count)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_idx, grams = _gram_frame(batch["text"], n)
+        if len(doc_idx) == 0:
+            return pa.table(
+                {"passage": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame({"d": doc_idx, "g": grams}).drop_duplicates()
+        counts = df.groupby("g", sort=False).size()
+        return pa.table(
+            {
+                "passage": pa.array(counts.index.to_numpy(dtype=object), pa.string()),
+                "n_docs": pa.array(counts.to_numpy(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("passage")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .filter(expr=f"n_docs >= {int(min_docs)}")
+        .sort(["n_docs", "passage"], descending=[True, False])
+        .limit(k)
+    )
+    return out
+
+
+DUPLICATED_PASSAGES_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM words, unnest(range(1, len(w) - 2)) AS t(i)
+),
+per_doc AS (SELECT DISTINCT doc_id, g FROM grams)
+SELECT g AS passage, count(*) AS n_docs
+FROM per_doc
+GROUP BY g
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, passage
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition stats (Gopher rule family)
+# ---------------------------------------------------------------------------
+
+def top_bigram_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document most-frequent-bigram count and total bigram count — the
+    Gopher "top n-gram fraction" repetition quality rule, kept in exact
+    integers (the fraction is top_bigram_count / n_bigrams; dividing is the
+    consumer's choice, floats would be engine-ordering-dependent).
+
+    A document is one row, so the whole operator is batch-local — no
+    shuffle at any scale."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy()
+        doc_idx, grams = _gram_frame(batch["text"], 2)
+        if len(doc_idx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "top_bigram_count": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                }
+            )
+        counts = pd.DataFrame({"d": doc_idx, "g": grams}).groupby(["d", "g"], sort=False).size()
+        by_doc = counts.groupby(level="d")
+        top = by_doc.max()
+        tot = by_doc.sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[top.index.to_numpy()], pa.int64()),
+                "top_bigram_count": pa.array(top.to_numpy(np.int64)),
+                "n_bigrams": pa.array(tot.to_numpy(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+TOP_BIGRAM_STATS_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+  FROM words, unnest(range(1, len(w))) AS t(i)
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id, max(c) AS top_bigram_count, CAST(sum(c) AS BIGINT) AS n_bigrams
+FROM cnt
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow.compute and DuckDB both run RE2, so the
+# identical pattern string yields identical replacements in both engines).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # order matters: specific shapes first so the greedy phone pattern
+    # cannot swallow an SSN or a dotted IP
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+class ScrubPii:
+    """Actor-pool UDF: redact PII spans and count hits per kind.
+
+    Patterns are compiled intent: pyarrow's RE2 kernels take the pattern
+    string per call (RE2 compilation is cached inside Arrow), so the state
+    this class carries is just the pattern list — but the class shape keeps
+    the stage extensible to model-based scrubbers with real per-actor
+    setup."""
+
+    def __init__(self, patterns=PII_PATTERNS, text_column: str = "text"):
+        self.patterns = tuple(patterns)
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch[self.text_column]
+        cols: dict[str, object] = {}
+        for name in batch.column_names:
+            if name != self.text_column:
+                cols[name] = batch[name]
+        counts: dict[str, pa.Array] = {}
+        for kind, pattern, repl in self.patterns:
+            counts[f"n_{kind}"] = pc.count_substring_regex(t, pattern=pattern)
+            t = pc.replace_substring_regex(t, pattern=pattern, replacement=repl)
+        cols[self.text_column] = t
+        for k, v in counts.items():
+            cols[k] = pc.cast(v, pa.int64())
+        return pa.table(cols)
+
+
+def scrub_pii(ds: ray.data.Dataset, *, text_column: str = "text") -> ray.data.Dataset:
+    """Redact emails / IPv4s / phone numbers / SSN-shaped ids from a text
+    column, appending per-kind hit counts.  Pure RE2 kernels per batch."""
+    return ds.map_batches(
+        ScrubPii(text_column=text_column), batch_format="pyarrow", zero_copy_batch=True
+    )

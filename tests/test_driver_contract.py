@@ -130,6 +130,9 @@ SQL_BACKED = [
     "ngram_jaccard_pairs",
     "q5_local_supplier_revenue",
     "q18_large_volume_orders",
+    "decontaminate",
+    "duplicated_passages",
+    "top_bigram_stats",
 ]
 
 

@@ -1,0 +1,179 @@
+"""Webtext hygiene operators (functions/webtext.py): gram builder edge
+cases, decontamination semantics, duplicated-passage counting, repetition
+stats, and PII scrubbing with planted PII.
+
+The SQL-oracle parity for decontaminate / duplicated_passages /
+top_bigram_stats runs in test_driver_contract.py like every other
+SQL-backed query; here we test the semantics directly on crafted inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docling_jobkit_ray.functions.webtext import (
+    PII_PATTERNS,
+    ScrubPii,
+    _gram_frame,
+    scrub_pii,
+)
+
+
+def test_gram_frame_basic_and_boundaries():
+    texts = pa.array(
+        [
+            "a b c d e",  # 2 4-grams
+            "x y z",  # too short for 4-grams
+            "",  # splits to one empty word
+            "p q r s",  # exactly one 4-gram
+        ]
+    )
+    doc_idx, grams = _gram_frame(texts, 4)
+    assert list(doc_idx) == [0, 0, 3]
+    assert list(grams) == ["a b c d", "b c d e", "p q r s"]
+    # grams never cross document boundaries: no gram mixes doc 0 and doc 1
+    assert "d e x y" not in set(grams)
+
+
+def test_gram_frame_preserves_empty_words_like_duckdb():
+    # double space -> empty word, matching DuckDB string_split(text, ' ')
+    doc_idx, grams = _gram_frame(pa.array(["a  b c"]), 2)
+    assert list(grams) == ["a ", " b", "b c"]
+
+
+def test_gram_frame_empty_batch():
+    doc_idx, grams = _gram_frame(pa.array([], type=pa.string()), 3)
+    assert len(doc_idx) == 0 and len(grams) == 0
+
+
+def test_decontaminate_counts_distinct_overlaps(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import decontaminate
+
+    # doc 0 is the benchmark (0 % 97 == 0); doc 1 repeats a benchmark 4-gram
+    # twice (distinct count must be 1); doc 2 shares two distinct grams;
+    # doc 3 is clean; doc 4 is too short to gram.
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta x alpha beta gamma delta",
+                    "beta gamma delta epsilon zeta q",
+                    "one two three four five",
+                    "hi",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert 0 not in out.index  # benchmark docs excluded
+    assert out.loc[1, "n_contaminated"] == 1
+    # doc 2: "beta gamma delta epsilon" and "gamma delta epsilon zeta"
+    assert out.loc[2, "n_contaminated"] == 2
+    assert out.loc[3, "n_contaminated"] == 0
+    assert 4 not in out.index  # no grams -> no row (matches the oracle)
+
+
+def test_duplicated_passages_counts_distinct_docs(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import duplicated_passages
+
+    boiler = "all rights reserved contact us"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [
+                    f"intro words {boiler}",
+                    f"{boiler} more text here",
+                    # repeated WITHIN one doc: still one distinct doc
+                    f"{boiler} mid {boiler}",
+                    "unique text one two three four",
+                    "another unique document body here now",
+                    f"tail {boiler}",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = duplicated_passages(str(tmp_path), n=5, min_docs=3, k=10).to_pandas()
+    row = out[out["passage"] == boiler]
+    assert len(row) == 1
+    assert int(row["n_docs"].iloc[0]) == 4  # docs 0,1,2,5 — doc 2 once
+    # ordered by n_docs desc then passage asc
+    assert list(out["n_docs"]) == sorted(out["n_docs"], reverse=True)
+
+
+def test_top_bigram_stats_exact(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import top_bigram_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b a b",  # bigrams: ab ba ab ba ab -> top 'a b' x3, total 5
+                    "x y z",  # xy yz -> top 1, total 2
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = top_bigram_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "top_bigram_count"] == 3 and out.loc[0, "n_bigrams"] == 5
+    assert out.loc[1, "top_bigram_count"] == 1 and out.loc[1, "n_bigrams"] == 2
+
+
+PII_TEXT = (
+    "Contact Jane Doe at jane.doe+spam@example.co.uk or call +1 (555) 123-4567. "
+    "Server 192.168.001.1 logged ssn 123-45-6789 at noon. "
+    "No pii in this clause."
+)
+
+
+def test_scrub_pii_redacts_and_counts():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([PII_TEXT, "clean text only"]),
+        }
+    )
+    out = ScrubPii()(batch)
+    scrubbed = out["text"][0].as_py()
+    assert "<EMAIL>" in scrubbed and "jane.doe" not in scrubbed
+    assert "<IP>" in scrubbed and "192.168" not in scrubbed
+    assert "<PHONE>" in scrubbed and "123-4567" not in scrubbed
+    assert "<SSN>" in scrubbed and "123-45-6789" not in scrubbed
+    assert "No pii in this clause." in scrubbed
+    assert out["n_email"][0].as_py() == 1
+    assert out["n_ipv4"][0].as_py() == 1
+    assert out["n_ssn"][0].as_py() == 1
+    # clean row untouched, zero counts
+    assert out["text"][1].as_py() == "clean text only"
+    assert all(out[f"n_{k}"][1].as_py() == 0 for k, _, _ in PII_PATTERNS)
+
+
+def test_scrub_pii_dataset_stage(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    rows = 200
+    texts = [PII_TEXT if i % 10 == 0 else f"plain body {i} words" for i in range(rows)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(rows), pa.int64()), "text": pa.array(texts)}),
+        str(tmp_path / "d.parquet"),
+    )
+    ds = ray.data.read_parquet(str(tmp_path / "d.parquet"))
+    out = scrub_pii(ds).to_pandas()
+    assert len(out) == rows
+    assert out["n_email"].sum() == rows // 10
+    assert not out["text"].str.contains("example.co.uk").any()
