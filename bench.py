@@ -142,6 +142,7 @@ def run_bench() -> dict:
     from docling_jobkit_ray.functions.similarity import knn_brute_force
     from docling_jobkit_ray.functions.textstats import quality_scores, token_counts
     from docling_jobkit_ray.functions.similarity import knn_ivf
+    from docling_jobkit_ray.functions.webtext import decontaminate, duplicated_passages
     from docling_jobkit_ray.pipelines.relational import (
         events_hourly_window,
         events_sessionize,
@@ -164,10 +165,19 @@ def run_bench() -> dict:
         ("minhash_lsh", minhash_lsh_candidates),
         ("knn_brute_force", knn_brute_force),
         ("knn_ivf", knn_ivf),
+        ("decontaminate", decontaminate),
+        ("duplicated_passages", duplicated_passages),
     ]:
-        t0 = time.monotonic()
-        fn(SF_DIR).count()
-        results[name] = round(time.monotonic() - t0, 3)
+        # best-of-2: one-shot numbers on this shared VM swing 2-6x with
+        # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
+        # min of two runs is the least-interference estimate, same policy
+        # as the headline's best-of-3
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(SF_DIR).count()
+            runs.append(round(time.monotonic() - t0, 3))
+        results[name] = min(runs)
 
     ray.shutdown()
     return {
