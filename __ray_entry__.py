@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampling: media_features keeps the multimodal row; knn_ivf: the ANN
     # family keeps its driver row via knn_brute_force)
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
+    q["knn_pq"] = functools.partial(similarity.knn_pq, k=5, n_queries=4)
     q["join_orders_customer_shuffle"] = RELATIONAL_QUERIES["join_orders_customer_shuffle"][0]
     q["token_counts_bpe"] = textstats.token_counts_bpe
     q["parts_named_bolt"] = RELATIONAL_QUERIES["parts_named_bolt"][0]

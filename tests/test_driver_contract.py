@@ -172,6 +172,7 @@ ROWS_ONLY = [
     "embedding_lsh_buckets",
     "knn_brute_force",
     "knn_ivf",
+    "knn_pq",
     "extract_inline",
     "extract_sliced",
     "extract_size_bucketed",
