@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe",  # token-count family: token_counts stays
         "parts_named_bolt",  # string-filter family: filter_project_lineitem stays
         "revenue_by_year",  # date-key agg family: revenue_by_nation + q1 stay
+        "events_sliding_window",  # windows family: hourly_window + sessionize stay
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -171,6 +172,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = textstats.lang_id
     q["minhash_dedup"] = functools.partial(dedup.minhash_dedup, threshold=0.8)
     q["simhash_dup_groups"] = dedup.simhash_dup_groups
+
+    def _bloom_incremental(sf_dir: str):
+        # incremental-dedup family: index the even-doc_id half as the
+        # "already ingested corpus", probe the full table against it;
+        # even rows MUST all probe seen (bloom no-false-negative), odd
+        # rows are new (modulo the configured ~0.05% FP rate)
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from docling_jobkit_ray.functions.bloom import (
+            build_bloom_index_from_dataset,
+            mark_seen,
+        )
+        from docling_jobkit_ray.sources.pages import read_table
+
+        existing = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            lambda b: b.filter(
+                _pc.equal(_pc.bit_wise_and(b["doc_id"], _pa.scalar(1, _pa.int64())), 0)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        idx = build_bloom_index_from_dataset(existing, n_shards=16)
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return mark_seen(docs, idx).sort("doc_id")
+
+    q["dedup_bloom_incremental"] = _bloom_incremental
 
     def _near_dup(sf_dir: str):
         # pairs can legitimately be empty on random embeddings; return a
@@ -228,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_counts_bpe"] = textstats.token_counts_bpe
     q["parts_named_bolt"] = RELATIONAL_QUERIES["parts_named_bolt"][0]
     q["revenue_by_year"] = RELATIONAL_QUERIES["revenue_by_year"][0]
+    q["events_sliding_window"] = RELATIONAL_QUERIES["events_sliding_window"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["doc_stats"] = _doc_stats_query
     q["frame_samples"] = _frame_samples_query

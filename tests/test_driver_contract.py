@@ -163,6 +163,7 @@ def test_query_matches_duckdb(entrymod, name):
 
 
 ROWS_ONLY = [
+    "dedup_bloom_incremental",
     "quality_scores",
     "lang_id",
     "fingerprints_rolling",
