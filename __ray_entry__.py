@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_named_bolt",  # string-filter family: filter_project_lineitem stays
         "revenue_by_year",  # date-key agg family: revenue_by_nation + q1 stay
         "events_sliding_window",  # windows family: hourly_window + sessionize stay
+        "sample_orders",  # sampling family: stratified_sample is the head row
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["decontaminate"] = webtext.decontaminate
     q["duplicated_passages"] = webtext.duplicated_passages
     q["top_bigram_stats"] = webtext.top_bigram_stats
+    q["stratified_sample"] = webtext.stratified_sample
     # --- one rows-only entry per remaining family ---
     q["quality_scores"] = textstats.quality_scores
     q["lang_id"] = textstats.lang_id
@@ -257,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parts_named_bolt"] = RELATIONAL_QUERIES["parts_named_bolt"][0]
     q["revenue_by_year"] = RELATIONAL_QUERIES["revenue_by_year"][0]
     q["events_sliding_window"] = RELATIONAL_QUERIES["events_sliding_window"][0]
+    q["sample_orders"] = RELATIONAL_QUERIES["sample_orders"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["doc_stats"] = _doc_stats_query
     q["frame_samples"] = _frame_samples_query
@@ -316,6 +319,9 @@ def oracle_sql() -> dict[str, str]:
     sql["decontaminate"] = DECONTAMINATE_SQL
     sql["duplicated_passages"] = DUPLICATED_PASSAGES_SQL
     sql["top_bigram_stats"] = TOP_BIGRAM_STATS_SQL
+    from docling_jobkit_ray.functions.webtext import stratified_sample_sql
+
+    sql["stratified_sample"] = stratified_sample_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

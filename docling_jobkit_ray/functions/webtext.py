@@ -36,6 +36,8 @@ __all__ = [
     "top_bigram_stats",
     "scrub_pii",
     "ScrubPii",
+    "stratified_sample",
+    "stratified_sample_sql",
     "DECONTAMINATE_SQL",
     "DUPLICATED_PASSAGES_SQL",
     "TOP_BIGRAM_STATS_SQL",
@@ -345,3 +347,65 @@ def scrub_pii(ds: ray.data.Dataset, *, text_column: str = "text") -> ray.data.Da
     return ds.map_batches(
         ScrubPii(text_column=text_column), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified corpus-mixing sample
+# ---------------------------------------------------------------------------
+
+# default mixture: upsample-nothing, downsample the head language — the
+# C4/ROOTS-style "rebalance the crawl" recipe
+DEFAULT_MIX_RATES: dict[str, float] = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
+_LEHMER_A = 48271
+_LEHMER_M = 2147483647  # 2^31 - 1
+
+
+def stratified_sample(
+    sf_dir: str,
+    *,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.25,
+) -> ray.data.Dataset:
+    """Deterministic per-language corpus-mixing sample: keep each document
+    with probability rates[lang] via a Lehmer hash of doc_id — the
+    downsample-the-head-language rebalancing step of a web-corpus mix.
+
+    Deterministic and engine-portable BY CONSTRUCTION: the keep decision is
+    ``(doc_id * 48271) % (2^31-1) < rate * (2^31-1)``, exact int64
+    arithmetic both here and in the DuckDB oracle (products stay below
+    2^63 up to ~1.9e14 doc_ids), so resharding/reordering the corpus can
+    never change the sample — the property that makes a 100 TB sampling
+    run resumable and auditable.  One embarrassingly-parallel filter; the
+    tiny rate table rides the UDF closure."""
+    rates = DEFAULT_MIX_RATES if rates is None else rates
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy()
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        h = (doc_ids * _LEHMER_A) % _LEHMER_M
+        thresh = np.fromiter(
+            (int(rates.get(l, default_rate) * _LEHMER_M) for l in langs),
+            dtype=np.int64,
+            count=len(langs),
+        )
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def stratified_sample_sql(
+    rates: dict[str, float] | None = None, default_rate: float = 0.25
+) -> str:
+    rates = DEFAULT_MIX_RATES if rates is None else rates
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * _LEHMER_M)}" for lang, rate in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (doc_id * {_LEHMER_A}) % {_LEHMER_M} <
+      (CASE lang {cases} ELSE {int(default_rate * _LEHMER_M)} END)
+ORDER BY doc_id
+"""

@@ -133,6 +133,7 @@ SQL_BACKED = [
     "decontaminate",
     "duplicated_passages",
     "top_bigram_stats",
+    "stratified_sample",
 ]
 
 
