@@ -145,7 +145,17 @@ def run_bench() -> dict:
     from docling_jobkit_ray.functions.similarity import knn_brute_force
     from docling_jobkit_ray.functions.textstats import quality_scores, token_counts
     from docling_jobkit_ray.functions.similarity import knn_ivf
-    from docling_jobkit_ray.functions.webtext import decontaminate, duplicated_passages
+    from docling_jobkit_ray.functions.similarity import knn_pq
+    from docling_jobkit_ray.functions.webtext import (
+        decontaminate,
+        duplicated_passages,
+        stratified_sample,
+    )
+
+    def _bloom_incremental_bench(sf_dir):
+        import __ray_entry__
+
+        return __ray_entry__.queries()["dedup_bloom_incremental"](sf_dir)
     from docling_jobkit_ray.pipelines.relational import (
         events_hourly_window,
         events_sessionize,
@@ -170,6 +180,9 @@ def run_bench() -> dict:
         ("knn_ivf", knn_ivf),
         ("decontaminate", decontaminate),
         ("duplicated_passages", duplicated_passages),
+        ("stratified_sample", stratified_sample),
+        ("knn_pq", knn_pq),
+        ("dedup_bloom_incremental", _bloom_incremental_bench),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

@@ -356,7 +356,13 @@ def scrub_pii(ds: ray.data.Dataset, *, text_column: str = "text") -> ray.data.Da
 # default mixture: upsample-nothing, downsample the head language — the
 # C4/ROOTS-style "rebalance the crawl" recipe
 DEFAULT_MIX_RATES: dict[str, float] = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
-_LEHMER_A = 48271
+# Large full-period MCG multiplier (Fishman-Moore) so the product wraps the
+# modulus even for doc_id=1: with the small-multiplier 48271 a corpus of
+# small doc_ids never wraps and "hash < threshold" degenerates to keeping a
+# doc_id PREFIX — a maximally biased sample (caught by the per-lang
+# rate-accuracy test).  (x % m) first keeps every product below
+# (m-1)*a < 2^63: exact int64 at any doc_id, both engines.
+_LEHMER_A = 630360016
 _LEHMER_M = 2147483647  # 2^31 - 1
 
 
@@ -371,12 +377,12 @@ def stratified_sample(
     downsample-the-head-language rebalancing step of a web-corpus mix.
 
     Deterministic and engine-portable BY CONSTRUCTION: the keep decision is
-    ``(doc_id * 48271) % (2^31-1) < rate * (2^31-1)``, exact int64
-    arithmetic both here and in the DuckDB oracle (products stay below
-    2^63 up to ~1.9e14 doc_ids), so resharding/reordering the corpus can
-    never change the sample — the property that makes a 100 TB sampling
-    run resumable and auditable.  One embarrassingly-parallel filter; the
-    tiny rate table rides the UDF closure."""
+    ``((doc_id % m) * a) % m < rate * m`` with m = 2^31-1 and a full-period
+    multiplier — exact int64 arithmetic both here and in the DuckDB oracle
+    at ANY doc_id magnitude, so resharding/reordering the corpus can never
+    change the sample — the property that makes a 100 TB sampling run
+    resumable and auditable.  One embarrassingly-parallel filter; the tiny
+    rate table rides the UDF closure."""
     rates = DEFAULT_MIX_RATES if rates is None else rates
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
@@ -384,7 +390,7 @@ def stratified_sample(
     def keep(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
         langs = batch["lang"].to_numpy(zero_copy_only=False)
-        h = (doc_ids * _LEHMER_A) % _LEHMER_M
+        h = ((doc_ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
         thresh = np.fromiter(
             (int(rates.get(l, default_rate) * _LEHMER_M) for l in langs),
             dtype=np.int64,
@@ -405,7 +411,7 @@ def stratified_sample_sql(
     return f"""
 SELECT doc_id, lang
 FROM documents
-WHERE (doc_id * {_LEHMER_A}) % {_LEHMER_M} <
+WHERE ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} <
       (CASE lang {cases} ELSE {int(default_rate * _LEHMER_M)} END)
 ORDER BY doc_id
 """

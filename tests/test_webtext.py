@@ -133,6 +133,30 @@ def test_top_bigram_stats_exact(ray_session, tmp_path):
     assert out.loc[1, "top_bigram_count"] == 1 and out.loc[1, "n_bigrams"] == 2
 
 
+def test_stratified_sample_rates_are_accurate(ray_session):
+    """The keep fraction per language must track the configured rate (the
+    round-3 small-multiplier bug kept a doc_id PREFIX: 100% of everything
+    below the threshold id, 0% above — rate-accuracy catches that class)."""
+    from docling_jobkit_ray.functions.webtext import stratified_sample
+
+    sf = "/root/testdata/sf0.1"
+    out = stratified_sample(sf, rates={"en": 0.5, "zh": 0.2}, default_rate=1.0).to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    for lang, rate in [("en", 0.5), ("zh", 0.2)]:
+        n_all = (docs["lang"] == lang).sum()
+        n_kept = (out["lang"] == lang).sum()
+        frac = n_kept / n_all
+        assert abs(frac - rate) < 0.08, f"{lang}: kept {frac:.3f}, want ~{rate}"
+    # default_rate=1.0 languages all survive
+    for lang in ("es", "de", "fr"):
+        assert (out["lang"] == lang).sum() == (docs["lang"] == lang).sum()
+    # determinism: same call, same sample
+    again = stratified_sample(sf, rates={"en": 0.5, "zh": 0.2}, default_rate=1.0).to_pandas()
+    assert out.equals(again)
+
+
 PII_TEXT = (
     "Contact Jane Doe at jane.doe+spam@example.co.uk or call +1 (555) 123-4567. "
     "Server 192.168.001.1 logged ssn 123-45-6789 at noon. "
