@@ -187,7 +187,7 @@ def run_bench() -> dict:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
         # min of two runs is the least-interference estimate, same policy
-        # as the headline's best-of-3
+        # as the headline's best-of-5
         runs = []
         for _ in range(2):
             t0 = time.monotonic()

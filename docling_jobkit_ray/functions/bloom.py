@@ -82,8 +82,12 @@ def _positions(keys: np.ndarray, k_hashes: int, m_bits: int) -> np.ndarray:
 
 
 def _shard_of(keys: np.ndarray, n_shards: int) -> np.ndarray:
-    # top bits, so shard routing is independent of the in-shard positions
-    return (keys >> np.uint64(64 - int(n_shards).bit_length() + 1)).astype(np.int64) % n_shards
+    # top bits (so routing is independent of the in-shard positions),
+    # keeping AT LEAST n_shards distinct values before the modulo: a
+    # 64-bit_length shift covers [0, 2^ceil(log2 n)) >= n_shards — the
+    # previous +1 halved the range and left the top shards of any
+    # non-power-of-two count permanently empty
+    return (keys >> np.uint64(64 - int(n_shards).bit_length())).astype(np.int64) % n_shards
 
 
 def _index_shards(sf_dir: str, n_shards: int | None, target_keys_per_shard: int = 4_000_000) -> int:
@@ -299,6 +303,11 @@ def filter_unseen(
     ``dedup_exact_docs``)."""
     from ..pipelines.joins import bucketed_join
 
+    # new_ds is consumed twice (verdicts + join left side) and branching a
+    # lazy Dataset re-executes its whole upstream (CLAUDE.md); pin it once
+    new_ds = new_ds.materialize()
+    est_new = new_ds.count()  # metadata count on a materialized dataset
+
     verdicts = mark_seen(
         new_ds, bloom_index, text_column=text_column, id_column=id_column
     )
@@ -318,4 +327,5 @@ def filter_unseen(
         left_schema=schema,
         right_schema=pa.schema([("unseen_id", pa.int64())]),
         join_type="left semi",
+        est_rows=est_new,  # derive bucket count from the new shard's size
     )

@@ -261,6 +261,14 @@ def knn_ivf(
 # Product quantization: the 100 TB memory-compression path
 # ---------------------------------------------------------------------------
 
+def _l2_assign(xs: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - c||^2 per row — the ONE assignment kernel shared by
+    codebook training and encoding (they must agree exactly: PQ's
+    correctness is training/encode assignment consistency)."""
+    d = (xs * xs).sum(1, keepdims=True) - 2.0 * (xs @ cent.T) + (cent * cent).sum(1)
+    return np.argmin(d, axis=1)
+
+
 def _pq_codebooks(
     sf_dir: str,
     *,
@@ -275,10 +283,17 @@ def _pq_codebooks(
     hash-stripe sample.  Returns (m, n_codes, sub_dim) float32.
 
     Deterministic: fixed seed per subspace, fixed iteration count."""
-    x = _sample_matrix(sf_dir, sample_cap)
-    dim = x.shape[1]
+    if not 1 <= n_codes <= 256:
+        # codes are stored as ONE uint8 each; >256 centroids would
+        # silently wrap in the .astype(np.uint8) on the encode side
+        raise ValueError(f"n_codes must be in [1, 256] (uint8 codes), got {n_codes}")
+    # validate pure argument errors BEFORE the distributed sample scan
+    from .dedup import embedding_dim
+
+    dim = embedding_dim(sf_dir)
     if dim % m_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    x = _sample_matrix(sf_dir, sample_cap)
     sub = dim // m_subspaces
     books = np.empty((m_subspaces, min(n_codes, len(x)), sub), dtype=np.float32)
     for mi in range(m_subspaces):
@@ -286,13 +301,7 @@ def _pq_codebooks(
         rng = np.random.RandomState(seed + mi)
         cent = xs[rng.choice(len(xs), min(n_codes, len(xs)), replace=False)].copy()
         for _ in range(iters):
-            # L2 assignment: ||a-c||^2 = ||a||^2 - 2 a.c + ||c||^2
-            d = (
-                (xs * xs).sum(1, keepdims=True)
-                - 2.0 * (xs @ cent.T)
-                + (cent * cent).sum(1)
-            )
-            assign = np.argmin(d, axis=1)
+            assign = _l2_assign(xs, cent)
             for c in range(len(cent)):
                 members = xs[assign == c]
                 if len(members):
@@ -314,18 +323,21 @@ class PqEncode:
         self.sub = codebooks.shape[2]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(list_column_to_matrix(batch.column("embedding")))
         m = self.books.shape[0]
+        if batch.num_rows == 0:
+            # empty Arrow blocks are routine (upstream filters, block
+            # over-splitting); (0, d) @ (d, c) matmul would raise
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "codes": pa.array([], pa.binary(m)),
+                }
+            )
+        vecs = _normalize(list_column_to_matrix(batch.column("embedding")))
         codes = np.empty((len(vecs), m), dtype=np.uint8)
         for mi in range(m):
             xs = vecs[:, mi * self.sub : (mi + 1) * self.sub]
-            cent = self.books[mi]
-            d = (
-                (xs * xs).sum(1, keepdims=True)
-                - 2.0 * (xs @ cent.T)
-                + (cent * cent).sum(1)
-            )
-            codes[:, mi] = np.argmin(d, axis=1).astype(np.uint8)
+            codes[:, mi] = _l2_assign(xs, self.books[mi]).astype(np.uint8)
         # fixed-size binary from the contiguous code matrix: zero per-row
         # Python objects on the write side
         codes_arr = pa.FixedSizeBinaryArray.from_buffers(

@@ -60,8 +60,9 @@ def test_false_positive_rate_within_theory(ray_session, small_corpus):
     v = mark_seen(new, idx).to_pandas()
     assert len(v) == n
     fp = int(v["probably_seen"].sum())
-    # theory at 16 bits/key, k=11: ~0.046%; allow 4x for small-sample noise
-    assert fp <= n * 0.0046 * 4 + 5
+    # theory at 16 bits/key, k=11: ~0.046% (0.00046); allow 4x + slack for
+    # small-sample noise — at n=20000 expectation is ~9 FPs
+    assert fp <= n * 0.00046 * 4 + 5
 
 
 def test_filter_unseen_keeps_only_new(ray_session, small_corpus):

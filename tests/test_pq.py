@@ -76,8 +76,43 @@ def test_adc_codes_matrix_fixed_and_plain_binary():
     np.testing.assert_array_equal(adc._codes_matrix(fixed.slice(2, 3)), mat[2:5])
 
 
-def test_pq_codebook_validation():
+def test_pq_codebook_validation(ray_session):
     from docling_jobkit_ray.functions.similarity import _pq_codebooks
 
+    # argument errors raise BEFORE the distributed sample scan
     with pytest.raises(ValueError, match="not divisible"):
         _pq_codebooks(SF, m_subspaces=7, n_codes=8)
+    with pytest.raises(ValueError, match="uint8"):
+        _pq_codebooks(SF, m_subspaces=8, n_codes=512)
+
+
+def test_pq_encode_empty_batch():
+    import numpy as np
+
+    from docling_jobkit_ray.functions.similarity import PqEncode
+
+    books = np.zeros((8, 16, 8), dtype=np.float32)
+    out = PqEncode(books)(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    assert out.num_rows == 0 and out.column_names == ["vec_id", "codes"]
+
+
+def test_bloom_shard_routing_uses_all_shards():
+    """Non-power-of-two shard counts must still reach every shard (the
+    round-3 off-by-one shift left the top shards permanently empty)."""
+    import numpy as np
+
+    from docling_jobkit_ray.functions.bloom import _shard_of
+
+    # full-range 64-bit keys (np.randint caps at 2^63 and would leave the
+    # top bit always 0, itself masking routing bugs)
+    keys = np.frombuffer(np.random.RandomState(7).bytes(50_000 * 8), dtype=np.uint64)
+    for n in (10, 16, 100):
+        shards = _shard_of(keys, n)
+        assert set(np.unique(shards)) == set(range(n)), f"n_shards={n}"
