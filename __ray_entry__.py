@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # family keeps its driver row via knn_brute_force)
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
     q["knn_pq"] = functools.partial(similarity.knn_pq, k=5, n_queries=4)
+
+    from docling_jobkit_ray.functions.packing import pack_sequences
+
+    q["pack_sequences"] = pack_sequences
     q["join_orders_customer_shuffle"] = RELATIONAL_QUERIES["join_orders_customer_shuffle"][0]
     q["token_counts_bpe"] = textstats.token_counts_bpe
     q["parts_named_bolt"] = RELATIONAL_QUERIES["parts_named_bolt"][0]

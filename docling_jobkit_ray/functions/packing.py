@@ -1,0 +1,97 @@
+"""Sequence packing: assemble documents into fixed-token-budget training
+sequences — the last stage of a pretraining data pipeline (after cleaning
+/ dedup / mixing, before the trainer reads fixed-length batches).
+
+Ray-Data-first shape: packing is PARTITION-LOCAL (each block packs its own
+documents, bins never span blocks).  That is the correct distributed
+design, not a shortcut — a global optimal packing would serialize the
+corpus through one node for ~1% fewer bins, while partition-local
+first-fit-decreasing keeps the stage embarrassingly parallel and its
+waste bounded (FFD <= 11/9 OPT + 1 per partition).  Token counts use the
+same whitespace-token kernel as ``textstats.token_counts`` so budgets mean
+the same thing across the engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+__all__ = ["pack_sequences", "pack_batch"]
+
+_TOKEN_RE = r"[^\s]+"
+
+
+def pack_batch(
+    doc_ids: np.ndarray, tokens: np.ndarray, budget: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """First-fit-decreasing bin packing of one batch.
+
+    Returns (bin_index per doc, bin_total per doc's bin).  Documents longer
+    than the budget get a dedicated overflow bin each (the trainer's
+    truncation decision, not ours).  The placement loop is O(n * open_bins)
+    Python — packing is inherently sequential per partition; n is one
+    block's rows and the loop body is a handful of int ops."""
+    order = np.argsort(-tokens, kind="stable")  # decreasing, ties by position
+    bin_of = np.empty(len(doc_ids), dtype=np.int64)
+    bin_totals: list[int] = []
+    for i in order:
+        t = int(tokens[i])
+        placed = False
+        if t <= budget:
+            for b, tot in enumerate(bin_totals):
+                if tot + t <= budget:
+                    bin_totals[b] = tot + t
+                    bin_of[i] = b
+                    placed = True
+                    break
+        if not placed:
+            bin_of[i] = len(bin_totals)
+            bin_totals.append(t)
+    totals = np.asarray(bin_totals, dtype=np.int64)
+    return bin_of, totals[bin_of]
+
+
+def pack_sequences(
+    sf_dir: str, *, budget_tokens: int = 512
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens, pack_id, pack_tokens) — each document assigned to
+    a training sequence whose total stays within ``budget_tokens``.
+
+    ``pack_id`` is globally unique and deterministic for a fixed block
+    layout: the minimum doc_id in the bin (bins never span blocks, so the
+    minimum identifies the bin corpus-wide)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                    "pack_tokens": pa.array([], pa.int64()),
+                }
+            )
+        doc_ids = batch["doc_id"].to_numpy()
+        tokens = pc.count_substring_regex(batch["text"], pattern=_TOKEN_RE).to_numpy().astype(np.int64)
+        bin_of, bin_tot = pack_batch(doc_ids, tokens, budget_tokens)
+        # pack_id = min doc_id in the bin (vectorized per-bin min)
+        n_bins = int(bin_of.max()) + 1 if len(bin_of) else 0
+        bin_min = np.full(n_bins, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(bin_min, bin_of, doc_ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "n_tokens": pa.array(tokens),
+                "pack_id": pa.array(bin_min[bin_of]),
+                "pack_tokens": pa.array(bin_tot),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")

@@ -175,6 +175,7 @@ ROWS_ONLY = [
     "knn_brute_force",
     "knn_ivf",
     "knn_pq",
+    "pack_sequences",
     "extract_inline",
     "extract_sliced",
     "extract_size_bucketed",
