@@ -258,6 +258,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_jobkit_ray.functions.packing import pack_sequences
 
     q["pack_sequences"] = pack_sequences
+
+    def _domain_stats(sf_dir: str):
+        from docling_jobkit_ray.pipelines.extract import extract_pipeline
+        from docling_jobkit_ray.pipelines.metrics import domain_stats
+
+        return domain_stats(extract_pipeline(_corpus_for(sf_dir), mode="fused"))
+
+    q["domain_stats"] = _domain_stats
     q["join_orders_customer_shuffle"] = RELATIONAL_QUERIES["join_orders_customer_shuffle"][0]
     q["token_counts_bpe"] = textstats.token_counts_bpe
     q["parts_named_bolt"] = RELATIONAL_QUERIES["parts_named_bolt"][0]

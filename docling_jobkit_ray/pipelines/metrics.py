@@ -17,6 +17,8 @@ import json
 import os
 import zipfile
 
+import numpy as np
+
 import pyarrow.compute as pc
 import ray.data
 
@@ -108,3 +110,48 @@ def run_summary(extracted: ray.data.Dataset) -> dict:
 
 def summary_json(extracted: ray.data.Dataset) -> str:
     return json.dumps(run_summary(extracted), sort_keys=True)
+
+
+def domain_stats(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-domain extraction outcomes: (domain, n_docs, n_success,
+    total_text_chars) — the crawl-monitoring aggregate a web pipeline
+    watches (per-host failure spikes, boilerplate-heavy hosts).
+
+    Domains are high-cardinality at crawl scale, so each batch pre-folds
+    to per-domain partials with an in-memory arrow group_by and the
+    shuffle carries (domain, counts) — never document rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # url -> host: strip scheme, cut at the first slash
+        host = pc.extract_regex(batch["url"], pattern=r"^[a-z]+://(?P<host>[^/]+)")
+        domain = pc.struct_field(host, "host")
+        ok = pc.cast(pc.not_equal(batch["status"], "FAILURE"), pa.int64())
+        text_len = pc.cast(pc.utf8_length(pc.fill_null(batch["text"], "")), pa.int64())
+        t = pa.table(
+            {
+                "domain": domain,
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_success": ok,
+                "total_text_chars": text_len,
+            }
+        )
+        return (
+            t.group_by("domain")
+            .aggregate([("n_docs", "sum"), ("n_success", "sum"), ("total_text_chars", "sum")])
+            .rename_columns(["domain", "n_docs", "n_success", "total_text_chars"])
+        )
+
+    return (
+        extracted.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("domain")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_success", alias_name="n_success"),
+            Sum("total_text_chars", alias_name="total_text_chars"),
+        )
+        .sort("domain")
+    )

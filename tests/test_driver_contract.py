@@ -176,6 +176,7 @@ ROWS_ONLY = [
     "knn_ivf",
     "knn_pq",
     "pack_sequences",
+    "domain_stats",
     "extract_inline",
     "extract_sliced",
     "extract_size_bucketed",

@@ -108,3 +108,17 @@ def test_extract_options_validation():
         ExtractOptions(max_link_density=1.5)
     with pytest.raises(ValueError):
         ExtractOptions(slice_pages=-1)
+
+
+def test_domain_stats(ray_session, corpus_dir):
+    """Per-domain partial-agg aggregate: totals reconcile with the corpus
+    row count and success never exceeds docs."""
+    from docling_jobkit_ray.pipelines.extract import extract_pipeline
+    from docling_jobkit_ray.pipelines.metrics import domain_stats
+
+    out = domain_stats(extract_pipeline(corpus_dir, mode="fused")).to_pandas()
+    assert out["n_docs"].sum() == 600
+    assert (out["n_success"] <= out["n_docs"]).all()
+    assert (out["total_text_chars"] >= 0).all()
+    assert out["domain"].is_unique
+    assert list(out["domain"]) == sorted(out["domain"])
