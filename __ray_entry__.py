@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sliding_window"] = RELATIONAL_QUERIES["events_sliding_window"][0]
     q["sample_orders"] = RELATIONAL_QUERIES["sample_orders"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
+    q["decontaminate_docs"] = webtext.decontaminate_docs
     q["doc_stats"] = _doc_stats_query
     q["frame_samples"] = _frame_samples_query
     q["fingerprints_rolling"] = lambda sf: textstats.fingerprints(sf).select_columns(
@@ -331,9 +332,13 @@ def oracle_sql() -> dict[str, str]:
     sql["decontaminate"] = DECONTAMINATE_SQL
     sql["duplicated_passages"] = DUPLICATED_PASSAGES_SQL
     sql["top_bigram_stats"] = TOP_BIGRAM_STATS_SQL
-    from docling_jobkit_ray.functions.webtext import stratified_sample_sql
+    from docling_jobkit_ray.functions.webtext import (
+        DECONTAMINATE_DOCS_SQL,
+        stratified_sample_sql,
+    )
 
     sql["stratified_sample"] = stratified_sample_sql()
+    sql["decontaminate_docs"] = DECONTAMINATE_DOCS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

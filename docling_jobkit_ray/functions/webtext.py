@@ -32,6 +32,7 @@ from ..sources.pages import read_table
 
 __all__ = [
     "decontaminate",
+    "decontaminate_docs",
     "duplicated_passages",
     "top_bigram_stats",
     "scrub_pii",
@@ -413,5 +414,48 @@ SELECT doc_id, lang
 FROM documents
 WHERE ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} <
       (CASE lang {cases} ELSE {int(default_rate * _LEHMER_M)} END)
+ORDER BY doc_id
+"""
+
+
+def decontaminate_docs(
+    sf_dir: str, *, n: int = 4, benchmark_mod: int = 97
+) -> ray.data.Dataset:
+    """The MATERIALIZED decontaminated corpus: non-benchmark documents with
+    ZERO benchmark n-gram overlap (what the training run actually reads).
+
+    Unlike dedup materialization this needs NO join: the contamination
+    verdict is batch-local against the broadcast gram set, so the clean
+    corpus is a single filtered map over the training scan — texts never
+    cross an exchange at all."""
+    bench_set = _benchmark_gram_set(sf_dir, n=n, benchmark_mod=benchmark_mod)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(_mod(batch["doc_id"], benchmark_mod), 0)
+        batch = batch.filter(keep)
+        doc_idx, grams = _gram_frame(batch["text"], n)
+        clean = np.ones(batch.num_rows, dtype=bool)  # gram-less docs are clean
+        if len(doc_idx):
+            df = pd.DataFrame({"d": doc_idx, "g": grams})
+            hit = df.loc[df["g"].isin(bench_set), "d"].unique()
+            clean[hit] = False
+        return batch.filter(pa.array(clean))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+DECONTAMINATE_DOCS_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM words, unnest(range(1, len(w) - 2)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+dirty AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
+SELECT doc_id, text
+FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
 ORDER BY doc_id
 """

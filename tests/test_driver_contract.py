@@ -134,6 +134,7 @@ SQL_BACKED = [
     "duplicated_passages",
     "top_bigram_stats",
     "stratified_sample",
+    "decontaminate_docs",
 ]
 
 
