@@ -42,6 +42,7 @@ __all__ = [
     "build_bloom_index_from_dataset",
     "mark_seen",
     "filter_unseen",
+    "update_bloom_index",
 ]
 
 # double-hashing mix constants (splitmix64 finalizer multipliers)
@@ -329,3 +330,122 @@ def filter_unseen(
         join_type="left semi",
         est_rows=est_new,  # derive bucket count from the new shard's size
     )
+
+
+def update_bloom_index(
+    bloom_index: ray.data.Dataset,
+    new_ds: ray.data.Dataset,
+    *,
+    text_column: str = "text",
+    bits_per_key: int = 16,
+) -> ray.data.Dataset:
+    """Merge a newly-ingested shard's content keys into the index — the
+    post-commit step of the ingest loop (probe with :func:`mark_seen`,
+    extract+write the survivors, THEN fold their keys in).
+
+    Same tagged-union shuffle as the probe: each shard group ORs its new
+    keys' bits into the existing bloom in one vectorized pass.  Blooms are
+    fixed-size, so folding in more keys RAISES the false-positive rate
+    (never creates false negatives); each output row carries ``saturated``
+    = the effective bits/key fell below half the design point — rebuild
+    that shard from the corpus at the next convenient scan.  A shard that
+    receives keys but had no bloom row (the original build saw none of its
+    range) gets a fresh bloom sized at ``bits_per_key``."""
+    bloom_index = bloom_index.materialize()
+    head = bloom_index.take(1)
+    if not head:
+        raise ValueError("empty bloom index")
+    n_shards = int(head[0]["n_shards"])
+    k_default = max(1, round(0.693 * bits_per_key))
+
+    superset = pa.schema(
+        [
+            ("shard", pa.int64()),
+            ("kind", pa.int8()),
+            ("n_shards", pa.int64()),
+            ("m_bits", pa.int64()),
+            ("k_hashes", pa.int64()),
+            ("n_keys", pa.int64()),
+            ("bloom", pa.binary()),
+            ("key", pa.int64()),
+        ]
+    )
+
+    def widen_bloom(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "shard": batch["shard"].cast(pa.int64()),
+                "kind": pa.array([0] * n, pa.int8()),
+                "n_shards": batch["n_shards"].cast(pa.int64()),
+                "m_bits": batch["m_bits"].cast(pa.int64()),
+                "k_hashes": batch["k_hashes"].cast(pa.int64()),
+                "n_keys": batch["n_keys"].cast(pa.int64()),
+                "bloom": batch["bloom"].cast(pa.binary()),
+                "key": pa.nulls(n, pa.int64()),
+            },
+            schema=superset,
+        )
+
+    def widen_new(batch: pa.Table) -> pa.Table:
+        keys = content_keys(batch[text_column].to_pylist())
+        n = batch.num_rows
+        return pa.table(
+            {
+                "shard": pa.array(_shard_of(keys, n_shards)),
+                "kind": pa.array([1] * n, pa.int8()),
+                "n_shards": pa.nulls(n, pa.int64()),
+                "m_bits": pa.nulls(n, pa.int64()),
+                "k_hashes": pa.nulls(n, pa.int64()),
+                "n_keys": pa.nulls(n, pa.int64()),
+                "bloom": pa.nulls(n, pa.binary()),
+                "key": pa.array(keys.view(np.int64)),
+            },
+            schema=superset,
+        )
+
+    tagged = bloom_index.map_batches(
+        widen_bloom, batch_format="pyarrow", zero_copy_batch=True
+    ).union(new_ds.map_batches(widen_new, batch_format="pyarrow", zero_copy_batch=True))
+
+    def fold(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        group = group.cast(superset)
+        shard = int(group["shard"][0].as_py())
+        blooms = group.filter(pc.equal(group["kind"], pa.scalar(0, pa.int8())))
+        rows = group.filter(pc.equal(group["kind"], pa.scalar(1, pa.int8())))
+        new_keys = (
+            np.unique(rows["key"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+            if rows.num_rows
+            else np.empty(0, np.uint64)
+        )
+        if blooms.num_rows:
+            bloom = np.frombuffer(blooms["bloom"][0].as_py(), dtype=np.uint8).copy()
+            m_bits = int(blooms["m_bits"][0].as_py())
+            k_hashes = int(blooms["k_hashes"][0].as_py())
+            n_keys = int(blooms["n_keys"][0].as_py()) + len(new_keys)
+        else:
+            m_bits = max(64, int(len(new_keys) * bits_per_key))
+            k_hashes = k_default
+            bloom = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+            n_keys = len(new_keys)
+        if len(new_keys):
+            pos = _positions(new_keys, k_hashes, m_bits)
+            np.bitwise_or.at(bloom, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        # design point is m_bits/n_keys_at_build bits per key; flag when the
+        # EFFECTIVE rate fell below half of bits_per_key
+        saturated = n_keys > 0 and (m_bits / n_keys) < (bits_per_key / 2)
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "n_shards": pa.array([n_shards], pa.int64()),
+                "m_bits": pa.array([m_bits], pa.int64()),
+                "k_hashes": pa.array([k_hashes], pa.int64()),
+                "n_keys": pa.array([n_keys], pa.int64()),
+                "bloom": pa.array([bloom.tobytes()], pa.binary()),
+                "saturated": pa.array([saturated], pa.bool_()),
+            }
+        )
+
+    return tagged.groupby("shard").map_groups(fold, batch_format="pyarrow")

@@ -125,6 +125,76 @@ def test_probe_uses_builder_shard_count(ray_session, tmp_path):
     assert v["probably_seen"].all()
 
 
+def test_update_bloom_index_ingest_loop(ray_session):
+    """The ingest loop: build on corpus A, fold in corpus B, then both
+    probe fully seen (no false negatives survive an update), unseen corpus
+    C stays mostly unseen, and overfilling flips the saturation flag."""
+    import ray.data
+
+    from docling_jobkit_ray.functions.bloom import (
+        build_bloom_index_from_dataset,
+        mark_seen,
+        update_bloom_index,
+    )
+
+    def mk(lo, hi, tag):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(lo, hi), pa.int64()),
+                    "text": pa.array([f"{tag} doc {i} words" for i in range(lo, hi)]),
+                }
+            )
+        )
+
+    A, B, C = mk(0, 400, "corpusA"), mk(1000, 1400, "corpusB"), mk(5000, 8000, "corpusC")
+    idx = build_bloom_index_from_dataset(A, n_shards=8)
+    idx2 = update_bloom_index(idx, B)
+    assert mark_seen(A, idx2).to_pandas()["probably_seen"].all()
+    assert mark_seen(B, idx2).to_pandas()["probably_seen"].all()
+    vc = mark_seen(C, idx2).to_pandas()
+    # blooms doubled their load (saturated) so FP degrades, but stays far
+    # from "everything seen"
+    assert vc["probably_seen"].mean() < 0.25
+    sat = idx2.to_pandas()
+    assert sat["saturated"].any()
+    # a right-sized update does NOT saturate: tiny B into a large-enough A
+    big = mk(0, 4000, "corpusA")
+    idx_big = build_bloom_index_from_dataset(big, n_shards=8)
+    small_b = mk(9000, 9050, "corpusB")
+    idx_big2 = update_bloom_index(idx_big, small_b)
+    assert not idx_big2.to_pandas()["saturated"].any()
+    assert mark_seen(small_b, idx_big2).to_pandas()["probably_seen"].all()
+
+
+def test_update_bloom_index_fresh_shard(ray_session):
+    """Keys routed to a shard the original index had no row for get a
+    fresh right-sized bloom (not dropped)."""
+    import ray.data
+
+    from docling_jobkit_ray.functions.bloom import (
+        build_bloom_index_from_dataset,
+        mark_seen,
+        update_bloom_index,
+    )
+
+    one = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["lone doc"])})
+    )
+    idx = build_bloom_index_from_dataset(one, n_shards=64)  # most shards empty
+    many = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100, 400), pa.int64()),
+                "text": pa.array([f"new doc {i}" for i in range(300)]),
+            }
+        )
+    )
+    idx2 = update_bloom_index(idx, many)
+    assert mark_seen(many, idx2).to_pandas()["probably_seen"].all()
+    assert mark_seen(one, idx2).to_pandas()["probably_seen"].all()
+
+
 def test_content_keys_match_dedup_exact_identity():
     from docling_jobkit_ray.functions.bloom import content_keys
 

@@ -50,6 +50,23 @@ out = {
     "anti_rows": len(anti),
     "anti_key_sum": int(anti["c_custkey"].sum()),
 }
+# round-3 shuffle-heavy webtext + bloom ops across node boundaries
+from docling_jobkit_ray.functions.webtext import duplicated_passages, decontaminate
+from docling_jobkit_ray.functions.bloom import build_bloom_index, mark_seen
+from docling_jobkit_ray.sources.pages import read_table
+dp = duplicated_passages("/root/testdata/sf0.001").to_pandas()
+dc = decontaminate("/root/testdata/sf0.001").to_pandas()
+idx = build_bloom_index("/root/testdata/sf0.001", n_shards=8)
+docs = read_table("/root/testdata/sf0.001", "documents", columns=["doc_id", "text"])
+bl = mark_seen(docs, idx).to_pandas()
+out.update({
+    "dp_rows": len(dp),
+    "dp_ndocs_sum": int(dp["n_docs"].sum()),
+    "dc_rows": len(dc),
+    "dc_cont_sum": int(dc["n_contaminated"].sum()),
+    "bloom_seen": int(bl["probably_seen"].sum()),
+    "bloom_rows": len(bl),
+})
 ray.shutdown(); cluster.shutdown()
 print("RESULT " + json.dumps(out))
 """
@@ -86,3 +103,15 @@ def test_pipelines_on_simulated_4_node_cluster(ray_session, corpus_dir, corpus_o
     assert out["sess_sum_value_sum"] == round(float(sess["sum_value"].sum()), 2)
     assert out["anti_rows"] == len(anti)
     assert out["anti_key_sum"] == int(anti["c_custkey"].sum())
+    # round-3 ops: hash-bucketed passage fold, broadcast decontamination,
+    # tagged-union bloom probe — all byte-identical across topologies
+    from docling_jobkit_ray.functions.webtext import decontaminate, duplicated_passages
+
+    dp = duplicated_passages("/root/testdata/sf0.001").to_pandas()
+    dc = decontaminate("/root/testdata/sf0.001").to_pandas()
+    assert out["dp_rows"] == len(dp)
+    assert out["dp_ndocs_sum"] == int(dp["n_docs"].sum())
+    assert out["dc_rows"] == len(dc)
+    assert out["dc_cont_sum"] == int(dc["n_contaminated"].sum())
+    # bloom on the same corpus: every doc probes seen on the cluster too
+    assert out["bloom_seen"] == out["bloom_rows"] > 0
