@@ -266,6 +266,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return domain_stats(extract_pipeline(_corpus_for(sf_dir), mode="fused"))
 
     q["domain_stats"] = _domain_stats
+
+    def _doc_length_quantiles_approx(sf_dir: str):
+        from docling_jobkit_ray.functions.sketches import doc_length_quantiles_approx
+
+        return doc_length_quantiles_approx(sf_dir)
+
+    q["doc_length_quantiles_approx"] = _doc_length_quantiles_approx
     q["join_orders_customer_shuffle"] = RELATIONAL_QUERIES["join_orders_customer_shuffle"][0]
     q["token_counts_bpe"] = textstats.token_counts_bpe
     q["parts_named_bolt"] = RELATIONAL_QUERIES["parts_named_bolt"][0]

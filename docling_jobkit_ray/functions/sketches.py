@@ -112,3 +112,114 @@ def approx_distinct(
 def approx_distinct_users(sf_dir: str, *, p: int = 12) -> float:
     ds = read_table(sf_dir, "events", columns=["user_id"])
     return approx_distinct(ds, "user_id", p=p)
+
+
+# ---------------------------------------------------------------------------
+# t-digest: mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+
+class TDigest:
+    """Mergeable quantile sketch (Dunning & Ertl, "Computing extremely
+    accurate quantiles using t-digests", 2019) with the k1 arcsine scale
+    function — centroid capacity shrinks toward the tails, so tail
+    quantiles (p99 doc length, the one that sizes batch budgets) stay
+    sharp while the sketch holds ~delta centroids regardless of input
+    size.
+
+    Construction is VECTORIZED: sort values, map cumulative ranks through
+    the scale function, cluster by integer k-cell, fold with
+    np.add.reduceat — no Python loop over values.  Exchange cost is
+    O(batches x delta x 16 bytes), independent of row count — the same
+    mergeable-sketch shape as HLL above."""
+
+    def __init__(self, delta: int = 200, means: np.ndarray | None = None, weights: np.ndarray | None = None):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0, np.float64)
+        self.weights = weights if weights is not None else np.empty(0, np.float64)
+
+    @staticmethod
+    def _cluster(values: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray]:
+        """values ASSUMED sorted; fold into <= ~delta k1-scale clusters."""
+        total = weights.sum()
+        if total == 0:
+            return np.empty(0, np.float64), np.empty(0, np.float64)
+        # midpoint cumulative rank of each (value, weight)
+        cum = np.cumsum(weights) - weights / 2.0
+        q = cum / total
+        k = delta * (np.arcsin(2.0 * q - 1.0) / np.pi + 0.5)  # k1 scale
+        cell = np.floor(k).astype(np.int64)
+        # boundaries where the cell id changes
+        starts = np.flatnonzero(np.concatenate(([True], cell[1:] != cell[:-1])))
+        w = np.add.reduceat(weights, starts)
+        m = np.add.reduceat(values * weights, starts) / w
+        return m, w
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, *, delta: int = 200) -> "TDigest":
+        v = np.sort(np.asarray(values, np.float64))
+        m, w = cls._cluster(v, np.ones(len(v), np.float64), delta)
+        return cls(delta, m, w)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        means = np.concatenate([self.means, other.means])
+        weights = np.concatenate([self.weights, other.weights])
+        if len(means) == 0:
+            return TDigest(self.delta)
+        order = np.argsort(means, kind="stable")
+        m, w = self._cluster(means[order], weights[order], self.delta)
+        return TDigest(self.delta, m, w)
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        return float(np.interp(q * total, cum, self.means))
+
+    def serialize(self) -> bytes:
+        return (
+            np.int64(self.delta).tobytes()
+            + np.int64(len(self.means)).tobytes()
+            + self.means.tobytes()
+            + self.weights.tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "TDigest":
+        delta = int(np.frombuffer(data[:8], np.int64)[0])
+        n = int(np.frombuffer(data[8:16], np.int64)[0])
+        means = np.frombuffer(data[16 : 16 + 8 * n], np.float64).copy()
+        weights = np.frombuffer(data[16 + 8 * n : 16 + 16 * n], np.float64).copy()
+        return cls(delta, means, weights)
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset, column: str, qs: tuple[float, ...], *, delta: int = 200
+) -> dict[float, float]:
+    """Approximate quantiles of a numeric column: one t-digest per batch
+    (vectorized build), merged associatively on the driver — the scale
+    path when the exact value-counts histogram (doc_length_percentiles)
+    is too wide (continuous values, 10^12 rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        td = TDigest.from_values(vals, delta=delta)
+        return pa.table({"sketch": pa.array([td.serialize()], pa.binary())})
+
+    merged = TDigest(delta)
+    for row in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        merged = merged.merge(TDigest.deserialize(row["sketch"]))
+    return {q: merged.quantile(q) for q in qs}
+
+
+def doc_length_quantiles_approx(
+    sf_dir: str, *, qs: tuple[float, ...] = (0.5, 0.9, 0.99), delta: int = 200
+):
+    """Approximate doc-length quantiles via t-digest, as a one-row table
+    (columns q50/q90/q99...) — compare with the exact
+    ``textstats.doc_length_percentiles``."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+    est = approx_quantiles(ds, "n_chars", qs, delta=delta)
+    return pa.table({f"q{int(q*100)}": pa.array([est[q]], pa.float64()) for q in qs})

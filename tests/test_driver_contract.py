@@ -178,6 +178,7 @@ ROWS_ONLY = [
     "knn_pq",
     "pack_sequences",
     "domain_stats",
+    "doc_length_quantiles_approx",
     "extract_inline",
     "extract_sliced",
     "extract_size_bucketed",

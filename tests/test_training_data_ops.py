@@ -413,3 +413,52 @@ def test_string_shingle_jaccard_kernel():
     assert string_shingle_jaccard("a b c d", "a b c d") == 1.0
     assert string_shingle_jaccard("a b c", "x y z") == 0.0
     assert string_shingle_jaccard("tiny", "tiny") == 0.0  # both empty sets
+
+
+# ---------------------------------------------------------------------------
+# t-digest approximate quantiles
+# ---------------------------------------------------------------------------
+
+def test_tdigest_accuracy_and_merge():
+    import numpy as np
+
+    from docling_jobkit_ray.functions.sketches import TDigest
+
+    rng = np.random.RandomState(0)
+    x = rng.lognormal(5, 1.2, size=100_000)
+    td = TDigest.from_values(x)
+    assert len(td.means) <= 2 * td.delta  # bounded sketch size
+    # rank error at the quantiles that matter
+    for q in (0.5, 0.9, 0.99):
+        est = td.quantile(q)
+        assert abs((x <= est).mean() - q) < 0.005
+    # merge associativity: many-way merged sketch matches the one-shot one
+    merged = TDigest(200)
+    for part in np.array_split(x, 23):
+        merged = merged.merge(TDigest.from_values(part))
+    for q in (0.5, 0.99):
+        assert abs((x <= merged.quantile(q)).mean() - q) < 0.005
+    # serialization round trip
+    back = TDigest.deserialize(merged.serialize())
+    assert back.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_doc_length_quantiles_approx_vs_exact(ray_session):
+    """The t-digest path must land within a small rank band of the exact
+    distributed histogram percentiles."""
+    import duckdb
+
+    from docling_jobkit_ray.functions.sketches import doc_length_quantiles_approx
+
+    out = doc_length_quantiles_approx("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM parquet_scan('/root/testdata/sf0.001/documents.parquet')"
+    )
+    for q, col in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
+        exact = con.execute(
+            f"SELECT quantile_cont(n_chars, {q}) FROM documents"
+        ).fetchone()[0]
+        est = float(out[col].iloc[0])
+        # 500 docs: the digest is near-exact at this size
+        assert abs(est - exact) / exact < 0.05, (col, est, exact)
