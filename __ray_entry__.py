@@ -273,6 +273,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return doc_length_quantiles_approx(sf_dir)
 
     q["doc_length_quantiles_approx"] = _doc_length_quantiles_approx
+
+    def _approx_top_terms(sf_dir: str):
+        from docling_jobkit_ray.functions.sketches import approx_top_terms
+
+        return approx_top_terms(sf_dir)
+
+    q["approx_top_terms"] = _approx_top_terms
     q["join_orders_customer_shuffle"] = RELATIONAL_QUERIES["join_orders_customer_shuffle"][0]
     q["token_counts_bpe"] = textstats.token_counts_bpe
     q["parts_named_bolt"] = RELATIONAL_QUERIES["parts_named_bolt"][0]

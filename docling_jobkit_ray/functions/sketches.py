@@ -223,3 +223,87 @@ def doc_length_quantiles_approx(
     ds = read_table(sf_dir, "documents", columns=["n_chars"])
     est = approx_quantiles(ds, "n_chars", qs, delta=delta)
     return pa.table({f"q{int(q*100)}": pa.array([est[q]], pa.float64()) for q in qs})
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries: mergeable heavy hitters (approximate top-k)
+# ---------------------------------------------------------------------------
+
+class MisraGries:
+    """Mergeable heavy-hitters summary with a fixed counter budget
+    (Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable
+    Summaries", PODS 2012): every reported count undercounts the true
+    count by at most N/k (N = total items seen, k = counter budget), and
+    any item with true frequency > N/k is guaranteed present.
+
+    The scale path for "top terms over 10^12 documents" when the exact
+    (term, count) groupby's vocabulary is itself too wide to shuffle: one
+    summary per batch (vectorized value_counts), k-sized summaries merge
+    associatively on the driver — exchange is O(batches x k), independent
+    of both row count and vocabulary size."""
+
+    def __init__(self, k: int = 1024, counters: "pd.Series | None" = None):
+        import pandas as pd  # local: sketches module avoids a hard pandas import
+
+        self.k = k
+        self.counters = (
+            counters if counters is not None else pd.Series(dtype="int64")
+        )
+
+    def _shrink(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        # subtract the (k+1)-th largest count from everyone, drop <= 0:
+        # the standard MG reduction, applied vectorized
+        kth = self.counters.nlargest(self.k + 1).iloc[-1]
+        shrunk = self.counters - kth
+        self.counters = shrunk[shrunk > 0]
+
+    def add_counts(self, counts: "pd.Series") -> None:
+        self.counters = self.counters.add(counts, fill_value=0).astype("int64")
+        self._shrink()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        merged = MisraGries(self.k, self.counters.copy())
+        merged.add_counts(other.counters)
+        return merged
+
+    def top(self, n: int) -> "pd.Series":
+        return self.counters.sort_values(ascending=False).head(n)
+
+
+def approx_top_terms(
+    sf_dir: str, *, k_counters: int = 1024, n: int = 20
+):
+    """Approximate top-n terms over the documents corpus via per-batch
+    Misra-Gries summaries merged on the driver.  Compare with the exact
+    ``textstats.top_terms`` (same tokenization: split on whitespace)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(batch["text"], pattern=r"\s+"))
+        counts = pd.Series(words.to_pandas()).value_counts()
+        mg = MisraGries(k_counters)
+        mg.add_counts(counts)
+        return pa.table(
+            {
+                "term": pa.array(mg.counters.index.astype(str), pa.string()),
+                "count": pa.array(mg.counters.to_numpy(np.int64)),
+            }
+        )
+
+    # each batch emitted its own k-bounded summary; summing per term and
+    # re-shrinking IS the associative MG merge (Agarwal'12), done once
+    merged = MisraGries(k_counters)
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    merged.add_counts(parts.groupby("term")["count"].sum())
+    top = merged.top(n)
+    return pa.table(
+        {
+            "term": pa.array(top.index.astype(str), pa.string()),
+            "approx_count": pa.array(top.to_numpy(np.int64)),
+        }
+    )

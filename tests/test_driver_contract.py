@@ -179,6 +179,7 @@ ROWS_ONLY = [
     "pack_sequences",
     "domain_stats",
     "doc_length_quantiles_approx",
+    "approx_top_terms",
     "extract_inline",
     "extract_sliced",
     "extract_size_bucketed",

@@ -462,3 +462,39 @@ def test_doc_length_quantiles_approx_vs_exact(ray_session):
         est = float(out[col].iloc[0])
         # 500 docs: the digest is near-exact at this size
         assert abs(est - exact) / exact < 0.05, (col, est, exact)
+
+
+def test_misra_gries_guarantees():
+    """MG contract: estimated count within N/k below true count, and any
+    item with frequency > N/k is present after a many-way merged stream."""
+    import numpy as np
+    import pandas as pd
+
+    from docling_jobkit_ray.functions.sketches import MisraGries
+
+    rng = np.random.RandomState(1)
+    vals = rng.zipf(1.5, 200_000) % 5000
+    true = pd.Series(vals).value_counts()
+    mg = MisraGries(256)
+    for chunk in np.array_split(vals, 40):
+        mg.add_counts(pd.Series(chunk).value_counts())
+    assert len(mg.counters) <= 256
+    n_total = len(vals)
+    bound = n_total / 256
+    for item, c in true.head(10).items():
+        est = mg.counters.get(item, 0)
+        assert c - bound <= est <= c, (item, c, est)
+    for item, c in true.items():
+        if c > bound:
+            assert item in mg.counters.index
+
+
+def test_approx_top_terms_vs_exact(ray_session):
+    """MG top terms must recover the exact head of the distribution (the
+    31-word driver vocabulary fits the budget, so heads must agree)."""
+    from docling_jobkit_ray.functions.sketches import approx_top_terms
+    from docling_jobkit_ray.functions.textstats import top_terms
+
+    approx = approx_top_terms("/root/testdata/sf0.001", n=10).to_pandas()
+    exact = top_terms("/root/testdata/sf0.001", k=10).to_pandas()
+    assert list(approx["term"].head(5)) == list(exact["word"].head(5))
