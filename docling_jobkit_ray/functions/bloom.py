@@ -300,24 +300,23 @@ def filter_unseen(
 
     The verdict shuffle carries ids+keys only; the kept documents are
     materialized by a bucketed semi join of the new shard against the
-    unseen-id set (texts cross the exchange once, same cost model as
-    ``dedup_exact_docs``)."""
+    unseen-id set (ALL of ``new_ds``'s columns survive — texts cross the
+    exchange once, same cost model as ``dedup_exact_docs``)."""
     from ..pipelines.joins import bucketed_join
 
     # new_ds is consumed twice (verdicts + join left side) and branching a
     # lazy Dataset re-executes its whole upstream (CLAUDE.md); pin it once
     new_ds = new_ds.materialize()
     est_new = new_ds.count()  # metadata count on a materialized dataset
+    # full row schema of the materialized input (free — no execution)
+    schema = new_ds.schema().base_schema
 
     verdicts = mark_seen(
         new_ds, bloom_index, text_column=text_column, id_column=id_column
     )
     unseen = verdicts.filter(expr="probably_seen == False").select_columns(["doc_id"])
-    schema = pa.schema(
-        [(id_column, pa.int64()), (text_column, pa.string())]
-    )
     return bucketed_join(
-        new_ds.select_columns([id_column, text_column]),
+        new_ds,
         unseen.map_batches(
             lambda b: b.rename_columns(["unseen_id"]),
             batch_format="pyarrow",
