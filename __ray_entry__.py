@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_year",  # date-key agg family: revenue_by_nation + q1 stay
         "events_sliding_window",  # windows family: hourly_window + sessionize stay
         "sample_orders",  # sampling family: stratified_sample is the head row
+        "count_distinct_users",  # distinct family: distinct_event_types (SQL) + approx_distinct_users stay
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -286,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["revenue_by_year"] = RELATIONAL_QUERIES["revenue_by_year"][0]
     q["events_sliding_window"] = RELATIONAL_QUERIES["events_sliding_window"][0]
     q["sample_orders"] = RELATIONAL_QUERIES["sample_orders"][0]
+    q["count_distinct_users"] = RELATIONAL_QUERIES["count_distinct_users"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["decontaminate_docs"] = webtext.decontaminate_docs
     q["doc_stats"] = _doc_stats_query

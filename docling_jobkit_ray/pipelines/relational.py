@@ -1780,3 +1780,122 @@ RELATIONAL_QUERIES.update(
         "parts_named_bolt": (parts_named_bolt, PARTS_NAMED_BOLT_SQL),
     }
 )
+
+
+def q13_customer_distribution(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    INCLUDING zero-order customers — the canonical left-outer-join +
+    two-level aggregation.
+
+    Plan: orders pre-fold to (custkey, partial count) per batch; customer
+    keys and order partials meet in ONE bucket shuffle (tagged union);
+    each bucket does the outer accounting (absent custkey -> 0) and folds
+    straight to its local (c_count, custdist) histogram — so the second
+    groupby exchanges only distinct count values (tiny), and customer
+    rows never leave their bucket.  Bucket count derives from the
+    customer table's footer row count (scale.bucket_count)."""
+    from ..scale import bucket_count, estimate_rows
+
+    if n_buckets is None:
+        n_buckets = bucket_count(estimate_rows(sf_dir, "customer"), min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    superset = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("side", pa.int8()),  # 0 = order partial, 1 = customer key
+            ("key", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        part = (
+            batch.select(["o_custkey"])
+            .group_by("o_custkey")
+            .aggregate([("o_custkey", "count")])
+            .rename_columns(["key", "cnt"])
+        )
+        n = part.num_rows
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(part["key"], mask),
+                "side": pa.array([0] * n, pa.int8()),
+                "key": part["key"],
+                "cnt": pc.cast(part["cnt"], pa.int64()),
+            },
+            schema=superset,
+        )
+
+    def customer_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(batch["c_custkey"], mask),
+                "side": pa.array([1] * n, pa.int8()),
+                "key": batch["c_custkey"].combine_chunks().cast(pa.int64()) if isinstance(batch["c_custkey"], pa.ChunkedArray) else batch["c_custkey"].cast(pa.int64()),
+                "cnt": pa.nulls(n, pa.int64()),
+            },
+            schema=superset,
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        orders_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        customer_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def outer_hist_bucket(group: pa.Table) -> pa.Table:
+        group = group.select(superset.names).cast(superset)
+        parts = (
+            group.filter(pc.equal(group["side"], 0))
+            .select(["key", "cnt"])
+            .group_by("key")
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["key", "cnt"])
+        )
+        cust_keys = group.filter(pc.equal(group["side"], 1))["key"].combine_chunks()
+        # outer accounting: count per customer, 0 where no order partial
+        idx = pc.index_in(cust_keys, value_set=parts["key"].combine_chunks())
+        counts = pc.fill_null(pc.take(parts["cnt"].combine_chunks(), idx), 0)
+        hist = (
+            pa.table({"c_count": counts})
+            .group_by("c_count")
+            .aggregate([("c_count", "count")])
+            .rename_columns(["c_count", "custdist"])
+        )
+        return pa.table(
+            {
+                "c_count": hist["c_count"],
+                "custdist": pc.cast(hist["custdist"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        orders.union(cust)
+        .groupby("bucket")
+        .map_groups(outer_hist_bucket, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+RELATIONAL_QUERIES["q13_customer_distribution"] = (
+    q13_customer_distribution,
+    Q13_SQL,
+)

@@ -135,6 +135,7 @@ SQL_BACKED = [
     "top_bigram_stats",
     "stratified_sample",
     "decontaminate_docs",
+    "q13_customer_distribution",
 ]
 
 
