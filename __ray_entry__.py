@@ -150,7 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_year",  # date-key agg family: revenue_by_nation + q1 stay
         "events_sliding_window",  # windows family: hourly_window + sessionize stay
         "sample_orders",  # sampling family: stratified_sample is the head row
-        "count_distinct_users",  # distinct family: distinct_event_types (SQL) + approx_distinct_users stay
+        "count_distinct_users",  # distinct family: approx_distinct_users stays
+        "distinct_event_types",  # unique-listing: suppliers_per_part carries the distinct-family SQL row
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -288,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sliding_window"] = RELATIONAL_QUERIES["events_sliding_window"][0]
     q["sample_orders"] = RELATIONAL_QUERIES["sample_orders"][0]
     q["count_distinct_users"] = RELATIONAL_QUERIES["count_distinct_users"][0]
+    q["distinct_event_types"] = RELATIONAL_QUERIES["distinct_event_types"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["decontaminate_docs"] = webtext.decontaminate_docs
     q["doc_stats"] = _doc_stats_query

@@ -1899,3 +1899,75 @@ RELATIONAL_QUERIES["q13_customer_distribution"] = (
     q13_customer_distribution,
     Q13_SQL,
 )
+
+
+def suppliers_per_part(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """COUNT(DISTINCT ...) GROUP BY — distinct suppliers per part over
+    lineitem (TPC-H Q16's count-distinct core).
+
+    The naive plan shuffles every lineitem row; this one dedupes
+    (partkey, suppkey) pairs per batch FIRST (arrow group_by — pairs
+    repeat heavily within a batch), buckets by partkey so a pair lands in
+    exactly one group, finishes the global dedup + per-part count inside
+    the bucket, and exchanges only distinct pairs.  Unlike per-doc
+    distinct (doc_frequency), a pair CAN recur across batches — the
+    in-bucket pass is what makes the count exact."""
+    from ..scale import bucket_count, estimate_rows
+
+    if n_buckets is None:
+        n_buckets = bucket_count(estimate_rows(sf_dir, "lineitem") // 4, min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = (
+            batch.select(["l_partkey", "l_suppkey"])
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(pairs["l_partkey"], mask),
+                "l_partkey": pairs["l_partkey"],
+                "l_suppkey": pairs["l_suppkey"],
+            }
+        )
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        group = group.select(["l_partkey", "l_suppkey"]).cast(
+            pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())])
+        )
+        distinct = group.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        counts = (
+            distinct.group_by("l_partkey")
+            .aggregate([("l_suppkey", "count")])
+            .rename_columns(["l_partkey", "n_suppliers"])
+        )
+        return pa.table(
+            {
+                "l_partkey": counts["l_partkey"],
+                "n_suppliers": pc.cast(counts["n_suppliers"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("bucket")
+        .map_groups(count_bucket, batch_format="pyarrow")
+        .sort("l_partkey")
+    )
+
+
+SUPPLIERS_PER_PART_SQL = """
+SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY l_partkey
+"""
+
+RELATIONAL_QUERIES["suppliers_per_part"] = (
+    suppliers_per_part,
+    SUPPLIERS_PER_PART_SQL,
+)

@@ -136,6 +136,7 @@ SQL_BACKED = [
     "stratified_sample",
     "decontaminate_docs",
     "q13_customer_distribution",
+    "suppliers_per_part",
 ]
 
 
