@@ -164,7 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["normalize_documents"] = textstats.normalize_documents
     q["top_terms"] = textstats.top_terms
     q["doc_frequency"] = textstats.doc_frequency
-    q["doc_length_percentiles"] = textstats.doc_length_percentiles
+    # grouped percentiles subsume the ungrouped variant for the driver cap
+    # (the ungrouped one moves to the tail, still locally SQL-checked)
+    q["doc_length_percentiles_by_lang"] = textstats.doc_length_percentiles_by_lang
     q["dedup_exact"] = dedup.dedup_exact
     q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
     q["decontaminate"] = webtext.decontaminate
@@ -290,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_orders"] = RELATIONAL_QUERIES["sample_orders"][0]
     q["count_distinct_users"] = RELATIONAL_QUERIES["count_distinct_users"][0]
     q["distinct_event_types"] = RELATIONAL_QUERIES["distinct_event_types"][0]
+    q["doc_length_percentiles"] = textstats.doc_length_percentiles
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["decontaminate_docs"] = webtext.decontaminate_docs
     q["doc_stats"] = _doc_stats_query
@@ -357,6 +360,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["stratified_sample"] = stratified_sample_sql()
     sql["decontaminate_docs"] = DECONTAMINATE_DOCS_SQL
+    from docling_jobkit_ray.functions.textstats import (
+        DOC_LENGTH_PERCENTILES_BY_LANG_SQL,
+    )
+
+    sql["doc_length_percentiles_by_lang"] = DOC_LENGTH_PERCENTILES_BY_LANG_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -419,3 +419,62 @@ SELECT CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
        CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
 FROM documents
 """
+
+
+def doc_length_percentiles_by_lang(sf_dir: str) -> pa.Table:
+    """EXACT grouped percentiles: p50/p90/p99 of document length PER
+    LANGUAGE — the grouped variant of :func:`doc_length_percentiles`.
+
+    Same histogram design, one more key: the shuffle carries one row per
+    distinct (lang, n_chars) per batch, the driver walks each language's
+    tiny cumulative histogram.  Languages are low-cardinality by nature;
+    the histogram width is bounded by the value domain, not the corpus."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["lang", "n_chars"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n_chars", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["lang", "n_chars"])
+        .to_pandas()  # tiny: one row per distinct (lang, length)
+    )
+    import math
+
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        total = int(g["n"].sum())
+        cum = g["n"].cumsum()
+        row = {"lang": lang}
+        for q in (0.5, 0.9, 0.99):
+            rank = math.ceil(q * total)
+            row[f"p{int(q*100)}"] = int(g["n_chars"][(cum >= rank).idxmax()])
+        rows.append(row)
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            **{
+                k: pa.array([r[k] for r in rows], pa.int64())
+                for k in ("p50", "p90", "p99")
+            },
+        }
+    )
+
+
+DOC_LENGTH_PERCENTILES_BY_LANG_SQL = """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
