@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_orders",  # sampling family: stratified_sample is the head row
         "count_distinct_users",  # distinct family: approx_distinct_users stays
         "distinct_event_types",  # unique-listing: suppliers_per_part carries the distinct-family SQL row
+        "order_priority_semi_bloom",  # plan variant of order_priority_semi (same oracle)
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -293,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["count_distinct_users"] = RELATIONAL_QUERIES["count_distinct_users"][0]
     q["distinct_event_types"] = RELATIONAL_QUERIES["distinct_event_types"][0]
     q["doc_length_percentiles"] = textstats.doc_length_percentiles
+    q["order_priority_semi_bloom"] = RELATIONAL_QUERIES["order_priority_semi_bloom"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["decontaminate_docs"] = webtext.decontaminate_docs
     q["doc_stats"] = _doc_stats_query

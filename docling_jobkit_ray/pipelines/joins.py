@@ -118,3 +118,100 @@ def bucketed_join(
         .groupby(_BUCKET)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def key_bloom(
+    ds: ray.data.Dataset, column: str, *, bits_per_key: int = 16
+) -> tuple[bytes, int, int]:
+    """Build a single Bloom filter over an integer key column, merged on
+    the driver as a byte OR — sized from the per-batch distinct-key counts.
+
+    Intended for the SMALL/selective side of a join (a filtered dimension):
+    the filter is the side's distinct-key count x 2 bytes, broadcast once.
+    Returns (filter bytes, m_bits, k_hashes)."""
+    import numpy as np
+
+    from ..functions.bloom import _positions
+
+    k_hashes = max(1, round(0.693 * bits_per_key))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.unique(
+            batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "keys": pa.array([keys.tobytes()], pa.binary()),
+                "n": pa.array([len(keys)], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    all_keys = np.unique(
+        np.concatenate(
+            [np.frombuffer(r["keys"], np.int64) for r in parts]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    m_bits = max(64, int(len(all_keys) * bits_per_key))
+    bloom = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    if len(all_keys):
+        # spread integer keys through the same mixed double-hashing the
+        # bloom module uses (raw small ints would stripe the table)
+        pos = _positions(all_keys.view(np.uint64), k_hashes, m_bits)
+        np.bitwise_or.at(bloom, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bloom.tobytes(), m_bits, k_hashes
+
+
+def bloom_prefiltered_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    join_type: str = "inner",
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+    bits_per_key: int = 16,
+) -> ray.data.Dataset:
+    """``bucketed_join`` with a Bloom prefilter on the LEFT (fact) side:
+    a filter over the right side's keys is built once and broadcast via
+    closure, and fact rows whose key is definitely absent never enter the
+    all-to-all exchange.
+
+    Results are EXACTLY those of the plain join for inner/semi types —
+    the bloom only prunes definite non-matches; false positives ride
+    through to the exact in-bucket join.  The win is shuffle bytes: with
+    a selective right side (e.g. a filtered dimension keeping 1% of
+    keys), ~99% of the fact table drops before the exchange.  Do NOT use
+    for join types that must keep unmatched left rows (left outer/anti)."""
+    if join_type in ("left outer", "full outer", "left anti"):
+        raise ValueError(f"bloom prefilter would drop unmatched left rows under {join_type!r}")
+    import numpy as np
+
+    from ..functions.bloom import _positions
+
+    right = right.materialize()  # consumed twice: bloom build + join side
+    bloom_bytes, m_bits, k_hashes = key_bloom(right, right_on, bits_per_key=bits_per_key)
+    bloom = np.frombuffer(bloom_bytes, np.uint8)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keys = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _positions(keys.view(np.uint64), k_hashes, m_bits)
+        hit = ((bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        return batch.filter(pa.array(hit))
+
+    pruned = left.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_join(
+        pruned,
+        right,
+        on=on,
+        right_on=right_on,
+        left_schema=left_schema,
+        right_schema=right_schema,
+        join_type=join_type,
+        num_buckets=num_buckets,
+        est_rows=est_rows,
+    )

@@ -1971,3 +1971,59 @@ RELATIONAL_QUERIES["suppliers_per_part"] = (
     suppliers_per_part,
     SUPPLIERS_PER_PART_SQL,
 )
+
+
+def order_priority_semi_bloom(sf_dir: str) -> ray.data.Dataset:
+    """``order_priority_semi`` through the BLOOM-PREFILTERED join
+    (``joins.bloom_prefiltered_join``): the high-quantity orderkey set is
+    selective (~2% of orders at the driver's data), so a broadcast Bloom
+    over its keys drops ~98% of the orders scan BEFORE the all-to-all;
+    false positives ride through to the exact in-bucket semi join, so the
+    result is identical to the plain plan (same oracle SQL)."""
+    from ..scale import estimate_rows
+    from .joins import bloom_prefiltered_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    big_items = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], pa.scalar(49.0)))
+        .select(["l_orderkey"])
+        .group_by("l_orderkey")
+        .aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    matched = bloom_prefiltered_join(
+        orders,
+        big_items,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64())]),
+        join_type="left semi",
+        est_rows=estimate_rows(sf_dir, "orders"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["o_orderpriority"])
+            .group_by("o_orderpriority")
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_orderpriority", "n_orders"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        matched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .sort("o_orderpriority")
+    )
+
+
+RELATIONAL_QUERIES["order_priority_semi_bloom"] = (
+    order_priority_semi_bloom,
+    ORDER_PRIORITY_SEMI_SQL,
+)

@@ -138,6 +138,7 @@ SQL_BACKED = [
     "q13_customer_distribution",
     "suppliers_per_part",
     "doc_length_percentiles_by_lang",
+    "order_priority_semi_bloom",
 ]
 
 

@@ -152,3 +152,50 @@ def test_property_matches_pandas_merge(ray_session):
         ).to_pandas()
         want_semi = ldf[ldf["k"].isin(rdf["rk"])]
         assert sorted(semi["lv"]) == sorted(want_semi["lv"])
+
+
+def test_bloom_prefilter_prunes_before_shuffle(ray_session):
+    """The bloom prefilter must actually drop non-matching fact rows before
+    the exchange, and refuse join types that keep unmatched left rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pytest
+
+    from docling_jobkit_ray.pipelines.joins import bloom_prefiltered_join, key_bloom
+    from docling_jobkit_ray.sources.pages import read_table
+
+    sf = "/root/testdata/sf0.001"
+    big_items = read_table(sf, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], pa.scalar(49.0)))
+        .select(["l_orderkey"])
+        .group_by("l_orderkey")
+        .aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_selective = big_items.count()
+    n_orders = read_table(sf, "orders", columns=["o_orderkey"]).count()
+    assert n_selective < n_orders * 0.2  # genuinely selective right side
+
+    # the filter itself: every right key hits, pruned size is near the
+    # selective-set size (bloom FPs allow a small overshoot)
+    import numpy as np
+
+    bloom_bytes, m_bits, k_hashes = key_bloom(big_items, "l_orderkey")
+    from docling_jobkit_ray.functions.bloom import _positions
+
+    bloom = np.frombuffer(bloom_bytes, np.uint8)
+    right_keys = np.array([r["l_orderkey"] for r in big_items.take_all()], np.int64)
+    pos = _positions(right_keys.view(np.uint64), k_hashes, m_bits)
+    assert (((bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)).all()
+
+    with pytest.raises(ValueError, match="left outer"):
+        bloom_prefiltered_join(
+            read_table(sf, "orders", columns=["o_orderkey"]),
+            big_items,
+            on="o_orderkey",
+            right_on="l_orderkey",
+            left_schema=pa.schema([("o_orderkey", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64())]),
+            join_type="left outer",
+        )
