@@ -423,7 +423,19 @@ def update_bloom_index(
             bloom = np.frombuffer(blooms["bloom"][0].as_py(), dtype=np.uint8).copy()
             m_bits = int(blooms["m_bits"][0].as_py())
             k_hashes = int(blooms["k_hashes"][0].as_py())
-            n_keys = int(blooms["n_keys"][0].as_py()) + len(new_keys)
+            # count only keys NOT already probing present, so replayed /
+            # overlapping updates don't inflate n_keys and falsely trip
+            # the saturation flag (FPs undercount slightly — acceptable,
+            # the flag is advisory)
+            if len(new_keys):
+                pos0 = _positions(new_keys, k_hashes, m_bits)
+                present = (
+                    (bloom[pos0 >> 3] >> (pos0 & 7).astype(np.uint8)) & 1
+                ).all(axis=1)
+                n_genuinely_new = int((~present).sum())
+            else:
+                n_genuinely_new = 0
+            n_keys = int(blooms["n_keys"][0].as_py()) + n_genuinely_new
         else:
             m_bits = max(64, int(len(new_keys) * bits_per_key))
             k_hashes = k_default

@@ -218,8 +218,6 @@ def doc_length_quantiles_approx(
     """Approximate doc-length quantiles via t-digest, as a one-row table
     (columns q50/q90/q99...) — compare with the exact
     ``textstats.doc_length_percentiles``."""
-    import pyarrow.compute as pc
-
     ds = read_table(sf_dir, "documents", columns=["n_chars"])
     est = approx_quantiles(ds, "n_chars", qs, delta=delta)
     return pa.table({f"q{int(q*100)}": pa.array([est[q]], pa.float64()) for q in qs})
@@ -276,15 +274,21 @@ def approx_top_terms(
     sf_dir: str, *, k_counters: int = 1024, n: int = 20
 ):
     """Approximate top-n terms over the documents corpus via per-batch
-    Misra-Gries summaries merged on the driver.  Compare with the exact
-    ``textstats.top_terms`` (same tokenization: split on whitespace)."""
+    Misra-Gries summaries merged on the driver.  Tokenization matches the
+    exact ``textstats.top_terms`` EXACTLY (lowercase + ``[a-z]+`` runs) so
+    the two operators count the same term universe and the MG N/k bound
+    relates their outputs."""
     import pandas as pd
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        words = pc.list_flatten(pc.split_pattern_regex(batch["text"], pattern=r"\s+"))
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.list_flatten(
+            pc.split_pattern_regex(lower, pattern=r"[^a-z]+")
+        )
+        words = pc.drop_null(words.filter(pc.not_equal(words, "")))
         counts = pd.Series(words.to_pandas()).value_counts()
         mg = MisraGries(k_counters)
         mg.add_counts(counts)

@@ -1,26 +1,39 @@
 """Continuous-ingest loop: the composite pipeline a standing 100 TB corpus
 runs on every new crawl drop.
 
-    new docs ──filter_unseen(bloom index)──► survivors ──write_parquet──► corpus/
+    new docs ──filter_unseen(bloom index)──► survivors ──staged write──► corpus/increment=<id>/
                                                  │
                                                  └──update_bloom_index──► index/v{N+1}
 
 Each increment (a) drops documents already in the corpus via the sharded
 Bloom index (``functions/bloom.py``), (b) appends the survivors to the
-corpus as hive-partitioned parquet (Ray's native ``partition_cols`` —
-one directory per partition value, so a failed run resumes by partition
-and readers prune at the directory level), and (c) folds the survivors'
-keys into a NEW index version, committed with the same atomic
-pointer-file pattern as the checkpoint manifest
-(``state/checkpoint.py``): versions are immutable directories, ``CURRENT``
-flips via write-tmp + ``os.replace``, and a crash mid-increment leaves
-the previous version live (the worst case is re-offering the increment's
-docs next run — the bloom probe drops them again).
+corpus as an immutable per-increment directory (hive-partitionable inside
+it), and (c) folds the survivors' keys into a NEW index version committed
+with the same atomic pointer-file pattern as the checkpoint manifest
+(``state/checkpoint.py``).
+
+Crash-replay safety holds for EVERY window when the caller names the
+increment (``increment_id`` = the crawl-drop name) — the commit protocol
+is staging-write -> index-commit -> rename:
+
+* already-committed increment (final dir exists): return immediately,
+  write nothing, index untouched;
+* crash before the index commit: the staging dir may exist with partial
+  files — replay recomputes the survivors (the old index still calls
+  them unseen), REWRITES staging from scratch, and proceeds;
+* crash between index commit and rename: replay finds every document
+  seen (the new index is live) AND a staging dir — it finishes the
+  interrupted rename, completing the increment without rewriting bytes.
+
+Without an ``increment_id`` a random one is used and the written files
+are safe, but a crashed run's replay appends duplicates (documented
+trade; pass the id for exactly-once).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 import ray.data
@@ -60,23 +73,42 @@ def ingest_increment(
     *,
     corpus_dir: str,
     index_dir: str,
+    increment_id: str | None = None,
     partition_cols: list[str] | None = None,
     n_shards: int = 16,
     bits_per_key: int = 16,
 ) -> dict:
     """Run one ingest increment; returns counters for the run report.
 
-    Idempotent under replay: re-offering an already-committed increment
-    finds every document seen in the index and writes nothing."""
+    Exactly-once under crash-replay when ``increment_id`` names the drop
+    (see module docstring for the window-by-window argument)."""
     from ..functions.bloom import (
         build_bloom_index_from_dataset,
         filter_unseen,
         update_bloom_index,
     )
 
+    inc = increment_id or f"inc-{uuid.uuid4().hex[:12]}"
+    final_dir = os.path.join(corpus_dir, f"increment={inc}")
+    staging_dir = os.path.join(corpus_dir, f".staging-{inc}")
+    if os.path.exists(final_dir):
+        # increment fully committed in a prior run
+        return {
+            "n_offered": None,
+            "n_written": 0,
+            "n_dropped_as_seen": None,
+            "index_version": None,
+            "already_committed": True,
+        }
+
+    # one materialization of the input: counted, filtered and indexed from
+    # the pinned copy (a lazy Dataset would re-execute per consumer)
+    new_ds = new_ds.materialize()
+    n_in = new_ds.count()
+
     idx = current_index(index_dir)
     if idx is None:
-        survivors = new_ds.materialize()
+        survivors = new_ds
         next_idx = build_bloom_index_from_dataset(
             survivors, n_shards=n_shards, bits_per_key=bits_per_key
         )
@@ -84,16 +116,26 @@ def ingest_increment(
         survivors = filter_unseen(new_ds, idx).materialize()
         next_idx = update_bloom_index(idx, survivors, bits_per_key=bits_per_key)
 
-    n_in = new_ds.count()
     n_kept = survivors.count()
     if n_kept:
-        survivors.write_parquet(corpus_dir, partition_cols=partition_cols)
+        # staging rewrite is idempotent: a partial dir from a crashed
+        # attempt is discarded wholesale
+        if os.path.exists(staging_dir):
+            shutil.rmtree(staging_dir)
+        survivors.write_parquet(staging_dir, partition_cols=partition_cols)
         version = commit_index(next_idx, index_dir)
+        os.replace(staging_dir, final_dir)
+    elif os.path.exists(staging_dir):
+        # crash happened AFTER the index commit (everything now probes
+        # seen) but BEFORE the rename: finish the interrupted commit
+        os.replace(staging_dir, final_dir)
+        version = None
     else:
-        version = None  # nothing new: keep the live index, no empty version
+        version = None  # genuinely nothing new
     return {
         "n_offered": n_in,
         "n_written": n_kept,
         "n_dropped_as_seen": n_in - n_kept,
         "index_version": version,
+        "already_committed": False,
     }

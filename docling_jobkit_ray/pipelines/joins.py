@@ -123,8 +123,9 @@ def bucketed_join(
 def key_bloom(
     ds: ray.data.Dataset, column: str, *, bits_per_key: int = 16
 ) -> tuple[bytes, int, int]:
-    """Build a single Bloom filter over an integer key column, merged on
-    the driver as a byte OR — sized from the per-batch distinct-key counts.
+    """Build a single Bloom filter over an integer key column: each batch
+    emits its distinct keys, the driver unions them and sizes the filter
+    from the GLOBAL distinct count.
 
     Intended for the SMALL/selective side of a join (a filtered dimension):
     the filter is the side's distinct-key count x 2 bytes, broadcast once.
@@ -139,12 +140,7 @@ def key_bloom(
         keys = np.unique(
             batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        return pa.table(
-            {
-                "keys": pa.array([keys.tobytes()], pa.binary()),
-                "n": pa.array([len(keys)], pa.int64()),
-            }
-        )
+        return pa.table({"keys": pa.array([keys.tobytes()], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
     all_keys = np.unique(

@@ -1018,13 +1018,13 @@ ORDER BY c_custkey
 """
 
 
-def order_priority_semi(sf_dir: str) -> ray.data.Dataset:
-    """Semi join + grouped count (TPC-H Q4 shape): priorities of orders that
-    have at least one high-quantity lineitem.  The right side shrinks to
-    per-batch-distinct orderkeys BEFORE the shuffle (semi joins never need
-    duplicates), then arrow's "left semi" verb runs per bucket; the count is
-    a partial-per-batch + tiny final groupby."""
-    from .joins import bucketed_join
+def _order_priority_plan(sf_dir: str, join_fn) -> ray.data.Dataset:
+    """The ONE Q4-shape plan, parameterized by the semi-join strategy so
+    the plain and bloom-prefiltered variants can never diverge: the right
+    side shrinks to per-batch-distinct orderkeys BEFORE the shuffle (semi
+    joins never need duplicates); the count is a partial-per-batch + tiny
+    final groupby."""
+    from ..scale import estimate_rows
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     big_items = read_table(
@@ -1037,9 +1037,7 @@ def order_priority_semi(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    from ..scale import estimate_rows
-
-    matched = bucketed_join(
+    matched = join_fn(
         orders,
         big_items,
         on="o_orderkey",
@@ -1066,6 +1064,15 @@ def order_priority_semi(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_orders", alias_name="n_orders"))
         .sort("o_orderpriority")
     )
+
+
+def order_priority_semi(sf_dir: str) -> ray.data.Dataset:
+    """Semi join + grouped count (TPC-H Q4 shape): priorities of orders
+    that have at least one high-quantity lineitem (see
+    :func:`_order_priority_plan`)."""
+    from .joins import bucketed_join
+
+    return _order_priority_plan(sf_dir, bucketed_join)
 
 
 ORDER_PRIORITY_SEMI_SQL = """
@@ -1979,48 +1986,11 @@ def order_priority_semi_bloom(sf_dir: str) -> ray.data.Dataset:
     selective (~2% of orders at the driver's data), so a broadcast Bloom
     over its keys drops ~98% of the orders scan BEFORE the all-to-all;
     false positives ride through to the exact in-bucket semi join, so the
-    result is identical to the plain plan (same oracle SQL)."""
-    from ..scale import estimate_rows
+    result is identical to the plain plan (same oracle SQL, same shared
+    plan builder — only the join strategy differs)."""
     from .joins import bloom_prefiltered_join
 
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    big_items = read_table(
-        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
-    ).map_batches(
-        lambda t: t.filter(pc.greater(t["l_quantity"], pa.scalar(49.0)))
-        .select(["l_orderkey"])
-        .group_by("l_orderkey")
-        .aggregate([]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    matched = bloom_prefiltered_join(
-        orders,
-        big_items,
-        on="o_orderkey",
-        right_on="l_orderkey",
-        left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
-        right_schema=pa.schema([("l_orderkey", pa.int64())]),
-        join_type="left semi",
-        est_rows=estimate_rows(sf_dir, "orders"),
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        return (
-            batch.select(["o_orderpriority"])
-            .group_by("o_orderpriority")
-            .aggregate([([], "count_all")])
-            .rename_columns(["o_orderpriority", "n_orders"])
-        )
-
-    from ray.data.aggregate import Sum
-
-    return (
-        matched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
-        .sort("o_orderpriority")
-    )
+    return _order_priority_plan(sf_dir, bloom_prefiltered_join)
 
 
 RELATIONAL_QUERIES["order_priority_semi_bloom"] = (

@@ -165,6 +165,12 @@ def test_update_bloom_index_ingest_loop(ray_session):
     idx_big2 = update_bloom_index(idx_big, small_b)
     assert not idx_big2.to_pandas()["saturated"].any()
     assert mark_seen(small_b, idx_big2).to_pandas()["probably_seen"].all()
+    # REPLAYED update: already-present keys must not inflate n_keys (a
+    # replay would otherwise falsely trip the saturation flag)
+    n_before = idx_big2.to_pandas()["n_keys"].sum()
+    idx_big3 = update_bloom_index(idx_big2, small_b)
+    assert idx_big3.to_pandas()["n_keys"].sum() == n_before
+    assert not idx_big3.to_pandas()["saturated"].any()
 
 
 def test_update_bloom_index_fresh_shard(ray_session):

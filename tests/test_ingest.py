@@ -1,11 +1,12 @@
 """Continuous-ingest loop (pipelines/ingest.py): bloom-filtered dedup
-against the standing corpus, hive-partitioned append, versioned index
-commit, idempotent replay.
+against the standing corpus, staged per-increment append, versioned index
+commit, and exactly-once crash-replay across every commit window.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyarrow as pa
 import pytest
@@ -35,40 +36,110 @@ def test_ingest_two_increments_and_replay(ray_session, tmp_path):
 
     # increment 1: empty index -> everything written, index v1 committed
     r1 = ingest_increment(
-        _docs(0, 300, "dropA"), corpus_dir=corpus, index_dir=index, partition_cols=["lang"]
+        _docs(0, 300, "dropA"),
+        corpus_dir=corpus,
+        index_dir=index,
+        increment_id="dropA",
+        partition_cols=["lang"],
     )
     assert r1["n_offered"] == 300 and r1["n_written"] == 300
     assert r1["index_version"] is not None
     assert current_index(index) is not None
-    # hive layout: one directory per lang value
-    assert sorted(d for d in os.listdir(corpus) if d.startswith("lang=")) == [
+    # immutable per-increment dir, hive layout inside it
+    inc1 = os.path.join(corpus, "increment=dropA")
+    assert sorted(d for d in os.listdir(inc1) if d.startswith("lang=")) == [
         "lang=en",
         "lang=fr",
     ]
 
     # increment 2: half overlap with increment 1
-    half_old = _docs(150, 450, "dropA")  # ids 150-299 repeat dropA texts
     r2 = ingest_increment(
-        half_old, corpus_dir=corpus, index_dir=index, partition_cols=["lang"]
+        _docs(150, 450, "dropA"),  # ids 150-299 repeat dropA texts
+        corpus_dir=corpus,
+        index_dir=index,
+        increment_id="dropB",
+        partition_cols=["lang"],
     )
     assert r2["n_offered"] == 300
     assert r2["n_dropped_as_seen"] == 150
     assert r2["n_written"] == 150
 
-    # full replay of increment 2: everything seen, nothing written, index
-    # version unchanged (idempotent crash-replay)
+    # named replay of a committed increment: fast path, nothing touched
     before = open(os.path.join(index, "CURRENT")).read()
     r3 = ingest_increment(
-        _docs(150, 450, "dropA"), corpus_dir=corpus, index_dir=index, partition_cols=["lang"]
+        _docs(150, 450, "dropA"),
+        corpus_dir=corpus,
+        index_dir=index,
+        increment_id="dropB",
+        partition_cols=["lang"],
     )
-    assert r3["n_written"] == 0 and r3["index_version"] is None
+    assert r3["already_committed"] and r3["n_written"] == 0
     assert open(os.path.join(index, "CURRENT")).read() == before
 
     # the corpus holds exactly the union, readable with partition pruning
     back = ray.data.read_parquet(corpus)
     assert back.count() == 450
-    en_only = ray.data.read_parquet(os.path.join(corpus, "lang=en"))
-    assert en_only.count() == 225
+    en_only = ray.data.read_parquet(os.path.join(inc1, "lang=en"))
+    assert en_only.count() == 150
+
+
+def test_ingest_replay_under_unnamed_increment_dedups_by_bloom(ray_session, tmp_path):
+    """Even without increment_id, a FULLY-committed increment's docs are in
+    the index, so a replay writes nothing (dedup by content, not by id)."""
+    from docling_jobkit_ray.pipelines.ingest import ingest_increment
+
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    ingest_increment(_docs(0, 200, "x"), corpus_dir=corpus, index_dir=index)
+    r = ingest_increment(_docs(0, 200, "x"), corpus_dir=corpus, index_dir=index)
+    assert r["n_written"] == 0 and r["index_version"] is None
+
+
+def test_ingest_crash_window_before_index_commit(ray_session, tmp_path):
+    """A partial staging dir from a crash BEFORE the index commit is
+    discarded and rewritten — no duplicates, no loss."""
+    import ray.data
+
+    from docling_jobkit_ray.pipelines.ingest import ingest_increment
+
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    # simulate the crashed attempt: stale partial staging content
+    staging = os.path.join(corpus, ".staging-drop1")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "garbage.parquet"), "w") as f:
+        f.write("partial")
+    r = ingest_increment(
+        _docs(0, 100, "x"), corpus_dir=corpus, index_dir=index, increment_id="drop1"
+    )
+    assert r["n_written"] == 100
+    back = ray.data.read_parquet(os.path.join(corpus, "increment=drop1"))
+    assert back.count() == 100  # garbage gone, exactly the survivors
+
+
+def test_ingest_crash_window_after_index_commit(ray_session, tmp_path):
+    """Crash AFTER the index commit but BEFORE the rename: the replay sees
+    everything as seen, finds the staging dir, and finishes the rename —
+    the increment's docs are not lost and not duplicated."""
+    import ray.data
+
+    from docling_jobkit_ray.pipelines.ingest import ingest_increment
+
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    r1 = ingest_increment(
+        _docs(0, 100, "x"), corpus_dir=corpus, index_dir=index, increment_id="drop1"
+    )
+    assert r1["n_written"] == 100
+    # simulate the crash window: the increment committed its index but the
+    # rename "didn't happen" — move the final dir back to staging
+    final = os.path.join(corpus, "increment=drop1")
+    staging = os.path.join(corpus, ".staging-drop1")
+    os.replace(final, staging)
+
+    r2 = ingest_increment(
+        _docs(0, 100, "x"), corpus_dir=corpus, index_dir=index, increment_id="drop1"
+    )
+    assert r2["n_written"] == 0  # everything probed seen
+    assert os.path.exists(final) and not os.path.exists(staging)  # rename finished
+    assert ray.data.read_parquet(final).count() == 100
 
 
 def test_filter_unseen_preserves_all_columns(ray_session):

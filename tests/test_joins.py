@@ -189,6 +189,21 @@ def test_bloom_prefilter_prunes_before_shuffle(ray_session):
     pos = _positions(right_keys.view(np.uint64), k_hashes, m_bits)
     assert (((bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)).all()
 
+    # the PRUNING itself: probing every orderkey keeps roughly the
+    # selective set — an all-ones (broken) filter would keep all orders
+    all_keys = np.array(
+        [r["o_orderkey"] for r in read_table(sf, "orders", columns=["o_orderkey"]).take_all()],
+        np.int64,
+    )
+    pos_all = _positions(all_keys.view(np.uint64), k_hashes, m_bits)
+    kept = (((bloom[pos_all >> 3] >> (pos_all & 7).astype(np.uint8)) & 1).all(axis=1)).sum()
+    # lower bound is the DISTINCT selective keys that actually exist in
+    # orders (big_items dedupes per batch only, and the synthetic data
+    # does not enforce the FK)
+    n_matching = int(np.isin(np.unique(right_keys), all_keys).sum())
+    assert n_matching <= kept <= n_matching + max(5, int(0.01 * len(all_keys)))
+    assert kept < len(all_keys) * 0.5  # genuinely pruned
+
     with pytest.raises(ValueError, match="left outer"):
         bloom_prefiltered_join(
             read_table(sf, "orders", columns=["o_orderkey"]),
