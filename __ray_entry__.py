@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct_users",  # distinct family: approx_distinct_users stays
         "distinct_event_types",  # unique-listing: suppliers_per_part carries the distinct-family SQL row
         "order_priority_semi_bloom",  # plan variant of order_priority_semi (same oracle)
+        "top_event_type_per_hour",  # grouped argmax: windows+top-k families already capped
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -259,7 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # family keeps its driver row via knn_brute_force)
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
     q["knn_pq"] = functools.partial(similarity.knn_pq, k=5, n_queries=4)
-
+    # the entries from here down sit beyond the driver's 50-query cap by
+    # design (variants / lower-priority families); each is pytest-checked
+    # (tests/test_driver_contract.py ROWS_ONLY + its own unit tests)
     from docling_jobkit_ray.functions.packing import pack_sequences
 
     q["pack_sequences"] = pack_sequences
@@ -295,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["distinct_event_types"] = RELATIONAL_QUERIES["distinct_event_types"][0]
     q["doc_length_percentiles"] = textstats.doc_length_percentiles
     q["order_priority_semi_bloom"] = RELATIONAL_QUERIES["order_priority_semi_bloom"][0]
+    q["top_event_type_per_hour"] = RELATIONAL_QUERIES["top_event_type_per_hour"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["decontaminate_docs"] = webtext.decontaminate_docs
     q["doc_stats"] = _doc_stats_query

@@ -1997,3 +1997,73 @@ RELATIONAL_QUERIES["order_priority_semi_bloom"] = (
     order_priority_semi_bloom,
     ORDER_PRIORITY_SEMI_SQL,
 )
+
+
+def top_event_type_per_hour(sf_dir: str) -> ray.data.Dataset:
+    """Grouped ARG-MAX: the most frequent event type in each hour, ties
+    broken by smallest type — the per-window mode/argmax shape.
+
+    Per-batch partial counts fold per (hour, type); one small groupby
+    finishes the counts; the argmax runs in a per-hour map_groups whose
+    input is one row per (hour, type) — bounded by the type cardinality,
+    never the event volume."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({"hour": hour, "event_type": batch["event_type"]})
+        return (
+            t.group_by(["hour", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["hour", "event_type", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax_hour(group: "pd.Table") -> "pd.Table":  # pandas group
+        g = group.sort_values(["n", "event_type"], ascending=[False, True])
+        top = g.iloc[[0]]
+        return top[["hour", "event_type", "n"]].rename(
+            columns={"event_type": "top_event_type", "n": "n_events"}
+        )
+
+    def recast(batch: pa.Table) -> pa.Table:
+        # the pandas group round-trip downgrades timestamp resolution;
+        # pin the oracle's microsecond unit (same as events_sliding_window)
+        return pa.table(
+            {
+                "hour": pc.cast(batch["hour"], pa.timestamp("us")),
+                "top_event_type": batch["top_event_type"],
+                "n_events": batch["n_events"],
+            }
+        )
+
+    return (
+        counts.groupby("hour")
+        .map_groups(argmax_hour, batch_format="pandas")
+        .map_batches(recast, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("hour")
+    )
+
+
+TOP_EVENT_TYPE_PER_HOUR_SQL = """
+SELECT hour, event_type AS top_event_type, n AS n_events
+FROM (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events GROUP BY 1, 2
+) t WHERE rk = 1 ORDER BY hour
+"""
+
+RELATIONAL_QUERIES["top_event_type_per_hour"] = (
+    top_event_type_per_hour,
+    TOP_EVENT_TYPE_PER_HOUR_SQL,
+)

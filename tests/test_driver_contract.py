@@ -139,6 +139,7 @@ SQL_BACKED = [
     "suppliers_per_part",
     "doc_length_percentiles_by_lang",
     "order_priority_semi_bloom",
+    "top_event_type_per_hour",
 ]
 
 
