@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types",  # unique-listing: suppliers_per_part carries the distinct-family SQL row
         "order_priority_semi_bloom",  # plan variant of order_priority_semi (same oracle)
         "top_event_type_per_hour",  # grouped argmax: windows+top-k families already capped
+        "events_rolling_sum",  # 4th windows-family SQL row; makes room for orders_price_deciles
+        "q18_large_volume_orders",  # 4th join-agg chain (q3/q5/q13 stay); makes room for revenue_rollup
+        "events_pivot_hourly",  # conditional-agg cousin of q1; locally SQL-checked
+        "events_hour_value_corr",  # co-moment stats cousin of events_value_zscore
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -299,6 +303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_length_percentiles"] = textstats.doc_length_percentiles
     q["order_priority_semi_bloom"] = RELATIONAL_QUERIES["order_priority_semi_bloom"][0]
     q["top_event_type_per_hour"] = RELATIONAL_QUERIES["top_event_type_per_hour"][0]
+    q["events_rolling_sum"] = RELATIONAL_QUERIES["events_rolling_sum"][0]
+    q["q18_large_volume_orders"] = RELATIONAL_QUERIES["q18_large_volume_orders"][0]
+    q["events_pivot_hourly"] = RELATIONAL_QUERIES["events_pivot_hourly"][0]
+    q["events_hour_value_corr"] = RELATIONAL_QUERIES["events_hour_value_corr"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
     q["decontaminate_docs"] = webtext.decontaminate_docs
     q["doc_stats"] = _doc_stats_query

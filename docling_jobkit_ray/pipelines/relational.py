@@ -2067,3 +2067,390 @@ RELATIONAL_QUERIES["top_event_type_per_hour"] = (
     top_event_type_per_hour,
     TOP_EVENT_TYPE_PER_HOUR_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# global-quantile bucketize (ntile-by-value; the "shard by length percentile"
+# op of a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def orders_price_deciles(
+    sf_dir: str, *, bin_width: float = 1000.0
+) -> ray.data.Dataset:
+    """Assign every order its EXACT global price decile (1..10) without a
+    global sort — the quantile-bucketize operator a training pipeline uses
+    to shard a corpus by length/score percentile.
+
+    Three bounded passes (no all-to-all over the fact table):
+      1. coarse histogram: per-batch counts of ``floor(price/bin_width)``
+         fold into a global bin histogram whose width is the VALUE DOMAIN
+         over `bin_width`, never the row count;
+      2. refine: the <=9 bins that contain a decile rank are re-scanned
+         (a filtered column read touching ~rows/n_bins rows) to pull the
+         exact threshold values (quantile_disc semantics: smallest value
+         with cumulative count >= ceil(q*n), same rank rule as
+         doc_length_percentiles — verified == DuckDB quantile_disc);
+      3. assign: thresholds broadcast in the UDF closure, one vectorized
+         searchsorted per batch (decile = 1 + #thresholds < value).
+    Replaces the reference's absent analytics surface; the shape mirrors
+    ``ntile() OVER (ORDER BY ...)`` but scales as histogram + broadcast
+    instead of a global sort."""
+    import math
+
+    import numpy as np
+
+    qs = [i / 10 for i in range(1, 10)]
+
+    # pass 1: coarse bin histogram (bounded by value domain / bin_width)
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bins = pc.cast(
+            pc.floor(pc.divide(batch["o_totalprice"], pa.scalar(bin_width))),
+            pa.int64(),
+        )
+        return (
+            pa.table({"bin": bins})
+            .group_by("bin")
+            .aggregate([([], "count_all")])
+            .rename_columns(["bin", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("bin")
+        .to_pandas()  # tiny: one row per coarse bin
+    )
+    total = int(hist["n"].sum())
+    cum_after = hist["n"].cumsum().to_numpy()
+    cum_before = cum_after - hist["n"].to_numpy()
+    ranks = [math.ceil(q * total) for q in qs]
+    # bin containing each decile rank + the rank offset within that bin
+    need: dict[int, list[tuple[int, int]]] = {}
+    for qi, rank in enumerate(ranks):
+        bi = int(np.searchsorted(cum_after, rank))  # first bin with cum >= rank
+        need.setdefault(int(hist["bin"].iloc[bi]), []).append(
+            (qi, rank - int(cum_before[bi]))
+        )
+
+    # pass 2: exact values of ONLY the needed bins (~rows/n_bins each)
+    need_bins = pa.array(sorted(need), pa.int64())
+
+    def in_need(batch: pa.Table) -> pa.Table:
+        bins = pc.cast(
+            pc.floor(pc.divide(batch["o_totalprice"], pa.scalar(bin_width))),
+            pa.int64(),
+        )
+        t = batch.append_column("bin", bins)
+        return t.filter(pc.is_in(bins, value_set=need_bins))
+
+    refined = (
+        read_table(sf_dir, "orders", columns=["o_totalprice"])
+        .map_batches(in_need, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # ~9 bins x rows-per-bin — bounded by bin_width choice
+    )
+    thresholds = np.empty(len(qs), dtype=np.float64)
+    for b, wants in need.items():
+        vals = np.sort(refined.loc[refined["bin"] == b, "o_totalprice"].to_numpy())
+        for qi, within in wants:
+            thresholds[qi] = vals[within - 1]
+    thresholds.sort()
+
+    # pass 3: broadcast thresholds, vectorized decile assignment
+    out = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy()
+        decile = 1 + np.searchsorted(thresholds, v, side="left")
+        return batch.append_column("decile", pa.array(decile, pa.int64()))
+
+    return out.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "o_orderkey"
+    )
+
+
+ORDERS_PRICE_DECILES_SQL = """
+WITH th AS (
+  SELECT unnest(quantile_disc(o_totalprice,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS t
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_totalprice,
+       CAST(1 + (SELECT count(*) FROM th WHERE th.t < o.o_totalprice) AS BIGINT)
+         AS decile
+FROM orders o
+ORDER BY o_orderkey
+"""
+
+RELATIONAL_QUERIES["orders_price_deciles"] = (
+    orders_price_deciles,
+    ORDERS_PRICE_DECILES_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# grouping-sets rollup (multi-level aggregate from ONE partial scan)
+# ---------------------------------------------------------------------------
+
+def revenue_rollup(sf_dir: str) -> ray.data.Dataset | pa.Table:
+    """GROUP BY ROLLUP(nation, year): detail rows + per-nation subtotals +
+    a grand total, from a SINGLE scan — the subtotal levels re-aggregate
+    the finest-grain partial (nations x years rows, tiny) on the driver
+    instead of re-scanning the fact table per level.
+
+    Subtotal keys use 'ALL'/-1 sentinels (COALESCE in the oracle) so the
+    hash compare never depends on engine NULL-ordering.  Revenue sums in
+    int64 cents (exact at every level — integer addition is
+    order-independent, so detail rows and their subtotal agree bitwise)."""
+    import pandas as pd
+
+    cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _broadcast_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation_of_cust = pc.take(
+        nation["n_name"].combine_chunks(),
+        pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"].combine_chunks()),
+    )
+    nation_of = _lookup(cust["c_custkey"], nation_of_cust)
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "n_name": nation_of(batch["o_custkey"]),
+                "o_year": pc.year(batch["o_orderdate"]),
+                "tp_c": pc.cast(
+                    pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+        return (
+            t.group_by(["n_name", "o_year"])
+            .aggregate([("tp_c", "sum"), ([], "count_all")])
+            .rename_columns(["n_name", "o_year", "rev_c", "n_orders"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()  # tiny: one row per (nation, year)
+    )
+    sub = (
+        fine.groupby("n_name", as_index=False)[["rev_c", "n_orders"]]
+        .sum()
+        .assign(o_year=-1)
+    )
+    grand = pd.DataFrame(
+        {
+            "n_name": ["ALL"],
+            "o_year": [-1],
+            "rev_c": [fine["rev_c"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([fine, sub, grand], ignore_index=True)
+    out = out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "o_year": pa.array(out["o_year"].astype("int64"), pa.int64()),
+            "revenue": pa.array(out["rev_c"].astype("int64") / 100.0, pa.float64()),
+            "n_orders": pa.array(out["n_orders"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT coalesce(n_name, 'ALL') AS n_name,
+       CAST(coalesce(o_year, -1) AS BIGINT) AS o_year,
+       sum(tp_c) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS tp_c
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+) t
+GROUP BY ROLLUP(n_name, o_year)
+ORDER BY n_name, o_year
+"""
+
+RELATIONAL_QUERIES["revenue_rollup"] = (revenue_rollup, REVENUE_ROLLUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pivot (long -> wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+def events_pivot_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Pivot event counts to one column per event type, one row per hour —
+    long->wide conditional aggregation.
+
+    The pivot columns come from a tiny distinct pre-scan (bounded by type
+    cardinality); the pivot itself is a per-batch partial producing the
+    wide indicator sums followed by one small groupby(hour) — the fact
+    table crosses the shuffle pre-aggregated to (hours x 1) rows per
+    batch, never as raw events."""
+    types = sorted(
+        distinct_event_types(sf_dir).to_pandas()["event_type"].tolist()
+    )
+    cols = [f"n_{t}" for t in types]
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        data = {"hour": hour}
+        for t, c in zip(types, cols):
+            data[c] = pc.cast(pc.equal(batch["event_type"], pa.scalar(t)), pa.int64())
+        return (
+            pa.table(data)
+            .group_by("hour")
+            .aggregate([(c, "sum") for c in cols])
+            .rename_columns(["hour", *cols])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def recast(batch: pa.Table) -> pa.Table:
+        # pin the timestamp unit through the shuffle's pandas round-trip
+        return batch.set_column(
+            batch.column_names.index("hour"),
+            "hour",
+            pc.cast(batch["hour"], pa.timestamp("us")),
+        )
+
+    return out.map_batches(recast, batch_format="pyarrow", zero_copy_batch=True).sort("hour")
+
+
+EVENTS_PIVOT_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY 1
+ORDER BY hour
+"""
+
+RELATIONAL_QUERIES["events_pivot_hourly"] = (events_pivot_hourly, EVENTS_PIVOT_HOURLY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# distributed two-variable statistics (grouped Pearson correlation)
+# ---------------------------------------------------------------------------
+
+def events_hour_value_corr(sf_dir: str) -> pa.Table:
+    """Pearson correlation between hour-of-day and value, per event type —
+    the distributed co-moment aggregate (corr/covar family).
+
+    All five co-moments (n, Sx, Sy, Sxy, Sx2, Sy2) accumulate as EXACT
+    int64 (x = hour 0..23, y = int cents; Sy2 stays exact below ~9e10
+    rows per group at 1e4-cent values — at larger scale shard the group
+    and sum co-moments, they are associative).  The final correlation is
+    ONE fixed float expression over identical integers, mirrored term for
+    term in the oracle, so the values hash-match bitwise (same recipe as
+    events_value_zscore).  Zero-variance groups yield NULL (NULLIF both
+    sides)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.hour(batch["ts"]), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "x2": pc.multiply(x, x),
+                "y2": pc.multiply(y, y),
+            }
+        )
+        return (
+            t.group_by("event_type")
+            .aggregate(
+                [([], "count_all"), ("x", "sum"), ("y", "sum"), ("xy", "sum"),
+                 ("x2", "sum"), ("y2", "sum")]
+            )
+            .rename_columns(["event_type", "n", "sx", "sy", "sxy", "sx2", "sy2"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")])
+        .sort("event_type")
+        .to_pandas()  # tiny: one row per event type
+    )
+    n = stats["n"].to_numpy().astype(np.float64)
+    sx = stats["sx"].to_numpy().astype(np.float64)
+    sy = stats["sy"].to_numpy().astype(np.float64)
+    sxy = stats["sxy"].to_numpy().astype(np.float64)
+    sx2 = stats["sx2"].to_numpy().astype(np.float64)
+    sy2 = stats["sy2"].to_numpy().astype(np.float64)
+    num = n * sxy - sx * sy
+    den = np.sqrt(np.maximum(n * sx2 - sx * sx, 0.0)) * np.sqrt(
+        np.maximum(n * sy2 - sy * sy, 0.0)
+    )
+    zero = den == 0.0
+    corr = num / np.where(zero, 1.0, den)
+    return pa.table(
+        {
+            "event_type": pa.array(stats["event_type"], pa.string()),
+            "n": pa.array(stats["n"].astype("int64"), pa.int64()),
+            "corr_hour_value": pa.array(corr, pa.float64(), mask=zero),
+        }
+    )
+
+
+EVENTS_HOUR_VALUE_CORR_SQL = """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sx2, sum(y * y) AS sy2
+  FROM (
+    SELECT event_type,
+           CAST(hour(ts) AS BIGINT) AS x,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+  ) t
+  GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / NULLIF(sqrt(greatest(CAST(n AS DOUBLE) * sx2
+                              - CAST(sx AS DOUBLE) * sx, 0))
+                * sqrt(greatest(CAST(n AS DOUBLE) * sy2
+                                - CAST(sy AS DOUBLE) * sy, 0)), 0)
+         AS corr_hour_value
+FROM m
+ORDER BY event_type
+"""
+
+RELATIONAL_QUERIES["events_hour_value_corr"] = (
+    events_hour_value_corr,
+    EVENTS_HOUR_VALUE_CORR_SQL,
+)

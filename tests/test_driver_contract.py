@@ -140,6 +140,10 @@ SQL_BACKED = [
     "doc_length_percentiles_by_lang",
     "order_priority_semi_bloom",
     "top_event_type_per_hour",
+    "orders_price_deciles",
+    "revenue_rollup",
+    "events_pivot_hourly",
+    "events_hour_value_corr",
 ]
 
 
