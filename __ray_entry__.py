@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types",  # unique-listing: suppliers_per_part carries the distinct-family SQL row
         "order_priority_semi_bloom",  # plan variant of order_priority_semi (same oracle)
         "top_event_type_per_hour",  # grouped argmax: windows+top-k families already capped
+        "join_orders_customer",  # broadcast-join family: revenue_by_nation (multi-hop) stays; makes room for dup_components
         "events_rolling_sum",  # 4th windows-family SQL row; makes room for orders_price_deciles
         "q18_large_volume_orders",  # 4th join-agg chain (q3/q5/q13 stay); makes room for revenue_rollup
         "events_pivot_hourly",  # conditional-agg cousin of q1; locally SQL-checked
@@ -175,6 +176,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_length_percentiles_by_lang"] = textstats.doc_length_percentiles_by_lang
     q["dedup_exact"] = dedup.dedup_exact
     q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
+
+    def _dup_components(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import dup_components
+
+        return dup_components(sf_dir)
+
+    q["dup_components"] = _dup_components
     q["decontaminate"] = webtext.decontaminate
     q["duplicated_passages"] = webtext.duplicated_passages
     q["top_bigram_stats"] = webtext.top_bigram_stats
@@ -303,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_length_percentiles"] = textstats.doc_length_percentiles
     q["order_priority_semi_bloom"] = RELATIONAL_QUERIES["order_priority_semi_bloom"][0]
     q["top_event_type_per_hour"] = RELATIONAL_QUERIES["top_event_type_per_hour"][0]
+    q["join_orders_customer"] = RELATIONAL_QUERIES["join_orders_customer"][0]
     q["events_rolling_sum"] = RELATIONAL_QUERIES["events_rolling_sum"][0]
     q["q18_large_volume_orders"] = RELATIONAL_QUERIES["q18_large_volume_orders"][0]
     q["events_pivot_hourly"] = RELATIONAL_QUERIES["events_pivot_hourly"][0]
@@ -358,6 +367,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.dedup import ngram_jaccard_sql
 
     sql["ngram_jaccard_pairs"] = ngram_jaccard_sql()
+    from docling_jobkit_ray.functions.graph import dup_components_sql
+
+    sql["dup_components"] = dup_components_sql()
     from docling_jobkit_ray.functions.webtext import (
         DECONTAMINATE_SQL,
         DUPLICATED_PASSAGES_SQL,

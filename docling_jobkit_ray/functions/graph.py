@@ -1,0 +1,182 @@
+"""Distributed connected components (iterative min-label propagation).
+
+The missing last step of every pairwise-dedup pipeline: LSH / Jaccard /
+simhash emit *pairs*, but "keep one doc per duplicate CLUSTER" needs the
+transitive closure — A~B and B~C must collapse A, B, C together even when
+A and C never matched directly.  The reference has no graph surface at all
+(its dedup story stops at per-key grouping); this implements the standard
+distributed label-propagation algorithm (Kang et al., HCC/PEGASUS, ICDM'09)
+on Ray Data primitives:
+
+    label(v) <- min(label(v), min_{(u,v) in E} label(u))     until fixpoint
+
+Every iteration is two bounded exchanges — a bucketed hash join
+(edges x labels, `pipelines/joins.bucketed_join`, sized off the edge count)
+and a groupby-min whose shuffle is cut by a per-batch partial min — plus a
+`materialize()` (an iterative algorithm MUST pin each round: branching a
+lazy Dataset re-executes the whole parent chain, see CLAUDE.md).  The
+convergence check is one scalar aggregate (labels only ever decrease, so
+`sum(label)` is a strictly-decreasing potential until the fixpoint — no
+join-against-previous needed).  Iterations needed = component diameter;
+duplicate clusters are near-cliques, so 2-3 rounds in practice.
+
+Scale notes: rows crossing any exchange are (int64, int64) pairs — text
+never rides this shuffle; bucket counts derive from the edge-count estimate;
+nothing materializes on the driver except the per-round scalar.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    est_edges: int | None = None,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Connected components over an int64 edge list.
+
+    ``edges`` needs each undirected edge ONCE in either direction; it is
+    symmetrized here.  Returns a Dataset of (node, component) for every
+    node appearing in an edge (isolated nodes are trivially their own
+    component and never need to enter the shuffle), where ``component`` is
+    the minimum node id of the component.
+    """
+    from ..pipelines.joins import bucketed_join
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch[src], pa.int64()).combine_chunks()
+        b = pc.cast(batch[dst], pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "src": pa.chunked_array([a, b]).combine_chunks(),
+                "dst": pa.chunked_array([b, a]).combine_chunks(),
+            }
+        )
+
+    # pin the (symmetrized) edge list once: it is re-joined every round
+    sym = edges.map_batches(
+        symmetrize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_edges = est_edges if est_edges is not None else sym.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        )
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        # per-batch distinct before the global distinct groupby
+        t = pa.table({"node": batch["src"]})
+        return t.group_by("node").aggregate([]).select(["node"])
+
+    from ray.data.aggregate import Count, Min
+
+    labels = (
+        sym.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("node")
+            .aggregate([("label", "min")])
+            .rename_columns(["node", "label"])
+        )
+
+    prev_potential: int | None = None
+    for _ in range(max_iters):
+        # candidate labels: each edge forwards its src's label to dst
+        joined = bucketed_join(
+            sym,
+            labels,
+            on="src",
+            right_on="node",
+            left_schema=_EDGE_SCHEMA,
+            right_schema=_LABEL_SCHEMA,
+            est_rows=n_edges,
+        )
+        cand = joined.map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = (
+            cand.union(labels)
+            .map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        potential = int(labels.sum("label"))
+        if potential == prev_potential:
+            break
+        prev_potential = potential
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "component": b["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def dup_components(sf_dir: str, *, threshold: float = 0.6) -> ray.data.Dataset:
+    """Duplicate CLUSTERS of the documents table: connected components over
+    the exact n-gram-Jaccard pair graph (``dedup.ngram_jaccard_pairs``) —
+    the pairs-to-clusters consolidation a dedup pipeline runs before
+    keeping one representative per cluster."""
+    from ..scale import estimate_rows
+    from .dedup import ngram_jaccard_pairs
+
+    edges = ngram_jaccard_pairs(sf_dir, threshold=threshold).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    comp = connected_components(
+        edges,
+        src="doc_a",
+        dst="doc_b",
+        # pair count is unknown pre-run; the doc count is a fine bucket-count
+        # driver (pairs per doc are near-constant for near-dup graphs)
+        est_edges=estimate_rows(sf_dir, "documents"),
+    )
+    return comp.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "component": b["component"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("doc_id")
+
+
+def dup_components_sql(threshold: float = 0.6, shingle_k: int = 3) -> str:
+    """DuckDB oracle: the same pair graph (``ngram_jaccard_sql``) closed
+    transitively with a recursive CTE (min reachable node id per node)."""
+    from .dedup import ngram_jaccard_sql
+
+    pair_sql = ngram_jaccard_sql(threshold=threshold, shingle_k=shingle_k)
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({pair_sql}) p),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS v FROM edges),
+walk(v, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.v
+)
+SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM walk GROUP BY v ORDER BY doc_id
+"""

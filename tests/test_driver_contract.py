@@ -142,6 +142,7 @@ SQL_BACKED = [
     "top_event_type_per_hour",
     "orders_price_deciles",
     "revenue_rollup",
+    "dup_components",
     "events_pivot_hourly",
     "events_hour_value_corr",
 ]

@@ -1,0 +1,101 @@
+"""Connected components (functions/graph.py): label propagation converges to
+the transitive closure, and dup_components collapses pairwise matches into
+clusters — including A~B~C chains where A and C never matched directly."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from docling_jobkit_ray.functions.graph import (
+    connected_components,
+    dup_components,
+    dup_components_sql,
+)
+
+
+def test_components_crafted_graph(ray_session):
+    # chain 1-2-3-4-5 (diameter 4 — needs >1 propagation round),
+    # pair 10-11, triangle 20-21-22 with a redundant edge
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 2, 3, 4, 10, 20, 21, 20], pa.int64()),
+                "dst": pa.array([2, 3, 4, 5, 11, 21, 22, 22], pa.int64()),
+            }
+        )
+    )
+    out = connected_components(edges).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_components_empty_edges(ray_session):
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    ds = connected_components(edges)
+    assert ds.schema().names == ["node", "component"]
+    assert ds.count() == 0
+
+
+def _write_docs(d, texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["test"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+
+
+def test_dup_components_transitive_chain(ray_session, tmp_path):
+    # B shares its first half with A and its second half with C; A and C
+    # share nothing.  At a threshold passing the half-overlap pairs, the
+    # PAIR list is {A-B, B-C}, but the CLUSTER must be {A, B, C}.
+    half1 = " ".join(f"alpha{i}" for i in range(20))
+    half2 = " ".join(f"beta{i}" for i in range(20))
+    texts = [
+        half1 + " onlya stub filler",  # doc 1 (A)
+        half1 + " " + half2,  # doc 2 (B)
+        half2 + " onlyc other words",  # doc 3 (C)
+        "totally unrelated content nothing shared here at all",  # doc 4
+    ]
+    _write_docs(tmp_path, texts)
+
+    from docling_jobkit_ray.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(str(tmp_path), threshold=0.3).to_pandas()
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(1, 2), (2, 3)}
+
+    comp = dup_components(str(tmp_path), threshold=0.3).to_pandas()
+    got = dict(zip(comp["doc_id"], comp["component"]))
+    # one cluster {1,2,3}; doc 4 is isolated (own component, not emitted)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_dup_components_matches_recursive_cte(ray_session, tmp_path):
+    # engine vs DuckDB recursive-CTE oracle on a corpus with planted dups
+    base = " ".join(f"tok{i}" for i in range(30))
+    texts = [
+        base,
+        base + " extra",
+        base + " extra more",
+        "different document body entirely " + " ".join(f"z{i}" for i in range(25)),
+        "different document body entirely " + " ".join(f"z{i}" for i in range(24)),
+    ]
+    _write_docs(tmp_path, texts)
+
+    mine = dup_components(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(dup_components_sql()).fetchdf()
+    pd.testing.assert_frame_equal(mine, oracle)
+    assert len(mine) >= 4  # both planted clusters present
