@@ -16,9 +16,12 @@ from docling_jobkit_ray.functions.graph import (
 )
 
 
-def test_components_crafted_graph(ray_session):
+@pytest.mark.parametrize("small_graph_limit", [1_000_000, 0])
+def test_components_crafted_graph(ray_session, small_graph_limit):
     # chain 1-2-3-4-5 (diameter 4 — needs >1 propagation round),
-    # pair 10-11, triangle 20-21-22 with a redundant edge
+    # pair 10-11, triangle 20-21-22 with a redundant edge.
+    # Runs BOTH execution paths: driver union-find (default limit) and
+    # distributed label propagation (limit=0) — identical output required.
     edges = ray.data.from_arrow(
         pa.table(
             {
@@ -27,7 +30,7 @@ def test_components_crafted_graph(ray_session):
             }
         )
     )
-    out = connected_components(edges).to_pandas()
+    out = connected_components(edges, small_graph_limit=small_graph_limit).to_pandas()
     got = dict(zip(out["node"], out["component"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
