@@ -158,10 +158,13 @@ def run_bench() -> dict:
         return __ray_entry__.queries()["dedup_bloom_incremental"](sf_dir)
     from docling_jobkit_ray.pipelines.relational import (
         events_hourly_window,
+        events_pivot_hourly,
         events_sessionize,
+        orders_price_deciles,
         q1_pricing_summary,
         q3_shipping_priority,
         revenue_by_nation,
+        revenue_rollup,
         top_orders_per_customer,
     )
 
@@ -183,6 +186,9 @@ def run_bench() -> dict:
         ("stratified_sample", stratified_sample),
         ("knn_pq", knn_pq),
         ("dedup_bloom_incremental", _bloom_incremental_bench),
+        ("orders_price_deciles", orders_price_deciles),
+        ("revenue_rollup", revenue_rollup),
+        ("events_pivot_hourly", events_pivot_hourly),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
@@ -191,7 +197,8 @@ def run_bench() -> dict:
         runs = []
         for _ in range(2):
             t0 = time.monotonic()
-            fn(SF_DIR).count()
+            r = fn(SF_DIR)
+            r.count() if hasattr(r, "count") else len(r)  # Dataset | pa.Table
             runs.append(round(time.monotonic() - t0, 3))
         results[name] = min(runs)
 

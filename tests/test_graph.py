@@ -35,6 +35,29 @@ def test_components_crafted_graph(ray_session, small_graph_limit):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_components_star_skew_distributed(ray_session):
+    """Hub-star graph through the DISTRIBUTED path: every symmetrized edge
+    of the hub shares one join key, the classic label-propagation hot spot
+    (why large-star/small-star exists).  The bucketed join concentrates the
+    hub's rows in one bucket but the per-bucket work is a vectorized acero
+    join, and min-propagation converges in 2 rounds (star diameter 2)."""
+    import numpy as np
+
+    n = 5000
+    leaves = np.arange(1, n + 1, dtype=np.int64) * 3 + 100  # non-contiguous ids
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.full(n, 7, dtype=np.int64)),  # hub id 7
+                "dst": pa.array(leaves),
+            }
+        )
+    )
+    out = connected_components(edges, small_graph_limit=0).to_pandas()
+    assert len(out) == n + 1
+    assert set(out["component"]) == {7}
+
+
 def test_components_empty_edges(ray_session):
     edges = ray.data.from_arrow(
         pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
