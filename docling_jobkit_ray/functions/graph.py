@@ -38,17 +38,12 @@ _EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
-def _driver_union_find(sym: ray.data.Dataset) -> ray.data.Dataset:
-    """Small-graph fast path: union-find with path halving on the driver.
-    Near-dup edge sets are tiny relative to the corpus (pairs, not docs);
-    below the byte-bounded limit a single driver pass beats 3-5 rounds of
-    distributed jobs by ~50x wall-clock (measured: 67s of iteration
-    overhead for a 256-edge graph at sf0.1)."""
-    import ray as _ray
-
-    t = pa.concat_tables(_ray.get(sym.to_arrow_refs()))
-    a = t["src"].to_numpy(zero_copy_only=False)
-    b = t["dst"].to_numpy(zero_copy_only=False)
+def union_find_components(a, b) -> tuple[list[int], list[int]]:
+    """Pure union-find (path compression, union-by-min) over parallel edge
+    arrays.  Returns (sorted nodes, component id per node) where the
+    component id is the MIN node id of the component.  Kept pure (no Ray,
+    no Arrow) so its invariants are hypothesis-fuzzable against a BFS
+    reference."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -59,8 +54,8 @@ def _driver_union_find(sym: ray.data.Dataset) -> ray.data.Dataset:
             parent[x], x = root, parent[x]
         return root
 
-    for u, v in zip(a.tolist(), b.tolist()):
-        ru, rv = find(u), find(v)
+    for u, v in zip(a, b):
+        ru, rv = find(int(u)), find(int(v))
         if ru != rv:
             # union by MIN id so the representative is the component min
             if ru < rv:
@@ -68,7 +63,22 @@ def _driver_union_find(sym: ray.data.Dataset) -> ray.data.Dataset:
             else:
                 parent[ru] = rv
     nodes = sorted(parent)
-    comp = [find(n) for n in nodes]
+    return nodes, [find(n) for n in nodes]
+
+
+def _driver_union_find(sym: ray.data.Dataset) -> ray.data.Dataset:
+    """Small-graph fast path: union-find on the driver.  Near-dup edge sets
+    are tiny relative to the corpus (pairs, not docs); below the
+    byte-bounded limit a single driver pass beats 3-5 rounds of distributed
+    jobs by ~50x wall-clock (measured: 67s of iteration overhead for a
+    256-edge graph at sf0.1)."""
+    import ray as _ray
+
+    t = pa.concat_tables(_ray.get(sym.to_arrow_refs()))
+    nodes, comp = union_find_components(
+        t["src"].to_numpy(zero_copy_only=False).tolist(),
+        t["dst"].to_numpy(zero_copy_only=False).tolist(),
+    )
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes, pa.int64()), "component": pa.array(comp, pa.int64())})
     )

@@ -86,3 +86,49 @@ def test_tdigest_quantiles_within_range_and_monotone(values):
     # estimates stay inside the data range and are monotone in q
     assert min(x) - 1e-6 <= qs[0] and qs[-1] <= max(x) + 1e-6
     assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_union_find_matches_bfs(edges):
+    from collections import deque
+
+    from docling_jobkit_ray.functions.graph import union_find_components
+
+    a = [u for u, _ in edges]
+    b = [v for _, v in edges]
+    nodes, comp = union_find_components(a, b)
+
+    # BFS reference over the same (symmetrized) graph
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    assert nodes == sorted(adj)
+    expect = {}
+    seen: set = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        members, q = [], deque([start])
+        seen.add(start)
+        while q:
+            x = q.popleft()
+            members.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        label = min(members)
+        for m in members:
+            expect[m] = label
+    assert dict(zip(nodes, comp)) == expect
