@@ -317,6 +317,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_pivot_hourly"] = RELATIONAL_QUERIES["events_pivot_hourly"][0]
     q["events_hour_value_corr"] = RELATIONAL_QUERIES["events_hour_value_corr"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
+
+    def _dedup_cluster_docs(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import dedup_cluster_docs
+
+        return dedup_cluster_docs(sf_dir)
+
+    q["dedup_cluster_docs"] = _dedup_cluster_docs
     q["decontaminate_docs"] = webtext.decontaminate_docs
     q["doc_stats"] = _doc_stats_query
     q["frame_samples"] = _frame_samples_query
@@ -367,9 +374,10 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.dedup import ngram_jaccard_sql
 
     sql["ngram_jaccard_pairs"] = ngram_jaccard_sql()
-    from docling_jobkit_ray.functions.graph import dup_components_sql
+    from docling_jobkit_ray.functions.graph import dedup_cluster_docs_sql, dup_components_sql
 
     sql["dup_components"] = dup_components_sql()
+    sql["dedup_cluster_docs"] = dedup_cluster_docs_sql()
     from docling_jobkit_ray.functions.webtext import (
         DECONTAMINATE_SQL,
         DUPLICATED_PASSAGES_SQL,

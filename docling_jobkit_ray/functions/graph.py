@@ -239,3 +239,51 @@ walk(v, lbl) AS (
 SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component
 FROM walk GROUP BY v ORDER BY doc_id
 """
+
+
+def dedup_cluster_docs(sf_dir: str, *, threshold: float = 0.6) -> ray.data.Dataset:
+    """MATERIALIZED near-dup dedup: the documents table with every
+    near-duplicate CLUSTER collapsed to its min-doc_id representative —
+    what the training run reads after near-dup removal (the cluster-level
+    counterpart of ``dedup.dedup_exact_docs``).
+
+    Drop-set = cluster members that are NOT their component's min (tiny:
+    one int per clustered doc).  Survivors come from an ANTI join of the
+    documents scan against the drop-set through the bucketed shuffle —
+    texts cross the exchange exactly once, ids-only on the other side,
+    nothing reaches the driver."""
+    from ..pipelines.joins import bucketed_join
+    from ..scale import estimate_rows
+    from ..sources.pages import read_table
+
+    comp = dup_components(sf_dir, threshold=threshold)
+    drop = comp.map_batches(
+        lambda b: b.filter(pc.not_equal(b["doc_id"], b["component"])).select(["doc_id"]).rename_columns(["drop_doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bucketed_join(
+        docs,
+        drop,
+        on="doc_id",
+        right_on="drop_doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("drop_doc_id", pa.int64())]),
+        join_type="left anti",
+        est_rows=estimate_rows(sf_dir, "documents"),
+    )
+    return out.sort("doc_id")
+
+
+def dedup_cluster_docs_sql(threshold: float = 0.6, shingle_k: int = 3) -> str:
+    """DuckDB oracle: drop every node of the recursive-CTE component graph
+    that is not its component's min id."""
+    comp_sql = dup_components_sql(threshold=threshold, shingle_k=shingle_k)
+    return f"""
+SELECT doc_id, text FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({comp_sql}) c WHERE doc_id <> component
+)
+ORDER BY doc_id
+"""

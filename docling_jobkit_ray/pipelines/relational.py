@@ -60,6 +60,24 @@ def _descale(scales: dict[str, float]):
     return fn
 
 
+def _pin_timestamp_us(cols: list[str]):
+    """Re-pin timestamp columns to microsecond unit after a groupby/sort
+    shuffle: Ray's shuffle can round-trip blocks through pandas and hand
+    timestamp keys back at a coarser unit (observed: second resolution at
+    sf0.1 multi-block scale, while single-block sf0.001 keeps us) — the
+    oracle and the driver's value hash expect us."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.column_names.index(c)
+            batch = batch.set_column(
+                i, c, pc.cast(batch.column(c), pa.timestamp("us"))
+            )
+        return batch
+
+    return fn
+
+
 def _broadcast_table(sf_dir: str, name: str, columns: list[str]) -> pa.Table:
     """Load a small dimension table once on the driver.  Ray ships the UDF
     closure (and thus this table) to the object store ONCE per stage, not
@@ -259,12 +277,15 @@ def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
             .append_column("c_mktsegment", seg_of(batch["o_custkey"]))
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "o_orderkey"
+    )
 
 
 JOIN_ORDERS_CUSTOMER_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
 """
 
 
@@ -393,7 +414,9 @@ def events_hourly_window(sf_dir: str) -> ray.data.Dataset:
         )
         .sort(["window_start", "event_type"])
     )
-    return out.map_batches(_descale({"sum_value": 100.0}), batch_format="pyarrow")
+    return out.map_batches(_descale({"sum_value": 100.0}), batch_format="pyarrow").map_batches(
+        _pin_timestamp_us(["window_start"]), batch_format="pyarrow"
+    )
 
 
 EVENTS_HOURLY_WINDOW_SQL = """
@@ -911,9 +934,12 @@ def join_orders_customer_shuffle(sf_dir: str) -> ray.data.Dataset:
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
+    # explicit final sort: partition emission order is nondeterministic at
+    # multi-partition scale (caught by the sf0.1 parity sweep — 8-partition
+    # output permutes rows; at the small scales it happened to stay ordered)
     return joined.select_columns(
         ["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"]
-    )
+    ).sort("o_orderkey")
 
 
 RELATIONAL_QUERIES["join_orders_customer_shuffle"] = (
@@ -1182,7 +1208,9 @@ def events_sliding_window(sf_dir: str, *, window_hours: int = 3) -> ray.data.Dat
         )
         .sort(["window_start", "event_type"])
     )
-    return out.map_batches(_descale({"sum_value": 100.0}), batch_format="pyarrow")
+    return out.map_batches(_descale({"sum_value": 100.0}), batch_format="pyarrow").map_batches(
+        _pin_timestamp_us(["window_start"]), batch_format="pyarrow"
+    )
 
 
 EVENTS_SLIDING_WINDOW_SQL = """

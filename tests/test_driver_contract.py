@@ -143,6 +143,7 @@ SQL_BACKED = [
     "orders_price_deciles",
     "revenue_rollup",
     "dup_components",
+    "dedup_cluster_docs",
     "events_pivot_hourly",
     "events_hour_value_corr",
 ]
