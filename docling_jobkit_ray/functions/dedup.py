@@ -596,6 +596,14 @@ def ngram_jaccard_pairs(
 
     from ..scale import bucket_count, estimate_rows
 
+    if not (0.0 < threshold <= 1.0):
+        # t=0 makes the prefix length n+1 (longer than the shingle list:
+        # the hash and doc-id columns would diverge in length), t>1 makes
+        # it negative — both are meaningless similarity thresholds.
+        raise ValueError(
+            f"ngram_jaccard_pairs: threshold must be in (0, 1], got {threshold}"
+        )
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
@@ -608,7 +616,7 @@ def ngram_jaccard_pairs(
             n = len(gs)
             if n == 0:
                 continue
-            p = n - math.ceil(threshold * n) + 1
+            p = min(n, n - math.ceil(threshold * n) + 1)
             # (hash, string) sort = one deterministic GLOBAL total order on
             # shingles, identical in every doc (the string tiebreak matters:
             # hash-only order would be ambiguous across docs on collisions,

@@ -158,6 +158,7 @@ def connected_components(
         )
 
     prev_potential: int | None = None
+    converged = False
     for _ in range(max_iters):
         # candidate labels: each edge forwards its src's label to dst
         joined = bucketed_join(
@@ -183,9 +184,19 @@ def connected_components(
         )
         potential = int(labels.sum("label"))
         if potential == prev_potential:
+            converged = True
             break
         prev_potential = potential
 
+    if not converged:
+        # a component with diameter > max_iters hops would carry WRONG
+        # labels if we returned silently (ADVICE r3): min-label propagation
+        # only guarantees the fixpoint when the potential stabilizes.
+        raise RuntimeError(
+            f"connected_components: label propagation did not converge in "
+            f"{max_iters} iterations (graph diameter likely exceeds "
+            f"max_iters); raise max_iters"
+        )
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "component": b["label"]}),
         batch_format="pyarrow",

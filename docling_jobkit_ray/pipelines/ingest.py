@@ -123,12 +123,24 @@ def ingest_increment(
         if os.path.exists(staging_dir):
             shutil.rmtree(staging_dir)
         survivors.write_parquet(staging_dir, partition_cols=partition_cols)
+        # completeness marker: written only after EVERY parquet file landed,
+        # so a later crash-replay can tell "staging is a full drop awaiting
+        # rename" from "staging is a torn partial write" (ADVICE r3)
+        with open(os.path.join(staging_dir, "_SUCCESS"), "w") as f:
+            f.flush()
+            os.fsync(f.fileno())
         version = commit_index(next_idx, index_dir)
         os.replace(staging_dir, final_dir)
     elif os.path.exists(staging_dir):
-        # crash happened AFTER the index commit (everything now probes
-        # seen) but BEFORE the rename: finish the interrupted commit
-        os.replace(staging_dir, final_dir)
+        if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+            # crash happened AFTER the index commit (everything now probes
+            # seen) but BEFORE the rename: finish the interrupted commit
+            os.replace(staging_dir, final_dir)
+        else:
+            # torn staging from a pre-commit crash (possibly of a replay
+            # with different input): committing it would publish partial
+            # files — discard; the index never saw these keys as committed
+            shutil.rmtree(staging_dir)
         version = None
     else:
         version = None  # genuinely nothing new

@@ -1778,6 +1778,9 @@ def q18_large_volume_orders(sf_dir: str, *, min_qty: float = 250.0) -> ray.data.
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(20)
         .map_batches(attach_name, batch_format="pyarrow", zero_copy_batch=True)
+        # map operators do not preserve block order (ADVICE r3): re-sort the
+        # <=20 post-limit rows so output order is pinned, not inherited.
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
     )
 
 

@@ -154,3 +154,44 @@ def test_filter_unseen_preserves_all_columns(ray_session):
     kept = filter_unseen(mixed, idx).to_pandas()
     assert set(kept.columns) == {"doc_id", "text", "lang"}
     assert sorted(kept["doc_id"]) == list(range(100, 150))
+
+
+def test_ingest_torn_staging_without_marker_is_discarded(ray_session, tmp_path):
+    """A staging dir with NO _SUCCESS marker is a torn pre-commit write
+    (possibly from a replay with different input); the all-seen replay must
+    discard it rather than publish partial files (ADVICE r3)."""
+    from docling_jobkit_ray.pipelines.ingest import ingest_increment
+
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    ingest_increment(
+        _docs(0, 100, "x"), corpus_dir=corpus, index_dir=index, increment_id="drop1"
+    )
+    # torn staging for drop2: partial file, no _SUCCESS
+    staging = os.path.join(corpus, ".staging-drop2")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "partial.parquet"), "w") as f:
+        f.write("torn")
+    r = ingest_increment(
+        _docs(0, 100, "x"),  # all probe seen -> n_kept == 0
+        corpus_dir=corpus,
+        index_dir=index,
+        increment_id="drop2",
+    )
+    assert r["n_written"] == 0
+    assert not os.path.exists(staging)  # torn dir discarded
+    assert not os.path.exists(os.path.join(corpus, "increment=drop2"))
+
+
+def test_committed_increment_carries_success_marker(ray_session, tmp_path):
+    from docling_jobkit_ray.pipelines.ingest import ingest_increment
+
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    ingest_increment(
+        _docs(0, 50, "x"), corpus_dir=corpus, index_dir=index, increment_id="d"
+    )
+    final = os.path.join(corpus, "increment=d")
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    # marker does not confuse parquet discovery
+    import ray.data
+
+    assert ray.data.read_parquet(final).count() == 50

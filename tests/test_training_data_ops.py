@@ -498,3 +498,15 @@ def test_approx_top_terms_vs_exact(ray_session):
     approx = approx_top_terms("/root/testdata/sf0.001", n=10).to_pandas()
     exact = top_terms("/root/testdata/sf0.001", k=10).to_pandas()
     assert list(approx["term"].head(5)) == list(exact["word"].head(5))
+
+
+def test_ngram_jaccard_pairs_rejects_degenerate_threshold(tmp_path):
+    """t=0 would make the prefix longer than the shingle list (column
+    length mismatch at table build); t>1 a negative prefix (ADVICE r3)."""
+    import pytest
+
+    from docling_jobkit_ray.functions.dedup import ngram_jaccard_pairs
+
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            ngram_jaccard_pairs(str(tmp_path), threshold=bad)
