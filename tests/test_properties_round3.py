@@ -22,6 +22,7 @@ def test_gram_frame_invariants(docs, n):
     from docling_jobkit_ray.functions.webtext import _gram_frame
 
     doc_idx, grams = _gram_frame(pa.array(docs, pa.string()), n)
+    grams = grams.to_pylist()
     # count: each doc contributes max(0, n_words - n + 1) grams
     expected = sum(max(0, len(d.split(" ")) - n + 1) for d in docs)
     assert len(grams) == expected == len(doc_idx)

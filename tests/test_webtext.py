@@ -31,6 +31,7 @@ def test_gram_frame_basic_and_boundaries():
         ]
     )
     doc_idx, grams = _gram_frame(texts, 4)
+    grams = grams.to_pylist()
     assert list(doc_idx) == [0, 0, 3]
     assert list(grams) == ["a b c d", "b c d e", "p q r s"]
     # grams never cross document boundaries: no gram mixes doc 0 and doc 1
@@ -40,7 +41,7 @@ def test_gram_frame_basic_and_boundaries():
 def test_gram_frame_preserves_empty_words_like_duckdb():
     # double space -> empty word, matching DuckDB string_split(text, ' ')
     doc_idx, grams = _gram_frame(pa.array(["a  b c"]), 2)
-    assert list(grams) == ["a ", " b", "b c"]
+    assert grams.to_pylist() == ["a ", " b", "b c"]
 
 
 def test_gram_frame_empty_batch():
