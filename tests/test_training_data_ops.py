@@ -510,3 +510,52 @@ def test_ngram_jaccard_pairs_rejects_degenerate_threshold(tmp_path):
     for bad in (0.0, -0.5, 1.5):
         with pytest.raises(ValueError, match="threshold"):
             ngram_jaccard_pairs(str(tmp_path), threshold=bad)
+
+
+def test_sketch_tree_fold_reduces_and_preserves_estimate(ray_session):
+    """The distributed fold round must (a) bound the driver-side sketch
+    count by n_groups regardless of block count and (b) leave the merged
+    estimate identical (merges are associative)."""
+    import ray.data
+
+    from docling_jobkit_ray.functions.sketches import (
+        HyperLogLog,
+        _key_by_sketch_bytes,
+        _tree_fold_sketches,
+        approx_distinct,
+    )
+
+    # 40 blocks of 500 values each -> 40 per-batch sketches
+    tables = [
+        pa.table({"v": pa.array(range(i * 500, (i + 1) * 500), pa.int64())})
+        for i in range(40)
+    ]
+    ds = ray.data.from_arrow(tables)
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - 20_000) / 20_000 < 0.05
+
+    # structural: folding 40 sketches into 8 groups leaves <= 8 rows
+    def partial(batch):
+        h = HyperLogLog(12)
+        h.add_values(batch.column("v").to_pylist())
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    def fold(batch):
+        m = HyperLogLog(12)
+        for s in batch["sketch"].to_pylist():
+            m = m.merge(HyperLogLog.deserialize(s))
+        return pa.table({"sketch": pa.array([m.serialize()], pa.binary())})
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow")
+    folded = _tree_fold_sketches(
+        sketches, fold, key_of=_key_by_sketch_bytes, n_groups=8
+    )
+    assert folded.count() <= 8
+    # and the folded estimate equals the unfolded one bit-for-bit
+    def drain(d):
+        m = HyperLogLog(12)
+        for row in d.take_all():
+            m = m.merge(HyperLogLog.deserialize(row["sketch"]))
+        return m.estimate()
+
+    assert drain(folded) == drain(sketches)
