@@ -46,6 +46,42 @@ def render_markdown(text: str, spans: list[dict]) -> str:
     return "\n\n".join(parts)
 
 
+def render_html(text: str, spans: list[dict]) -> str:
+    """Deterministic HTML rendering from text + spans — the analogue of the
+    reference's ``save_as_html`` projection (``convert/export.py:91-106``
+    routes one DoclingDocument through docling's HTML serializer; here the
+    span kinds map onto semantic tags).  Segments are entity-escaped;
+    consecutive list items coalesce into one ``<ul>``; page spans render as
+    ``<hr/>`` separators."""
+    import html as _html
+
+    body: list[str] = []
+    in_list = False
+    for s in spans or []:
+        seg = _html.escape(text[s["start"] : s["end"]], quote=False)
+        kind = s["kind"]
+        if kind == KIND_LIST_ITEM:
+            if not in_list:
+                body.append("<ul>")
+                in_list = True
+            body.append(f"<li>{seg}</li>")
+            continue
+        if in_list:
+            body.append("</ul>")
+            in_list = False
+        if kind == KIND_HEADING:
+            body.append(f"<h2>{seg}</h2>")
+        elif kind == KIND_TABLE:
+            body.append(f"<table><tr><td>{seg}</td></tr></table>")
+        elif kind == KIND_PAGE:
+            body.append("<hr/>")
+        else:
+            body.append(f"<p>{seg}</p>")
+    if in_list:
+        body.append("</ul>")
+    return "<!DOCTYPE html>\n<html><body>\n" + "\n".join(body) + "\n</body></html>"
+
+
 def render_doctags(text: str, spans: list[dict]) -> str:
     """Doctags-style flat markup: <kind>segment</kind> per span (stands in
     for the reference's doctags serialization)."""
@@ -57,16 +93,23 @@ def render_doctags(text: str, spans: list[dict]) -> str:
 
 
 def export_projections(batch: pa.Table) -> pa.Table:
-    """Add md + doctags columns to extracted rows."""
+    """Add md + html + doctags columns to extracted rows."""
     texts = batch.column("text").to_pylist()
     spans = batch.column("spans").to_pylist()
     md = pa.array(
         [render_markdown(t, sp or []) for t, sp in zip(texts, spans)], pa.string()
     )
+    html = pa.array(
+        [render_html(t, sp or []) for t, sp in zip(texts, spans)], pa.string()
+    )
     doctags = pa.array(
         [render_doctags(t, sp or []) for t, sp in zip(texts, spans)], pa.string()
     )
-    return batch.append_column("md", md).append_column("doctags", doctags)
+    return (
+        batch.append_column("md", md)
+        .append_column("html", html)
+        .append_column("doctags", doctags)
+    )
 
 
 def doc_stats(batch: pa.Table) -> pa.Table:

@@ -155,3 +155,39 @@ def test_dedup_pages_by_url(ray_session):
     by_url = {r["url"]: r for r in out}
     assert len(out) == 2
     assert by_url["u1"]["html"] == b"<p>first crawl body text</p>"
+
+
+def test_render_html_projection():
+    """HTML export projection (reference convert/export.py:91-106
+    save_as_html): semantic tags per span kind, entity escaping, list
+    coalescing, page separators."""
+    from docling_jobkit_ray.stages.export import render_html
+
+    text = "TitleA < Bfirstseconditem1item2"
+    spans = [
+        {"kind": "heading", "start": 0, "end": 5},
+        {"kind": "paragraph", "start": 5, "end": 10},
+        {"kind": "paragraph", "start": 10, "end": 15},
+        {"kind": "table", "start": 15, "end": 21},
+        {"kind": "list_item", "start": 21, "end": 26},
+        {"kind": "list_item", "start": 26, "end": 31},
+    ]
+    html = render_html(text, spans)
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<h2>Title</h2>" in html
+    assert "<p>A &lt; B</p>" in html  # escaped
+    assert "<table><tr><td>second</td></tr></table>" in html
+    assert "<ul>\n<li>item1</li>\n<li>item2</li>\n</ul>" in html
+    assert html.count("<ul>") == 1  # consecutive items share one list
+
+
+def test_export_projections_adds_html_column(ray_session, corpus_dir):
+    from docling_jobkit_ray.pipelines.extract import extract_pipeline
+    from docling_jobkit_ray.stages.export import export_pipeline
+
+    out = export_pipeline(
+        extract_pipeline(corpus_dir, concurrency=(1, 2))
+    ).limit(20).to_pandas()
+    assert {"md", "html", "doctags"} <= set(out.columns)
+    ok = out[out["status"] == "SUCCESS"]
+    assert (ok["html"].str.startswith("<!DOCTYPE html>")).all()

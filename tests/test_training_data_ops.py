@@ -559,3 +559,82 @@ def test_sketch_tree_fold_reduces_and_preserves_estimate(ray_session):
         return m.estimate()
 
     assert drain(folded) == drain(sketches)
+
+
+def _chunk_spans(parts):
+    """Build (text, spans) from [(kind, seg), ...]."""
+    text = ""
+    spans = []
+    for kind, seg in parts:
+        spans.append({"kind": kind, "start": len(text), "end": len(text) + len(seg)})
+        text += seg
+    return text, spans
+
+
+def test_chunker_merge_peers_respects_heading_context():
+    """merge_peers packs SAME-section elements only: content under two
+    different headings never shares a chunk (HybridChunker merge_peers,
+    reference convert/chunking.py:136-150)."""
+    from docling_jobkit_ray.stages.chunking import ChunkDocuments
+
+    text, spans = _chunk_spans(
+        [
+            ("heading", "Intro"),
+            ("paragraph", "a b c"),
+            ("paragraph", "d e f"),
+            ("heading", "Methods"),
+            ("paragraph", "g h i"),
+        ]
+    )
+    merged = ChunkDocuments(max_tokens=100).chunk_doc("u", text, spans)
+    assert len(merged) == 2  # two sections -> two chunks despite the budget
+    assert merged[0].get("headings") == ["Intro"]
+    assert merged[0]["text"] == "a b c\nd e f"
+    assert merged[1].get("headings") == ["Methods"]
+
+    # merge_peers=False: one chunk per element
+    solo = ChunkDocuments(max_tokens=100, merge_peers=False).chunk_doc("u", text, spans)
+    assert [c["text"] for c in solo] == ["a b c", "d e f", "g h i"]
+    assert solo[1]["headings"] == ["Intro"]
+
+
+def test_chunker_hierarchical_variant_one_chunk_per_element():
+    from docling_jobkit_ray.stages.chunking import ChunkDocuments
+
+    text, spans = _chunk_spans(
+        [
+            ("heading", "H1"),
+            ("heading", "H2"),
+            ("paragraph", " ".join(f"w{i}" for i in range(500))),  # oversized
+            ("list_item", "item one"),
+        ]
+    )
+    out = ChunkDocuments(max_tokens=16, variant="hierarchical").chunk_doc(
+        "u", text, spans
+    )
+    assert len(out) == 2  # no budget, no split: one chunk per element
+    assert out[0]["headings"] == ["H1", "H2"]  # consecutive headings stack
+    assert out[0]["num_tokens"] == 500
+
+    import pytest
+
+    with pytest.raises(ValueError, match="variant"):
+        ChunkDocuments(variant="nope")
+
+
+def test_chunker_split_oversized_token_budget():
+    from docling_jobkit_ray.stages.chunking import ChunkDocuments
+
+    words = " ".join(f"w{i}" for i in range(70))
+    text, spans = _chunk_spans([("paragraph", words)])
+    out = ChunkDocuments(max_tokens=32, split_oversized=True).chunk_doc(
+        "u", text, spans
+    )
+    assert [c["num_tokens"] for c in out] == [32, 32, 6]
+    assert " ".join(c["text"] for c in out) == words  # lossless split
+    # custom tokenizer path: budget respected through the injected counter
+    out2 = ChunkDocuments(
+        max_tokens=40, tokenizer=len, split_oversized=True
+    ).chunk_doc("u", text, spans)
+    assert all(c["num_tokens"] <= 40 for c in out2)
+    assert " ".join(c["text"] for c in out2) == words
