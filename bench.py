@@ -248,10 +248,30 @@ def run_scaling(cluster_mode: bool = False) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def wait_for_calm() -> float:
+        """Host-steal guard (VERDICT r3 #7): the scaling ratio is the
+        benchmark's noisiest number on this shared VM (0.759-0.936 for the
+        same code in one day).  Wait until the 1-min load average — taken
+        BETWEEN runs, when our own Ray session is down — drops under
+        SCALE_MAX_LOAD, up to SCALE_CALM_TIMEOUT seconds; return the load
+        actually observed so the recorded ratio carries its own context."""
+        max_load = float(os.environ.get("SCALE_MAX_LOAD", "8"))
+        deadline = time.time() + float(os.environ.get("SCALE_CALM_TIMEOUT", "120"))
+        load = os.getloadavg()[0]
+        while load > max_load and time.time() < deadline:
+            time.sleep(10)
+            load = os.getloadavg()[0]
+        return round(load, 2)
+
+    loads: list[float] = []
+
     def best_of(ncpu: int, reps: int) -> dict:
         # best-of-N: the machine is shared, so min wall time = the
         # least-interference estimate of the pipeline's own cost
-        runs = [one(ncpu) for _ in range(reps)]
+        runs = []
+        for _ in range(reps):
+            loads.append(wait_for_calm())
+            runs.append(one(ncpu))
         return min(runs, key=lambda r: r["value"])
 
     # Default pair 4 -> 16: stays within PHYSICAL cores.  The 32-logical-CPU
@@ -287,6 +307,7 @@ def run_scaling(cluster_mode: bool = False) -> dict:
         "docs_per_sec_lo": round(tp_lo, 2),
         "docs_per_sec_hi": round(tp_hi, 2),
         "scaling_efficiency": round(eff, 3),
+        "host_load_per_rep": loads,
     }
 
 
