@@ -77,6 +77,7 @@ def extract_pipeline(
     preset: str | None = None,
     mode: str = "inline",
     pipeline: str = "standard",
+    vlm_preset: str = "default",
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=None,
     override_num_blocks: int | None = None,
@@ -106,10 +107,18 @@ def extract_pipeline(
 
     def _family(ds: ray.data.Dataset) -> ray.data.Dataset:
         if pipeline == PIPELINE_VLM:
+            from ..stages.vlm import describer_for_preset
+
             # the VLM stage is a callable CLASS (warm model) — it always
-            # needs a real actor-pool concurrency
+            # needs a real actor-pool concurrency; the model comes from the
+            # per-kind preset registry (allowlist-gated)
             vlm_conc = concurrency if concurrency is not None else (1, 4)
-            return vlm_enrich(ds, concurrency=vlm_conc, batch_size=batch_size)
+            return vlm_enrich(
+                ds,
+                describer_cls=describer_for_preset(vlm_preset),
+                concurrency=vlm_conc,
+                batch_size=batch_size,
+            )
         return ds
 
     read_kwargs = (

@@ -28,6 +28,22 @@ PIPELINE_VLM = "vlm"
 PIPELINES = (PIPELINE_STANDARD, PIPELINE_VLM)
 
 
+def describer_for_preset(name: str = "default"):
+    """Resolve a VLM preset name to a describer class through the per-kind
+    model registry (reference ``convert/manager.py:484-751``): the resolved
+    options dict names the describer implementation."""
+    from ..extract.presets import model_kind
+
+    opts = model_kind("vlm").resolve(name)
+    impl = opts.get("describer", "fake_page_describer")
+    known = {"fake_page_describer": FakePageDescriber}
+    if callable(impl):
+        return impl  # custom presets may carry the class directly
+    if impl not in known:
+        raise KeyError(f"vlm preset {name!r} names unknown describer {impl!r}")
+    return known[impl]
+
+
 class FakePageDescriber:
     """Deterministic model stand-in: 'describes' a page from its text.
     A real describer would load weights here (once per actor)."""

@@ -123,3 +123,82 @@ def test_registry_chunk_tokenizer_and_map_kwargs(ray_session, corpus_dir):
     assert kwargs["batch_size"] == 16
     _, vkwargs = get_stage("vlm_describe", {"map_kwargs": {"batch_size": 8}})
     assert vkwargs["batch_size"] == 8
+
+
+# ---------------------------------------------------------------------------
+# per-stage model-kind registries (reference convert/manager.py:484-751)
+# ---------------------------------------------------------------------------
+
+
+def test_model_kind_registry_rules():
+    import pytest
+
+    from docling_jobkit_ray.extract.presets import (
+        ModelKindRegistry,
+        PresetNotAllowedError,
+        model_kind,
+    )
+
+    reg = ModelKindRegistry(
+        "ocr",
+        {"auto": {"engine": "auto"}, "tesseract": {"engine": "tesseract"}},
+        default="auto",
+    )
+    # 'default' always resolves to the configured builtin
+    assert reg.resolve()["engine"] == "auto"
+    assert reg.resolve("tesseract")["engine"] == "tesseract"
+
+    # allowlist gates BUILTINS only
+    reg.set_allowed(["auto"])
+    with pytest.raises(PresetNotAllowedError):
+        reg.resolve("tesseract")
+    assert reg.resolve("default")["engine"] == "auto"  # default survives
+
+    # customs bypass the allowlist (reference: custom presets always allowed)
+    reg.register_custom("mine", {"engine": "custom-thing"})
+    assert reg.resolve("mine")["engine"] == "custom-thing"
+    assert "mine" in reg.list_names() and "tesseract" not in reg.list_names()
+
+    reg.set_allowed(None)
+    assert "tesseract" in reg.list_names()
+    with pytest.raises(KeyError):
+        reg.set_allowed(["nope"])
+    with pytest.raises(ValueError):
+        reg.register_custom("default", {})
+    with pytest.raises(ValueError):
+        reg.register_custom("mine", {})  # no silent override
+    with pytest.raises(KeyError):
+        reg.resolve("missing")
+    # every shipped kind exists with a working default
+    for kind in (
+        "vlm", "ocr", "layout", "table_structure", "picture_description", "code_formula"
+    ):
+        assert isinstance(model_kind(kind).resolve(), dict)
+
+
+def test_vlm_preset_resolves_describer_and_runs(ray_session, corpus_dir):
+    import pytest
+
+    from docling_jobkit_ray.extract.presets import model_kind
+    from docling_jobkit_ray.pipelines.extract import extract_pipeline
+    from docling_jobkit_ray.stages.vlm import FakePageDescriber, describer_for_preset
+
+    assert describer_for_preset() is FakePageDescriber
+    with pytest.raises(KeyError):
+        describer_for_preset("missing")
+
+    # a custom preset can carry a describer class directly
+    class MyDescriber(FakePageDescriber):
+        pass
+
+    reg = model_kind("vlm")
+    try:
+        reg.register_custom("custom_model", {"describer": MyDescriber})
+        assert describer_for_preset("custom_model") is MyDescriber
+    finally:
+        reg._customs.pop("custom_model", None)
+
+    out = extract_pipeline(
+        corpus_dir, pipeline="vlm", vlm_preset="default", concurrency=(1, 2)
+    ).limit(5).to_pandas()
+    assert "vlm_json" in out.columns

@@ -133,7 +133,8 @@ def main() -> int:
             msg = str(e).replace("\n", " | ")[:300]
             print(f"FAIL  {name}  ({time.time() - t0:.1f}s): {msg}")
 
-    print(f"\n{len(names) - len(failures)}/{len([n for n in names if n not in skip])} green")
+    ran = [n for n in names if n not in skip]
+    print(f"\n{len(ran) - len(failures)}/{len(ran)} green ({len(names) - len(ran)} skipped)")
     if failures:
         print("failures:", ",".join(failures))
     ray.shutdown()
