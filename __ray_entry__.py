@@ -187,6 +187,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["duplicated_passages"] = webtext.duplicated_passages
     q["top_bigram_stats"] = webtext.top_bigram_stats
     q["stratified_sample"] = webtext.stratified_sample
+
+    def _inverted_index_stats(sf_dir: str):
+        from docling_jobkit_ray.functions.index import inverted_index_stats
+
+        return inverted_index_stats(sf_dir)
+
+    q["inverted_index_stats"] = _inverted_index_stats
     # --- one rows-only entry per remaining family ---
     q["quality_scores"] = textstats.quality_scores
     q["lang_id"] = textstats.lang_id
@@ -252,7 +259,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # single-process extractor, checked in pytest — rows-only here)
     q["extract_fused"] = _extract_query("fused")
     q["extract_dead_letter"] = _dead_letter_query
-
+    q["chunk_documents"] = _chunks_query
+    q["export_projections"] = _export_query
+    # multimodal plumbing
+    q["media_features"] = _media_features_query
+    # --- redundant variants of families already listed above ---
+    # (doc_stats family: doc_stats_by_lang is SQL-green above; frame
+    # sampling: media_features keeps the multimodal row; knn_ivf: the ANN
+    # family keeps its driver row via knn_brute_force; extract_vlm: third
+    # extract-family row, demoted for the inverted-index SQL family)
     def _extract_vlm(sf_dir: str):
         from docling_jobkit_ray.pipelines.extract import extract_pipeline
 
@@ -262,14 +277,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["url", "status", "vlm_json"]).sort("url")
 
     q["extract_vlm"] = _extract_vlm
-    q["chunk_documents"] = _chunks_query
-    q["export_projections"] = _export_query
-    # multimodal plumbing
-    q["media_features"] = _media_features_query
-    # --- redundant variants of families already listed above ---
-    # (doc_stats family: doc_stats_by_lang is SQL-green above; frame
-    # sampling: media_features keeps the multimodal row; knn_ivf: the ANN
-    # family keeps its driver row via knn_brute_force)
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
     q["knn_pq"] = functools.partial(similarity.knn_pq, k=5, n_queries=4)
     # the entries from here down sit beyond the driver's 50-query cap by
@@ -394,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["stratified_sample"] = stratified_sample_sql()
     sql["decontaminate_docs"] = DECONTAMINATE_DOCS_SQL
+    from docling_jobkit_ray.functions.index import INVERTED_INDEX_STATS_SQL
+
+    sql["inverted_index_stats"] = INVERTED_INDEX_STATS_SQL
     from docling_jobkit_ray.functions.textstats import (
         DOC_LENGTH_PERCENTILES_BY_LANG_SQL,
     )

@@ -1,0 +1,245 @@
+"""Distributed inverted-index build: documents -> term posting lists.
+
+The classic wide text operator a 100 TB corpus pipeline runs for retrieval /
+analysis: tokenize every document, shuffle DISTINCT (term, doc) pairs once,
+and materialize per-term posting lists as a partitioned parquet artifact.
+Extends the reference's per-document conversion surface (the reference
+stops at conversion; SURVEY.md §2.10's scalar functions are the nearest
+analogue) with the corpus-level index a retrieval stack builds next.
+
+Scale discipline:
+* tokenization + batch-local distinct are one Arrow pass (no Python loop);
+* the ONLY exchange carries (int64 bucket, term, doc_id) distinct pairs —
+  text never rides the shuffle;
+* terms are hash-bucketed (``pd.util.hash_array``, deterministic
+  cross-process) with a scale-derived bucket count, so one group stays
+  bounded and the per-group fold is vectorized (never a Python call per
+  term — CLAUDE.md bucketize rule);
+* the artifact is hive-partitioned by bucket: lookups read ONLY the
+  partitions their terms hash to (partition pruning at the read), and a
+  failed build can re-run per partition.
+
+Tokenization matches ``textstats.top_terms`` exactly (lowercase ``[a-z]+``
+runs), so the DuckDB oracle is one regexp_extract_all away.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+__all__ = [
+    "term_doc_pairs",
+    "build_inverted_index",
+    "lookup_postings",
+    "inverted_index_stats",
+    "INVERTED_INDEX_STATS_SQL",
+]
+
+_TOKEN_PATTERN = r"[^a-z]+"  # split-on-complement == extract [a-z]+ runs
+
+
+def _term_bucket(terms, n_buckets: int) -> np.ndarray:
+    """Deterministic cross-process bucket of each term string."""
+    obj = np.asarray(terms, dtype=object)
+    return (pd.util.hash_array(obj) & np.uint64(n_buckets - 1)).astype(np.int64)
+
+
+def term_doc_pairs(batch: pa.Table, *, n_buckets: int) -> pa.Table:
+    """Batch-local DISTINCT (bucket, term, doc_id) pairs, all in Arrow."""
+    lower = pc.utf8_lower(batch["text"])
+    words = pc.split_pattern_regex(lower, pattern=_TOKEN_PATTERN)
+    flat = pc.list_flatten(words)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    doc_ids = batch["doc_id"].to_numpy()[doc_idx]
+    t = pa.table({"term": flat, "doc_id": pa.array(doc_ids, pa.int64())})
+    t = t.filter(pc.not_equal(t["term"], ""))
+    pairs = t.group_by(["term", "doc_id"]).aggregate([])  # batch-local distinct
+    terms = pairs["term"].combine_chunks() if isinstance(
+        pairs["term"], pa.ChunkedArray
+    ) else pairs["term"]
+    return pa.table(
+        {
+            "bucket": pa.array(
+                _term_bucket(terms.to_numpy(zero_copy_only=False), n_buckets)
+            ),
+            "term": terms,
+            "doc_id": pairs["doc_id"],
+        }
+    )
+
+
+def _pairs_dataset(sf_dir: str) -> tuple[ray.data.Dataset, int]:
+    from ..scale import bucket_count, estimate_rows
+
+    # ~120 distinct terms/doc ride the shuffle
+    n_buckets = bucket_count(estimate_rows(sf_dir, "documents") * 120, min_buckets=64)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ds.map_batches(
+        lambda b: term_doc_pairs(b, n_buckets=n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pairs, n_buckets
+
+
+def build_inverted_index(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+) -> dict:
+    """Materialize the index: hive-partitioned parquet
+    ``out_dir/bucket=N/...`` with rows (term, df, postings: list<int64>,
+    postings sorted ascending).  ``min_df``/``max_df_ratio`` prune the
+    singleton tail / stopword head (the Zipf ends that dominate index size
+    but carry no retrieval value)."""
+    from ..scale import estimate_rows
+
+    n_docs = max(1, estimate_rows(sf_dir, "documents"))
+    max_df = int(max_df_ratio * n_docs)
+    pairs, n_buckets = _pairs_dataset(sf_dir)
+
+    _PAIRS_SCHEMA = pa.schema(
+        [("bucket", pa.int64()), ("term", pa.string()), ("doc_id", pa.int64())]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        # batch-local distinct is NOT global distinct (a term's postings
+        # span batches): re-distinct, then fold to sorted posting lists in
+        # ONE vectorized pass over the sorted bucket.  Cast first: Ray's
+        # groupby shuffle can hand groups back through a pandas round trip
+        # (CLAUDE.md).
+        g = (
+            group.select(_PAIRS_SCHEMA.names)
+            .cast(_PAIRS_SCHEMA)
+            .group_by(["bucket", "term", "doc_id"])
+            .aggregate([])
+            .sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        )
+        agg = g.group_by("term", use_threads=False).aggregate(
+            [("doc_id", "list"), ("doc_id", "count")]
+        )
+        t = agg.rename_columns(["term", "postings", "df"])
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["df"], pa.scalar(min_df, pa.int64())),
+                pc.less_equal(t["df"], pa.scalar(max_df, pa.int64())),
+            )
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array([group["bucket"][0].as_py()] * n, pa.int64()),
+                "term": t["term"],
+                "df": pc.cast(t["df"], pa.int64()),
+                "postings": t["postings"],
+            }
+        )
+
+    index = pairs.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+    index.write_parquet(out_dir, partition_cols=["bucket"])
+    return {"n_buckets": n_buckets, "n_docs": n_docs, "path": out_dir}
+
+
+def lookup_postings(out_dir: str, terms: list[str], *, n_buckets: int) -> pa.Table:
+    """Read ONLY the partitions the query terms hash to (partition pruning:
+    at 100 TB the index has thousands of bucket dirs; a lookup touches
+    len(terms) of them)."""
+    import glob
+    import os
+
+    buckets = sorted(set(_term_bucket(terms, n_buckets).tolist()))
+    files = [
+        f
+        for b in buckets
+        for f in sorted(
+            glob.glob(os.path.join(out_dir, f"bucket={b}", "*.parquet"))
+        )
+    ]
+    if not files:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64()),
+             "postings": pa.array([], pa.list_(pa.int64()))}
+        )
+    ds = ray.data.read_parquet(files, columns=["term", "df", "postings"])
+    want = pa.array(sorted(set(terms)), pa.string())
+    hit = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=want)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = pa.Table.from_pandas(
+        hit.to_pandas(), preserve_index=False
+    )  # bounded: <= len(terms) rows
+    return out.sort_by("term") if out.num_rows else out
+
+
+def inverted_index_stats(
+    sf_dir: str, *, min_df: int = 2, k: int = 200
+) -> ray.data.Dataset:
+    """SQL-checkable summary of the same shuffle: per-term df + postings
+    aggregates (sum/min/max doc_id), top-``k`` by df.  Exercises the exact
+    exchange the index build uses, in a driver-hashable flat schema."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    pairs, _ = _pairs_dataset(sf_dir)
+
+    _PD_SCHEMA = pa.schema([("term", pa.string()), ("doc_id", pa.int64())])
+
+    def dedup_fold(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(_PD_SCHEMA.names)
+            .cast(_PD_SCHEMA)
+            .group_by(["term", "doc_id"])
+            .aggregate([])
+        )
+        agg = g.group_by("term").aggregate(
+            [("doc_id", "count"), ("doc_id", "sum"), ("doc_id", "min"), ("doc_id", "max")]
+        )
+        t = agg.rename_columns(["term", "df", "postings_sum", "doc_min", "doc_max"])
+        return pa.table(
+            {
+                "term": t["term"],
+                "df": pc.cast(t["df"], pa.int64()),
+                "postings_sum": pc.cast(t["postings_sum"], pa.int64()),
+                "doc_min": t["doc_min"],
+                "doc_max": t["doc_max"],
+            }
+        )
+
+    return (
+        pairs.groupby("bucket")
+        .map_groups(dedup_fold, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["df"], pa.scalar(min_df, pa.int64()))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+INVERTED_INDEX_STATS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+)
+SELECT term, count(*) AS df, CAST(sum(doc_id) AS BIGINT) AS postings_sum,
+       min(doc_id) AS doc_min, max(doc_id) AS doc_max
+FROM pairs
+GROUP BY term
+HAVING count(*) >= 2
+ORDER BY df DESC, term
+LIMIT 200
+"""

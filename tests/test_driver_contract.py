@@ -136,6 +136,7 @@ SQL_BACKED = [
     "stratified_sample",
     "decontaminate_docs",
     "q13_customer_distribution",
+    "inverted_index_stats",
     "suppliers_per_part",
     "doc_length_percentiles_by_lang",
     "order_priority_semi_bloom",

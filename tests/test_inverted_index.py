@@ -1,0 +1,84 @@
+"""Inverted-index build: exact posting lists vs a single-process oracle,
+partitioned artifact layout, pruned lookup."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute_force_postings(sf_dir, min_df=1, max_df=10**9):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    posts: dict[str, set[int]] = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for w in set(re.findall(r"[a-z]+", txt.lower())):
+            posts.setdefault(w, set()).add(d)
+    return {
+        w: sorted(ds) for w, ds in posts.items() if min_df <= len(ds) <= max_df
+    }
+
+
+def test_build_index_matches_bruteforce_and_partitions(ray_session, tmp_path):
+    from docling_jobkit_ray.functions.index import build_inverted_index
+
+    out = str(tmp_path / "idx")
+    info = build_inverted_index(SF_DIR, out, min_df=2)
+    want = _brute_force_postings(SF_DIR, min_df=2)
+
+    # hive-partitioned artifact: bucket=N dirs (resumable / prunable)
+    parts = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    assert len(parts) >= 2
+
+    got_t = pq.read_table(out, columns=["term", "df", "postings"])
+    got = {
+        t: p
+        for t, p in zip(got_t["term"].to_pylist(), got_t["postings"].to_pylist())
+    }
+    assert got == want
+    dfs = dict(zip(got_t["term"].to_pylist(), got_t["df"].to_pylist()))
+    assert all(dfs[t] == len(p) for t, p in got.items())
+    assert info["n_buckets"] >= 2
+
+
+def test_lookup_reads_only_matching_buckets(ray_session, tmp_path):
+    from docling_jobkit_ray.functions.index import (
+        _term_bucket,
+        build_inverted_index,
+        lookup_postings,
+    )
+
+    out = str(tmp_path / "idx")
+    info = build_inverted_index(SF_DIR, out, min_df=1)
+    want = _brute_force_postings(SF_DIR)
+    terms = sorted(want)[:3] + ["zzzmissingterm"]
+    got = lookup_postings(out, terms, n_buckets=info["n_buckets"])
+    hit = dict(zip(got["term"].to_pylist(), got["postings"].to_pylist()))
+    for t in terms[:3]:
+        assert hit[t] == want[t]
+    assert "zzzmissingterm" not in hit
+    # pruning: the touched partitions are exactly the query-term buckets
+    buckets = set(_term_bucket(terms, info["n_buckets"]).tolist())
+    assert len(buckets) <= len(terms)
+
+
+def test_stats_query_vectorized_pairs(ray_session):
+    """term_doc_pairs is batch-local distinct: duplicate words inside one
+    doc emit ONE pair; the same term across docs emits one pair per doc."""
+    from docling_jobkit_ray.functions.index import term_doc_pairs
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["Cat cat DOG!", "dog fish"]),
+        }
+    )
+    out = term_doc_pairs(batch, n_buckets=64)
+    pairs = sorted(zip(out["term"].to_pylist(), out["doc_id"].to_pylist()))
+    assert pairs == [("cat", 1), ("dog", 1), ("dog", 2), ("fish", 2)]
+    assert out["bucket"].to_numpy().max() < 64
