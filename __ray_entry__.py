@@ -194,8 +194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return inverted_index_stats(sf_dir)
 
     q["inverted_index_stats"] = _inverted_index_stats
+    # quality family's SQL-checked head row (quality_scores rows-only
+    # variant moves to the tail; its features stay SQL-checked in pytest)
+    q["gopher_quality_docs"] = webtext.gopher_quality_docs
     # --- one rows-only entry per remaining family ---
-    q["quality_scores"] = textstats.quality_scores
     q["lang_id"] = textstats.lang_id
     q["minhash_dedup"] = functools.partial(dedup.minhash_dedup, threshold=0.8)
     q["simhash_dup_groups"] = dedup.simhash_dup_groups
@@ -277,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["url", "status", "vlm_json"]).sort("url")
 
     q["extract_vlm"] = _extract_vlm
+    q["quality_scores"] = textstats.quality_scores
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
     q["knn_pq"] = functools.partial(similarity.knn_pq, k=5, n_queries=4)
     # the entries from here down sit beyond the driver's 50-query cap by
@@ -404,6 +407,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.index import INVERTED_INDEX_STATS_SQL
 
     sql["inverted_index_stats"] = INVERTED_INDEX_STATS_SQL
+    from docling_jobkit_ray.functions.webtext import GOPHER_QUALITY_DOCS_SQL
+
+    sql["gopher_quality_docs"] = GOPHER_QUALITY_DOCS_SQL
     from docling_jobkit_ray.functions.textstats import (
         DOC_LENGTH_PERCENTILES_BY_LANG_SQL,
     )

@@ -74,7 +74,16 @@ def _driver_union_find(sym: ray.data.Dataset) -> ray.data.Dataset:
     256-edge graph at sf0.1)."""
     import ray as _ray
 
-    t = pa.concat_tables(_ray.get(sym.to_arrow_refs()))
+    # an empty shuffle block can arrive with a DEGRADED (column-less)
+    # schema — seen only once inputs split into enough blocks (sf1-shape
+    # sweep, round 4); drop empties before concat or the schema unification
+    # fails
+    tables = [t for t in _ray.get(sym.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        )
+    t = pa.concat_tables(tables)
     nodes, comp = union_find_components(
         t["src"].to_numpy(zero_copy_only=False).tolist(),
         t["dst"].to_numpy(zero_copy_only=False).tolist(),
@@ -109,7 +118,13 @@ def connected_components(
     """
     from ..pipelines.joins import bucketed_join
 
+    _EDGE_OUT = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
     def symmetrize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty blocks may arrive column-less from an upstream shuffle;
+            # rebuild the declared schema instead of indexing into nothing
+            return _EDGE_OUT.empty_table()
         a = pc.cast(batch[src], pa.int64()).combine_chunks()
         b = pc.cast(batch[dst], pa.int64()).combine_chunks()
         return pa.table(

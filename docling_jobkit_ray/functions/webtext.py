@@ -487,3 +487,93 @@ FROM documents
 WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rule quality filter (materialized kept corpus)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "in", "is")
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 5000
+GOPHER_MIN_MEAN_WORD_LEN = 3.9
+GOPHER_MAX_MEAN_WORD_LEN = 5.2
+GOPHER_MIN_STOP_HITS = 1
+
+
+def gopher_quality_docs(sf_dir: str) -> ray.data.Dataset:
+    """The Gopher quality-rule filter (Rae et al. 2021 §A1.1) as a
+    MATERIALIZED kept corpus: word-count window, mean-word-length window,
+    and a minimum function-word hit count — the rule family every web
+    corpus applies between extraction and training.
+
+    Engine-portable BY CONSTRUCTION: every feature is an integer count of
+    the same RE2 token runs DuckDB computes (word count = count of
+    ``[a-z]+`` runs, alpha chars = count of ``[a-z]`` matches, stop hits =
+    tokens in the stoplist), and the one float comparison divides the same
+    two int64s on both sides.  One embarrassingly-parallel batch map — no
+    shuffle at any scale."""
+    stops = pa.array(GOPHER_STOPWORDS, pa.string())
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch["text"])
+        n_words = pc.cast(
+            pc.count_substring_regex(lower, pattern="[a-z]+"), pa.int64()
+        )
+        alpha = pc.cast(pc.count_substring_regex(lower, pattern="[a-z]"), pa.int64())
+        # stop hits over the SAME token stream (not \b word boundaries,
+        # which disagree with [a-z]+ tokenization next to digits)
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        hit = pc.and_(
+            pc.is_in(flat, value_set=stops), pc.not_equal(flat, "")
+        ).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        stop_hits = np.bincount(doc_idx, weights=hit, minlength=len(lens)).astype(
+            np.int64
+        )
+        nw = n_words.to_numpy(zero_copy_only=False)
+        al = alpha.to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mwl = np.where(nw > 0, al / np.maximum(nw, 1), 0.0)
+        keep = (
+            (nw >= GOPHER_MIN_WORDS)
+            & (nw <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        )
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_words": n_words,
+                "stop_hits": pa.array(stop_hits),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+GOPHER_QUALITY_DOCS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[a-z]')) AS alpha_chars,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> list_contains({list(GOPHER_STOPWORDS)!r}, x))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+       CAST(stop_hits AS BIGINT) AS stop_hits
+FROM s
+WHERE n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+  AND alpha_chars * 1.0 / n_words BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+  AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+ORDER BY doc_id
+"""

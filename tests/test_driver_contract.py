@@ -137,6 +137,7 @@ SQL_BACKED = [
     "decontaminate_docs",
     "q13_customer_distribution",
     "inverted_index_stats",
+    "gopher_quality_docs",
     "suppliers_per_part",
     "doc_length_percentiles_by_lang",
     "order_priority_semi_bloom",
