@@ -342,6 +342,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["simhash_near_dups"] = dedup.simhash_near_dups
     q["embedding_lsh_buckets"] = dedup.embedding_lsh_buckets
+    def _url_canonical_dups(sf_dir: str):
+        from docling_jobkit_ray.functions.urltools import canonicalize_urls
+        from docling_jobkit_ray.sources.pages import read_pages
+
+        # crawl-frontier normalization over the pages corpus (rows-only:
+        # rules pinned by tests/test_urltools.py)
+        ds = read_pages(_corpus_for(sf_dir), columns=["url"], include_paths=False)
+        return canonicalize_urls(ds).sort("url")
+
+    q["url_canonical_dups"] = _url_canonical_dups
     q["extract_inline"] = _extract_query("inline")
     q["extract_sliced"] = _extract_query("sliced")
     q["extract_size_bucketed"] = _extract_query("size_bucketed")

@@ -207,6 +207,7 @@ ROWS_ONLY = [
     "export_projections",
     "doc_stats",
     "approx_distinct_users",
+    "url_canonical_dups",
 ]
 
 
