@@ -352,6 +352,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return canonicalize_urls(ds).sort("url")
 
     q["url_canonical_dups"] = _url_canonical_dups
+
+    def _strip_duplicated_passages(sf_dir: str):
+        from docling_jobkit_ray.functions.webtext import strip_duplicated_passages
+
+        return strip_duplicated_passages(sf_dir, min_docs=5)
+
+    q["strip_duplicated_passages"] = _strip_duplicated_passages
     q["extract_inline"] = _extract_query("inline")
     q["extract_sliced"] = _extract_query("sliced")
     q["extract_size_bucketed"] = _extract_query("size_bucketed")

@@ -577,3 +577,73 @@ WHERE n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
   AND stop_hits >= {GOPHER_MIN_STOP_HITS}
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-passage REMOVAL (the materialization of duplicated_passages)
+# ---------------------------------------------------------------------------
+
+def strip_duplicated_passages(
+    sf_dir: str, *, n: int = 4, min_docs: int = 5, max_passages: int = 50_000
+) -> ray.data.Dataset:
+    """Materialize the corpus with boilerplate passages REMOVED: any word
+    covered by an occurrence of a word-``n``-gram that appears in >=
+    ``min_docs`` distinct documents is dropped from the text
+    (RefinedWeb/C4-style template pruning, the consumer of
+    :func:`duplicated_passages`).
+
+    Pass 1 reuses the duplicated-passages exchange and pulls at most
+    ``max_passages`` boilerplate grams to the driver, MOST-duplicated
+    first (the head of the Zipf curve is what matters; the cap bounds the
+    broadcast and is logged via the ``n_boilerplate`` marker row count
+    consumers can check).  Pass 2 is one embarrassingly-parallel map:
+    mark covered words per document with the same offset arithmetic as the
+    gram builder, keep the rest, re-join with single spaces."""
+    boiler = (
+        duplicated_passages(sf_dir, n=n, min_docs=min_docs, k=max_passages)
+        .to_pandas()["passage"]
+        .to_numpy(dtype=object)
+    )
+    boiler_set = pa.array(sorted(boiler.tolist()), pa.string())
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values
+        lens = np.diff(offsets)
+        doc_idx, grams = _gram_frame(batch["text"], n)
+        covered = np.zeros(len(flat), dtype=bool)
+        if len(doc_idx):
+            hit = pc.is_in(grams, value_set=boiler_set).to_numpy(zero_copy_only=False)
+            if hit.any():
+                # recompute each gram's start position in the flat word
+                # array (same arithmetic as _gram_frame)
+                cnt = np.maximum(lens - (n - 1), 0)
+                base = np.repeat(offsets[:-1], cnt)
+                within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+                )
+                start = (base + within)[hit]
+                for k in range(n):
+                    covered[start + k] = True
+        keep_words = pa.array(~covered)
+        kept_flat = flat.filter(keep_words)
+        kept_per_doc = np.subtract(
+            lens, np.add.reduceat(covered, offsets[:-1]) if len(flat) else 0
+        ) if len(lens) else lens
+        new_offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        new_words = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept_flat
+        )
+        cleaned = pc.binary_join(new_words, " ")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang": batch["lang"], "text": cleaned}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )

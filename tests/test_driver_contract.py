@@ -208,6 +208,7 @@ ROWS_ONLY = [
     "doc_stats",
     "approx_distinct_users",
     "url_canonical_dups",
+    "strip_duplicated_passages",
 ]
 
 

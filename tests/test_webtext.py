@@ -202,3 +202,58 @@ def test_scrub_pii_dataset_stage(ray_session, tmp_path):
     assert len(out) == rows
     assert out["n_email"].sum() == rows // 10
     assert not out["text"].str.contains("example.co.uk").any()
+
+
+def test_strip_duplicated_passages_matches_bruteforce(ray_session, tmp_path):
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import strip_duplicated_passages
+
+    boiler = "subscribe to our newsletter now"
+    docs = []
+    for i in range(30):
+        body = f"unique body {i} content words here"
+        # boilerplate rides 20 of 30 docs, twice in some
+        if i % 3 != 0:
+            docs.append(f"{body} {boiler} tail {i}" + (f" {boiler}" if i % 5 == 0 else ""))
+        else:
+            docs.append(body)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "lang": pa.array(["en"] * 30),
+            "text": pa.array(docs),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    n = 4
+    out = strip_duplicated_passages(str(d), n=n, min_docs=5).to_pandas()
+
+    # brute-force oracle: find grams in >=5 docs, mark covered words
+    def grams_of(words):
+        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+    from collections import Counter
+
+    df = Counter()
+    for txt in docs:
+        for g in set(grams_of(txt.split(" "))):
+            df[g] += 1
+    boiler_grams = {g for g, c in df.items() if c >= 5}
+    want = []
+    for txt in docs:
+        words = txt.split(" ")
+        cov = np.zeros(len(words), bool)
+        for i, g in enumerate(grams_of(words)):
+            if g in boiler_grams:
+                cov[i : i + n] = True
+        want.append(" ".join(w for w, c in zip(words, cov) if not c))
+    assert out["text"].tolist() == want
+    # the boilerplate phrase is gone from every cleaned doc
+    assert not out["text"].str.contains(boiler, regex=False).any()
