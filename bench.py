@@ -156,6 +156,15 @@ def run_bench() -> dict:
         import __ray_entry__
 
         return __ray_entry__.queries()["dedup_bloom_incremental"](sf_dir)
+
+    def _round4_op(module: str, fn_name: str):
+        def run(sf_dir):
+            import importlib
+
+            mod = importlib.import_module(f"docling_jobkit_ray.functions.{module}")
+            return getattr(mod, fn_name)(sf_dir)
+
+        return run
     from docling_jobkit_ray.pipelines.relational import (
         events_hourly_window,
         events_pivot_hourly,
@@ -189,6 +198,10 @@ def run_bench() -> dict:
         ("orders_price_deciles", orders_price_deciles),
         ("revenue_rollup", revenue_rollup),
         ("events_pivot_hourly", events_pivot_hourly),
+        ("inverted_index_stats", _round4_op("index", "inverted_index_stats")),
+        ("gopher_quality_docs", _round4_op("webtext", "gopher_quality_docs")),
+        ("strip_duplicated_passages", _round4_op("webtext", "strip_duplicated_passages")),
+        ("top_bigram_stats", _round4_op("webtext", "top_bigram_stats")),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
