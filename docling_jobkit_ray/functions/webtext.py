@@ -614,6 +614,12 @@ def strip_duplicated_passages(
             words = words.combine_chunks()
         offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = words.values
+        if offsets[0] != 0 or len(flat) != offsets[-1]:
+            # the values child can be a larger shared buffer than the list
+            # span; the reduceat/filter arithmetic below assumes exact
+            # [0, offsets[-1]) alignment — rebase
+            flat = flat.slice(offsets[0], int(offsets[-1] - offsets[0]))
+            offsets = offsets - offsets[0]
         lens = np.diff(offsets)
         doc_idx, grams = _gram_frame(batch["text"], n)
         covered = np.zeros(len(flat), dtype=bool)
