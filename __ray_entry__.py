@@ -159,6 +159,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_orders",  # 4th join-agg chain (q3/q5/q13 stay); makes room for revenue_rollup
         "events_pivot_hourly",  # conditional-agg cousin of q1; locally SQL-checked
         "events_hour_value_corr",  # co-moment stats cousin of events_value_zscore
+        # round-4 TPC-H shapes: join/agg family has q3/q5/q13 in-cap; these
+        # five stay pytest-SQL-checked at 3 scales
+        "q4_priority_with_returns",
+        "q10_returned_revenue",
+        "q12_priority_linestatus",
+        "q14_promo_revenue",
+        "q22_idle_customers",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -326,6 +333,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["q18_large_volume_orders"] = RELATIONAL_QUERIES["q18_large_volume_orders"][0]
     q["events_pivot_hourly"] = RELATIONAL_QUERIES["events_pivot_hourly"][0]
     q["events_hour_value_corr"] = RELATIONAL_QUERIES["events_hour_value_corr"][0]
+    q["q4_priority_with_returns"] = RELATIONAL_QUERIES["q4_priority_with_returns"][0]
+    q["q10_returned_revenue"] = RELATIONAL_QUERIES["q10_returned_revenue"][0]
+    q["q12_priority_linestatus"] = RELATIONAL_QUERIES["q12_priority_linestatus"][0]
+    q["q14_promo_revenue"] = RELATIONAL_QUERIES["q14_promo_revenue"][0]
+    q["q22_idle_customers"] = RELATIONAL_QUERIES["q22_idle_customers"][0]
     q["dedup_exact_docs"] = dedup.dedup_exact_docs
 
     def _dedup_cluster_docs(sf_dir: str):

@@ -2591,3 +2591,576 @@ RELATIONAL_QUERIES["events_hour_value_corr"] = (
     events_hour_value_corr,
     EVENTS_HOUR_VALUE_CORR_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# round-4 TPC-H plan shapes: EXISTS-semi count, returned-revenue top-k join,
+# CASE bucket counts, conditional-sum ratio, scalar-subquery + anti join
+# ---------------------------------------------------------------------------
+
+def _ts(s: str) -> pa.Scalar:
+    return pa.scalar(pc.strptime(s, format="%Y-%m-%d", unit="us"))
+
+
+def q4_priority_with_returns(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4 shape: orders in a date window with EXISTS(matching
+    lineitem) — grouped count by priority.
+
+    The EXISTS probe side pre-collapses to per-batch DISTINCT orderkeys (a
+    key column, never lineitem rows), then ONE tagged-union bucket shuffle
+    evaluates the semi join; each bucket emits (priority, count) partials,
+    so the final groupby exchanges at most 5 x n_buckets rows."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+    lo, hi = _ts("1996-01-01"), _ts("1997-01-01")
+
+    def li_keys(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        t = pa.table({"key": f["l_orderkey"]}).group_by("key").aggregate([])
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "o_orderpriority": pa.nulls(n, pa.string()),
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(t["key"], mask),
+            }
+        )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["o_orderdate"], lo),
+                pc.less(batch["o_orderdate"], hi),
+            )
+        )
+        n = f.num_rows
+        return pa.table(
+            {
+                "key": f["o_orderkey"],
+                "o_orderpriority": f["o_orderpriority"],
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(f["o_orderkey"], mask),
+            }
+        )
+
+    superset = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("o_orderpriority", pa.string()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]).map_batches(
+        li_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def semi_count_bucket(group: pa.Table) -> pa.Table:
+        group = group.select(superset.names).cast(superset)
+        have = pc.unique(group.filter(pc.equal(group["side"], 0))["key"].combine_chunks())
+        od = group.filter(pc.equal(group["side"], 1))
+        hit = od.filter(pc.is_in(od["key"], value_set=have))
+        return (
+            hit.select(["o_orderpriority"])
+            .group_by("o_orderpriority")
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_orderpriority", "order_count"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(semi_count_bucket, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+        .sort("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+
+    lineitem 'R' rows pre-fold to per-order int-cents revenue partials;
+    date-filtered orders carry (orderkey -> custkey); ONE bucket shuffle on
+    orderkey joins + re-keys the revenue to custkey; a second SMALL groupby
+    folds per-customer revenue (rows bounded by distinct customers, not
+    lineitems); the <=20 survivors attach names via broadcast AFTER the
+    limit, then re-sort (map stages do not preserve block order)."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+    lo, hi = _ts("1996-01-01"), _ts("1996-07-01")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        price_c = pc.cast(pc.round(pc.multiply(f["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(f["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev_c4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        t = (
+            pa.table({"key": f["l_orderkey"], "rev_c4": rev_c4})
+            .group_by("key")
+            .aggregate([("rev_c4", "sum")])
+            .rename_columns(["key", "rev_c4"])
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "rev_c4": t["rev_c4"],
+                "o_custkey": pa.nulls(n, pa.int64()),
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(t["key"], mask),
+            }
+        )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["o_orderdate"], lo),
+                pc.less(batch["o_orderdate"], hi),
+            )
+        )
+        n = f.num_rows
+        return pa.table(
+            {
+                "key": f["o_orderkey"],
+                "rev_c4": pa.nulls(n, pa.int64()),
+                "o_custkey": f["o_custkey"],
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(f["o_orderkey"], mask),
+            }
+        )
+
+    superset = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("rev_c4", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        group = group.select(superset.names).cast(superset)
+        li_rows = (
+            group.filter(pc.equal(group["side"], 0))
+            .select(["key", "rev_c4"])
+            .group_by("key")
+            .aggregate([("rev_c4", "sum")])
+            .rename_columns(["key", "rev_c4"])
+        )
+        od = group.filter(pc.equal(group["side"], 1)).select(["key", "o_custkey"])
+        j = li_rows.join(od, keys=["key"], join_type="inner")
+        # partial per-customer fold inside the bucket
+        return (
+            j.select(["o_custkey", "rev_c4"])
+            .group_by("o_custkey")
+            .aggregate([("rev_c4", "sum")])
+            .rename_columns(["c_custkey", "rev_c4"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    name_of = _lookup(cust["c_custkey"], cust["c_name"])
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_name": name_of(batch["c_custkey"]),
+                "revenue": pc.divide(
+                    pc.cast(batch["rev_c4"], pa.float64()), pa.scalar(10000.0)
+                ),
+            }
+        )
+
+    return (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        .map_batches(
+            lambda b: b.append_column(
+                "neg_rev", pc.negate_checked(b["rev_c4"])
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort(["neg_rev", "c_custkey"])
+        .limit(20)
+        .map_batches(attach_name, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+    )
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c_name,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c.c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_linestatus(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q12 shape: CASE-bucket counts per line status — how many
+    shipped lineitems belong to high- vs low-priority orders.
+
+    lineitem pre-folds to (orderkey, linestatus, n) partials; orders carry
+    one boolean (priority in the high set) per key; ONE bucket shuffle
+    joins them and each bucket emits (linestatus, high_n, low_n) partials —
+    the final groupby exchanges rows bounded by |linestatus| x n_buckets."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+    lo, hi = _ts("1997-01-01"), _ts("1998-01-01")
+    high = pa.array(["1-URGENT", "2-HIGH"], pa.string())
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            )
+        )
+        t = (
+            pa.table({"key": f["l_orderkey"], "l_linestatus": f["l_linestatus"]})
+            .group_by(["key", "l_linestatus"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["key", "l_linestatus", "n"])
+        )
+        m = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "l_linestatus": t["l_linestatus"],
+                "n": t["n"],
+                "is_high": pa.nulls(m, pa.bool_()),
+                "side": pa.array([0] * m, pa.int8()),
+                "bucket": pc.bit_wise_and(t["key"], mask),
+            }
+        )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_orderkey"],
+                "l_linestatus": pa.nulls(n, pa.string()),
+                "n": pa.nulls(n, pa.int64()),
+                "is_high": pc.is_in(batch["o_orderpriority"], value_set=high),
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["o_orderkey"], mask),
+            }
+        )
+
+    superset = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("l_linestatus", pa.string()),
+            ("n", pa.int64()),
+            ("is_high", pa.bool_()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        group = group.select(superset.names).cast(superset)
+        li_rows = group.filter(pc.equal(group["side"], 0)).select(
+            ["key", "l_linestatus", "n"]
+        )
+        od = group.filter(pc.equal(group["side"], 1)).select(["key", "is_high"])
+        j = li_rows.join(od, keys=["key"], join_type="inner")
+        hi_n = pc.if_else(j["is_high"], j["n"], pa.scalar(0, pa.int64()))
+        lo_n = pc.if_else(j["is_high"], pa.scalar(0, pa.int64()), j["n"])
+        return (
+            pa.table(
+                {
+                    "l_linestatus": j["l_linestatus"],
+                    "high_line_count": hi_n,
+                    "low_line_count": lo_n,
+                }
+            )
+            .group_by("l_linestatus")
+            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+            .rename_columns(["l_linestatus", "high_line_count", "low_line_count"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .sort("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q14_promo_revenue(sf_dir: str) -> ray.data.Dataset | pa.Table:
+    """TPC-H Q14 shape: promo revenue share in a date window.
+
+    ``part`` is a broadcast dimension (partkey -> is-promo boolean in the
+    UDF closure); each lineitem batch folds to ONE (promo_c4, total_c4)
+    partial row, so the exchange is a trivial gather and the final ratio
+    divides two exact int64 sums — bitwise-identical doubles on both
+    engines."""
+    part = _broadcast_table(sf_dir, "part", ["p_partkey", "p_type"])
+    promo_keys = part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"].combine_chunks()
+    lo, hi = _ts("1997-01-01"), _ts("1997-07-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            )
+        )
+        price_c = pc.cast(pc.round(pc.multiply(f["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(f["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev_c4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        is_promo = pc.is_in(f["l_partkey"], value_set=promo_keys)
+        promo = pc.sum(pc.if_else(is_promo, rev_c4, pa.scalar(0, pa.int64()))).as_py() or 0
+        total = pc.sum(rev_c4).as_py() or 0
+        return pa.table(
+            {
+                "promo_c4": pa.array([promo], pa.int64()),
+                "total_c4": pa.array([total], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("promo_c4", alias_name="promo_c4"), Sum("total_c4", alias_name="total_c4")
+    )
+    return pa.table(
+        {
+            "promo_revenue": pa.array(
+                [100.0 * out["promo_c4"] / out["total_c4"]], pa.float64()
+            )
+        }
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                             * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        ELSE 0 END)
+       / sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
+def q22_idle_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22 shape: customers above the average positive balance with
+    no RECENT orders (none since 1999-01-01; every customer in the driver
+    tables has some order, so the un-windowed variant is empty at every
+    scale), counted per market segment.
+
+    The scalar subquery (global average) is computed DISTRIBUTEDLY in exact
+    int64 cents then broadcast as one double — the SQL mirrors the same
+    cents arithmetic because a float avg's accumulation order is
+    engine-specific.  The anti join re-uses the tagged-union bucket recipe:
+    per-batch DISTINCT order custkeys + threshold-filtered customers in one
+    shuffle; each bucket emits (segment, count, balance-cents) partials."""
+    from ray.data.aggregate import Sum
+    from ..scale import bucket_count, estimate_rows
+
+    # pass 1 (distributed): exact average of positive balances
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.greater(batch["c_acctbal"], pa.scalar(0.0)))
+        bal_c = pc.cast(pc.round(pc.multiply(f["c_acctbal"], pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "sum_c": pa.array([pc.sum(bal_c).as_py() or 0], pa.int64()),
+                "n": pa.array([f.num_rows], pa.int64()),
+            }
+        )
+
+    cust_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    agg = (
+        read_table(sf_dir, "customer", columns=["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("sum_c", alias_name="sum_c"), Sum("n", alias_name="n"))
+    )
+    threshold = (agg["sum_c"] / 100.0) / agg["n"]
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "customer"), min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    recent = _ts("1999-01-01")
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.greater_equal(batch["o_orderdate"], recent))
+        t = pa.table({"key": f["o_custkey"]}).group_by("key").aggregate([])
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["key"],
+                "c_mktsegment": pa.nulls(n, pa.string()),
+                "bal_c": pa.nulls(n, pa.int64()),
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(t["key"], mask),
+            }
+        )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.greater(batch["c_acctbal"], pa.scalar(threshold)))
+        bal_c = pc.cast(pc.round(pc.multiply(f["c_acctbal"], pa.scalar(100.0))), pa.int64())
+        n = f.num_rows
+        return pa.table(
+            {
+                "key": f["c_custkey"],
+                "c_mktsegment": f["c_mktsegment"],
+                "bal_c": bal_c,
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(f["c_custkey"], mask),
+            }
+        )
+
+    superset = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("c_mktsegment", pa.string()),
+            ("bal_c", pa.int64()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).map_batches(
+        order_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = read_table(sf_dir, "customer", columns=cust_cols).map_batches(
+        cust_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def anti_bucket(group: pa.Table) -> pa.Table:
+        group = group.select(superset.names).cast(superset)
+        have = pc.unique(group.filter(pc.equal(group["side"], 0))["key"].combine_chunks())
+        cu = group.filter(pc.equal(group["side"], 1))
+        idle = cu.filter(pc.invert(pc.is_in(cu["key"], value_set=have)))
+        return (
+            pa.table(
+                {
+                    "c_mktsegment": idle["c_mktsegment"],
+                    "numcust": pa.array([1] * idle.num_rows, pa.int64()),
+                    "bal_c": idle["bal_c"],
+                }
+            )
+            .group_by("c_mktsegment")
+            .aggregate([("numcust", "sum"), ("bal_c", "sum")])
+            .rename_columns(["c_mktsegment", "numcust", "bal_c"])
+        )
+
+    return (
+        orders.union(cust)
+        .groupby("bucket")
+        .map_groups(anti_bucket, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("numcust", alias_name="numcust"), Sum("bal_c", alias_name="bal_c"))
+        .map_batches(
+            _descale({"bal_c": 100.0}), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(
+            lambda b: b.rename_columns(["c_mktsegment", "numcust", "totacctbal"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort("c_mktsegment")
+    )
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT (sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT a FROM avg_bal)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+RELATIONAL_QUERIES.update(
+    {
+        "q4_priority_with_returns": (q4_priority_with_returns, Q4_SQL),
+        "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
+        "q12_priority_linestatus": (q12_priority_linestatus, Q12_SQL),
+        "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+        "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+    }
+)

@@ -148,6 +148,11 @@ SQL_BACKED = [
     "dedup_cluster_docs",
     "events_pivot_hourly",
     "events_hour_value_corr",
+    "q4_priority_with_returns",
+    "q10_returned_revenue",
+    "q12_priority_linestatus",
+    "q14_promo_revenue",
+    "q22_idle_customers",
 ]
 
 
