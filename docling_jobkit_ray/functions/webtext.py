@@ -599,10 +599,13 @@ def strip_duplicated_passages(
     consumers can check).  Pass 2 is one embarrassingly-parallel map:
     mark covered words per document with the same offset arithmetic as the
     gram builder, keep the rest, re-join with single spaces."""
+    dp = duplicated_passages(sf_dir, n=n, min_docs=min_docs, k=max_passages).to_pandas()
+    # an all-empty result can arrive as a column-less frame (empty shuffle
+    # blocks lose their schema — see CLAUDE.md); treat it as "no boilerplate"
     boiler = (
-        duplicated_passages(sf_dir, n=n, min_docs=min_docs, k=max_passages)
-        .to_pandas()["passage"]
-        .to_numpy(dtype=object)
+        dp["passage"].to_numpy(dtype=object)
+        if "passage" in dp.columns
+        else np.array([], dtype=object)
     )
     boiler_set = pa.array(sorted(boiler.tolist()), pa.string())
 
