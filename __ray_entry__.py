@@ -374,6 +374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["extract_inline"] = _extract_query("inline")
     q["extract_sliced"] = _extract_query("sliced")
     q["extract_size_bucketed"] = _extract_query("size_bucketed")
+    # round-4 additions (beyond the cap; SQL-checked in pytest at 3 scales):
+    # corpus-frequency rarity scoring and data-derived language rebalancing
+    q["term_rarity_scores"] = webtext.term_rarity_scores
+    q["lang_balanced_sample"] = webtext.lang_balanced_sample
     return q
 
 
@@ -444,6 +448,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["doc_length_percentiles_by_lang"] = DOC_LENGTH_PERCENTILES_BY_LANG_SQL
+    from docling_jobkit_ray.functions.webtext import (
+        LANG_BALANCED_SAMPLE_SQL,
+        term_rarity_scores_sql,
+    )
+
+    sql["term_rarity_scores"] = term_rarity_scores_sql()
+    sql["lang_balanced_sample"] = LANG_BALANCED_SAMPLE_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

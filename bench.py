@@ -204,6 +204,8 @@ def run_bench() -> dict:
         ("gopher_quality_docs", _round4_op("webtext", "gopher_quality_docs")),
         ("strip_duplicated_passages", _round4_op("webtext", "strip_duplicated_passages")),
         ("top_bigram_stats", _round4_op("webtext", "top_bigram_stats")),
+        ("term_rarity_scores", _round4_op("webtext", "term_rarity_scores")),
+        ("lang_balanced_sample", _round4_op("webtext", "lang_balanced_sample")),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

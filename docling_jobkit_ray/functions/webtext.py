@@ -39,6 +39,10 @@ __all__ = [
     "ScrubPii",
     "stratified_sample",
     "stratified_sample_sql",
+    "term_rarity_scores",
+    "term_rarity_scores_sql",
+    "lang_balanced_sample",
+    "LANG_BALANCED_SAMPLE_SQL",
     "DECONTAMINATE_SQL",
     "DUPLICATED_PASSAGES_SQL",
     "TOP_BIGRAM_STATS_SQL",
@@ -656,3 +660,219 @@ def strip_duplicated_passages(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency term-rarity scoring (CCNet-style LM-quality proxy)
+# ---------------------------------------------------------------------------
+
+def term_rarity_scores(sf_dir: str, *, min_count: int = 5) -> ray.data.Dataset:
+    """Per-document term-rarity features against the CORPUS word-frequency
+    table: ``n_tokens`` (token occurrences), ``n_rare`` (occurrences of
+    words seen < ``min_count`` times corpus-wide), ``sum_freq`` (sum of the
+    corpus frequency of each token) — the exact-integer stand-in for a
+    CCNet-style LM-perplexity quality bucket (rare-heavy documents score
+    low; replaces ``docling_jobkit/convert/results.py`` doc-stat
+    projections with a corpus-relative signal).
+
+    Scale shape: ONE all-to-all keyed by word-hash bucket carrying
+    *within-document-distinct* ``(doc_id, word, tf)`` triples (Zipf
+    collapses repeated words per doc before the shuffle), then a second
+    bucketed exchange folding per-doc partials.  The corpus frequency of a
+    word is the in-bucket sum of its ``tf`` column — no broadcast, no
+    driver-side vocabulary, so the vocabulary can grow with the corpus.
+    All outputs are int64 — hash-exact vs the SQL oracle at any scale
+    (float avg-of-logs would diverge in accumulation order)."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_rows = estimate_rows(sf_dir, "documents")
+    # ~60 within-doc-distinct words/doc ride the word shuffle
+    word_buckets = bucket_count(n_rows * 60, min_buckets=64)
+    doc_buckets = bucket_count(n_rows, min_buckets=32)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    triple_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("w", pa.string()),
+            ("tf", pa.int64()),
+        ]
+    )
+    partial_schema = pa.schema(
+        [
+            ("dbucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_rare", pa.int64()),
+            ("sum_freq", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_rare", pa.int64()),
+            ("sum_freq", pa.int64()),
+        ]
+    )
+
+    def doc_term_triples(batch: pa.Table) -> pa.Table:
+        doc_idx, words = _gram_frame(batch["text"], 1)
+        if len(doc_idx) == 0:
+            return triple_schema.empty_table()
+        doc_ids = pc.take(batch["doc_id"], pa.array(doc_idx, pa.int64()))
+        agg = (
+            pa.table({"doc_id": doc_ids, "w": words})
+            .group_by(["doc_id", "w"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "w", "tf"])
+        )
+        wcol = agg["w"].combine_chunks() if isinstance(agg["w"], pa.ChunkedArray) else agg["w"]
+        wobj = wcol.to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(wobj) & np.uint64(word_buckets - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc_id": pc.cast(agg["doc_id"], pa.int64()),
+                "w": wcol,
+                "tf": pc.cast(agg["tf"], pa.int64()),
+            }
+        )
+
+    def score_word_bucket(group: pa.Table) -> pa.Table:
+        # a word hashes to exactly one bucket, so the in-bucket tf-sum IS
+        # its global corpus frequency; emit per-doc partials keyed for the
+        # doc-bucket fold
+        if group.num_rows == 0 or group.num_columns == 0:
+            return partial_schema.empty_table()
+        group = group.cast(triple_schema)  # pandas shuffle round-trip guard
+        freq = group.group_by("w").aggregate([("tf", "sum")])
+        fw = freq["w"].combine_chunks() if isinstance(freq["w"], pa.ChunkedArray) else freq["w"]
+        fc = freq["tf_sum"].combine_chunks() if isinstance(
+            freq["tf_sum"], pa.ChunkedArray
+        ) else freq["tf_sum"]
+        idx = pc.index_in(group["w"], value_set=fw)
+        c = pc.take(fc, idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rare = np.where(c < min_count, tf, 0)
+        agg = (
+            pa.table(
+                {
+                    "doc_id": group["doc_id"],
+                    "n_tokens": pa.array(tf),
+                    "n_rare": pa.array(rare),
+                    "sum_freq": pa.array(tf * c),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("n_tokens", "sum"), ("n_rare", "sum"), ("sum_freq", "sum")])
+            .rename_columns(["doc_id", "n_tokens", "n_rare", "sum_freq"])
+        )
+        dbucket = pc.cast(
+            pc.bit_wise_and(agg["doc_id"], pa.scalar(doc_buckets - 1, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "dbucket": dbucket,
+                "doc_id": pc.cast(agg["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(agg["n_tokens"], pa.int64()),
+                "n_rare": pc.cast(agg["n_rare"], pa.int64()),
+                "sum_freq": pc.cast(agg["sum_freq"], pa.int64()),
+            }
+        )
+
+    def fold_doc_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.cast(partial_schema)
+        return (
+            group.drop_columns(["dbucket"])
+            .group_by("doc_id")
+            .aggregate([("n_tokens", "sum"), ("n_rare", "sum"), ("sum_freq", "sum")])
+            .rename_columns(["doc_id", "n_tokens", "n_rare", "sum_freq"])
+            .cast(out_schema)
+        )
+
+    return (
+        ds.map_batches(doc_term_triples, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(score_word_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(fold_doc_bucket, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def term_rarity_scores_sql(min_count: int = 5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+f AS (SELECT w, count(*) AS c FROM tok GROUP BY w)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN f.c < {min_count} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(f.c) AS BIGINT) AS sum_freq
+FROM tok JOIN f USING (w)
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-balanced rebalancing sample (rates derived FROM the data)
+# ---------------------------------------------------------------------------
+
+def lang_balanced_sample(sf_dir: str) -> ray.data.Dataset:
+    """Flatten the language mix to the minority language's size: keep each
+    document of language *l* with probability ``c_min / c_l`` so every
+    language contributes ~``c_min`` expected documents — the
+    equal-representation endpoint of temperature-based corpus rebalancing
+    (contrast :func:`stratified_sample`, whose rates are caller-supplied).
+
+    The keep decision is EXACT INTEGER arithmetic both here and in the
+    DuckDB oracle: ``lehmer(doc_id) % c_l < c_min`` (full-period Lehmer
+    hash, see ``_LEHMER_A`` notes) — no float rate ever enters the
+    comparison, so the selected set is bit-stable across engines,
+    resharding and doc_id magnitude.  Plan shape: a tiny
+    ``groupby(lang).count()`` (cardinality = language inventory), rates
+    broadcast via closure, then one embarrassingly-parallel filter."""
+    counts_rows = (
+        read_table(sf_dir, "documents", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .take_all()
+    )  # one row per language — bounded by the language inventory, not N
+    langs = pa.array([r["lang"] for r in counts_rows], pa.string())
+    counts = np.array([r["count()"] for r in counts_rows], dtype=np.int64)
+    cmin = int(counts.min()) if len(counts) else 0
+
+    ds = read_table(sf_dir, "documents")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.index_in(batch["lang"], value_set=langs).to_numpy(
+            zero_copy_only=False
+        )
+        c = counts[idx.astype(np.int64)]
+        doc_ids = batch["doc_id"].to_numpy()
+        h = ((doc_ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        return batch.filter(pa.array((h % c) < cmin))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+LANG_BALANCED_SAMPLE_SQL = f"""
+WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT min(c) AS cmin FROM lc)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN lc ON d.lang = lc.lang CROSS JOIN m
+WHERE ((d.doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} % lc.c < m.cmin
+ORDER BY d.doc_id
+"""

@@ -153,6 +153,8 @@ SQL_BACKED = [
     "q12_priority_linestatus",
     "q14_promo_revenue",
     "q22_idle_customers",
+    "term_rarity_scores",
+    "lang_balanced_sample",
 ]
 
 

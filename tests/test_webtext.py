@@ -257,3 +257,63 @@ def test_strip_duplicated_passages_matches_bruteforce(ray_session, tmp_path):
     assert out["text"].tolist() == want
     # the boilerplate phrase is gone from every cleaned doc
     assert not out["text"].str.contains(boiler, regex=False).any()
+
+
+def test_term_rarity_scores_matches_bruteforce(ray_session, tmp_path):
+    """Crafted corpus where corpus frequencies are hand-countable: the
+    bucketed join-aggregate must equal a plain Python computation."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import term_rarity_scores
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat",
+        "rare unicorn words here",
+        "the the the",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (
+        term_rarity_scores(str(tmp_path), min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    freq = collections.Counter(w for t in texts for w in t.split(" "))
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        assert out.loc[i, "n_tokens"] == len(words)
+        assert out.loc[i, "n_rare"] == sum(1 for w in words if freq[w] < 2)
+        assert out.loc[i, "sum_freq"] == sum(freq[w] for w in words)
+
+
+def test_lang_balanced_sample_flattens_to_minority(ray_session):
+    """Every language's kept count must land near the minority language's
+    size (expected value c_min for all languages), the minority language
+    survives at a high rate, and the sample is deterministic."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import lang_balanced_sample
+
+    sf = "/root/testdata/sf0.1"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["lang"]).to_pandas()
+    c = docs["lang"].value_counts()
+    cmin = int(c.min())
+    out = lang_balanced_sample(sf).to_pandas()
+    kept = out["lang"].value_counts()
+    for lang, n_all in c.items():
+        n_kept = int(kept.get(lang, 0))
+        assert n_kept <= n_all
+        # expected cmin keeps per language; Lehmer residues are near-uniform
+        assert abs(n_kept - cmin) <= max(6, int(0.35 * cmin)), (
+            f"{lang}: kept {n_kept}, want ~{cmin} of {n_all}"
+        )
+    again = lang_balanced_sample(sf).to_pandas()
+    assert out.equals(again)
