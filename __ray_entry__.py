@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # corpus-frequency rarity scoring and data-derived language rebalancing
     q["term_rarity_scores"] = webtext.term_rarity_scores
     q["lang_balanced_sample"] = webtext.lang_balanced_sample
+    q["epoch_shuffle_order"] = webtext.epoch_shuffle_order
     return q
 
 
@@ -455,6 +456,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["term_rarity_scores"] = term_rarity_scores_sql()
     sql["lang_balanced_sample"] = LANG_BALANCED_SAMPLE_SQL
+    from docling_jobkit_ray.functions.webtext import EPOCH_SHUFFLE_ORDER_SQL
+
+    sql["epoch_shuffle_order"] = EPOCH_SHUFFLE_ORDER_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

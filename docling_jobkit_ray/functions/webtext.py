@@ -43,6 +43,8 @@ __all__ = [
     "term_rarity_scores_sql",
     "lang_balanced_sample",
     "LANG_BALANCED_SAMPLE_SQL",
+    "epoch_shuffle_order",
+    "EPOCH_SHUFFLE_ORDER_SQL",
     "DECONTAMINATE_SQL",
     "DUPLICATED_PASSAGES_SQL",
     "TOP_BIGRAM_STATS_SQL",
@@ -875,4 +877,53 @@ SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
 FROM documents d JOIN lc ON d.lang = lc.lang CROSS JOIN m
 WHERE ((d.doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} % lc.c < m.cmin
 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch-shuffle order (global training-order assignment)
+# ---------------------------------------------------------------------------
+
+def epoch_shuffle_order(sf_dir: str) -> ray.data.Dataset:
+    """Assign every document a GLOBAL training-order index for one epoch of
+    a deterministic corpus shuffle: order by the full-period Lehmer hash of
+    ``doc_id`` (ties broken by ``doc_id``), then number rows 0..N-1 — the
+    reproducible alternative to ``random_shuffle()`` a training job needs
+    so a resumed run replays the identical sample order.
+
+    Plan shape: one distributed sort on the hash key, then a POSITIONAL
+    ``Dataset.zip`` with ``ray.data.range(N)`` to mint the contiguous
+    global index — no driver-side enumeration, no actor counter; N comes
+    free from the parquet footers.  The index is bit-stable across
+    resharding because the sort key is a pure function of ``doc_id``."""
+    from ..scale import estimate_rows
+
+    n = estimate_rows(sf_dir, "documents")  # footer count is exact
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        h = ((ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        return batch.append_column("h", pa.array(h, pa.int64()))
+
+    ordered = (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["h", "doc_id"])
+        .drop_columns(["h"])
+    )
+    idx = ray.data.range(n).map_batches(
+        lambda b: b.rename_columns(["order_idx"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ordered.zip(idx).sort("order_idx")
+
+
+EPOCH_SHUFFLE_ORDER_SQL = f"""
+SELECT doc_id, lang,
+       CAST(row_number() OVER (
+           ORDER BY ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M}, doc_id
+       ) - 1 AS BIGINT) AS order_idx
+FROM documents
+ORDER BY order_idx
 """

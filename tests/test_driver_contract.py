@@ -155,6 +155,7 @@ SQL_BACKED = [
     "q22_idle_customers",
     "term_rarity_scores",
     "lang_balanced_sample",
+    "epoch_shuffle_order",
 ]
 
 

@@ -317,3 +317,19 @@ def test_lang_balanced_sample_flattens_to_minority(ray_session):
         )
     again = lang_balanced_sample(sf).to_pandas()
     assert out.equals(again)
+
+
+def test_epoch_shuffle_order_is_deterministic_permutation(ray_session):
+    """order_idx must be exactly 0..N-1, the same call must replay the
+    identical order, and the order must not be the input doc_id order
+    (i.e. it actually shuffles)."""
+    from docling_jobkit_ray.functions.webtext import epoch_shuffle_order
+
+    sf = "/root/testdata/sf0.01"
+    out = epoch_shuffle_order(sf).to_pandas()
+    n = len(out)
+    assert sorted(out["order_idx"]) == list(range(n))
+    assert sorted(out["doc_id"]) == list(range(n))  # a permutation of the corpus
+    assert list(out["doc_id"]) != sorted(out["doc_id"])  # genuinely shuffled
+    again = epoch_shuffle_order(sf).to_pandas()
+    assert out.equals(again)
