@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["term_rarity_scores"] = webtext.term_rarity_scores
     q["lang_balanced_sample"] = webtext.lang_balanced_sample
     q["epoch_shuffle_order"] = webtext.epoch_shuffle_order
+    q["curated_corpus"] = webtext.curated_corpus
     return q
 
 
@@ -456,9 +457,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["term_rarity_scores"] = term_rarity_scores_sql()
     sql["lang_balanced_sample"] = LANG_BALANCED_SAMPLE_SQL
-    from docling_jobkit_ray.functions.webtext import EPOCH_SHUFFLE_ORDER_SQL
+    from docling_jobkit_ray.functions.webtext import (
+        CURATED_CORPUS_SQL,
+        EPOCH_SHUFFLE_ORDER_SQL,
+    )
 
     sql["epoch_shuffle_order"] = EPOCH_SHUFFLE_ORDER_SQL
+    sql["curated_corpus"] = CURATED_CORPUS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

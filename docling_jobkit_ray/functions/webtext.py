@@ -45,6 +45,8 @@ __all__ = [
     "LANG_BALANCED_SAMPLE_SQL",
     "epoch_shuffle_order",
     "EPOCH_SHUFFLE_ORDER_SQL",
+    "curated_corpus",
+    "CURATED_CORPUS_SQL",
     "DECONTAMINATE_SQL",
     "DUPLICATED_PASSAGES_SQL",
     "TOP_BIGRAM_STATS_SQL",
@@ -119,7 +121,7 @@ def _mod(col: pa.ChunkedArray, m: int) -> pa.ChunkedArray:
 
 
 def decontaminate(
-    sf_dir: str, *, n: int = 4, benchmark_mod: int = 97
+    sf_dir: str, *, n: int = 4, benchmark_mod: int = 97, sort: bool = True
 ) -> ray.data.Dataset:
     """Per-document count of distinct word-n-grams shared with a held-out
     benchmark slice — the train/test decontamination pass (GPT-3 App. C /
@@ -163,7 +165,8 @@ def decontaminate(
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+    out = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("doc_id") if sort else out
 
 
 DECONTAMINATE_SQL = """
@@ -507,7 +510,7 @@ GOPHER_MAX_MEAN_WORD_LEN = 5.2
 GOPHER_MIN_STOP_HITS = 1
 
 
-def gopher_quality_docs(sf_dir: str) -> ray.data.Dataset:
+def gopher_quality_docs(sf_dir: str, *, sort: bool = True) -> ray.data.Dataset:
     """The Gopher quality-rule filter (Rae et al. 2021 §A1.1) as a
     MATERIALIZED kept corpus: word-count window, mean-word-length window,
     and a minimum function-word hit count — the rule family every web
@@ -561,9 +564,8 @@ def gopher_quality_docs(sf_dir: str) -> ray.data.Dataset:
         )
         return out.filter(pa.array(keep))
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
-        "doc_id"
-    )
+    out = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("doc_id") if sort else out
 
 
 GOPHER_QUALITY_DOCS_SQL = f"""
@@ -926,4 +928,161 @@ SELECT doc_id, lang,
        ) - 1 AS BIGINT) AS order_idx
 FROM documents
 ORDER BY order_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# composite curation pipeline (dedup ∧ quality ∧ decontamination)
+# ---------------------------------------------------------------------------
+
+def curated_corpus(sf_dir: str) -> ray.data.Dataset:
+    """The end-to-end corpus-curation verdict a training run consumes:
+    keep a document iff it (a) is the exact-dedup winner of its content
+    group (min doc_id per sha256), (b) passes the Gopher quality rules,
+    (c) is not in the held-out benchmark slice, and (d) shares no
+    benchmark n-gram (decontamination) — the composed
+    dedup → quality → decontaminate chain, with ONE exact SQL oracle for
+    the whole pipeline.
+
+    Scale shape: a single tagged-union all-to-all.  The base stream
+    carries (doc_id, lang, n_chars) for non-benchmark docs; the gopher
+    keep-set, dedup winner-set and contaminated-set ride the SAME exchange
+    as int64-id rows with a tag column (texts never cross — each signal is
+    computed upstream in its own embarrassingly-parallel or pre-bucketed
+    stage).  The per-bucket fold is three vectorized ``pc.is_in`` masks;
+    nothing reaches the driver."""
+    from ..scale import bucket_count, estimate_rows
+
+    from .dedup import _dedup_exact_groups
+
+    nb = bucket_count(estimate_rows(sf_dir, "documents"), min_buckets=32)
+
+    u_schema = pa.schema(
+        [
+            ("dbucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("n_chars", pa.int64()),
+            ("tag", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64())]
+    )
+
+    def _bucketed(ids: pa.Array | pa.ChunkedArray) -> pa.Array:
+        return pc.cast(
+            pc.bit_wise_and(ids, pa.scalar(nb - 1, pa.int64())), pa.int64()
+        )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(_mod(batch["doc_id"], 97), 0))
+        return pa.table(
+            {
+                "dbucket": _bucketed(batch["doc_id"]),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+                "tag": pa.array(np.zeros(batch.num_rows, np.int64())),
+            }
+        )
+
+    def _tag_ids(tag: int, col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or col not in batch.column_names:
+                return u_schema.empty_table()
+            ids = pc.cast(batch[col], pa.int64())
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "dbucket": _bucketed(ids),
+                    "doc_id": ids,
+                    "lang": pa.nulls(n, pa.string()),
+                    "n_chars": pa.nulls(n, pa.int64()),
+                    "tag": pa.array(np.full(n, tag, np.int64())),
+                }
+            )
+
+        return f
+
+    base = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]).map_batches(
+        base_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    gopher = gopher_quality_docs(sf_dir, sort=False).map_batches(
+        _tag_ids(1, "doc_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    winners = _dedup_exact_groups(sf_dir).map_batches(
+        _tag_ids(2, "keep_doc_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    contam = (
+        decontaminate(sf_dir, sort=False)
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["n_contaminated"], 0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(_tag_ids(3, "doc_id"), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.cast(u_schema)  # shuffle round-trip type guard
+        tag = group["tag"].to_numpy(zero_copy_only=False)
+        base_t = group.filter(pa.array(tag == 0))
+        if base_t.num_rows == 0:
+            return out_schema.empty_table()
+
+        def ids_of(t: int) -> pa.Array:
+            sel = group.filter(pa.array(tag == t))["doc_id"]
+            return sel.combine_chunks() if isinstance(sel, pa.ChunkedArray) else sel
+
+        ids = base_t["doc_id"]
+        keep = pc.and_(
+            pc.is_in(ids, value_set=ids_of(1)), pc.is_in(ids, value_set=ids_of(2))
+        )
+        keep = pc.and_(keep, pc.invert(pc.is_in(ids, value_set=ids_of(3))))
+        return base_t.filter(keep).drop_columns(["dbucket", "tag"]).cast(out_schema)
+
+    return (
+        base.union(gopher, winners, contam)
+        .groupby("dbucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+CURATED_CORPUS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[a-z]')) AS alpha_chars,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> list_contains({list(GOPHER_STOPWORDS)!r}, x))) AS stop_hits
+  FROM documents
+),
+gpass AS (
+  SELECT doc_id FROM s
+  WHERE n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+    AND alpha_chars * 1.0 / n_words BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+    AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+),
+win AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM words, unnest(range(1, len(w) - 2)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id % 97 <> 0
+  AND d.doc_id IN (SELECT doc_id FROM gpass)
+  AND d.doc_id IN (SELECT doc_id FROM win)
+  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+ORDER BY d.doc_id
 """

@@ -156,6 +156,7 @@ SQL_BACKED = [
     "term_rarity_scores",
     "lang_balanced_sample",
     "epoch_shuffle_order",
+    "curated_corpus",
 ]
 
 

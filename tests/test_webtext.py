@@ -333,3 +333,41 @@ def test_epoch_shuffle_order_is_deterministic_permutation(ray_session):
     assert list(out["doc_id"]) != sorted(out["doc_id"])  # genuinely shuffled
     again = epoch_shuffle_order(sf).to_pandas()
     assert out.equals(again)
+
+
+def test_curated_corpus_exclusion_reasons(ray_session, tmp_path):
+    """Crafted corpus where each exclusion rule fires independently:
+    a benchmark doc, an exact-duplicate loser, a gopher-failing doc, and a
+    contaminated doc must each drop; one clean doc survives."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import curated_corpus
+
+    # 30+ [a-z]+ words with mean word length in [3.9, 5.2] and a stopword —
+    # passes gopher; doc_ids chosen so none is % 97 == 0 except doc 0
+    good = (
+        "the quick brown foxes lived near small green hills and they often "
+        "went down long dusty roads with their good old dogs every early "
+        "sunny day while birds sang soft tunes over warm quiet fields"
+    )  # 35 words, mean word length 4.46, 2 stop hits -> passes gopher
+    bench_text = "unique benchmark marker phrase appearing nowhere else at all"
+    contaminated = good + " unique benchmark marker phrase appearing nowhere else"
+    texts = [
+        bench_text,            # doc 0: benchmark slice (0 % 97 == 0)
+        good,                  # doc 1: clean winner -> KEPT
+        good,                  # doc 2: exact dup of 1, loses to min doc_id
+        "short text",          # doc 3: fails gopher min words
+        contaminated,          # doc 4: shares a benchmark 4-gram
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = curated_corpus(str(tmp_path)).to_pandas()
+    assert list(out["doc_id"]) == [1]
+    assert list(out.columns) == ["doc_id", "lang", "n_chars"]
