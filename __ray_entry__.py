@@ -380,6 +380,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_balanced_sample"] = webtext.lang_balanced_sample
     q["epoch_shuffle_order"] = webtext.epoch_shuffle_order
     q["curated_corpus"] = webtext.curated_corpus
+
+    def _semantic_dedup(sf_dir: str):
+        # SemDeDup chain: LSH pairs -> components -> keep min per cluster;
+        # rows-only (cosine thresholds are float, clusters pytest-pinned
+        # with planted duplicates)
+        import pandas as pd
+
+        df = dedup.semantic_dedup_embeddings(sf_dir).to_pandas()
+        return df[["vec_id"]] if "vec_id" in df.columns else pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64")}
+        )
+
+    q["semantic_dedup_embeddings"] = _semantic_dedup
     return q
 
 

@@ -208,6 +208,7 @@ def run_bench() -> dict:
         ("lang_balanced_sample", _round4_op("webtext", "lang_balanced_sample")),
         ("epoch_shuffle_order", _round4_op("webtext", "epoch_shuffle_order")),
         ("curated_corpus", _round4_op("webtext", "curated_corpus")),
+        ("semantic_dedup_embeddings", _round4_op("dedup", "semantic_dedup_embeddings")),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

@@ -1019,3 +1019,109 @@ def embedding_near_dup(
             .aggregate(Max("cosine", alias_name="cosine"))
         )
     return pairs.sort(["vec_a", "vec_b"])
+
+
+def semantic_dedup_embeddings(
+    sf_dir: str,
+    *,
+    n_planes: int = 16,
+    n_tables: int = 2,
+    cos_threshold: float = 0.95,
+) -> ray.data.Dataset:
+    """SemDeDup-style MATERIALIZED semantic dedup (Abbas et al. 2023):
+    embedding near-duplicate pairs -> connected components -> keep one
+    representative (min vec_id) per semantic cluster; returns the
+    embeddings table with the non-representatives removed — the
+    embedding-space counterpart of ``dedup_cluster_docs``.
+
+    Scale shape composes three already-bounded stages: the LSH-bucketed
+    pair verify (embeddings cross the exchange ``n_tables`` times, never a
+    driver dict), the hybrid components consolidator (driver union-find
+    only under its byte bound, else bucketed label propagation), and an
+    ids-only anti join to drop non-representatives — survivors' vectors
+    cross the final exchange exactly once."""
+    import pyarrow.compute as _pc
+
+    from ..scale import bucket_count, estimate_rows
+    from .graph import connected_components
+
+    pairs = embedding_near_dup(
+        sf_dir, n_planes=n_planes, n_tables=n_tables, cos_threshold=cos_threshold
+    )
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+
+    nb = bucket_count(estimate_rows(sf_dir, "embeddings"), min_buckets=32)
+    # Acero joins reject list<float> payload columns, so the anti join is a
+    # tagged-union co-shuffle instead: vectors (tag 0) and drop ids (tag 1)
+    # share ONE exchange keyed by vec_id bucket; the per-bucket fold is a
+    # single vectorized is_in mask
+    u_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("tag", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+
+    def _bucketed(ids):
+        return _pc.cast(
+            _pc.bit_wise_and(ids, pa.scalar(nb - 1, pa.int64())), pa.int64()
+        )
+
+    def vec_rows(batch: pa.Table) -> pa.Table:
+        ids = _pc.cast(batch["vec_id"], pa.int64())
+        return pa.table(
+            {
+                "bucket": _bucketed(ids),
+                "vec_id": ids,
+                "embedding": _pc.cast(batch["embedding"], pa.list_(pa.float32())),
+                "tag": pa.array(np.zeros(batch.num_rows, np.int64())),
+            }
+        )
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return u_schema.empty_table()
+        kept = batch.filter(_pc.not_equal(batch["node"], batch["component"]))
+        ids = _pc.cast(kept["node"], pa.int64())
+        return pa.table(
+            {
+                "bucket": _bucketed(ids),
+                "vec_id": ids,
+                "embedding": pa.nulls(kept.num_rows, pa.list_(pa.float32())),
+                "tag": pa.array(np.ones(kept.num_rows, np.int64())),
+            }
+        )
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        vec_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    drop = comp.map_batches(drop_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.cast(u_schema)  # shuffle round-trip type guard
+        tag = group["tag"].to_numpy(zero_copy_only=False)
+        base = group.filter(pa.array(tag == 0))
+        if base.num_rows == 0:
+            return out_schema.empty_table()
+        drop_ids = group.filter(pa.array(tag == 1))["vec_id"]
+        drop_ids = (
+            drop_ids.combine_chunks()
+            if isinstance(drop_ids, pa.ChunkedArray)
+            else drop_ids
+        )
+        keep = _pc.invert(_pc.is_in(base["vec_id"], value_set=drop_ids))
+        return base.filter(keep).drop_columns(["bucket", "tag"]).cast(out_schema)
+
+    return (
+        vecs.union(drop)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("vec_id")
+    )

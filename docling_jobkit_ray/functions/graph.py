@@ -30,6 +30,7 @@ small-side/bucketed split the minhash verifier uses.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -77,8 +78,19 @@ def _driver_union_find(sym: ray.data.Dataset) -> ray.data.Dataset:
     # an empty shuffle block can arrive with a DEGRADED (column-less)
     # schema — seen only once inputs split into enough blocks (sf1-shape
     # sweep, round 4); drop empties before concat or the schema unification
-    # fails
-    tables = [t for t in _ray.get(sym.to_arrow_refs()) if t.num_rows]
+    # fails.  An empty block can ALSO arrive as a raw pandas DataFrame:
+    # Ray skips the upstream pyarrow-format UDF on empty blocks, so a
+    # pandas-block producer (e.g. the near-dup map_groups) leaks its empty
+    # frames through to_arrow_refs untyped — coerce before filtering.
+    raw = _ray.get(sym.to_arrow_refs())
+    tables = []
+    for t in raw:
+        if isinstance(t, pd.DataFrame):
+            if len(t) == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            tables.append(t)
     if not tables:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})

@@ -218,6 +218,7 @@ ROWS_ONLY = [
     "approx_distinct_users",
     "url_canonical_dups",
     "strip_duplicated_passages",
+    "semantic_dedup_embeddings",
 ]
 
 

@@ -638,3 +638,33 @@ def test_chunker_split_oversized_token_budget():
     ).chunk_doc("u", text, spans)
     assert all(c["num_tokens"] <= 40 for c in out2)
     assert " ".join(c["text"] for c in out2) == words
+
+
+def test_semantic_dedup_embeddings_planted_clusters(ray_session, tmp_path):
+    """Planted identical-vector clusters must collapse to their min vec_id;
+    everything else survives untouched."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.dedup import semantic_dedup_embeddings
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 20
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[1] = vecs[0]
+    vecs[2] = vecs[0]       # cluster {0,1,2}
+    vecs[6] = vecs[5]       # cluster {5,6}
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = semantic_dedup_embeddings(str(tmp_path), cos_threshold=0.999).to_pandas()
+    assert sorted(out["vec_id"]) == sorted(set(range(n)) - {1, 2, 6})
+    # representative keeps its vector intact
+    row0 = out[out["vec_id"] == 0]["embedding"].iloc[0]
+    assert np.allclose(np.asarray(row0, dtype=np.float32), vecs[0])
