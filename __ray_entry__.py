@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["semantic_dedup_embeddings"] = _semantic_dedup
+    q["doc_signature_terms"] = webtext.doc_signature_terms
     return q
 
 
@@ -477,6 +478,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["epoch_shuffle_order"] = EPOCH_SHUFFLE_ORDER_SQL
     sql["curated_corpus"] = CURATED_CORPUS_SQL
+    from docling_jobkit_ray.functions.webtext import DOC_SIGNATURE_TERMS_SQL
+
+    sql["doc_signature_terms"] = DOC_SIGNATURE_TERMS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

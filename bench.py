@@ -209,6 +209,7 @@ def run_bench() -> dict:
         ("epoch_shuffle_order", _round4_op("webtext", "epoch_shuffle_order")),
         ("curated_corpus", _round4_op("webtext", "curated_corpus")),
         ("semantic_dedup_embeddings", _round4_op("dedup", "semantic_dedup_embeddings")),
+        ("doc_signature_terms", _round4_op("webtext", "doc_signature_terms")),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

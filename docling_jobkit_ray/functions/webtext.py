@@ -47,6 +47,8 @@ __all__ = [
     "EPOCH_SHUFFLE_ORDER_SQL",
     "curated_corpus",
     "CURATED_CORPUS_SQL",
+    "doc_signature_terms",
+    "DOC_SIGNATURE_TERMS_SQL",
     "DECONTAMINATE_SQL",
     "DUPLICATED_PASSAGES_SQL",
     "TOP_BIGRAM_STATS_SQL",
@@ -1085,4 +1087,157 @@ WHERE d.doc_id % 97 <> 0
   AND d.doc_id IN (SELECT doc_id FROM win)
   AND d.doc_id NOT IN (SELECT doc_id FROM contam)
 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-document signature term (TF / document-frequency argmax)
+# ---------------------------------------------------------------------------
+
+def doc_signature_terms(sf_dir: str) -> ray.data.Dataset:
+    """Each document's most CHARACTERISTIC term: highest in-document count,
+    ties broken by LOWEST corpus document-frequency (the rarer word is the
+    more distinctive one — the exact-integer stand-in for a TF-IDF argmax,
+    whose float score would not be hash-stable), then lexicographically.
+
+    Plan shape: the term-rarity exchange reused for a grouped ARGMAX — the
+    (doc_id, word, tf) triples meet their document-frequency (in-bucket
+    distinct-doc count per word) in ONE word-bucket exchange, then a
+    doc-bucket exchange picks each document's winner with one vectorized
+    multi-key sort + first-per-group mask.  No broadcast, no driver state,
+    all-int64 + string outputs."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_rows = estimate_rows(sf_dir, "documents")
+    word_buckets = bucket_count(n_rows * 60, min_buckets=64)
+    doc_buckets = bucket_count(n_rows, min_buckets=32)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    triple_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("w", pa.string()),
+            ("tf", pa.int64()),
+        ]
+    )
+    cand_schema = pa.schema(
+        [
+            ("dbucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+
+    def doc_term_triples(batch: pa.Table) -> pa.Table:
+        doc_idx, words = _gram_frame(batch["text"], 1)
+        if len(doc_idx) == 0:
+            return triple_schema.empty_table()
+        doc_ids = pc.take(batch["doc_id"], pa.array(doc_idx, pa.int64()))
+        agg = (
+            pa.table({"doc_id": doc_ids, "w": words})
+            .group_by(["doc_id", "w"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "w", "tf"])
+        )
+        wcol = agg["w"].combine_chunks() if isinstance(agg["w"], pa.ChunkedArray) else agg["w"]
+        wobj = wcol.to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(wobj) & np.uint64(word_buckets - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc_id": pc.cast(agg["doc_id"], pa.int64()),
+                "w": wcol,
+                "tf": pc.cast(agg["tf"], pa.int64()),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        # a word lives in exactly one bucket, so the in-bucket distinct-doc
+        # count per word IS its global document frequency; each triple
+        # carries its df onward, re-keyed for the per-doc argmax
+        if group.num_rows == 0 or group.num_columns == 0:
+            return cand_schema.empty_table()
+        group = group.cast(triple_schema)
+        df = (
+            group.group_by("w")
+            .aggregate([([], "count_all")])
+            .rename_columns(["w", "df"])
+        )
+        fw = df["w"].combine_chunks() if isinstance(df["w"], pa.ChunkedArray) else df["w"]
+        fd = df["df"].combine_chunks() if isinstance(df["df"], pa.ChunkedArray) else df["df"]
+        idx = pc.index_in(group["w"], value_set=fw)
+        dfs = pc.take(fd, idx)
+        dbucket = pc.cast(
+            pc.bit_wise_and(group["doc_id"], pa.scalar(doc_buckets - 1, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "dbucket": dbucket,
+                "doc_id": pc.cast(group["doc_id"], pa.int64()),
+                "term": group["w"],
+                "tf": pc.cast(group["tf"], pa.int64()),
+                "df": pc.cast(dfs, pa.int64()),
+            }
+        )
+
+    def argmax_per_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.cast(cand_schema)
+        ordered = group.sort_by(
+            [
+                ("doc_id", "ascending"),
+                ("tf", "descending"),
+                ("df", "ascending"),
+                ("term", "ascending"),
+            ]
+        )
+        ids = ordered["doc_id"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        return (
+            ordered.filter(pa.array(first))
+            .drop_columns(["dbucket"])
+            .cast(out_schema)
+        )
+
+    return (
+        ds.map_batches(doc_term_triples, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(argmax_per_doc, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+DOC_SIGNATURE_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.w ASC
+         ) AS rn
+  FROM tf JOIN df USING (w)
+)
+WHERE rn = 1
+ORDER BY doc_id
 """

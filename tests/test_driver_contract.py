@@ -157,6 +157,7 @@ SQL_BACKED = [
     "lang_balanced_sample",
     "epoch_shuffle_order",
     "curated_corpus",
+    "doc_signature_terms",
 ]
 
 

@@ -371,3 +371,30 @@ def test_curated_corpus_exclusion_reasons(ray_session, tmp_path):
     out = curated_corpus(str(tmp_path)).to_pandas()
     assert list(out["doc_id"]) == [1]
     assert list(out.columns) == ["doc_id", "lang", "n_chars"]
+
+
+def test_doc_signature_terms_tie_breaks(ray_session, tmp_path):
+    """Hand-crafted corpus pinning all three ordering levels: tf desc,
+    then df asc (rarer wins), then lexicographic."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import doc_signature_terms
+
+    texts = [
+        "apple apple banana",        # tf: apple=2 wins outright
+        "cherry date cherry date",   # tf tie (2,2); df: cherry appears in 2 docs, date in 1 -> date wins
+        "cherry kiwi",               # tf tie (1,1); df tie (cherry df=2? no: cherry docs={1,2}=2, kiwi=1) -> kiwi
+        "zebra yak",                 # tf tie, df tie (both 1) -> lexicographic: yak
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = doc_signature_terms(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "term"] == "apple" and out.loc[0, "tf"] == 2
+    assert out.loc[1, "term"] == "date"   # rarer of the tf-tied pair
+    assert out.loc[2, "term"] == "kiwi"   # df 1 beats cherry's df 2
+    assert out.loc[3, "term"] == "yak"    # full tie -> lexicographic
