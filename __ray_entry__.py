@@ -394,6 +394,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["semantic_dedup_embeddings"] = _semantic_dedup
     q["doc_signature_terms"] = webtext.doc_signature_terms
+
+    def _search_corpus(sf_dir: str):
+        from docling_jobkit_ray.functions.index import search_corpus
+
+        return search_corpus(sf_dir, ["table", "spark", "window"], k=20)
+
+    q["search_corpus"] = _search_corpus
     return q
 
 
@@ -481,6 +488,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import DOC_SIGNATURE_TERMS_SQL
 
     sql["doc_signature_terms"] = DOC_SIGNATURE_TERMS_SQL
+    from docling_jobkit_ray.functions.index import search_corpus_sql
+
+    sql["search_corpus"] = search_corpus_sql(["table", "spark", "window"], 20)
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

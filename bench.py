@@ -210,6 +210,12 @@ def run_bench() -> dict:
         ("curated_corpus", _round4_op("webtext", "curated_corpus")),
         ("semantic_dedup_embeddings", _round4_op("dedup", "semantic_dedup_embeddings")),
         ("doc_signature_terms", _round4_op("webtext", "doc_signature_terms")),
+        (
+            "search_corpus",
+            lambda sf: __import__(
+                "docling_jobkit_ray.functions.index", fromlist=["search_corpus"]
+            ).search_corpus(sf, ["table", "spark", "window"], k=20),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

@@ -38,6 +38,9 @@ __all__ = [
     "build_inverted_index",
     "lookup_postings",
     "inverted_index_stats",
+    "search_corpus",
+    "search_corpus_sql",
+    "search_postings",
     "INVERTED_INDEX_STATS_SQL",
 ]
 
@@ -243,3 +246,138 @@ HAVING count(*) >= 2
 ORDER BY df DESC, term
 LIMIT 200
 """
+
+
+# ---------------------------------------------------------------------------
+# ranked boolean-OR retrieval (corpus-direct + artifact-backed)
+# ---------------------------------------------------------------------------
+
+def search_corpus(
+    sf_dir: str, terms: list[str], *, k: int = 20
+) -> ray.data.Dataset:
+    """Ranked multi-term search with an EXACT-INTEGER score: documents
+    matching any query term, ordered by (#distinct query terms present
+    DESC, sum of the matched terms' document frequencies ASC — the doc
+    matching RARER terms wins ties, the hash-stable stand-in for an idf
+    weight — then doc_id).
+
+    Plan shape: the query-term filter is pushed into the tokenize pass, so
+    the materialized pair list holds only matching (term, doc_id) rows —
+    bounded by the query terms' total df, never the corpus.  A document
+    lives in one row, so its pairs stay within one block and the per-doc
+    fold is batch-local; the per-term df fold is a tiny groupby
+    (cardinality = len(terms)).  Two consumptions of the SAME pinned pair
+    list — no second corpus scan."""
+    want = pa.array(sorted({t.lower() for t in terms}), pa.string())
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def matching_pairs(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern=_TOKEN_PATTERN)
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        doc_ids = batch["doc_id"].to_numpy()[doc_idx]
+        t = pa.table({"term": flat, "doc_id": pa.array(doc_ids, pa.int64())})
+        t = t.filter(pc.is_in(t["term"], value_set=want))  # filter BEFORE distinct
+        return t.group_by(["term", "doc_id"]).aggregate([])
+
+    pairs = ds.map_batches(
+        matching_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # bounded by the query terms' total df
+
+    df_rows = pairs.groupby("term").count().take_all()  # <= len(terms) rows
+    df_terms = pa.array([r["term"] for r in df_rows], pa.string())
+    df_counts = np.array([r["count()"] for r in df_rows], dtype=np.int64)
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("n_hits", pa.int64()), ("sum_df", pa.int64())]
+    )
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _OUT.empty_table()
+        idx = pc.index_in(batch["term"], value_set=df_terms).to_numpy(
+            zero_copy_only=False
+        )
+        dfs = df_counts[idx.astype(np.int64)]
+        agg = (
+            pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "hit": pa.array(np.ones(batch.num_rows, np.int64())),
+                    "df": pa.array(dfs),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("hit", "sum"), ("df", "sum")])
+            .rename_columns(["doc_id", "n_hits", "sum_df"])
+        )
+        return agg.cast(_OUT)
+
+    return (
+        pairs.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n_hits", "sum_df", "doc_id"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def search_corpus_sql(terms: list[str], k: int = 20) -> str:
+    lits = ", ".join(f"'{t.lower()}'" for t in sorted({t.lower() for t in terms}))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+td AS (SELECT DISTINCT doc_id, w FROM tok WHERE w IN ({lits})),
+df AS (SELECT w, count(*) AS df FROM td GROUP BY w)
+SELECT td.doc_id, count(*) AS n_hits, CAST(sum(df.df) AS BIGINT) AS sum_df
+FROM td JOIN df USING (w)
+GROUP BY td.doc_id
+ORDER BY n_hits DESC, sum_df ASC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def search_postings(
+    out_dir: str, terms: list[str], *, n_buckets: int, k: int = 20
+) -> pa.Table:
+    """The SAME ranking served from the materialized index artifact: read
+    only the partitions the query terms hash to, explode their posting
+    lists, score identically.  Unit-tested equal to :func:`search_corpus`
+    (the index path must never change the answer)."""
+    hits = lookup_postings(out_dir, [t.lower() for t in terms], n_buckets=n_buckets)
+    if hits.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_hits": pa.array([], pa.int64()),
+                "sum_df": pa.array([], pa.int64()),
+            }
+        )
+    exploded = (
+        pa.table(
+            {
+                "doc_id": pc.list_flatten(hits["postings"]),
+                "df": pc.list_parent_indices(hits["postings"]),
+            }
+        )
+    )
+    dfs = pc.take(hits["df"], exploded["df"])
+    scored = (
+        pa.table(
+            {
+                "doc_id": pc.cast(exploded["doc_id"], pa.int64()),
+                "hit": pa.array(np.ones(exploded.num_rows, np.int64())),
+                "df": pc.cast(dfs, pa.int64()),
+            }
+        )
+        .group_by("doc_id")
+        .aggregate([("hit", "sum"), ("df", "sum")])
+        .rename_columns(["doc_id", "n_hits", "sum_df"])
+    )
+    ordered = scored.sort_by(
+        [("n_hits", "descending"), ("sum_df", "ascending"), ("doc_id", "ascending")]
+    )
+    return ordered.slice(0, k)

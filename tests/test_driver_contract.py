@@ -158,6 +158,7 @@ SQL_BACKED = [
     "epoch_shuffle_order",
     "curated_corpus",
     "doc_signature_terms",
+    "search_corpus",
 ]
 
 

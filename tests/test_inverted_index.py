@@ -82,3 +82,30 @@ def test_stats_query_vectorized_pairs(ray_session):
     pairs = sorted(zip(out["term"].to_pylist(), out["doc_id"].to_pylist()))
     assert pairs == [("cat", 1), ("dog", 1), ("dog", 2), ("fish", 2)]
     assert out["bucket"].to_numpy().max() < 64
+
+
+def test_search_postings_equals_search_corpus(ray_session, tmp_path):
+    """The artifact-backed ranking must be byte-equal to the corpus-direct
+    pipeline — the index path never changes the answer — and empty-hit
+    queries return a typed empty table."""
+    import pandas as pd
+
+    from docling_jobkit_ray.functions.index import (
+        build_inverted_index,
+        search_corpus,
+        search_postings,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out_dir = str(tmp_path / "idx")
+    info = build_inverted_index(sf, out_dir)
+    terms = ["table", "spark", "window"]
+    direct = search_corpus(sf, terms, k=20).to_pandas().reset_index(drop=True)
+    art = search_postings(
+        out_dir, terms, n_buckets=info["n_buckets"], k=20
+    ).to_pandas()
+    pd.testing.assert_frame_equal(art.reset_index(drop=True), direct, check_dtype=False)
+    miss = search_postings(
+        out_dir, ["zzzznotaword"], n_buckets=info["n_buckets"], k=5
+    )
+    assert miss.num_rows == 0 and miss.column_names == ["doc_id", "n_hits", "sum_df"]
