@@ -401,6 +401,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return search_corpus(sf_dir, ["table", "spark", "window"], k=20)
 
     q["search_corpus"] = _search_corpus
+
+    def _minhash_index_probe(sf_dir: str):
+        # incremental NEAR-dup family (the bloom index's LSH counterpart):
+        # index the even-doc_id half as the ingested corpus, probe the odd
+        # half; every text is unique in the synthetic corpus so planted
+        # behavior is pytest-pinned (tests/test_minhash_index.py) and the
+        # driver row here checks schema stability + determinism
+        import tempfile
+
+        import pyarrow.compute as _pc
+
+        from docling_jobkit_ray.functions.minhash_index import (
+            build_minhash_index,
+            probe_minhash_index,
+        )
+        from docling_jobkit_ray.sources.pages import read_table
+
+        def _half(parity: int):
+            return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+                lambda b, p=parity: b.filter(
+                    _pc.equal(
+                        _pc.bit_wise_and(b["doc_id"], _pa.scalar(1, _pa.int64())),
+                        p,
+                    )
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+
+        import pyarrow as _pa
+
+        with tempfile.TemporaryDirectory() as tmp:
+            build_minhash_index(_half(0), tmp)
+            out = probe_minhash_index(tmp, _half(1)).to_pandas()
+        if out.empty:
+            import pandas as pd
+
+            out = pd.DataFrame(
+                {
+                    "probe_doc_id": pd.Series([], dtype="int64"),
+                    "index_doc_id": pd.Series([], dtype="int64"),
+                }
+            )
+        return out
+
+    q["minhash_index_probe"] = _minhash_index_probe
     return q
 
 

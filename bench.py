@@ -216,6 +216,10 @@ def run_bench() -> dict:
                 "docling_jobkit_ray.functions.index", fromlist=["search_corpus"]
             ).search_corpus(sf, ["table", "spark", "window"], k=20),
         ),
+        (
+            "minhash_index_probe",
+            lambda sf: __import__("__ray_entry__").queries()["minhash_index_probe"](sf),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

@@ -1,0 +1,221 @@
+"""Persisted MinHash-LSH index: the NEAR-dup counterpart of the sharded
+Bloom exact-dedup index (``functions/bloom.py``).
+
+A continuous-ingest pipeline needs "is this new document a near-duplicate
+of anything already ingested?" without re-scanning the corpus.  The Bloom
+index answers that for exact content keys; this artifact answers it for
+near-duplicates: the corpus's minhash BAND rows (``band_id``, ``band_hash``,
+``doc_id``) persisted as hive-partitioned parquet, probed by banding the
+new documents with the SAME parameters (carried in the artifact's meta
+file — a probe can never silently use mismatched permutations).
+
+Scale discipline:
+* signatures are the existing vectorized ``MinHasher`` batch kernel (one
+  reduceat pass per batch, actor-pool friendly);
+* the index is int-only rows: n_docs x n_bands x 20 B — ~3 GB per 10^10
+  docs at the defaults, hive-partitioned by ``band_id`` for per-band
+  parallel build/rebuild;
+* probing is ONE tagged-union co-shuffle keyed by a hash of
+  (band_id, band_hash): index rows and probe rows meet in the bucket, the
+  per-bucket match is a single int-keyed Acero join, and the final pair
+  dedup folds in a second ids-only exchange — no driver-side dict, no
+  broadcast of the index;
+* output is CANDIDATE pairs (LSH recall, possible false positives) — the
+  caller verifies with the exact-Jaccard machinery (``minhash_dedup``'s
+  verify stage), same contract as ``minhash_lsh_candidates``.
+
+Replaces nothing in the reference (its dedup story stops at per-key
+grouping, ``docling_jobkit/convert/results.py`` doc hashes); this is the
+incremental path a 100 TB ingest loop runs between extraction and append.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .dedup import MinHasher, _band_rows
+
+__all__ = [
+    "build_minhash_index",
+    "probe_minhash_index",
+]
+
+_META_NAME = "_meta.json"  # "_" prefix: parquet dataset readers ignore it
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _sign_to_bands(num_perm: int, shingle_k: int, seed: int, n_bands: int):
+    """Batch UDF factory: (doc_id, text) -> (band_id, band_hash, doc_id)."""
+    hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = hasher.signatures_batch(texts)
+        return _band_rows(
+            batch["doc_id"].to_numpy().tolist(), list(sigs), n_bands
+        )
+
+    return fn
+
+
+def build_minhash_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 13,
+    n_bands: int = 16,
+) -> dict:
+    """Materialize the band-row index for an already-ingested corpus.
+
+    ``ds`` carries (doc_id, text).  The artifact is
+    ``out_dir/band_id=N/*.parquet`` (rows: band_hash, doc_id) plus a
+    ``meta.json`` pinning the signature parameters — the probe refuses to
+    run against an index whose parameters it cannot read, so a mismatched
+    permutation set can never silently return zero candidates."""
+    bands = ds.map_batches(
+        _sign_to_bands(num_perm, shingle_k, seed, n_bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bands.write_parquet(out_dir, partition_cols=["band_id"])
+    meta = {
+        "num_perm": num_perm,
+        "shingle_k": shingle_k,
+        "seed": seed,
+        "n_bands": n_bands,
+    }
+    with open(os.path.join(out_dir, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return dict(meta, path=out_dir)
+
+
+def probe_minhash_index(
+    out_dir: str,
+    ds: ray.data.Dataset,
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Near-duplicate CANDIDATE pairs (probe_doc_id, index_doc_id) between
+    new documents and the indexed corpus: any band collision is a
+    candidate (standard LSH semantics — verify downstream with exact
+    Jaccard).  One tagged-union co-shuffle; the index never reaches the
+    driver and is read band-partition-parallel."""
+    with open(os.path.join(out_dir, _META_NAME)) as f:
+        meta = json.load(f)
+
+    probe_bands = ds.map_batches(
+        _sign_to_bands(
+            meta["num_perm"], meta["shingle_k"], meta["seed"], meta["n_bands"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    index_bands = ray.data.read_parquet(
+        out_dir, columns=["band_id", "band_hash", "doc_id"]
+    )
+
+    u_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("band_id", pa.int64()),
+            ("band_hash", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("tag", pa.int64()),
+        ]
+    )
+    pair_schema = pa.schema(
+        [("probe_doc_id", pa.int64()), ("index_doc_id", pa.int64())]
+    )
+
+    def _tagged(tag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return u_schema.empty_table()
+            bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bid = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bucket = (((bh ^ (bid * _MIX)) * _MIX) >> np.uint64(40)).astype(
+                np.int64
+            ) & (n_buckets - 1)
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket),
+                    "band_id": pc.cast(batch["band_id"], pa.int64()),
+                    "band_hash": pc.cast(batch["band_hash"], pa.int64()),
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "tag": pa.array(np.full(batch.num_rows, tag, np.int64())),
+                }
+            )
+
+        return fn
+
+    tagged = probe_bands.map_batches(
+        _tagged(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        index_bands.map_batches(
+            _tagged(1), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def match(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pair_schema.empty_table()
+        group = group.cast(u_schema)  # shuffle round-trip type guard
+        tag = group["tag"].to_numpy(zero_copy_only=False)
+        probe = group.filter(pa.array(tag == 0)).select(
+            ["band_id", "band_hash", "doc_id"]
+        )
+        index = group.filter(pa.array(tag == 1)).select(
+            ["band_id", "band_hash", "doc_id"]
+        )
+        if probe.num_rows == 0 or index.num_rows == 0:
+            return pair_schema.empty_table()
+        joined = probe.rename_columns(["band_id", "band_hash", "probe_doc_id"]).join(
+            index.rename_columns(["band_id", "band_hash", "index_doc_id"]),
+            keys=["band_id", "band_hash"],
+            join_type="inner",
+        )
+        pairs = joined.select(["probe_doc_id", "index_doc_id"]).filter(
+            pc.not_equal(joined["probe_doc_id"], joined["index_doc_id"])
+        )
+        # in-bucket distinct cuts the cross-band repeats before the final fold
+        return pairs.group_by(["probe_doc_id", "index_doc_id"]).aggregate([]).cast(
+            pair_schema
+        )
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pair_schema.empty_table()
+        return (
+            group.select(["probe_doc_id", "index_doc_id"])
+            .cast(pair_schema)
+            .group_by(["probe_doc_id", "index_doc_id"])
+            .aggregate([])
+            .cast(pair_schema)
+        )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(list(pair_schema) + [pa.field("pbucket", pa.int64())]).empty_table()
+        a = batch["probe_doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["index_doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (((a * _MIX) ^ b) * _MIX >> np.uint64(40)).astype(np.int64) & (
+            n_buckets - 1
+        )
+        return batch.append_column("pbucket", pa.array(pb))
+
+    return (
+        tagged.groupby("bucket")
+        .map_groups(match, batch_format="pyarrow")
+        .map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .sort(["probe_doc_id", "index_doc_id"])
+    )

@@ -221,6 +221,7 @@ ROWS_ONLY = [
     "url_canonical_dups",
     "strip_duplicated_passages",
     "semantic_dedup_embeddings",
+    "minhash_index_probe",
 ]
 
 
