@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
 
     q["minhash_index_probe"] = _minhash_index_probe
+    q["top_quartile_docs_by_lang"] = webtext.top_quartile_docs_by_lang
     return q
 
 
@@ -537,6 +538,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.index import search_corpus_sql
 
     sql["search_corpus"] = search_corpus_sql(["table", "spark", "window"], 20)
+    from docling_jobkit_ray.functions.webtext import top_quartile_docs_by_lang_sql
+
+    sql["top_quartile_docs_by_lang"] = top_quartile_docs_by_lang_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -220,6 +220,7 @@ def run_bench() -> dict:
             "minhash_index_probe",
             lambda sf: __import__("__ray_entry__").queries()["minhash_index_probe"](sf),
         ),
+        ("top_quartile_docs_by_lang", _round4_op("webtext", "top_quartile_docs_by_lang")),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

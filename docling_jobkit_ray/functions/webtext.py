@@ -49,6 +49,8 @@ __all__ = [
     "CURATED_CORPUS_SQL",
     "doc_signature_terms",
     "DOC_SIGNATURE_TERMS_SQL",
+    "top_quartile_docs_by_lang",
+    "top_quartile_docs_by_lang_sql",
     "DECONTAMINATE_SQL",
     "DUPLICATED_PASSAGES_SQL",
     "TOP_BIGRAM_STATS_SQL",
@@ -1240,4 +1242,82 @@ FROM (
 )
 WHERE rn = 1
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group threshold curation (keep the top quantile per language)
+# ---------------------------------------------------------------------------
+
+def top_quartile_docs_by_lang(sf_dir: str, *, q: float = 0.75) -> ray.data.Dataset:
+    """Keep each language's LONGEST quartile of documents — the per-group
+    threshold curation step (keep the top p% by a quality signal within
+    each stratum, so no language is judged by another language's length
+    distribution).
+
+    Pass 1 reuses the exact grouped-percentile design: the shuffle carries
+    one (lang, n_chars, count) row per batch-distinct pair, and the driver
+    walks each language's tiny cumulative histogram to the quantile_disc
+    threshold (rank = ceil(q * total) — the same rank rule every percentile
+    op in this repo shares with DuckDB).  Histogram width is bounded by the
+    value domain x language inventory, never the corpus.  Pass 2 is one
+    embarrassingly-parallel filter against the broadcast per-language
+    thresholds."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["lang", "n_chars"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n_chars", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["lang", "n_chars"])
+        .to_pandas()  # tiny: one row per distinct (lang, length)
+    )
+    thr: dict[str, int] = {}
+    for lang, g in hist.groupby("lang", sort=True):
+        total = int(g["n"].sum())
+        cum = g["n"].cumsum()
+        rank = math.ceil(q * total)
+        thr[lang] = int(g["n_chars"][(cum >= rank).idxmax()])
+
+    langs = pa.array(sorted(thr), pa.string())
+    cuts = np.array([thr[l] for l in sorted(thr)], dtype=np.int64)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.index_in(batch["lang"], value_set=langs).to_numpy(
+            zero_copy_only=False
+        )
+        c = cuts[idx.astype(np.int64)]
+        n_chars = batch["n_chars"].to_numpy()
+        return batch.filter(pa.array(n_chars >= c))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+def top_quartile_docs_by_lang_sql(q: float = 0.75) -> str:
+    return f"""
+WITH t AS (
+  SELECT lang, quantile_disc(n_chars, {q}) AS thr
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN t ON d.lang = t.lang
+WHERE d.n_chars >= t.thr
+ORDER BY d.doc_id
 """

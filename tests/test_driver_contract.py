@@ -159,6 +159,7 @@ SQL_BACKED = [
     "curated_corpus",
     "doc_signature_terms",
     "search_corpus",
+    "top_quartile_docs_by_lang",
 ]
 
 

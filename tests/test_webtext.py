@@ -398,3 +398,27 @@ def test_doc_signature_terms_tie_breaks(ray_session, tmp_path):
     assert out.loc[1, "term"] == "date"   # rarer of the tf-tied pair
     assert out.loc[2, "term"] == "kiwi"   # df 1 beats cherry's df 2
     assert out.loc[3, "term"] == "yak"    # full tie -> lexicographic
+
+
+def test_top_quartile_docs_by_lang_threshold_semantics(ray_session):
+    """Per-language thresholds: every kept doc is >= its own language's
+    quantile_disc threshold, and roughly the top quarter per language
+    survives (>= because of ties at the threshold value)."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import top_quartile_docs_by_lang
+
+    sf = "/root/testdata/sf0.1"
+    out = top_quartile_docs_by_lang(sf).to_pandas()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    for lang, g in docs.groupby("lang"):
+        kept = out[out["lang"] == lang]
+        n_all = len(g)
+        assert len(kept) >= 0.25 * n_all - 1          # at least the quartile
+        assert len(kept) <= 0.35 * n_all + 1          # ties can't explode it
+        thr = kept["n_chars"].min()
+        # nothing below the kept minimum was wrongly kept, and everything
+        # at/above the language's own threshold IS kept
+        assert (g["n_chars"] >= thr).sum() == len(kept)
