@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_linestatus",
         "q14_promo_revenue",
         "q22_idle_customers",
+        # round-4 late addition: sequential-pattern family; sessionize +
+        # windows already hold the per-user-ordered-scan slots in the cap
+        "events_funnel",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -448,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["minhash_index_probe"] = _minhash_index_probe
     q["top_quartile_docs_by_lang"] = webtext.top_quartile_docs_by_lang
+    q["events_funnel"] = RELATIONAL_QUERIES["events_funnel"][0]
     return q
 
 

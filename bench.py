@@ -221,6 +221,12 @@ def run_bench() -> dict:
             lambda sf: __import__("__ray_entry__").queries()["minhash_index_probe"](sf),
         ),
         ("top_quartile_docs_by_lang", _round4_op("webtext", "top_quartile_docs_by_lang")),
+        (
+            "events_funnel",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.relational", fromlist=["events_funnel"]
+            ).events_funnel(sf),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

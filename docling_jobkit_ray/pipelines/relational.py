@@ -3164,3 +3164,101 @@ RELATIONAL_QUERIES.update(
         "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel analysis (sequential-pattern counts per user)
+# ---------------------------------------------------------------------------
+
+def events_funnel(
+    sf_dir: str,
+    *,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Ordered funnel: how many users completed steps 1..k IN ORDER (each
+    step strictly after the previous one's earliest completion).  The
+    greedy-earliest rule (take the min ts for step 1, then the min ts
+    strictly after it for step 2, ...) is exact for funnel existence and
+    gives both engines the same deterministic integer counts.
+
+    Scale shape: events are filtered to the step types BEFORE the
+    exchange, then one user-bucket shuffle (a user lives in exactly one
+    bucket, so per-bucket user counts are disjoint partials) and a
+    len(steps)-row final fold.  The per-bucket pass is len(steps)
+    vectorized pandas scans, never a Python loop per user."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    wanted = pa.array(list(steps), pa.string())
+    add_bucket = _user_bucket_adder(_user_buckets(sf_dir, n_buckets))
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return add_bucket(batch.filter(pc.is_in(batch["event_type"], value_set=wanted)))
+
+    _EMPTY = {
+        "step": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype="object"),
+        "n_users": pd.Series([], dtype="int64"),
+    }
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame(_EMPTY)
+        cur = None  # per-user earliest completion ts of the previous step
+        out_rows = []
+        for i, st in enumerate(steps, 1):
+            sel = g[g["event_type"] == st]
+            if cur is not None:
+                thr = sel["user_id"].map(cur)
+                sel = sel[thr.notna() & (sel["ts"] > thr)]
+            cur = sel.groupby("user_id")["ts"].min()
+            out_rows.append((i, st, len(cur)))
+        return pd.DataFrame(
+            {
+                "step": pd.Series([r[0] for r in out_rows], dtype="int64"),
+                "event_type": [r[1] for r in out_rows],
+                "n_users": pd.Series([r[2] for r in out_rows], dtype="int64"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["step", "event_type"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort("step")
+    )
+
+
+def events_funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    ctes = []
+    selects = []
+    prev = None
+    for i, st in enumerate(steps, 1):
+        name = f"s{i}"
+        if prev is None:
+            ctes.append(
+                f"{name} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{st}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN {prev} USING (user_id) "
+                f"WHERE e.event_type = '{st}' AND e.ts > {prev}.t GROUP BY e.user_id)"
+            )
+        selects.append(
+            f"SELECT {i} AS step, '{st}' AS event_type, "
+            f"(SELECT count(*) FROM {name}) AS n_users"
+        )
+        prev = name
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY step"
+    )
+
+
+RELATIONAL_QUERIES["events_funnel"] = (events_funnel, events_funnel_sql())

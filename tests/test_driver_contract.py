@@ -160,6 +160,7 @@ SQL_BACKED = [
     "doc_signature_terms",
     "search_corpus",
     "top_quartile_docs_by_lang",
+    "events_funnel",
 ]
 
 

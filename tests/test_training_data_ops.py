@@ -668,3 +668,41 @@ def test_semantic_dedup_embeddings_planted_clusters(ray_session, tmp_path):
     # representative keeps its vector intact
     row0 = out[out["vec_id"] == 0]["embedding"].iloc[0]
     assert np.allclose(np.asarray(row0, dtype=np.float32), vecs[0])
+
+
+def test_events_funnel_ordering_semantics(ray_session, tmp_path):
+    """Crafted users where order matters: completing steps out of order
+    must NOT count, and the greedy-earliest rule uses the FIRST qualifying
+    event of each step."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.pipelines.relational import events_funnel
+
+    T = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: view(0) -> click(1) -> purchase(2): completes all 3
+        (1, T + 0 * m, "view"), (1, T + 1 * m, "click"), (1, T + 2 * m, "purchase"),
+        # user 2: click BEFORE view, no click after -> stops at step 1
+        (2, T + 0 * m, "click"), (2, T + 1 * m, "view"),
+        # user 3: purchase before click -> reaches step 2 only
+        (3, T + 0 * m, "view"), (3, T + 1 * m, "purchase"), (3, T + 2 * m, "click"),
+        # user 4: view only
+        (4, T + 0 * m, "view"),
+        # user 5: simultaneous view+click (strict > excludes), later click rescues
+        (5, T + 0 * m, "view"), (5, T + 0 * m, "click"), (5, T + 3 * m, "click"),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = events_funnel(str(tmp_path), n_buckets=8).to_pandas().set_index("step")
+    assert out.loc[1, "n_users"] == 5   # everyone has a view
+    assert out.loc[2, "n_users"] == 3   # users 1, 3, 5 click after their view
+    assert out.loc[3, "n_users"] == 1   # only user 1 purchases after the click
