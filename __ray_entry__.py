@@ -169,6 +169,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 late addition: sequential-pattern family; sessionize +
         # windows already hold the per-user-ordered-scan slots in the cap
         "events_funnel",
+        # round-4 supplementary TPC-H shapes (tpch_supp.py): the join/agg
+        # families already hold their cap slots via q3/q5/q13; these nine
+        # stay pytest-SQL-checked at 3 scales
+        "q2_min_balance_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_qty_revenue",
+        "q19_disjunctive_revenue",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -452,6 +464,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_index_probe"] = _minhash_index_probe
     q["top_quartile_docs_by_lang"] = webtext.top_quartile_docs_by_lang
     q["events_funnel"] = RELATIONAL_QUERIES["events_funnel"][0]
+    for name in (
+        "q2_min_balance_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_qty_revenue",
+        "q19_disjunctive_revenue",
+    ):
+        q[name] = RELATIONAL_QUERIES[name][0]
     return q
 
 

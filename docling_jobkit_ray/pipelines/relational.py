@@ -3262,3 +3262,10 @@ def events_funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) ->
 
 
 RELATIONAL_QUERIES["events_funnel"] = (events_funnel, events_funnel_sql())
+
+# Supplementary TPC-H plan shapes live in tpch_supp.py (this import sits at
+# the very end of the module so tpch_supp's `from .relational import ...`
+# finds every helper already bound; keep it last).
+from .tpch_supp import TPCH_SUPP_QUERIES  # noqa: E402
+
+RELATIONAL_QUERIES.update(TPCH_SUPP_QUERIES)

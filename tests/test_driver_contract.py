@@ -161,6 +161,15 @@ SQL_BACKED = [
     "search_corpus",
     "top_quartile_docs_by_lang",
     "events_funnel",
+    "q2_min_balance_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
 ]
 
 
