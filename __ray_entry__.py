@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_index_probe"] = _minhash_index_probe
     q["top_quartile_docs_by_lang"] = webtext.top_quartile_docs_by_lang
     q["events_funnel"] = RELATIONAL_QUERIES["events_funnel"][0]
+    q["doc_repetition_stats"] = webtext.doc_repetition_stats
     for name in (
         "q2_min_balance_supplier",
         "q7_volume_shipping",
@@ -569,6 +570,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import top_quartile_docs_by_lang_sql
 
     sql["top_quartile_docs_by_lang"] = top_quartile_docs_by_lang_sql()
+    from docling_jobkit_ray.functions.webtext import DOC_REPETITION_STATS_SQL
+
+    sql["doc_repetition_stats"] = DOC_REPETITION_STATS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -51,6 +51,8 @@ __all__ = [
     "DOC_SIGNATURE_TERMS_SQL",
     "top_quartile_docs_by_lang",
     "top_quartile_docs_by_lang_sql",
+    "doc_repetition_stats",
+    "DOC_REPETITION_STATS_SQL",
     "DECONTAMINATE_SQL",
     "DUPLICATED_PASSAGES_SQL",
     "TOP_BIGRAM_STATS_SQL",
@@ -1320,4 +1322,123 @@ SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN t ON d.lang = t.lang
 WHERE d.n_chars >= t.thr
 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# within-document word repetition (Gopher repetition rules, word level)
+# ---------------------------------------------------------------------------
+
+def doc_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document word-repetition profile + the Gopher-style keep verdict.
+
+    Columns (all exact integers + one argmax string, so the oracle hash is
+    engine-independent):
+
+    - ``n_words``        total words (single-space split, empties kept —
+                         the DuckDB ``string_split`` contract)
+    - ``top_word``       most frequent word, ties broken lexicographically
+    - ``top_word_count`` its occurrence count
+    - ``dup_word_count`` total occurrences of words appearing >= 2 times
+    - ``keep``           repetition verdict in pure integer arithmetic:
+                         top word <= 10% of words AND duplicate-word mass
+                         <= 90% of words (the word-level analogue of the
+                         Gopher top-n-gram / dup-n-gram rules; the bigram
+                         rule lives in ``top_bigram_stats``)
+
+    A document is one row, so the whole operator is batch-local — no
+    shuffle at any scale; the per-batch kernel is one Arrow group_by plus a
+    vectorized sort + first-occurrence mask for the argmax (never a Python
+    loop over documents)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_words", pa.int64()),
+            ("top_word", pa.string()),
+            ("top_word_count", pa.int64()),
+            ("dup_word_count", pa.int64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_idx, words = _gram_frame(batch["text"], 1)
+        if len(doc_idx) == 0:
+            return out_schema.empty_table()
+        cnt = (
+            pa.table({"d": pa.array(doc_idx), "w": words})
+            .group_by(["d", "w"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["d", "w", "c"])
+        )
+        dup_c = pc.if_else(
+            pc.greater_equal(cnt["c"], pa.scalar(2, pa.int64())),
+            cnt["c"],
+            pa.scalar(0, pa.int64()),
+        )
+        per_doc = (
+            cnt.append_column("dup_c", dup_c)
+            .group_by("d")
+            .aggregate([("c", "sum"), ("c", "max"), ("dup_c", "sum")])
+            .rename_columns(["d", "n_words", "top_word_count", "dup_word_count"])
+        )
+        # argmax word with lexicographic tie-break: sort (d, c desc, w asc),
+        # keep the first row per document
+        ordered = cnt.sort_by(
+            [("d", "ascending"), ("c", "descending"), ("w", "ascending")]
+        )
+        ids = ordered["d"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        tops = ordered.filter(pa.array(first))  # sorted by d ascending
+        per_doc = per_doc.sort_by([("d", "ascending")])
+        n_words = pc.cast(per_doc["n_words"], pa.int64())
+        top_cnt = pc.cast(per_doc["top_word_count"], pa.int64())
+        dup_cnt = pc.cast(per_doc["dup_word_count"], pa.int64())
+        keep = pc.and_(
+            pc.less_equal(pc.multiply(top_cnt, pa.scalar(10, pa.int64())), n_words),
+            pc.less_equal(
+                pc.multiply(dup_cnt, pa.scalar(10, pa.int64())),
+                pc.multiply(n_words, pa.scalar(9, pa.int64())),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(batch["doc_id"], per_doc["d"]),
+                "n_words": n_words,
+                "top_word": tops["w"],
+                "top_word_count": top_cnt,
+                "dup_word_count": dup_cnt,
+                "keep": keep,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+DOC_REPETITION_STATS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(max(c) AS BIGINT) AS top_word_count,
+         CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_word_count
+  FROM cnt GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, w AS top_word
+  FROM (SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn
+        FROM cnt)
+  WHERE rn = 1
+)
+SELECT agg.doc_id, n_words, top_word, top_word_count, dup_word_count,
+       (top_word_count * 10 <= n_words AND dup_word_count * 10 <= n_words * 9) AS keep
+FROM agg JOIN top ON agg.doc_id = top.doc_id
+ORDER BY agg.doc_id
 """

@@ -170,6 +170,7 @@ SQL_BACKED = [
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
+    "doc_repetition_stats",
 ]
 
 
