@@ -181,6 +181,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_part_counts",
         "q17_small_qty_revenue",
         "q19_disjunctive_revenue",
+        # behavior-analytics shapes (behavior.py): the windows/sequence
+        # families hold their cap slots via sessionize/funnel
+        "events_intervals",
+        "cohort_retention",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -465,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_quartile_docs_by_lang"] = webtext.top_quartile_docs_by_lang
     q["events_funnel"] = RELATIONAL_QUERIES["events_funnel"][0]
     q["doc_repetition_stats"] = webtext.doc_repetition_stats
+    q["mixture_sample"] = webtext.mixture_sample
     for name in (
         "q2_min_balance_supplier",
         "q7_volume_shipping",
@@ -475,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_part_counts",
         "q17_small_qty_revenue",
         "q19_disjunctive_revenue",
+        "events_intervals",
+        "cohort_retention",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q
@@ -573,6 +580,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import DOC_REPETITION_STATS_SQL
 
     sql["doc_repetition_stats"] = DOC_REPETITION_STATS_SQL
+    from docling_jobkit_ray.functions.webtext import mixture_sample_sql
+
+    sql["mixture_sample"] = mixture_sample_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -53,6 +53,8 @@ __all__ = [
     "top_quartile_docs_by_lang_sql",
     "doc_repetition_stats",
     "DOC_REPETITION_STATS_SQL",
+    "mixture_sample",
+    "mixture_sample_sql",
     "DECONTAMINATE_SQL",
     "DUPLICATED_PASSAGES_SQL",
     "TOP_BIGRAM_STATS_SQL",
@@ -1441,4 +1443,83 @@ SELECT agg.doc_id, n_words, top_word, top_word_count, dup_word_count,
        (top_word_count * 10 <= n_words AND dup_word_count * 10 <= n_words * 9) AS keep
 FROM agg JOIN top ON agg.doc_id = top.doc_id
 ORDER BY agg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted source mixture (user-specified rates, exact rational arithmetic)
+# ---------------------------------------------------------------------------
+
+DEFAULT_MIXTURE: dict[str, tuple[int, int]] = {
+    "src0": (1, 1),
+    "src1": (1, 2),
+    "src2": (1, 4),
+}
+DEFAULT_MIXTURE_REST: tuple[int, int] = (1, 10)
+
+
+def mixture_sample(
+    sf_dir: str,
+    *,
+    weights: dict[str, tuple[int, int]] | None = None,
+    rest: tuple[int, int] = DEFAULT_MIXTURE_REST,
+) -> ray.data.Dataset:
+    """Sample the corpus to a caller-specified SOURCE mixture: keep each
+    document of source *s* with probability ``num/den`` (an exact rational,
+    never a float) — the dataset-interleaving step of training-corpus
+    assembly where each source gets an explicit weight (contrast
+    :func:`lang_balanced_sample`, whose rates are data-derived, and
+    :func:`stratified_sample`, which samples one global rate).
+
+    The keep decision is ``lehmer(doc_id) % den < num`` — exact int64 in
+    numpy and DuckDB at any id magnitude, reshard/reorder-invariant.  Plan
+    shape: zero shuffles; rates ride the closure as two int arrays indexed
+    by ``pc.index_in`` on the source column."""
+    weights = DEFAULT_MIXTURE if weights is None else weights
+    for s, (num, den) in weights.items():
+        if not (0 <= num <= den and den > 0):
+            raise ValueError(f"weight for {s!r} must satisfy 0 <= num <= den: {(num, den)}")
+    if not (0 <= rest[0] <= rest[1] and rest[1] > 0):
+        raise ValueError(f"rest weight must satisfy 0 <= num <= den: {rest}")
+    names = pa.array(sorted(weights), pa.string())
+    nums = np.array([weights[s][0] for s in sorted(weights)], dtype=np.int64)
+    dens = np.array([weights[s][1] for s in sorted(weights)], dtype=np.int64)
+
+    ds = read_table(sf_dir, "documents")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.index_in(batch["source"], value_set=names)
+        known = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        ii = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        num = np.where(known, nums[ii], rest[0])
+        den = np.where(known, dens[ii], rest[1])
+        doc_ids = batch["doc_id"].to_numpy()
+        h = ((doc_ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        return batch.filter(pa.array((h % den) < num))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+def mixture_sample_sql(
+    weights: dict[str, tuple[int, int]] | None = None,
+    rest: tuple[int, int] = DEFAULT_MIXTURE_REST,
+) -> str:
+    weights = DEFAULT_MIXTURE if weights is None else weights
+    den_cases = " ".join(
+        f"WHEN '{s}' THEN {weights[s][1]}" for s in sorted(weights)
+    )
+    num_cases = " ".join(
+        f"WHEN '{s}' THEN {weights[s][0]}" for s in sorted(weights)
+    )
+    return f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M}
+      % (CASE source {den_cases} ELSE {rest[1]} END)
+      < (CASE source {num_cases} ELSE {rest[0]} END)
+ORDER BY doc_id
 """

@@ -1,0 +1,219 @@
+"""User-behavior analytics over the events table.
+
+Round-4 widening of the windowed/sequential surface (SURVEY.md §2.11): two
+product-analytics operators the existing set (sessionize, sliding window,
+rolling sum, funnel) does not cover:
+
+- ``events_intervals``  : per-user inter-event gap profile (the LAG window
+  family) — count, active span, max gap, mean gap.
+- ``cohort_retention``  : weekly cohort retention matrix — users grouped by
+  first-activity week, counted per week offset (two-level distinct +
+  per-user min through ONE user-bucketed exchange).
+
+All interval arithmetic is exact int64 microseconds (timestamps cast to
+their us unit); the only float is a final mean = span/(n-1) division of two
+exact integers, identical on both engines.
+
+Reference parity: the reference (docling-jobkit) has no analytics engine;
+these document the Ray-Data-native shapes of the standard product-analytics
+queries (SURVEY.md §2.11 mapping).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _rel():
+    """Lazy accessor for relational.py helpers (relational.py imports this
+    module at its tail — see tpch_supp._rel for the worker-side rationale)."""
+    from . import relational
+
+    return relational
+
+
+# ---------------------------------------------------------------------------
+# per-user inter-event gaps (the LAG window family)
+# ---------------------------------------------------------------------------
+
+def events_intervals(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-user inter-event timing profile: event count, active span
+    (max ts - min ts), maximum gap between consecutive events, and the mean
+    gap — for users with at least two events.
+
+    Plan shape: ONE user-bucketed exchange (bucket count derived from the
+    events row count); each bucket sorts once by (user_id, ts) and computes
+    every per-user statistic with vectorized pandas group ops — never a
+    Python call per user.  The mean gap needs no ordering at all
+    (sum of consecutive gaps == span), so only max_gap pays for the sort.
+    """
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    add_bucket = rel._user_bucket_adder(rel._user_buckets(sf_dir, n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        t = g["ts"].astype("int64")  # exact microseconds
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = t.diff().where(same)
+        stats = (
+            pd.DataFrame({"user_id": g["user_id"], "t": t, "gap": gap})
+            .groupby("user_id", sort=True)
+            .agg(
+                n_events=("t", "size"),
+                t_min=("t", "min"),
+                t_max=("t", "max"),
+                max_gap_us=("gap", "max"),
+            )
+            .reset_index()
+        )
+        stats = stats[stats["n_events"] >= 2]
+        out = pd.DataFrame(
+            {
+                "user_id": stats["user_id"].astype("int64"),
+                "n_events": stats["n_events"].astype("int64"),
+                "span_us": (stats["t_max"] - stats["t_min"]).astype("int64"),
+                "max_gap_us": stats["max_gap_us"].astype("int64"),
+            }
+        )
+        out["mean_gap_us"] = out["span_us"] / (out["n_events"] - 1)
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+EVENTS_INTERVALS_SQL = """
+WITH s AS (
+  SELECT user_id, count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+  FROM events GROUP BY user_id HAVING count(*) >= 2
+),
+gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+           AS gap
+  FROM events
+),
+mg AS (SELECT user_id, max(gap) AS max_gap_us FROM gaps WHERE gap IS NOT NULL
+       GROUP BY user_id)
+SELECT s.user_id, n_events, span_us, max_gap_us,
+       CAST(span_us AS DOUBLE) / (n_events - 1) AS mean_gap_us
+FROM s JOIN mg ON s.user_id = mg.user_id
+ORDER BY s.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention (two-level distinct + per-user min, one exchange)
+# ---------------------------------------------------------------------------
+
+def cohort_retention(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Weekly cohort retention matrix: each user's cohort is the epoch-week
+    of their FIRST event; ``n_users`` counts distinct users of that cohort
+    active again at each week offset (offset 0 = the cohort week itself).
+
+    Plan shape: per-batch DISTINCT (user, week) pairs (the combiner), one
+    user-bucketed exchange; within a bucket the per-user min-week and the
+    (cohort, offset) distinct-user counts are both bucket-local (a user
+    lives in exactly one bucket), so buckets emit additive partial counts
+    and the final groupby folds a tiny (weeks x offsets) matrix.  Weeks are
+    exact integer floor-divisions of the microsecond timestamp — identical
+    in DuckDB (``epoch_us(ts) // 604800000000``)."""
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("week", pa.int64()), ("bucket", pa.int64())]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        week = pc.divide(
+            pc.cast(batch["ts"], pa.int64()), pa.scalar(_WEEK_US, pa.int64())
+        )
+        pairs = (
+            pa.table({"user_id": batch["user_id"], "week": week})
+            .group_by(["user_id", "week"])
+            .aggregate([])
+        )
+        return pairs.append_column(
+            "bucket", pc.bit_wise_and(pairs["user_id"], mask)
+        )
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.int64()),
+                    "week_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        group = group.select(pair_schema.names).cast(pair_schema)
+        pairs = (
+            group.select(["user_id", "week"]).group_by(["user_id", "week"]).aggregate([])
+        )
+        first = (
+            pairs.group_by("user_id")
+            .aggregate([("week", "min")])
+            .rename_columns(["user_id", "cohort_week"])
+        )
+        fu = first["user_id"].combine_chunks()
+        fc = first["cohort_week"].combine_chunks()
+        cohort = pc.take(fc, pc.index_in(pairs["user_id"], value_set=fu))
+        offs = pc.subtract(pairs["week"], cohort)
+        return (
+            pa.table(
+                {
+                    "cohort_week": cohort,
+                    "week_offset": offs,
+                    "n_users": pa.array(np.ones(pairs.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["cohort_week", "week_offset"])
+            .aggregate([("n_users", "sum")])
+            .rename_columns(["cohort_week", "week_offset", "n_users"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort(["cohort_week", "week_offset"])
+    )
+
+
+COHORT_RETENTION_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+),
+c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+BEHAVIOR_QUERIES = {
+    "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
+    "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+}

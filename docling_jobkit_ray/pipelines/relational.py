@@ -3269,3 +3269,7 @@ RELATIONAL_QUERIES["events_funnel"] = (events_funnel, events_funnel_sql())
 from .tpch_supp import TPCH_SUPP_QUERIES  # noqa: E402
 
 RELATIONAL_QUERIES.update(TPCH_SUPP_QUERIES)
+
+from .behavior import BEHAVIOR_QUERIES  # noqa: E402
+
+RELATIONAL_QUERIES.update(BEHAVIOR_QUERIES)

@@ -171,6 +171,9 @@ SQL_BACKED = [
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "doc_repetition_stats",
+    "events_intervals",
+    "cohort_retention",
+    "mixture_sample",
 ]
 
 
