@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families hold their cap slots via sessionize/funnel
         "events_intervals",
         "cohort_retention",
+        "user_activity_setops",
+        "events_cube_type_dow",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -482,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue",
         "events_intervals",
         "cohort_retention",
+        "user_activity_setops",
+        "events_cube_type_dow",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

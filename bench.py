@@ -227,6 +227,41 @@ def run_bench() -> dict:
                 "docling_jobkit_ray.pipelines.relational", fromlist=["events_funnel"]
             ).events_funnel(sf),
         ),
+        # round-4 late additions: supplementary TPC-H shapes + behavior
+        # analytics + repetition/mixture webtext ops
+        (
+            "q7_volume_shipping",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.tpch_supp", fromlist=["q7_volume_shipping"]
+            ).q7_volume_shipping(sf),
+        ),
+        (
+            "q16_supplier_part_counts",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.tpch_supp",
+                fromlist=["q16_supplier_part_counts"],
+            ).q16_supplier_part_counts(sf),
+        ),
+        (
+            "q17_small_qty_revenue",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.tpch_supp", fromlist=["q17_small_qty_revenue"]
+            ).q17_small_qty_revenue(sf),
+        ),
+        ("doc_repetition_stats", _round4_op("webtext", "doc_repetition_stats")),
+        ("mixture_sample", _round4_op("webtext", "mixture_sample")),
+        (
+            "events_intervals",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.behavior", fromlist=["events_intervals"]
+            ).events_intervals(sf),
+        ),
+        (
+            "cohort_retention",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.behavior", fromlist=["cohort_retention"]
+            ).cohort_retention(sf),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

@@ -217,3 +217,186 @@ BEHAVIOR_QUERIES = {
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# activity set operations (INTERSECT / EXCEPT as one full-outer status fold)
+# ---------------------------------------------------------------------------
+
+_HALF_SPLIT = "2024-01-16"
+
+
+def user_activity_setops(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Set operations over user activity: users active in BOTH halves of
+    the observation window (INTERSECT -> ``retained``), only the first
+    (EXCEPT -> ``churned``), or only the second (reverse EXCEPT ->
+    ``new``) — the full-outer-join plan shape, folded to presence bits.
+
+    Plan: per-batch DISTINCT (user, half) pairs (half is a fixed timestamp
+    threshold, engine-identical), one user-bucketed exchange, per-bucket
+    presence-bit OR + one vectorized CASE.  No join ever materializes: the
+    two sides ride the same exchange as a 0/1 column."""
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+    split = pa.scalar(
+        pc.strptime(_HALF_SPLIT, format="%Y-%m-%d", unit="us").as_py(),
+        pa.timestamp("us"),
+    )
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("half", pa.int64()), ("bucket", pa.int64())]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        half = pc.cast(pc.greater_equal(batch["ts"], split), pa.int64())
+        pairs = (
+            pa.table({"user_id": batch["user_id"], "half": half})
+            .group_by(["user_id", "half"])
+            .aggregate([])
+        )
+        return pairs.append_column(
+            "bucket", pc.bit_wise_and(pairs["user_id"], mask)
+        )
+
+    def status_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "status": pa.array([], pa.string()),
+                }
+            )
+        group = group.select(pair_schema.names).cast(pair_schema)
+        per_user = (
+            group.group_by("user_id")
+            .aggregate([("half", "min"), ("half", "max")])
+            .rename_columns(["user_id", "h_min", "h_max"])
+        )
+        both = pc.and_(
+            pc.equal(per_user["h_min"], pa.scalar(0, pa.int64())),
+            pc.equal(per_user["h_max"], pa.scalar(1, pa.int64())),
+        )
+        only_first = pc.equal(per_user["h_max"], pa.scalar(0, pa.int64()))
+        status = pc.if_else(
+            both,
+            pa.scalar("retained"),
+            pc.if_else(only_first, pa.scalar("churned"), pa.scalar("new")),
+        )
+        return pa.table({"user_id": per_user["user_id"], "status": status})
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(status_bucket, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+USER_ACTIVITY_SETOPS_SQL = f"""
+WITH h1 AS (SELECT DISTINCT user_id FROM events
+            WHERE ts < TIMESTAMP '{_HALF_SPLIT}'),
+h2 AS (SELECT DISTINCT user_id FROM events
+       WHERE ts >= TIMESTAMP '{_HALF_SPLIT}')
+SELECT coalesce(h1.user_id, h2.user_id) AS user_id,
+       CASE WHEN h1.user_id IS NOT NULL AND h2.user_id IS NOT NULL
+              THEN 'retained'
+            WHEN h1.user_id IS NOT NULL THEN 'churned'
+            ELSE 'new' END AS status
+FROM h1 FULL OUTER JOIN h2 ON h1.user_id = h2.user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (all four margins from one scan)
+# ---------------------------------------------------------------------------
+
+def events_cube_type_dow(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(event_type, iso-dow): detail rows plus BOTH one-way
+    margins plus the grand total, from a SINGLE fact scan — the three
+    margin levels re-aggregate the finest-grain result (types x 7 rows,
+    tiny) on the driver, the ROLLUP recipe extended to the full cube.
+
+    Sentinels 'ALL'/-1 replace grouping NULLs (COALESCE in the oracle);
+    value sums in exact int64 cents so every margin agrees bitwise with
+    its detail rows.  The day-of-week is ISO (Monday=1) on both engines
+    (Arrow day_of_week+1 == DuckDB isodow)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dow": pc.add(pc.day_of_week(batch["ts"]), pa.scalar(1, pa.int64())),
+                "value_c": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+        return (
+            t.group_by(["event_type", "dow"])
+            .aggregate([("value_c", "sum"), ([], "count_all")])
+            .rename_columns(["event_type", "dow", "value_c", "n_events"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("value_c", alias_name="value_c"), Sum("n_events", alias_name="n_events"))
+        .to_pandas()  # tiny: one row per (type, weekday)
+    )
+    by_type = (
+        fine.groupby("event_type", as_index=False)[["value_c", "n_events"]]
+        .sum()
+        .assign(dow=-1)
+    )
+    by_dow = (
+        fine.groupby("dow", as_index=False)[["value_c", "n_events"]]
+        .sum()
+        .assign(event_type="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "dow": [-1],
+            "value_c": [fine["value_c"].sum()],
+            "n_events": [fine["n_events"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_type, by_dow, grand], ignore_index=True)
+    out = out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "dow": pa.array(out["dow"].astype("int64"), pa.int64()),
+            "sum_value": pa.array(out["value_c"].astype("int64") / 100.0, pa.float64()),
+            "n_events": pa.array(out["n_events"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+       sum(value_c) / 100.0 AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT event_type, isodow(ts) AS dow,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+) t
+GROUP BY CUBE(event_type, dow)
+ORDER BY event_type, dow
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "user_activity_setops": (user_activity_setops, USER_ACTIVITY_SETOPS_SQL),
+        "events_cube_type_dow": (events_cube_type_dow, EVENTS_CUBE_SQL),
+    }
+)

@@ -1,0 +1,312 @@
+"""Crafted-input semantics tests for the round-4 late additions:
+behavior analytics (events_intervals / cohort_retention), the weighted
+mixture sampler, word-repetition stats, and the subtle invariants of the
+supplementary TPC-H shapes (q16's cross-bucket distinct-supplier counting,
+q2's argmin tie-break).
+
+SQL-oracle parity for all of these runs in test_driver_contract.py; here
+the semantics are pinned directly on hand-built tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def test_events_intervals_gaps_and_exclusions(ray_session, tmp_path):
+    """Users with one event are excluded; span/max-gap/mean-gap are exact
+    microsecond integers."""
+    from docling_jobkit_ray.pipelines.behavior import events_intervals
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: gaps of 10s and 30s -> span 40s, max 30s, mean 20s
+        (1, base),
+        (1, base + pd.Timedelta(seconds=10)),
+        (1, base + pd.Timedelta(seconds=40)),
+        # user 2: single event -> excluded
+        (2, base),
+        # user 3: two identical timestamps -> span 0, max gap 0
+        (3, base),
+        (3, base),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "events", t)
+    out = events_intervals(str(tmp_path), n_buckets=4).to_pandas().set_index("user_id")
+    assert list(out.index) == [1, 3]
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[1, "span_us"] == 40_000_000
+    assert out.loc[1, "max_gap_us"] == 30_000_000
+    assert out.loc[1, "mean_gap_us"] == 20_000_000.0
+    assert out.loc[3, "span_us"] == 0 and out.loc[3, "max_gap_us"] == 0
+
+
+def test_cohort_retention_offsets(ray_session, tmp_path):
+    """Cohorts are the per-user min week; every active (cohort, offset)
+    cell counts each user once regardless of how many events they had."""
+    from docling_jobkit_ray.pipelines.behavior import _WEEK_US, cohort_retention
+
+    def ts_of(week, extra_us=0):
+        return pd.Timestamp(int(week) * _WEEK_US + extra_us, unit="us")
+
+    rows = [
+        # user 1: weeks 2800, 2801, 2801 (dup week collapses)
+        (1, ts_of(2800)),
+        (1, ts_of(2801)),
+        (1, ts_of(2801, 5)),
+        # user 2: weeks 2800, 2802
+        (2, ts_of(2800, 123)),
+        (2, ts_of(2802)),
+        # user 3: cohort 2801 only
+        (3, ts_of(2801, 7)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "events", t)
+    out = cohort_retention(str(tmp_path), n_buckets=4).to_pandas()
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()
+    }
+    assert got == {
+        (2800, 0): 2,  # users 1 and 2
+        (2800, 1): 1,  # user 1 at week 2801
+        (2800, 2): 1,  # user 2 at week 2802
+        (2801, 0): 1,  # user 3
+    }
+
+
+def test_mixture_sample_rates_and_validation(ray_session):
+    """Sampled rates track the requested rationals; bad weights raise."""
+    from docling_jobkit_ray.functions.webtext import mixture_sample
+
+    sf = "/root/testdata/sf0.1"
+    out = mixture_sample(
+        sf, weights={"src0": (1, 1), "src1": (0, 1)}, rest=(1, 2)
+    ).to_pandas()
+    by_src = out.groupby("source").size()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["source"]).to_pandas()
+    n_per = docs.groupby("source").size()
+    assert by_src.get("src0", 0) == n_per["src0"]          # rate 1 keeps all
+    assert "src1" not in by_src.index                       # rate 0 keeps none
+    for s in n_per.index:
+        if s in ("src0", "src1"):
+            continue
+        rate = by_src.get(s, 0) / n_per[s]
+        assert 0.3 < rate < 0.7, (s, rate)                  # ~1/2 within noise
+
+    with pytest.raises(ValueError):
+        mixture_sample(sf, weights={"src0": (3, 2)})
+    with pytest.raises(ValueError):
+        mixture_sample(sf, weights={"src0": (1, 2)}, rest=(2, 1))
+
+
+def test_doc_repetition_stats_crafted(ray_session, tmp_path):
+    """Counts, argmax tie-break and the integer keep rule on crafted docs."""
+    from docling_jobkit_ray.functions.webtext import doc_repetition_stats
+
+    texts = [
+        "a a a b",                      # top a(3)/4 words, dup mass 3
+        "b a a b",                      # tie a=2,b=2 -> lexicographic a
+        " ".join(["w%d" % i for i in range(20)]),  # all unique -> keep
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    _write(tmp_path, "documents", t)
+    out = doc_repetition_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "top_word"] == "a" and out.loc[0, "top_word_count"] == 3
+    assert out.loc[0, "n_words"] == 4 and out.loc[0, "dup_word_count"] == 3
+    assert not out.loc[0, "keep"]                  # top 3/4 > 10%
+    assert out.loc[1, "top_word"] == "a"           # tie -> lexicographic
+    assert out.loc[1, "dup_word_count"] == 4       # both words duplicated
+    assert out.loc[2, "top_word_count"] == 1 and bool(out.loc[2, "keep"])
+
+
+def test_q16_distinct_suppliers_across_buckets(ray_session, tmp_path):
+    """A (brand,type,size,supplier) combo seen through MANY partkeys and
+    MANY input blocks must count once: the supplier-bucketed exchange is
+    what makes per-bucket distinct globally correct.  Forced tiny bucket
+    count exercises multi-pair buckets."""
+    from docling_jobkit_ray.pipelines.tpch_supp import q16_supplier_part_counts
+
+    # two parts sharing one attribute triple, one part with another
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_name": pa.array(["x", "y", "z"]),
+            "p_brand": pa.array(["Brand#1", "Brand#1", "Brand#2"]),
+            "p_type": pa.array(["SMALL", "SMALL", "LARGE"]),
+            "p_size": pa.array([4, 4, 9], pa.int32()),
+            "p_retailprice": pa.array([1.0, 1.0, 1.0]),
+        }
+    )
+    # supplier 7 ships parts 1 AND 2 (same triple -> one distinct count);
+    # suppliers 7,8 ship part 3; duplicate lineitem rows are noise
+    li_rows = [(1, 7), (2, 7), (2, 7), (3, 7), (3, 8), (1, 7)]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(li_rows)), pa.int64()),
+            "l_partkey": pa.array([r[0] for r in li_rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in li_rows], pa.int64()),
+            "l_linenumber": pa.array([1] * len(li_rows), pa.int32()),
+            "l_quantity": pa.array([1.0] * len(li_rows)),
+            "l_extendedprice": pa.array([1.0] * len(li_rows)),
+            "l_discount": pa.array([0.0] * len(li_rows)),
+            "l_tax": pa.array([0.0] * len(li_rows)),
+            "l_returnflag": pa.array(["N"] * len(li_rows)),
+            "l_linestatus": pa.array(["O"] * len(li_rows)),
+            "l_shipdate": pa.array([pd.Timestamp("1997-01-01")] * len(li_rows)),
+        }
+    )
+    _write(tmp_path, "part", part)
+    _write(tmp_path, "lineitem", lineitem)
+    out = (
+        q16_supplier_part_counts(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index(["p_brand", "p_type", "p_size"])
+    )
+    assert out.loc[("Brand#1", "SMALL", 4), "supplier_cnt"] == 1
+    assert out.loc[("Brand#2", "LARGE", 9), "supplier_cnt"] == 2
+
+
+def test_q2_argmin_tie_break(ray_session, tmp_path):
+    """Equal balances tie-break by suppkey; the per-part winner is the
+    global min even when pairs arrive through different batches."""
+    from docling_jobkit_ray.pipelines.tpch_supp import q2_min_balance_supplier
+
+    region = pa.table(
+        {"r_regionkey": pa.array([3], pa.int32()), "r_name": pa.array(["EUROPE"])}
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([3], pa.int32()),
+            "n_name": pa.array(["NATION_3"]),
+            "n_regionkey": pa.array([3], pa.int32()),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+            "s_name": pa.array(["sa", "sb", "sc"]),
+            "s_nationkey": pa.array([3, 3, 3], pa.int32()),
+            "s_acctbal": pa.array([5.0, 5.0, 1.0]),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_name": pa.array(["p one", "p two"]),
+            "p_brand": pa.array(["Brand#1", "Brand#1"]),
+            "p_type": pa.array(["STANDARD", "STANDARD"]),
+            "p_size": pa.array([5, 5], pa.int32()),
+            "p_retailprice": pa.array([1.0, 1.0]),
+        }
+    )
+    li_rows = [(1, 10), (1, 11), (2, 11), (2, 12)]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(li_rows)), pa.int64()),
+            "l_partkey": pa.array([r[0] for r in li_rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in li_rows], pa.int64()),
+            "l_linenumber": pa.array([1] * len(li_rows), pa.int32()),
+            "l_quantity": pa.array([1.0] * len(li_rows)),
+            "l_extendedprice": pa.array([1.0] * len(li_rows)),
+            "l_discount": pa.array([0.0] * len(li_rows)),
+            "l_tax": pa.array([0.0] * len(li_rows)),
+            "l_returnflag": pa.array(["N"] * len(li_rows)),
+            "l_linestatus": pa.array(["O"] * len(li_rows)),
+            "l_shipdate": pa.array([pd.Timestamp("1997-01-01")] * len(li_rows)),
+        }
+    )
+    for name, t in [
+        ("region", region), ("nation", nation), ("supplier", supplier),
+        ("part", part), ("lineitem", lineitem),
+    ]:
+        _write(tmp_path, name, t)
+    out = (
+        q2_min_balance_supplier(str(tmp_path), n_buckets=2)
+        .to_pandas()
+        .set_index("p_partkey")
+    )
+    # part 1: balances tie at 5.0 -> lower suppkey (10) wins
+    assert out.loc[1, "s_suppkey"] == 10 and out.loc[1, "s_name"] == "sa"
+    # part 2: 1.0 < 5.0 -> supplier 12
+    assert out.loc[2, "s_suppkey"] == 12 and out.loc[2, "s_acctbal"] == 1.0
+
+
+def test_user_activity_setops_statuses(ray_session, tmp_path):
+    """retained = both halves (INTERSECT), churned = first only (EXCEPT),
+    new = second only (reverse EXCEPT)."""
+    from docling_jobkit_ray.pipelines.behavior import user_activity_setops
+
+    first = pd.Timestamp("2024-01-05")
+    second = pd.Timestamp("2024-01-20")
+    rows = [(1, first), (1, second), (2, first), (3, second), (2, first)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "events", t)
+    out = (
+        user_activity_setops(str(tmp_path), n_buckets=4)
+        .to_pandas()
+        .set_index("user_id")["status"]
+    )
+    assert out.to_dict() == {1: "retained", 2: "churned", 3: "new"}
+
+
+def test_events_cube_margins_agree(ray_session):
+    """Every CUBE margin must equal the exact sum of its detail rows (the
+    integer-cents discipline makes this bitwise, not approximate)."""
+    from docling_jobkit_ray.pipelines.behavior import events_cube_type_dow
+
+    out = events_cube_type_dow("/root/testdata/sf0.001").to_pandas()
+    detail = out[(out["event_type"] != "ALL") & (out["dow"] != -1)]
+    grand = out[(out["event_type"] == "ALL") & (out["dow"] == -1)].iloc[0]
+    assert grand["n_events"] == detail["n_events"].sum()
+    assert abs(grand["sum_value"] - detail["sum_value"].sum()) < 1e-9
+    for et, g in detail.groupby("event_type"):
+        m = out[(out["event_type"] == et) & (out["dow"] == -1)].iloc[0]
+        assert m["n_events"] == g["n_events"].sum()
+        assert abs(m["sum_value"] - g["sum_value"].sum()) < 1e-9
+    for dow, g in detail.groupby("dow"):
+        m = out[(out["event_type"] == "ALL") & (out["dow"] == dow)].iloc[0]
+        assert m["n_events"] == g["n_events"].sum()
+        assert abs(m["sum_value"] - g["sum_value"].sum()) < 1e-9

@@ -174,6 +174,8 @@ SQL_BACKED = [
     "events_intervals",
     "cohort_retention",
     "mixture_sample",
+    "user_activity_setops",
+    "events_cube_type_dow",
 ]
 
 
