@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_part_counts",
         "q17_small_qty_revenue",
         "q19_disjunctive_revenue",
+        "q20_excess_suppliers",
+        "q21_waiting_suppliers",
         # behavior-analytics shapes (behavior.py): the windows/sequence
         # families hold their cap slots via sessionize/funnel
         "events_intervals",
@@ -482,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_part_counts",
         "q17_small_qty_revenue",
         "q19_disjunctive_revenue",
+        "q20_excess_suppliers",
+        "q21_waiting_suppliers",
         "events_intervals",
         "cohort_retention",
         "user_activity_setops",

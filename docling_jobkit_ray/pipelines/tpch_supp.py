@@ -1,6 +1,6 @@
 """Supplementary TPC-H plan shapes over the driver testdata tables.
 
-Round-4 widening of the relational surface (SURVEY.md §2.6-2.8): nine more
+Round-4 widening of the relational surface (SURVEY.md §2.6-2.8): eleven more
 TPC-H-derived queries, each exercising a distributed plan shape the existing
 set does not cover:
 
@@ -18,6 +18,10 @@ set does not cover:
         supplier-bucketed exchange where per-bucket distinct IS global.
 - q17 : correlated per-group average threshold (small-quantity revenue).
 - q19 : disjunctive multi-branch predicate join (OR of three conjunctions).
+- q20 : nested per-group aggregate threshold (suppliers shipping > 2x their
+        fair share of a part; partsupp availqty absent).
+- q21 : EXISTS + NOT EXISTS against the same fact (sole returning supplier
+        on multi-supplier finalized orders; "late" adapted to returnflag).
 
 Money arithmetic follows the repo rule (CLAUDE.md): per-row quantize to
 int64 cents, exact integer sums, descale once at the end — mirrored verbatim
@@ -1083,8 +1087,303 @@ ORDER BY s_acctbal DESC, p_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q20: over-supplying suppliers (nested per-group aggregate threshold)
+# ---------------------------------------------------------------------------
+
+def q20_excess_suppliers(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """TPC-H Q20 shape (adapted: no partsupp availqty, so the nested
+    threshold compares a supplier's shipped quantity of a part against the
+    part's per-supplier average): suppliers that shipped more than 2x their
+    fair share of some widget part during 1997.
+
+    The (part, supplier, qty) partials bucket by PARTKEY so each bucket sees
+    every supplier of its parts — the per-part total and supplier count are
+    exact within the bucket; qualifying suppliers dedup globally via a tiny
+    suppkey groupby.  Exact integers throughout: q * ns > 2 * t."""
+    part = _broadcast_table(sf_dir, "part", ["p_partkey", "p_name"])
+    widget_keys = part.filter(
+        pc.match_substring(part["p_name"], "widget")
+    )["p_partkey"].combine_chunks()
+    lo, hi = _ts("1997-01-01"), _ts("1998-01-01")
+
+    if n_buckets is None:
+        n_buckets = _lineitem_buckets(sf_dir)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.and_(
+                pc.is_in(batch["l_partkey"], value_set=widget_keys),
+                pc.and_(
+                    pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi),
+                ),
+            )
+        )
+        g = (
+            pa.table(
+                {
+                    "l_partkey": f["l_partkey"],
+                    "l_suppkey": f["l_suppkey"],
+                    "qty_c": _cents(f["l_quantity"]),
+                }
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("qty_c", "sum")])
+            .rename_columns(["l_partkey", "l_suppkey", "qty_c"])
+        )
+        return g.append_column("bucket", pc.bit_wise_and(g["l_partkey"], mask))
+
+    schema = pa.schema(
+        [
+            ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("qty_c", pa.int64()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def excess_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"s_suppkey": pa.array([], pa.int64())})
+        if group.num_rows == 0 or group.num_columns == 0:
+            return empty
+        group = group.select(schema.names).cast(schema)
+        ps = (
+            group.select(["l_partkey", "l_suppkey", "qty_c"])
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("qty_c", "sum")])
+            .rename_columns(["l_partkey", "l_suppkey", "qty_c"])
+        )
+        pt = (
+            ps.group_by("l_partkey")
+            .aggregate([("qty_c", "sum"), ([], "count_all")])
+            .rename_columns(["l_partkey", "t", "ns"])
+        )
+        j = ps.join(pt, keys=["l_partkey"], join_type="inner")
+        keep = pc.greater(
+            pc.multiply(j["qty_c"], j["ns"]),
+            pc.multiply(pa.scalar(2, pa.int64()), j["t"]),
+        )
+        hits = j.filter(keep)
+        return (
+            pa.table({"s_suppkey": hits["l_suppkey"]})
+            .group_by("s_suppkey")
+            .aggregate([])
+        )
+
+    sup = _broadcast_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    sname_of = _lookup(sup["s_suppkey"], sup["s_name"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "s_name": sname_of(batch["s_suppkey"]),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(excess_bucket, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+pt AS (
+  SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS ns
+  FROM ps GROUP BY l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM ps JOIN pt USING (l_partkey) JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty_c * ns > 2 * t
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS, same table)
+# ---------------------------------------------------------------------------
+
+def q21_waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21 shape (adapted: "late" = the supplier had a RETURNED line,
+    since commit/receipt dates are absent): per supplier, count finalized
+    ('F') orders where this supplier returned, at least one OTHER supplier
+    is on the order (EXISTS), and NO other supplier returned (NOT EXISTS).
+
+    Lineitem folds to (orderkey, suppkey, returned) partials per batch; the
+    'F' order keys ride the same orderkey exchange; each bucket re-folds the
+    per-(order, supplier) max, derives per-order supplier/returner counts,
+    and emits additive (suppkey, numwait) partials."""
+    n_buckets = _order_buckets(sf_dir)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ret = pc.cast(pc.equal(batch["l_returnflag"], "R"), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "key": batch["l_orderkey"],
+                    "s_suppkey": batch["l_suppkey"],
+                    "ret": ret,
+                }
+            )
+            .group_by(["key", "s_suppkey"])
+            .aggregate([("ret", "max")])
+            .rename_columns(["key", "s_suppkey", "ret"])
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "s_suppkey": g["s_suppkey"],
+                "ret": g["ret"],
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(g["key"], mask),
+            }
+        )
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        n = f.num_rows
+        return pa.table(
+            {
+                "key": f["o_orderkey"],
+                "s_suppkey": pa.nulls(n, pa.int64()),
+                "ret": pa.nulls(n, pa.int64()),
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(f["o_orderkey"], mask),
+            }
+        )
+
+    superset = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("s_suppkey", pa.int64()),
+            ("ret", pa.int64()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def wait_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "numwait": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or group.num_columns == 0:
+            return empty
+        group = group.select(superset.names).cast(superset)
+        f_keys = group.filter(pc.equal(group["side"], 1))["key"].combine_chunks()
+        li = group.filter(pc.equal(group["side"], 0))
+        if li.num_rows == 0 or len(f_keys) == 0:
+            return empty
+        li = li.filter(pc.is_in(li["key"], value_set=f_keys))
+        osl = (
+            li.select(["key", "s_suppkey", "ret"])
+            .group_by(["key", "s_suppkey"])
+            .aggregate([("ret", "max")])
+            .rename_columns(["key", "s_suppkey", "ret"])
+        )
+        per_order = (
+            osl.group_by("key")
+            .aggregate([([], "count_all"), ("ret", "sum")])
+            .rename_columns(["key", "ns", "nr"])
+        )
+        j = osl.join(per_order, keys=["key"], join_type="inner")
+        keep = pc.and_(
+            pc.equal(j["ret"], pa.scalar(1, pa.int64())),
+            pc.and_(
+                pc.greater(j["ns"], pa.scalar(1, pa.int64())),
+                pc.equal(j["nr"], pa.scalar(1, pa.int64())),
+            ),
+        )
+        hits = j.filter(keep)
+        return (
+            pa.table({"s_suppkey": hits["s_suppkey"]})
+            .group_by("s_suppkey")
+            .aggregate([([], "count_all")])
+            .rename_columns(["s_suppkey", "numwait"])
+        )
+
+    sup = _broadcast_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    sname_of = _lookup(sup["s_suppkey"], sup["s_name"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "s_name": sname_of(batch["s_suppkey"]),
+                "numwait": batch["numwait"],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]).map_batches(
+        ord_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    return (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(wait_bucket, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["numwait", "s_suppkey"], descending=[True, False])
+    )
+
+
+Q21_SQL = """
+WITH osl AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem
+  GROUP BY l_orderkey, l_suppkey
+),
+ord AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS ns, CAST(sum(ret) AS BIGINT) AS nr
+  FROM osl GROUP BY l_orderkey
+)
+SELECT osl.l_suppkey AS s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM osl
+JOIN ord USING (l_orderkey)
+JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON osl.l_suppkey = s_suppkey
+WHERE ret = 1 AND ns > 1 AND nr = 1
+GROUP BY osl.l_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+"""
+
+
 TPCH_SUPP_QUERIES = {
     "q2_min_balance_supplier": (q2_min_balance_supplier, Q2_SQL),
+    "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),

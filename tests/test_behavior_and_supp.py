@@ -310,3 +310,89 @@ def test_events_cube_margins_agree(ray_session):
         m = out[(out["event_type"] == "ALL") & (out["dow"] == dow)].iloc[0]
         assert m["n_events"] == g["n_events"].sum()
         assert abs(m["sum_value"] - g["sum_value"].sum()) < 1e-9
+
+
+def test_q20_fair_share_threshold(ray_session, tmp_path):
+    """A supplier qualifies only when its qty exceeds 2x the part's
+    per-supplier average; sole suppliers can never qualify (q*1 > 2*q is
+    false); non-widget parts and out-of-window shipments are ignored."""
+    from docling_jobkit_ray.pipelines.tpch_supp import q20_excess_suppliers
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_name": pa.array(["red widget", "blue widget", "red bolt"]),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+            "s_name": pa.array(["sa", "sb", "sc"]),
+        }
+    )
+    inw = pd.Timestamp("1997-06-01")
+    outw = pd.Timestamp("1999-01-01")
+    # part 1: supp 10 qty 7 (7*3=21 > 2*10=20 -> qualifies), 11 qty 2, 12 qty 1
+    # part 2: supp 11 sole supplier qty 5 -> never qualifies
+    # part 3 (non-widget): supp 12 huge qty -> ignored
+    # supp 12 out-of-window widget shipment -> ignored
+    rows = [
+        (1, 10, 7.0, inw), (1, 11, 2.0, inw), (1, 12, 1.0, inw),
+        (2, 11, 5.0, inw),
+        (3, 12, 99.0, inw),
+        (1, 12, 99.0, outw),
+    ]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_quantity": pa.array([r[2] for r in rows]),
+            "l_shipdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    for name, t in [("part", part), ("supplier", supplier), ("lineitem", lineitem)]:
+        _write(tmp_path, name, t)
+    out = q20_excess_suppliers(str(tmp_path), n_buckets=2).to_pandas()
+    assert out["s_suppkey"].tolist() == [10]
+    assert out["s_name"].tolist() == ["sa"]
+
+
+def test_q21_sole_returning_supplier(ray_session, tmp_path):
+    """numwait counts only F-orders where the supplier returned, another
+    supplier exists (EXISTS) and no other supplier returned (NOT EXISTS)."""
+    from docling_jobkit_ray.pipelines.tpch_supp import q21_waiting_suppliers
+
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([10, 11], pa.int64()),
+            "s_name": pa.array(["sa", "sb"]),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderstatus": pa.array(["F", "F", "F", "O"]),
+        }
+    )
+    # order 1: 10 returned, 11 clean        -> 10 waits
+    # order 2: both returned (nr=2)         -> nobody
+    # order 3: 10 returned but sole (ns=1)  -> nobody
+    # order 4: status O                     -> nobody
+    rows = [
+        (1, 10, "R"), (1, 11, "N"),
+        (2, 10, "R"), (2, 11, "R"),
+        (3, 10, "R"),
+        (4, 11, "R"), (4, 10, "N"),
+    ]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_returnflag": pa.array([r[2] for r in rows]),
+        }
+    )
+    for name, t in [("supplier", supplier), ("orders", orders), ("lineitem", lineitem)]:
+        _write(tmp_path, name, t)
+    out = q21_waiting_suppliers(str(tmp_path)).to_pandas()
+    assert out.set_index("s_suppkey")["numwait"].to_dict() == {10: 1}

@@ -176,6 +176,8 @@ SQL_BACKED = [
     "mixture_sample",
     "user_activity_setops",
     "events_cube_type_dow",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
