@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-4 additions (beyond the cap; SQL-checked in pytest at 3 scales):
     # corpus-frequency rarity scoring and data-derived language rebalancing
     q["term_rarity_scores"] = webtext.term_rarity_scores
+    q["dup_span_stats"] = webtext.dup_span_stats
     q["lang_balanced_sample"] = webtext.lang_balanced_sample
     q["epoch_shuffle_order"] = webtext.epoch_shuffle_order
     q["curated_corpus"] = webtext.curated_corpus
@@ -568,6 +569,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["term_rarity_scores"] = term_rarity_scores_sql()
+    from docling_jobkit_ray.functions.webtext import dup_span_stats_sql
+
+    sql["dup_span_stats"] = dup_span_stats_sql()
     sql["lang_balanced_sample"] = LANG_BALANCED_SAMPLE_SQL
     from docling_jobkit_ray.functions.webtext import (
         CURATED_CORPUS_SQL,

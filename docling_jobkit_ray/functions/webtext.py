@@ -1447,6 +1447,223 @@ ORDER BY agg.doc_id
 
 
 # ---------------------------------------------------------------------------
+# maximal duplicated-span profile (position-aware exact substring dedup)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(sf_dir: str, *, n: int = 3) -> ray.data.Dataset:
+    """Per-document profile of MAXIMAL corpus-duplicated word spans — the
+    position-aware core of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"): a
+    gram position is *duplicated* when the same word ``n``-gram appears in
+    >= 2 distinct documents, and consecutive duplicated positions merge
+    into maximal spans (the removable units).
+
+    Columns (all exact int64):
+
+    - ``n_grams``      gram positions in the doc (max(words - n + 1, 0))
+    - ``n_dup_grams``  positions whose gram is corpus-duplicated
+    - ``n_spans``      maximal runs of consecutive duplicated positions
+    - ``max_span``     longest run, in positions
+
+    Scale shape: (doc_id, pos, gram) occurrence triples ride ONE gram-hash
+    bucket exchange — positions are what make spans computable, so unlike
+    ``term_rarity_scores`` there is no within-doc Zipf collapse; this is
+    the inherent cost of span-level (vs passage-level) dedup.  Each gram
+    hashes to exactly one bucket, so the in-bucket distinct-doc count IS
+    global; duplicated positions come back through a doc-bucket exchange
+    where the gaps-and-islands merge is one vectorized numpy pass per
+    bucket (never per doc).  Complements ``duplicated_passages`` (whole
+    passages) and ``doc_repetition_stats`` (within-doc repetition)."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_rows = estimate_rows(sf_dir, "documents")
+    gram_buckets = bucket_count(n_rows * 60, min_buckets=64)
+    doc_buckets = bucket_count(n_rows, min_buckets=32)
+    dmask = pa.scalar(doc_buckets - 1, pa.int64())
+
+    triple_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("g", pa.string()),
+        ]
+    )
+    union_schema = pa.schema(
+        [
+            ("dbucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("side", pa.int8()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("n_dup_grams", pa.int64()),
+            ("n_spans", pa.int64()),
+            ("max_span", pa.int64()),
+        ]
+    )
+
+    def gram_triples(batch: pa.Table) -> pa.Table:
+        doc_idx, grams = _gram_frame(batch["text"], n)
+        if len(doc_idx) == 0:
+            return triple_schema.empty_table()
+        # within-doc positions: doc_idx is run-ordered, so pos restarts at
+        # each run boundary (same arithmetic as _gram_frame's `within`)
+        starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+        counts = np.diff(np.r_[starts, len(doc_idx)])
+        pos = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(starts, counts)
+        gobj = grams.to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(gobj) & np.uint64(gram_buckets - 1)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc_id": pc.cast(pc.take(batch["doc_id"], pa.array(doc_idx)), pa.int64()),
+                "pos": pa.array(pos),
+                "g": grams,
+            }
+        )
+
+    def mark_dups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return union_schema.empty_table()
+        group = group.select(triple_schema.names).cast(triple_schema)
+        dd = group.group_by("g").aggregate([("doc_id", "count_distinct")])
+        gv = dd["g"].combine_chunks() if isinstance(dd["g"], pa.ChunkedArray) else dd["g"]
+        cv = dd["doc_id_count_distinct"]
+        idx = pc.index_in(group["g"], value_set=gv)
+        sel = group.filter(
+            pc.greater_equal(pc.take(cv, idx), pa.scalar(2, pa.int64()))
+        )
+        m = sel.num_rows
+        return pa.table(
+            {
+                "dbucket": pc.bit_wise_and(sel["doc_id"], dmask),
+                "doc_id": sel["doc_id"],
+                "pos": sel["pos"],
+                "n_grams": pa.nulls(m, pa.int64()),
+                "side": pa.array([1] * m, pa.int8()),
+            }
+        )
+
+    def totals_side(batch: pa.Table) -> pa.Table:
+        # words = spaces + 1 (single-space split, empties kept — the
+        # string_split oracle contract); n_grams = max(words - n + 1, 0)
+        words = pc.add(
+            pc.count_substring(batch["text"], pattern=" "), pa.scalar(1, pa.int32())
+        )
+        n_grams = pc.max_element_wise(
+            pc.subtract(pc.cast(words, pa.int64()), pa.scalar(n - 1, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        m = batch.num_rows
+        return pa.table(
+            {
+                "dbucket": pc.bit_wise_and(pc.cast(batch["doc_id"], pa.int64()), dmask),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "pos": pa.nulls(m, pa.int64()),
+                "n_grams": n_grams,
+                "side": pa.array([0] * m, pa.int8()),
+            }
+        )
+
+    def fold_doc_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(union_schema.names).cast(union_schema)
+        totals = group.filter(pc.equal(group["side"], 0))
+        dups = group.filter(pc.equal(group["side"], 1)).sort_by(
+            [("doc_id", "ascending"), ("pos", "ascending")]
+        )
+        if dups.num_rows:
+            d = dups["doc_id"].to_numpy(zero_copy_only=False)
+            p = dups["pos"].to_numpy(zero_copy_only=False)
+            newrun = np.r_[True, (d[1:] != d[:-1]) | (p[1:] != p[:-1] + 1)]
+            run_id = np.cumsum(newrun) - 1
+            run_len = np.bincount(run_id)
+            runs = (
+                pa.table(
+                    {"doc_id": pa.array(d[newrun]), "len": pa.array(run_len.astype(np.int64))}
+                )
+                .group_by("doc_id")
+                .aggregate([("len", "sum"), ([], "count_all"), ("len", "max")])
+                .rename_columns(["doc_id", "n_dup_grams", "n_spans", "max_span"])
+            )
+            rk = runs["doc_id"].combine_chunks() if isinstance(
+                runs["doc_id"], pa.ChunkedArray
+            ) else runs["doc_id"]
+            idx = pc.index_in(totals["doc_id"], value_set=rk)
+            zero = pa.scalar(0, pa.int64())
+            n_dup = pc.fill_null(pc.take(runs["n_dup_grams"], idx), zero)
+            n_spans = pc.fill_null(pc.take(runs["n_spans"], idx), zero)
+            max_span = pc.fill_null(pc.take(runs["max_span"], idx), zero)
+        else:
+            zeros = pa.array(np.zeros(totals.num_rows, dtype=np.int64))
+            n_dup = n_spans = max_span = zeros
+        return pa.table(
+            {
+                "doc_id": totals["doc_id"],
+                "n_grams": totals["n_grams"],
+                "n_dup_grams": pc.cast(n_dup, pa.int64()),
+                "n_spans": pc.cast(n_spans, pa.int64()),
+                "max_span": pc.cast(max_span, pa.int64()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dups = (
+        docs.map_batches(gram_triples, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(mark_dups, batch_format="pyarrow")
+    )
+    # second pruned read, NOT a branch of `docs`: branching an un-materialized
+    # Dataset re-executes the parent (CLAUDE.md), and totals only needs the
+    # space count — cheaper than caching the gram pass's input
+    totals = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        totals_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        dups.union(totals)
+        .groupby("dbucket")
+        .map_groups(fold_doc_bucket, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def dup_span_stats_sql(n: int = 3) -> str:
+    gram_expr = " || ' ' || ".join(f"ws[i+{k + 1}]" for k in range(n))
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, {gram_expr} AS g
+  FROM words, UNNEST(range(0, greatest(len(ws) - {n - 1}, 0))) AS t(i)
+),
+gd AS (SELECT g, count(DISTINCT doc_id) AS dd FROM grams GROUP BY g),
+dup AS (SELECT doc_id, pos FROM grams JOIN gd USING (g) WHERE dd >= 2),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dup),
+spans AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2)
+SELECT w.doc_id,
+       CAST(greatest(len(w.ws) - {n - 1}, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(s.len), 0) AS BIGINT) AS n_dup_grams,
+       CAST(count(s.len) AS BIGINT) AS n_spans,
+       CAST(coalesce(max(s.len), 0) AS BIGINT) AS max_span
+FROM words w LEFT JOIN spans s USING (doc_id)
+GROUP BY w.doc_id, w.ws
+ORDER BY w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # weighted source mixture (user-specified rates, exact rational arithmetic)
 # ---------------------------------------------------------------------------
 

@@ -176,6 +176,7 @@ SQL_BACKED = [
     "mixture_sample",
     "user_activity_setops",
     "events_cube_type_dow",
+    "dup_span_stats",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
 ]

@@ -422,3 +422,62 @@ def test_top_quartile_docs_by_lang_threshold_semantics(ray_session):
         # nothing below the kept minimum was wrongly kept, and everything
         # at/above the language's own threshold IS kept
         assert (g["n_chars"] >= thr).sum() == len(kept)
+
+
+def test_dup_span_stats_merges_maximal_runs(ray_session, tmp_path):
+    """Consecutive corpus-duplicated gram positions must merge into ONE
+    maximal span even though each gram hashes to a different bucket; a
+    within-doc-only repeat is NOT duplicated; short docs get n_grams=0."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon"  # 3 shared trigram positions
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # doc 0: shared run at pos 2..4 (one span of 3), tail clean
+                    "x y " + shared + " u v w",
+                    # doc 1: the other copy, shared run at pos 0..2, then a
+                    # SECOND shared island ("p q r" also in doc 2) at 4..4
+                    shared + " z p q r",
+                    # doc 2: provides the second island's other copy
+                    "p q r s t",
+                    # doc 3: repeats ITS OWN trigram twice but shares nothing
+                    "m n o m n o m n o",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = dup_span_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    # doc 0: 10 words -> 8 positions; "alpha beta gamma","beta gamma delta",
+    # "gamma delta epsilon" at pos 2,3,4 -> one 3-long span
+    assert out.loc[0].tolist() == [8, 3, 1, 3]
+    # doc 1: 9 words -> 7 positions; span 0..2 plus "p q r" at pos 6 (island)
+    assert out.loc[1, "n_dup_grams"] == 4
+    assert out.loc[1, "n_spans"] == 2
+    assert out.loc[1, "max_span"] == 3
+    # doc 2: only "p q r" is shared
+    assert out.loc[2].tolist() == [3, 1, 1, 1]
+    # doc 3: self-repetition only -> count(DISTINCT doc) == 1, no dups
+    assert out.loc[3].tolist() == [7, 0, 0, 0]
+
+
+def test_dup_span_stats_short_docs_zero_grams(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import dup_span_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["hi there", "alpha"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = dup_span_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out["n_grams"].tolist() == [0, 0]
+    assert out["n_dup_grams"].tolist() == [0, 0]
