@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # corpus-frequency rarity scoring and data-derived language rebalancing
     q["term_rarity_scores"] = webtext.term_rarity_scores
     q["dup_span_stats"] = webtext.dup_span_stats
+    q["scrub_eval_spans"] = webtext.scrub_eval_spans
     q["lang_balanced_sample"] = webtext.lang_balanced_sample
     q["epoch_shuffle_order"] = webtext.epoch_shuffle_order
     q["curated_corpus"] = webtext.curated_corpus
@@ -572,6 +573,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import dup_span_stats_sql
 
     sql["dup_span_stats"] = dup_span_stats_sql()
+    from docling_jobkit_ray.functions.webtext import scrub_eval_spans_sql
+
+    sql["scrub_eval_spans"] = scrub_eval_spans_sql()
     sql["lang_balanced_sample"] = LANG_BALANCED_SAMPLE_SQL
     from docling_jobkit_ray.functions.webtext import (
         CURATED_CORPUS_SQL,

@@ -1664,6 +1664,136 @@ ORDER BY w.doc_id
 
 
 # ---------------------------------------------------------------------------
+# span-level decontamination (remove eval-overlapping spans, keep the doc)
+# ---------------------------------------------------------------------------
+
+def scrub_eval_spans(
+    sf_dir: str, *, n: int = 4, benchmark_mod: int = 97
+) -> ray.data.Dataset:
+    """Materialize the training corpus with benchmark-overlapping WORD SPANS
+    removed — the span-level counterpart of ``decontaminate_docs`` (which
+    drops whole documents): every word covered by an ``n``-gram window that
+    appears in the held-out benchmark slice is cut, the clean remainder is
+    re-joined (FineWeb/Pile-style surgical decontamination that keeps the
+    document's clean majority instead of discarding it).
+
+    Pure map, zero shuffles: the benchmark gram set broadcasts in the
+    closure (eval sets are small by definition — same bound as
+    ``decontaminate``); covered-word marking is one difference-array +
+    cumsum over the batch's flat word child, and the clean text rebuilds
+    entirely inside Arrow (``take`` on the flat words +
+    ``binary_join`` over re-derived list offsets — no Python strings).
+
+    Output: ``(doc_id, text_clean, n_removed)`` for every non-benchmark
+    document, ``n_removed`` in words (exact int64)."""
+    bench_set = _benchmark_gram_set(sf_dir, n=n, benchmark_mod=benchmark_mod)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_clean", pa.string()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(_mod(batch["doc_id"], benchmark_mod), 0))
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        words = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values
+        lens = np.diff(offsets)
+
+        doc_idx, grams = _gram_frame(batch["text"], n)
+        hit_mask = (
+            pc.is_in(grams, value_set=bench_set).to_numpy(zero_copy_only=False)
+            if len(doc_idx)
+            else np.zeros(0, dtype=bool)
+        )
+        # covered-word marking: one difference array over the batch's flat
+        # word range [offsets[0], offsets[-1]) — hit gram at in-doc pos p
+        # covers absolute words start..start+n-1
+        base = offsets[0]
+        tot = int(offsets[-1] - base)
+        diff = np.zeros(tot + 1, dtype=np.int64)
+        if hit_mask.any():
+            starts_per_doc = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+            counts = np.diff(np.r_[starts_per_doc, len(doc_idx)])
+            pos = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(
+                starts_per_doc, counts
+            )
+            h = np.flatnonzero(hit_mask)
+            abs_start = offsets[doc_idx[h]] - base + pos[h]
+            np.add.at(diff, abs_start, 1)
+            np.add.at(diff, abs_start + n, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        keep = ~covered
+        csum = np.r_[0, np.cumsum(keep)]
+        kept_counts = csum[offsets[1:] - base] - csum[offsets[:-1] - base]
+        kept_idx = np.flatnonzero(keep) + base
+        kept_values = pc.take(flat, pa.array(kept_idx, pa.int64()))
+        new_offsets = np.r_[0, np.cumsum(kept_counts)].astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(new_offsets), kept_values)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "text_clean": pc.binary_join(la, " "),
+                "n_removed": pa.array(lens - kept_counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+def scrub_eval_spans_sql(n: int = 4, benchmark_mod: int = 97) -> str:
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(ws[i:i+{n - 1}], ' ') AS g
+  FROM words, unnest(range(1, len(ws) - {n - 2})) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {benchmark_mod} = 0),
+hits AS (
+  SELECT doc_id, pos FROM grams
+  WHERE doc_id % {benchmark_mod} <> 0 AND g IN (SELECT g FROM bench)
+),
+tok AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j, ws[j] AS w
+  FROM words, unnest(range(1, len(ws) + 1)) AS t(j)
+  WHERE doc_id % {benchmark_mod} <> 0
+),
+covered AS (
+  SELECT DISTINCT t.doc_id, t.j
+  FROM tok t JOIN hits h
+    ON t.doc_id = h.doc_id AND t.j BETWEEN h.pos AND h.pos + {n - 1}
+),
+kept AS (
+  SELECT t.doc_id, t.j, t.w FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = t.doc_id AND c.j = t.j)
+),
+agg_kept AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS text_clean FROM kept GROUP BY doc_id
+),
+agg_cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM covered GROUP BY doc_id)
+SELECT w.doc_id, coalesce(text_clean, '') AS text_clean,
+       coalesce(n_removed, 0) AS n_removed
+FROM words w
+LEFT JOIN agg_kept USING (doc_id)
+LEFT JOIN agg_cov USING (doc_id)
+WHERE w.doc_id % {benchmark_mod} <> 0
+ORDER BY w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # weighted source mixture (user-specified rates, exact rational arithmetic)
 # ---------------------------------------------------------------------------
 

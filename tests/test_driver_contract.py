@@ -177,6 +177,7 @@ SQL_BACKED = [
     "user_activity_setops",
     "events_cube_type_dow",
     "dup_span_stats",
+    "scrub_eval_spans",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
 ]

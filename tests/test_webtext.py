@@ -481,3 +481,38 @@ def test_dup_span_stats_short_docs_zero_grams(ray_session, tmp_path):
     out = dup_span_stats(str(tmp_path)).to_pandas().set_index("doc_id")
     assert out["n_grams"].tolist() == [0, 0]
     assert out["n_dup_grams"].tolist() == [0, 0]
+
+
+def test_scrub_eval_spans_surgical_removal(ray_session, tmp_path):
+    """Words under any benchmark-overlapping 4-gram window are cut and the
+    remainder re-joins; overlapping windows merge; clean docs pass through
+    unchanged; benchmark docs are excluded from the output."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import scrub_eval_spans
+
+    bench = "alpha beta gamma delta epsilon"  # doc 0 (0 % 97 == 0)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    bench,
+                    # two overlapping hit windows (pos 2 and 3) cover words
+                    # 2..6 -> "x y ... u v" survives
+                    "x y alpha beta gamma delta epsilon u v",
+                    # whole doc is one hit window -> empty remainder
+                    "alpha beta gamma delta",
+                    "totally clean words here now",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = scrub_eval_spans(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert 0 not in out.index
+    assert out.loc[1, "text_clean"] == "x y u v"
+    assert out.loc[1, "n_removed"] == 5
+    assert out.loc[2, "text_clean"] == "" and out.loc[2, "n_removed"] == 4
+    assert out.loc[3, "text_clean"] == "totally clean words here now"
+    assert out.loc[3, "n_removed"] == 0
