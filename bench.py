@@ -249,6 +249,8 @@ def run_bench() -> dict:
             ).q17_small_qty_revenue(sf),
         ),
         ("doc_repetition_stats", _round4_op("webtext", "doc_repetition_stats")),
+        ("dup_span_stats", _round4_op("webtext", "dup_span_stats")),
+        ("scrub_eval_spans", _round4_op("webtext", "scrub_eval_spans")),
         ("mixture_sample", _round4_op("webtext", "mixture_sample")),
         (
             "events_intervals",

@@ -32,15 +32,24 @@ trade; pass the id for exactly-once).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 import ray.data
 
-__all__ = ["current_index", "commit_index", "ingest_increment"]
+__all__ = [
+    "current_index",
+    "commit_index",
+    "ingest_increment",
+    "read_corpus",
+    "compact_increments",
+    "gc_index_versions",
+]
 
 _CURRENT = "CURRENT"
+_ABSORBS = "_ABSORBS"
 
 
 def current_index(index_dir: str) -> ray.data.Dataset | None:
@@ -151,3 +160,178 @@ def ingest_increment(
         "index_version": version,
         "already_committed": False,
     }
+
+
+# ---------------------------------------------------------------------------
+# compaction + GC: a standing corpus accumulates one directory per crawl
+# drop and one bloom-index version per commit; both grow without bound
+# unless folded.  The compactor merges many small increments into one and
+# the GC drops superseded index versions — the maintenance half of the
+# ingest loop.
+# ---------------------------------------------------------------------------
+
+def _increment_dirs(corpus_dir: str) -> list[str]:
+    if not os.path.isdir(corpus_dir):
+        return []
+    return sorted(
+        d for d in os.listdir(corpus_dir)
+        if d.startswith("increment=") and os.path.isdir(os.path.join(corpus_dir, d))
+    )
+
+
+def _absorbed_set(corpus_dir: str) -> set[str]:
+    """Union of every committed compaction manifest's absorbed list —
+    including manifests of increments that are themselves absorbed (chains
+    stay correct while deletions are in flight)."""
+    absorbed: set[str] = set()
+    for d in _increment_dirs(corpus_dir):
+        manifest = os.path.join(corpus_dir, d, _ABSORBS)
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                absorbed.update(json.load(f))
+    return absorbed
+
+
+def _parquet_files(*dirs: str) -> list[str]:
+    """Recursive parquet listing (hive partition subdirs included), skipping
+    markers/hidden files — Ray's read_parquet does not expand a LIST of
+    directories itself."""
+    out: list[str] = []
+    for d in dirs:
+        for root, _subdirs, files in os.walk(d):
+            out.extend(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+    return sorted(out)
+
+
+def read_corpus(corpus_dir: str, **read_kwargs) -> ray.data.Dataset | None:
+    """Canonical corpus reader: every live increment, minus increments
+    absorbed by a committed compaction.  During the compactor's only
+    duplicate window (compacted dir renamed in, sources not yet deleted)
+    the manifest suppresses the sources, so readers NEVER see a row twice.
+    Returns None for an empty corpus."""
+    absorbed = _absorbed_set(corpus_dir)
+    live = [
+        os.path.join(corpus_dir, d)
+        for d in _increment_dirs(corpus_dir)
+        if d.removeprefix("increment=") not in absorbed
+    ]
+    files = _parquet_files(*live)
+    if not files:
+        return None
+    return ray.data.read_parquet(files, **read_kwargs)
+
+
+def compact_increments(
+    corpus_dir: str,
+    *,
+    compaction_id: str | None = None,
+    max_sources: int | None = None,
+) -> dict:
+    """Fold committed increments into ONE compacted increment directory.
+
+    Protocol (single-writer, same staging discipline as the ingester):
+
+    1. stage the merged rows under ``.staging-<cid>`` + write the
+       ``_ABSORBS`` manifest (absorbed increment names) + ``_SUCCESS``;
+    2. rename staging -> ``increment=<cid>`` (the commit point — from here
+       readers skip the sources via the manifest);
+    3. delete the absorbed source dirs.
+
+    Crash windows: before (2) a torn staging dir is discarded wholesale on
+    replay; between (2) and (3) rows exist twice on disk but
+    ``read_corpus`` suppresses the absorbed copies, and a replay with the
+    SAME ``compaction_id`` just finishes the deletions.  Replay after full
+    completion is a no-op.  Exactly-once for ``ingest_increment`` replays
+    of absorbed drops survives compaction through the bloom index: the
+    increment dir is gone, but every key still probes seen, so the replay
+    writes nothing.
+
+    ``max_sources`` bounds one compaction run (oldest first) so a single
+    task never has to rewrite the whole corpus."""
+    cid = compaction_id or f"compact-{uuid.uuid4().hex[:12]}"
+    final_dir = os.path.join(corpus_dir, f"increment={cid}")
+    staging_dir = os.path.join(corpus_dir, f".staging-{cid}")
+
+    if os.path.exists(final_dir):
+        # committed earlier — finish any interrupted source deletions
+        with open(os.path.join(final_dir, _ABSORBS)) as f:
+            absorbed = json.load(f)
+        n_deleted = 0
+        for name in absorbed:
+            src = os.path.join(corpus_dir, f"increment={name}")
+            if os.path.exists(src):
+                shutil.rmtree(src)
+                n_deleted += 1
+        return {
+            "compaction": cid,
+            "n_absorbed": len(absorbed),
+            "n_rows": None,
+            "already_committed": True,
+            "n_deleted_on_replay": n_deleted,
+        }
+
+    already_absorbed = _absorbed_set(corpus_dir)
+    sources = [
+        d for d in _increment_dirs(corpus_dir)
+        if d.removeprefix("increment=") not in already_absorbed
+    ]
+    if max_sources is not None:
+        sources = sources[:max_sources]
+    if len(sources) < 2:
+        return {"compaction": cid, "n_absorbed": 0, "n_rows": 0, "already_committed": False}
+
+    merged = ray.data.read_parquet(
+        _parquet_files(*(os.path.join(corpus_dir, d) for d in sources))
+    )
+    if os.path.exists(staging_dir):  # torn staging from a crashed attempt
+        shutil.rmtree(staging_dir)
+    merged.write_parquet(staging_dir)
+    n_rows = merged.count()
+    absorbed_names = [d.removeprefix("increment=") for d in sources]
+    with open(os.path.join(staging_dir, _ABSORBS), "w") as f:
+        json.dump(absorbed_names, f)
+        f.flush()
+        os.fsync(f.fileno())
+    with open(os.path.join(staging_dir, "_SUCCESS"), "w") as f:
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(staging_dir, final_dir)  # commit point
+    for d in sources:
+        shutil.rmtree(os.path.join(corpus_dir, d))
+    return {
+        "compaction": cid,
+        "n_absorbed": len(sources),
+        "n_rows": n_rows,
+        "already_committed": False,
+    }
+
+
+def gc_index_versions(index_dir: str, *, keep: int = 1) -> dict:
+    """Drop bloom-index versions superseded by ``CURRENT``.
+
+    ``keep`` retains the N most recently modified versions BESIDES the live
+    one (rollback slack).  The live version is never deleted; with no
+    CURRENT pointer nothing is deleted (nothing is provably superseded).
+    Single-writer discipline, same as ``commit_index``."""
+    pointer = os.path.join(index_dir, _CURRENT)
+    if not os.path.exists(pointer):
+        return {"n_deleted": 0, "kept": []}
+    with open(pointer) as f:
+        live = f.read().strip()
+    versions = [
+        d for d in os.listdir(index_dir)
+        if d.startswith("v-") and os.path.isdir(os.path.join(index_dir, d))
+    ]
+    stale = sorted(
+        (v for v in versions if v != live),
+        key=lambda v: os.path.getmtime(os.path.join(index_dir, v)),
+        reverse=True,
+    )
+    kept, doomed = stale[:keep], stale[keep:]
+    for v in doomed:
+        shutil.rmtree(os.path.join(index_dir, v))
+    return {"n_deleted": len(doomed), "kept": [live, *kept]}

@@ -195,3 +195,133 @@ def test_committed_increment_carries_success_marker(ray_session, tmp_path):
     import ray.data
 
     assert ray.data.read_parquet(final).count() == 50
+
+
+def _mk_increments(ray_session, corpus, index, drops):
+    import ray.data
+
+    from docling_jobkit_ray.pipelines.ingest import ingest_increment
+
+    for inc_id, ids in drops:
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": f"doc {i}", "lang": "en"} for i in ids]
+        )
+        ingest_increment(ds, corpus_dir=corpus, index_dir=index, increment_id=inc_id)
+
+
+def test_compact_increments_merges_and_deletes_sources(ray_session, tmp_path):
+    import os
+
+    from docling_jobkit_ray.pipelines.ingest import compact_increments, read_corpus
+
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+    _mk_increments(ray_session, corpus, index, [("d1", [1, 2]), ("d2", [3]), ("d3", [4, 5])])
+    before = sorted(r["doc_id"] for r in read_corpus(corpus).take_all())
+    rep = compact_increments(corpus, compaction_id="c1")
+    assert rep["n_absorbed"] == 3 and rep["n_rows"] == 5
+    after = sorted(r["doc_id"] for r in read_corpus(corpus).take_all())
+    assert after == before == [1, 2, 3, 4, 5]
+    dirs = sorted(d for d in os.listdir(corpus) if d.startswith("increment="))
+    assert dirs == ["increment=c1"]
+    # replay is a no-op
+    rep2 = compact_increments(corpus, compaction_id="c1")
+    assert rep2["already_committed"] and rep2["n_deleted_on_replay"] == 0
+
+
+def test_compact_duplicate_window_is_invisible_to_readers(ray_session, tmp_path):
+    """Crash between rename and source deletion: rows exist twice on disk,
+    but the manifest suppresses the absorbed copies; replay finishes."""
+    import json
+    import os
+    import shutil
+
+    from docling_jobkit_ray.pipelines.ingest import compact_increments, read_corpus
+
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+    _mk_increments(ray_session, corpus, index, [("d1", [1, 2]), ("d2", [3])])
+    # simulate the window: run a real compaction, then RESURRECT a source
+    # copy as if deletion had not happened yet
+    src_backup = str(tmp_path / "backup")
+    shutil.copytree(os.path.join(corpus, "increment=d1"), src_backup)
+    compact_increments(corpus, compaction_id="c1")
+    shutil.copytree(src_backup, os.path.join(corpus, "increment=d1"))
+    # duplicate window: d1 on disk twice, reader must see each row once
+    got = sorted(r["doc_id"] for r in read_corpus(corpus).take_all())
+    assert got == [1, 2, 3]
+    # replay with the same id finishes the interrupted deletion
+    rep = compact_increments(corpus, compaction_id="c1")
+    assert rep["already_committed"] and rep["n_deleted_on_replay"] == 1
+    assert not os.path.exists(os.path.join(corpus, "increment=d1"))
+
+
+def test_compact_torn_staging_discarded_and_chained_compaction(ray_session, tmp_path):
+    import os
+
+    from docling_jobkit_ray.pipelines.ingest import compact_increments, read_corpus
+
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+    _mk_increments(ray_session, corpus, index, [("d1", [1]), ("d2", [2])])
+    # torn staging (no _SUCCESS, no rename) from a crashed attempt
+    os.makedirs(os.path.join(corpus, ".staging-c1"))
+    with open(os.path.join(corpus, ".staging-c1", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    rep = compact_increments(corpus, compaction_id="c1")
+    assert rep["n_absorbed"] == 2 and not rep["already_committed"]
+    # chain: new drop, then compact the compacted increment with it
+    _mk_increments(ray_session, corpus, index, [("d3", [3])])
+    rep2 = compact_increments(corpus, compaction_id="c2")
+    assert rep2["n_absorbed"] == 2  # c1 + d3
+    got = sorted(r["doc_id"] for r in read_corpus(corpus).take_all())
+    assert got == [1, 2, 3]
+
+
+def test_ingest_replay_of_absorbed_increment_writes_nothing(ray_session, tmp_path):
+    """Compaction deletes the increment dir, but exactly-once survives via
+    the bloom index: every key still probes seen."""
+    import os
+
+    import ray.data
+
+    from docling_jobkit_ray.pipelines.ingest import (
+        compact_increments,
+        ingest_increment,
+        read_corpus,
+    )
+
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+    _mk_increments(ray_session, corpus, index, [("d1", [1, 2]), ("d2", [3])])
+    compact_increments(corpus, compaction_id="c1")
+    ds = ray.data.from_items([{"doc_id": i, "text": f"doc {i}", "lang": "en"} for i in (1, 2)])
+    rep = ingest_increment(ds, corpus_dir=corpus, index_dir=index, increment_id="d1")
+    assert rep["n_written"] == 0 and rep["n_dropped_as_seen"] == 2
+    assert not os.path.exists(os.path.join(corpus, "increment=d1"))
+    got = sorted(r["doc_id"] for r in read_corpus(corpus).take_all())
+    assert got == [1, 2, 3]
+
+
+def test_gc_index_versions_keeps_live_plus_slack(ray_session, tmp_path):
+    import os
+
+    from docling_jobkit_ray.pipelines.ingest import gc_index_versions
+
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+    _mk_increments(
+        ray_session, corpus, index,
+        [("d1", [1]), ("d2", [2]), ("d3", [3]), ("d4", [4])],
+    )
+    versions = sorted(d for d in os.listdir(index) if d.startswith("v-"))
+    assert len(versions) == 4
+    with open(os.path.join(index, "CURRENT")) as f:
+        live = f.read().strip()
+    rep = gc_index_versions(index, keep=1)
+    assert rep["n_deleted"] == 2
+    remaining = sorted(d for d in os.listdir(index) if d.startswith("v-"))
+    assert live in remaining and len(remaining) == 2
+    # live index still loads and further ingest still dedups
+    import ray.data
+
+    from docling_jobkit_ray.pipelines.ingest import ingest_increment
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "doc 1", "lang": "en"}])
+    rep2 = ingest_increment(ds, corpus_dir=corpus, index_dir=index, increment_id="d5")
+    assert rep2["n_written"] == 0
