@@ -318,6 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from docling_jobkit_ray.functions.packing import pack_sequences
 
     q["pack_sequences"] = pack_sequences
+    from docling_jobkit_ray.pipelines.training import training_shards
+
+    q["training_shards"] = training_shards
 
     def _domain_stats(sf_dir: str):
         from docling_jobkit_ray.pipelines.extract import extract_pipeline

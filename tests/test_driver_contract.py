@@ -222,6 +222,7 @@ ROWS_ONLY = [
     "knn_ivf",
     "knn_pq",
     "pack_sequences",
+    "training_shards",
     "domain_stats",
     "doc_length_quantiles_approx",
     "approx_top_terms",
