@@ -251,6 +251,7 @@ def run_bench() -> dict:
         ("doc_repetition_stats", _round4_op("webtext", "doc_repetition_stats")),
         ("dup_span_stats", _round4_op("webtext", "dup_span_stats")),
         ("scrub_eval_spans", _round4_op("webtext", "scrub_eval_spans")),
+        ("bigram_fluency_scores", _round4_op("webtext", "bigram_fluency_scores")),
         ("mixture_sample", _round4_op("webtext", "mixture_sample")),
         (
             "events_intervals",

@@ -1447,6 +1447,197 @@ ORDER BY agg.doc_id
 
 
 # ---------------------------------------------------------------------------
+# bigram fluency profile (conditional counts — the bigram-LM counterpart of
+# the unigram term_rarity_scores)
+# ---------------------------------------------------------------------------
+
+def bigram_fluency_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-document conditional-bigram profile against the CORPUS bigram
+    model — the exact-integer core of a KenLM-style fluency score (a
+    document whose bigrams are common GIVEN their prefix reads as fluent;
+    one whose transitions are rare reads as garbled even when every word is
+    common — the signal ``term_rarity_scores`` cannot see).
+
+    Columns (all exact int64; the consumer forms the float score
+    Σ tf·log(f_bigram/f_context) downstream — float logs would break the
+    cross-engine hash):
+
+    - ``n_bigrams``        bigram occurrences in the doc (words - 1)
+    - ``sum_bigram_freq``  Σ over occurrences of the corpus frequency of
+                           the (prev, word) bigram
+    - ``sum_context_freq`` Σ over occurrences of the corpus frequency of
+                           the prefix as a bigram CONTEXT (its count as a
+                           non-final word)
+
+    Scale shape: ONE all-to-all keyed by PREFIX-word hash carrying
+    within-doc-distinct ``(doc, prefix, next, tf)`` quadruples — every
+    bigram sharing a prefix lands in the prefix's bucket, so BOTH the
+    bigram frequency and the context frequency are exact in-bucket sums;
+    no vocabulary or bigram table ever broadcasts or reaches the driver.
+    A doc-bucket fold then assembles per-doc partials."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_rows = estimate_rows(sf_dir, "documents")
+    word_buckets = bucket_count(n_rows * 60, min_buckets=64)
+    doc_buckets = bucket_count(n_rows, min_buckets=32)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    quad_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("p", pa.string()),
+            ("w", pa.string()),
+            ("tf", pa.int64()),
+        ]
+    )
+    partial_schema = pa.schema(
+        [
+            ("dbucket", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("sum_bigram_freq", pa.int64()),
+            ("sum_context_freq", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("sum_bigram_freq", pa.int64()),
+            ("sum_context_freq", pa.int64()),
+        ]
+    )
+
+    def quad_partial(batch: pa.Table) -> pa.Table:
+        doc_idx, prefixes = _gram_frame(batch["text"], 1)
+        if len(doc_idx) == 0:
+            return quad_schema.empty_table()
+        # bigram (prefix, next) = consecutive unigram positions within a doc
+        starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+        last = np.zeros(len(doc_idx), dtype=bool)
+        last[np.r_[starts[1:] - 1, len(doc_idx) - 1]] = True
+        p = prefixes.filter(pa.array(~last))
+        w = prefixes.filter(pa.array(~np.r_[np.ones(1, dtype=bool), last[:-1]]))
+        d = doc_idx[~last]
+        if len(d) == 0:
+            return quad_schema.empty_table()
+        agg = (
+            pa.table({"doc_id": pc.take(batch["doc_id"], pa.array(d)), "p": p, "w": w})
+            .group_by(["doc_id", "p", "w"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "p", "w", "tf"])
+        )
+        pobj = agg["p"].combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(pobj) & np.uint64(word_buckets - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc_id": pc.cast(agg["doc_id"], pa.int64()),
+                "p": agg["p"],
+                "w": agg["w"],
+                "tf": pc.cast(agg["tf"], pa.int64()),
+            }
+        )
+
+    def score_prefix_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return partial_schema.empty_table()
+        group = group.select(quad_schema.names).cast(quad_schema)
+        bg = (
+            group.group_by(["p", "w"])
+            .aggregate([("tf", "sum")])
+            .rename_columns(["p", "w", "f_bg"])
+        )
+        ctx = (
+            group.group_by("p").aggregate([("tf", "sum")]).rename_columns(["p", "f_ctx"])
+        )
+        key = pc.binary_join_element_wise(group["p"], group["w"], "\x1f")
+        bg_key = pc.binary_join_element_wise(bg["p"], bg["w"], "\x1f").combine_chunks()
+        f_bg = pc.take(bg["f_bg"], pc.index_in(key, value_set=bg_key))
+        cv = ctx["p"].combine_chunks() if isinstance(ctx["p"], pa.ChunkedArray) else ctx["p"]
+        f_ctx = pc.take(ctx["f_ctx"], pc.index_in(group["p"], value_set=cv))
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        agg = (
+            pa.table(
+                {
+                    "doc_id": group["doc_id"],
+                    "n_bigrams": pa.array(tf),
+                    "sum_bigram_freq": pa.array(
+                        tf * f_bg.to_numpy(zero_copy_only=False).astype(np.int64)
+                    ),
+                    "sum_context_freq": pa.array(
+                        tf * f_ctx.to_numpy(zero_copy_only=False).astype(np.int64)
+                    ),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate(
+                [("n_bigrams", "sum"), ("sum_bigram_freq", "sum"), ("sum_context_freq", "sum")]
+            )
+            .rename_columns(
+                ["doc_id", "n_bigrams", "sum_bigram_freq", "sum_context_freq"]
+            )
+        )
+        dbucket = pc.bit_wise_and(
+            pc.cast(agg["doc_id"], pa.int64()), pa.scalar(doc_buckets - 1, pa.int64())
+        )
+        return pa.table(
+            {
+                "dbucket": dbucket,
+                "doc_id": pc.cast(agg["doc_id"], pa.int64()),
+                "n_bigrams": pc.cast(agg["n_bigrams"], pa.int64()),
+                "sum_bigram_freq": pc.cast(agg["sum_bigram_freq"], pa.int64()),
+                "sum_context_freq": pc.cast(agg["sum_context_freq"], pa.int64()),
+            }
+        )
+
+    def fold_doc_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(partial_schema.names).cast(partial_schema)
+        return (
+            group.drop_columns(["dbucket"])
+            .group_by("doc_id")
+            .aggregate(
+                [("n_bigrams", "sum"), ("sum_bigram_freq", "sum"), ("sum_context_freq", "sum")]
+            )
+            .rename_columns(
+                ["doc_id", "n_bigrams", "sum_bigram_freq", "sum_context_freq"]
+            )
+            .cast(out_schema)
+        )
+
+    return (
+        ds.map_batches(quad_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(score_prefix_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(fold_doc_bucket, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+BIGRAM_FLUENCY_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS p, ws[i+1] AS w
+  FROM words, unnest(range(1, len(ws))) AS t(i)
+),
+fbg AS (SELECT p, w, CAST(count(*) AS BIGINT) AS f_bg FROM bg GROUP BY p, w),
+fctx AS (SELECT p, CAST(count(*) AS BIGINT) AS f_ctx FROM bg GROUP BY p)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(f_bg) AS BIGINT) AS sum_bigram_freq,
+       CAST(sum(f_ctx) AS BIGINT) AS sum_context_freq
+FROM bg JOIN fbg USING (p, w) JOIN fctx USING (p)
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # maximal duplicated-span profile (position-aware exact substring dedup)
 # ---------------------------------------------------------------------------
 

@@ -178,6 +178,7 @@ SQL_BACKED = [
     "events_cube_type_dow",
     "dup_span_stats",
     "scrub_eval_spans",
+    "bigram_fluency_scores",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
 ]

@@ -516,3 +516,34 @@ def test_scrub_eval_spans_surgical_removal(ray_session, tmp_path):
     assert out.loc[2, "text_clean"] == "" and out.loc[2, "n_removed"] == 4
     assert out.loc[3, "text_clean"] == "totally clean words here now"
     assert out.loc[3, "n_removed"] == 0
+
+
+def test_bigram_fluency_exact_counts(ray_session, tmp_path):
+    """Exact conditional counts on a crafted corpus: 'a b' occurs 3x
+    corpus-wide, context 'a' occurs 4x as a prefix; the garbled doc's rare
+    transition scores minimum frequency."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import bigram_fluency_scores
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b",      # bigrams: ab, ba, ab
+                    "a b c",        # ab, bc
+                    "a z",          # az (rare transition, common words)
+                    "solo",         # no bigrams -> no row
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = bigram_fluency_scores(str(tmp_path)).to_pandas().set_index("doc_id")
+    # corpus: f(ab)=3, f(ba)=1, f(bc)=1, f(az)=1; ctx f(a)=4, f(b)=2
+    assert 3 not in out.index
+    assert out.loc[0].tolist() == [3, 3 + 1 + 3, 4 + 2 + 4]
+    assert out.loc[1].tolist() == [2, 3 + 1, 4 + 2]
+    # doc 2: common word 'a' but rare transition -> minimal bigram freq
+    assert out.loc[2].tolist() == [1, 1, 4]
