@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention",
         "user_activity_setops",
         "events_cube_type_dow",
+        "events_transitions",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -496,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention",
         "user_activity_setops",
         "events_cube_type_dow",
+        "events_transitions",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

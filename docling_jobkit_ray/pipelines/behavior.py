@@ -213,9 +213,74 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# event-type transition matrix (the behavioral Markov-chain counts)
+# ---------------------------------------------------------------------------
+
+def events_transitions(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Markov transition counts over each user's ordered event sequence:
+    how often event type A is followed by event type B — the behavioral
+    sibling of ``bigram_fluency_scores`` (funnel asks "did the ordered
+    pattern complete", this asks "what does the chain look like").
+
+    Ordering is (ts, event_id) — the event_id tiebreak makes simultaneous
+    events deterministic on BOTH engines (a bare LAG ... ORDER BY ts would
+    be engine-dependent under timestamp ties).  ONE user-bucketed exchange;
+    per-bucket pair counting is a vectorized sort + shift; the per-bucket
+    (from, to, n) partials are additive, so the final fold is a tiny
+    groupby over |event types|^2 rows."""
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    add_bucket = rel._user_bucket_adder(rel._user_buckets(sf_dir, n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        same = g["user_id"].eq(g["user_id"].shift())
+        prev = g["event_type"].shift().where(same)
+        pairs = pd.DataFrame({"from_type": prev, "to_type": g["event_type"]}).dropna(
+            subset=["from_type"]
+        )
+        out = (
+            pairs.groupby(["from_type", "to_type"], sort=True)
+            .size()
+            .rename("n_transitions")
+            .reset_index()
+        )
+        out["n_transitions"] = out["n_transitions"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n_transitions", alias_name="n_transitions"))
+        .sort(["from_type", "to_type"])
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 BEHAVIOR_QUERIES = {
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+    "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
 }
 
 

@@ -396,3 +396,32 @@ def test_q21_sole_returning_supplier(ray_session, tmp_path):
         _write(tmp_path, name, t)
     out = q21_waiting_suppliers(str(tmp_path)).to_pandas()
     assert out.set_index("s_suppkey")["numwait"].to_dict() == {10: 1}
+
+
+def test_events_transitions_order_and_isolation(ray_session, tmp_path):
+    """Transitions follow (ts, event_id) order — simultaneous events break
+    ties by event_id — and never cross users."""
+    from docling_jobkit_ray.pipelines.behavior import events_transitions
+
+    t0 = pd.Timestamp("2024-01-01")
+    t1 = t0 + pd.Timedelta(minutes=1)
+    # user 1: a(t0,id0) -> b(t0,id1) tie broken by id -> c(t1,id2)
+    # user 2: c(t0,id3) -> a(t1,id4); no b->c or a->c leakage across users
+    rows = [
+        (0, 1, t0, "a"), (1, 1, t0, "b"), (2, 1, t1, "c"),
+        (3, 2, t0, "c"), (4, 2, t1, "a"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "events", t)
+    out = events_transitions(str(tmp_path), n_buckets=4).to_pandas()
+    got = {(r.from_type, r.to_type): r.n_transitions for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}

@@ -176,6 +176,7 @@ SQL_BACKED = [
     "mixture_sample",
     "user_activity_setops",
     "events_cube_type_dow",
+    "events_transitions",
     "dup_span_stats",
     "scrub_eval_spans",
     "bigram_fluency_scores",
