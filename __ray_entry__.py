@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dup_span_stats"] = webtext.dup_span_stats
     q["scrub_eval_spans"] = webtext.scrub_eval_spans
     q["bigram_fluency_scores"] = webtext.bigram_fluency_scores
+    q["kwic_concordance"] = webtext.kwic_concordance
     q["lang_balanced_sample"] = webtext.lang_balanced_sample
     q["epoch_shuffle_order"] = webtext.epoch_shuffle_order
     q["curated_corpus"] = webtext.curated_corpus
@@ -585,6 +586,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import BIGRAM_FLUENCY_SQL
 
     sql["bigram_fluency_scores"] = BIGRAM_FLUENCY_SQL
+    from docling_jobkit_ray.functions.webtext import kwic_concordance_sql
+
+    sql["kwic_concordance"] = kwic_concordance_sql()
     sql["lang_balanced_sample"] = LANG_BALANCED_SAMPLE_SQL
     from docling_jobkit_ray.functions.webtext import (
         CURATED_CORPUS_SQL,

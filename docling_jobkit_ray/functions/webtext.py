@@ -1447,6 +1447,98 @@ ORDER BY agg.doc_id
 
 
 # ---------------------------------------------------------------------------
+# keyword-in-context concordance (row-expanding flat_map with exact string
+# window reconstruction)
+# ---------------------------------------------------------------------------
+
+def kwic_concordance(
+    sf_dir: str, *, term: str = "vector", window: int = 3
+) -> ray.data.Dataset:
+    """KWIC concordance: one row per occurrence of ``term`` with its left
+    and right word windows — the corpus-exploration primitive (and the
+    engine's SQL-green one-to-many flat_map shape: a document expands to as
+    many rows as it has hits).
+
+    Pure map, zero shuffles, and zero Python strings: hit positions come
+    from one vectorized equality over the batch's flat word child; each
+    variable-length context window is gathered with the repeat/arange
+    range-gather (the ``_gram_frame`` trick) and re-joined inside Arrow
+    (``ListArray.from_arrays`` + ``binary_join``).
+
+    Output: ``(doc_id, pos, left_ctx, right_ctx)`` — ``pos`` 1-based to
+    match the SQL oracle's list indexing."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("left_ctx", pa.string()),
+            ("right_ctx", pa.string()),
+        ]
+    )
+
+    def _join_ranges(flat: pa.Array, starts: np.ndarray, stops: np.ndarray) -> pa.Array:
+        lens = stops - starts
+        total = int(lens.sum())
+        if total == 0:
+            return pa.array([""] * len(starts), pa.string())
+        gather = np.repeat(starts, lens) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        )
+        taken = pc.take(flat, pa.array(gather, pa.int64()))
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        return pc.binary_join(pa.ListArray.from_arrays(pa.array(offsets), taken), " ")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values
+        hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        # restrict to the batch's word range (the child array may extend)
+        idx = np.flatnonzero(hit[offsets[0] : offsets[-1]]) + offsets[0]
+        if len(idx) == 0:
+            return out_schema.empty_table()
+        doc = np.searchsorted(offsets, idx, side="right") - 1
+        dstart, dstop = offsets[doc], offsets[doc + 1]
+        left = _join_ranges(flat, np.maximum(idx - window, dstart), idx)
+        right = _join_ranges(flat, idx + 1, np.minimum(idx + 1 + window, dstop))
+        return pa.table(
+            {
+                "doc_id": pc.take(batch["doc_id"], pa.array(doc, pa.int64())),
+                "pos": pa.array(idx - dstart + 1),  # 1-based, SQL list indexing
+                "left_ctx": left,
+                "right_ctx": right,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["doc_id", "pos"]
+    )
+
+
+def kwic_concordance_sql(term: str = "vector", window: int = 3) -> str:
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+hits AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS pos, ws
+  FROM words, unnest(range(1, len(ws) + 1)) AS t(j)
+  WHERE ws[j] = '{term}'
+)
+SELECT doc_id, pos,
+       coalesce(array_to_string(ws[greatest(pos - {window}, 1):pos - 1], ' '), '')
+         AS left_ctx,
+       coalesce(array_to_string(ws[pos + 1:least(pos + {window}, len(ws))], ' '), '')
+         AS right_ctx
+FROM hits
+ORDER BY doc_id, pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # bigram fluency profile (conditional counts — the bigram-LM counterpart of
 # the unigram term_rarity_scores)
 # ---------------------------------------------------------------------------

@@ -180,6 +180,7 @@ SQL_BACKED = [
     "dup_span_stats",
     "scrub_eval_spans",
     "bigram_fluency_scores",
+    "kwic_concordance",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
 ]

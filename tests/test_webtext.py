@@ -547,3 +547,31 @@ def test_bigram_fluency_exact_counts(ray_session, tmp_path):
     assert out.loc[1].tolist() == [2, 3 + 1, 4 + 2]
     # doc 2: common word 'a' but rare transition -> minimal bigram freq
     assert out.loc[2].tolist() == [1, 1, 4]
+
+
+def test_kwic_concordance_windows_and_edges(ray_session, tmp_path):
+    """Clamped windows at doc edges, multiple hits per doc, 1-based pos."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import kwic_concordance
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "vector a b c vector",   # hit at start (empty left) and end
+                    "x y z vector p q r s",  # full windows both sides
+                    "no hits here",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = kwic_concordance(str(tmp_path), term="vector", window=3).to_pandas()
+    rows = [tuple(r) for r in out.itertuples(index=False)]
+    assert rows == [
+        (0, 1, "", "a b c"),
+        (0, 5, "a b c", ""),
+        (1, 4, "x y z", "p q r"),
+    ]
