@@ -207,6 +207,14 @@ def _parquet_files(*dirs: str) -> list[str]:
     return sorted(out)
 
 
+def _count_parquet_rows(*dirs: str) -> int:
+    """Exact row count from parquet FOOTERS — zero data reads, zero Ray
+    tasks (the scale-safe way to count something just written)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in _parquet_files(*dirs))
+
+
 def read_corpus(corpus_dir: str, **read_kwargs) -> ray.data.Dataset | None:
     """Canonical corpus reader: every live increment, minus increments
     absorbed by a committed compaction.  During the compactor's only
@@ -290,7 +298,9 @@ def compact_increments(
     if os.path.exists(staging_dir):  # torn staging from a crashed attempt
         shutil.rmtree(staging_dir)
     merged.write_parquet(staging_dir)
-    n_rows = merged.count()
+    # row count from the staged footers — counting the lazy `merged` would
+    # RE-EXECUTE the whole merge read (branching re-runs the parent)
+    n_rows = _count_parquet_rows(staging_dir)
     absorbed_names = [d.removeprefix("increment=") for d in sources]
     with open(os.path.join(staging_dir, _ABSORBS), "w") as f:
         json.dump(absorbed_names, f)

@@ -76,10 +76,11 @@ def make_training_shards(
     from ..scale import bucket_count, estimate_rows
 
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        back = ray.data.read_parquet(out_dir)
+        from .ingest import _count_parquet_rows
+
         return {
             "out_dir": out_dir,
-            "n_docs": back.count(),
+            "n_docs": _count_parquet_rows(out_dir),
             "n_shards": None,
             "already_committed": True,
         }
@@ -145,7 +146,11 @@ def make_training_shards(
     if os.path.exists(staging):  # torn write from a crashed attempt
         shutil.rmtree(staging)
     packed.write_parquet(staging, partition_cols=["shard"])
-    n_docs = ray.data.read_parquet(staging).count()
+    # count from the staged footers (zero data reads; counting the lazy
+    # `packed` would re-execute the whole pack)
+    from .ingest import _count_parquet_rows
+
+    n_docs = _count_parquet_rows(staging)
     with open(os.path.join(staging, "_SUCCESS"), "w") as f:
         f.flush()
         os.fsync(f.fileno())
