@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["scrub_eval_spans"] = webtext.scrub_eval_spans
     q["bigram_fluency_scores"] = webtext.bigram_fluency_scores
     q["kwic_concordance"] = webtext.kwic_concordance
+    q["balanced_eval_sample"] = webtext.balanced_eval_sample
+    q["length_percentile_rank"] = webtext.length_percentile_rank
     q["lang_balanced_sample"] = webtext.lang_balanced_sample
     q["epoch_shuffle_order"] = webtext.epoch_shuffle_order
     q["curated_corpus"] = webtext.curated_corpus
@@ -589,6 +591,13 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import kwic_concordance_sql
 
     sql["kwic_concordance"] = kwic_concordance_sql()
+    from docling_jobkit_ray.functions.webtext import (
+        LENGTH_PERCENTILE_RANK_SQL,
+        balanced_eval_sample_sql,
+    )
+
+    sql["balanced_eval_sample"] = balanced_eval_sample_sql()
+    sql["length_percentile_rank"] = LENGTH_PERCENTILE_RANK_SQL
     sql["lang_balanced_sample"] = LANG_BALANCED_SAMPLE_SQL
     from docling_jobkit_ray.functions.webtext import (
         CURATED_CORPUS_SQL,

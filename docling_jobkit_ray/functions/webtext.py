@@ -1447,6 +1447,167 @@ ORDER BY agg.doc_id
 
 
 # ---------------------------------------------------------------------------
+# balanced eval subset (exact k per group, deterministic hash order)
+# ---------------------------------------------------------------------------
+
+def balanced_eval_sample(sf_dir: str, *, k: int = 25) -> ray.data.Dataset:
+    """Exactly ``k`` documents per language, picked by Lehmer-hash order —
+    the deterministic per-group reservoir (a balanced eval/dev subset needs
+    exact counts, which the rate-based ``stratified_sample`` /
+    ``lang_balanced_sample`` cannot promise on small groups).
+
+    Distributed top-k-per-group, never a global sort: each batch keeps at
+    most ``k`` smallest-hash rows per language (vectorized lexicographic
+    sort + rank mask), the lang-keyed fold re-applies the same mask —
+    top-k is an associative fold, so per-batch partials are lossless.
+    Groups smaller than ``k`` keep every row (matches the window oracle).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("h", pa.int64())]
+    )
+
+    def _topk(t: pa.Table) -> pa.Table:
+        # rank within lang by (h, doc_id): sort then first-k mask per group
+        t = t.sort_by(
+            [("lang", "ascending"), ("h", "ascending"), ("doc_id", "ascending")]
+        )
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        new = np.r_[True, langs[1:] != langs[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(langs)])
+        rank = np.arange(len(langs), dtype=np.int64) - np.repeat(starts, counts)
+        return t.filter(pa.array(rank < k))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks() if isinstance(
+            batch["doc_id"], pa.ChunkedArray) else batch["doc_id"], dtype=np.int64)
+        h = ((ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        t = pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+                "h": pa.array(h),
+            }
+        )
+        return _topk(t)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        return _topk(group.select(out_schema.names).cast(out_schema))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(fold, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang"])
+        .sort(["lang", "doc_id"])
+    )
+
+
+def balanced_eval_sample_sql(k: int = 25) -> str:
+    return f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M}, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {k}
+ORDER BY lang, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-document percentile rank within its language (grouped window)
+# ---------------------------------------------------------------------------
+
+def length_percentile_rank(sf_dir: str) -> ray.data.Dataset:
+    """Each document's exact percent_rank of ``n_chars`` within its
+    language — the per-ROW grouped window (every input row gets a rank),
+    unlike the grouped percentile THRESHOLDS (``doc_length_percentiles``)
+    which reduce each group to a few quantile rows.
+
+    A naive ``groupby(lang).map_groups`` would feed an entire language's
+    corpus to ONE call at scale, so the plan is the grouped-percentiles
+    histogram shape instead: pass 1 folds exact per-(lang, n_chars) value
+    counts (bounded by languages x the value DOMAIN, not by rows),
+    cumulative strictly-smaller counts broadcast as a sorted composite-key
+    lookup; pass 2 is a pure map — searchsorted + one float division per
+    row, matching SQL percent_rank (ties share the minimum rank)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["lang", "n_chars"])
+            .group_by(["lang", "n_chars"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n_chars", "n"])
+        )
+
+    hist = (
+        ds.map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: |langs| x |value domain| rows
+        .sort_values(["lang", "n_chars"])
+        .reset_index(drop=True)
+    )
+    grp = hist.groupby("lang")["n"]
+    smaller = (grp.cumsum() - hist["n"]).to_numpy(dtype=np.int64)
+    group_n = grp.transform("sum").to_numpy(dtype=np.int64)
+    langs = hist["lang"].to_numpy()
+    lang_codes = pd.unique(langs)
+    code_of = {l: i for i, l in enumerate(lang_codes)}
+    stride = np.int64(1) << 32
+    keys = np.array(
+        [code_of[l] for l in langs], dtype=np.int64
+    ) * stride + hist["n_chars"].to_numpy(dtype=np.int64)
+    lang_arr = pa.array(list(lang_codes), pa.string())
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        code = pc.index_in(batch["lang"], value_set=lang_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = np.asarray(
+            batch["n_chars"].combine_chunks()
+            if isinstance(batch["n_chars"], pa.ChunkedArray)
+            else batch["n_chars"],
+            dtype=np.int64,
+        )
+        idx = np.searchsorted(keys, code * stride + v)
+        n = group_n[idx]
+        pct = np.where(n > 1, smaller[idx] / np.maximum(n - 1, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+                "n_chars": pa.array(v),
+                "pct_rank": pa.array(pct),
+            }
+        )
+
+    return ds.map_batches(rank_rows, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+LENGTH_PERCENTILE_RANK_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # keyword-in-context concordance (row-expanding flat_map with exact string
 # window reconstruction)
 # ---------------------------------------------------------------------------

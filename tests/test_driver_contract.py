@@ -181,6 +181,8 @@ SQL_BACKED = [
     "scrub_eval_spans",
     "bigram_fluency_scores",
     "kwic_concordance",
+    "balanced_eval_sample",
+    "length_percentile_rank",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
 ]

@@ -575,3 +575,47 @@ def test_kwic_concordance_windows_and_edges(ray_session, tmp_path):
         (0, 5, "a b c", ""),
         (1, 4, "x y z", "p q r"),
     ]
+
+
+def test_balanced_eval_sample_exact_k_and_small_groups(ray_session, tmp_path):
+    """Exactly k per language; groups smaller than k keep everything; the
+    pick is hash-deterministic (same result on re-run)."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import balanced_eval_sample
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "lang": pa.array(["en"] * 20 + ["fr"] * 8 + ["de"] * 2),
+            "text": pa.array(["x"] * 30),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    a = balanced_eval_sample(str(tmp_path), k=5).to_pandas()
+    b = balanced_eval_sample(str(tmp_path), k=5).to_pandas()
+    assert a.equals(b)
+    counts = a.groupby("lang")["doc_id"].count().to_dict()
+    assert counts == {"en": 5, "fr": 5, "de": 2}
+
+
+def test_length_percentile_rank_tie_semantics(ray_session, tmp_path):
+    """Ties share the minimum rank (SQL percent_rank); singleton group -> 0."""
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.webtext import length_percentile_rank
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["en", "en", "en", "en", "fr"]),
+            "n_chars": pa.array([10, 20, 20, 30, 99], pa.int64()),
+            "text": pa.array(["x"] * 5),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = length_percentile_rank(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "pct_rank"] == 0.0
+    assert out.loc[1, "pct_rank"] == out.loc[2, "pct_rank"] == 1 / 3
+    assert out.loc[3, "pct_rank"] == 1.0
+    assert out.loc[4, "pct_rank"] == 0.0  # singleton group
