@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_setops",
         "events_cube_type_dow",
         "events_transitions",
+        "user_event_paths",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -501,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_setops",
         "events_cube_type_dow",
         "events_transitions",
+        "user_event_paths",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

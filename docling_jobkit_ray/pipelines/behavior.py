@@ -277,10 +277,63 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# ordered grouped string aggregation (the LISTAGG / string_agg shape)
+# ---------------------------------------------------------------------------
+
+def user_event_paths(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Each user's full ordered event-type path as one '->'-joined string —
+    the ordered grouped string-aggregation shape (LISTAGG / string_agg
+    WITHIN GROUP), the path-analysis input ``events_transitions`` summarizes
+    pairwise.
+
+    Ordering is (ts, event_id) — same deterministic tiebreak as
+    ``events_transitions``.  ONE user-bucketed exchange; within a bucket the
+    concatenation is a single pandas sort + groupby-agg (a user lives in
+    exactly one bucket, so per-bucket paths are complete, never partial
+    strings needing a merge).  Path length is bounded by events-per-user —
+    the natural per-key bound of event data, not corpus size."""
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    add_bucket = rel._user_bucket_adder(rel._user_buckets(sf_dir, n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        out = (
+            g.groupby("user_id", sort=True)
+            .agg(
+                path=("event_type", "->".join),
+                n_events=("event_type", "size"),
+            )
+            .reset_index()
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+USER_EVENT_PATHS_SQL = """
+SELECT user_id,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 BEHAVIOR_QUERIES = {
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
+    "user_event_paths": (user_event_paths, USER_EVENT_PATHS_SQL),
 }
 
 

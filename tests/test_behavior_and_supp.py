@@ -425,3 +425,29 @@ def test_events_transitions_order_and_isolation(ray_session, tmp_path):
     out = events_transitions(str(tmp_path), n_buckets=4).to_pandas()
     got = {(r.from_type, r.to_type): r.n_transitions for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
+
+
+def test_user_event_paths_ordered_concatenation(ray_session, tmp_path):
+    """Paths join event types in (ts, event_id) order with the -> separator."""
+    from docling_jobkit_ray.pipelines.behavior import user_event_paths
+
+    t0 = pd.Timestamp("2024-01-01")
+    t1 = t0 + pd.Timedelta(minutes=1)
+    rows = [
+        (0, 1, t0, "a"), (1, 1, t0, "b"), (2, 1, t1, "c"),
+        (3, 2, t1, "z"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "events", t)
+    out = user_event_paths(str(tmp_path), n_buckets=4).to_pandas().set_index("user_id")
+    assert out.loc[1, "path"] == "a->b->c" and out.loc[1, "n_events"] == 3
+    assert out.loc[2, "path"] == "z" and out.loc[2, "n_events"] == 1

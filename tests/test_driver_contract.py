@@ -177,6 +177,7 @@ SQL_BACKED = [
     "user_activity_setops",
     "events_cube_type_dow",
     "events_transitions",
+    "user_event_paths",
     "dup_span_stats",
     "scrub_eval_spans",
     "bigram_fluency_scores",
