@@ -252,6 +252,21 @@ def run_bench() -> dict:
         ("dup_span_stats", _round4_op("webtext", "dup_span_stats")),
         ("scrub_eval_spans", _round4_op("webtext", "scrub_eval_spans")),
         ("bigram_fluency_scores", _round4_op("webtext", "bigram_fluency_scores")),
+        ("kwic_concordance", _round4_op("webtext", "kwic_concordance")),
+        ("balanced_eval_sample", _round4_op("webtext", "balanced_eval_sample")),
+        ("length_percentile_rank", _round4_op("webtext", "length_percentile_rank")),
+        (
+            "events_transitions",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.behavior", fromlist=["events_transitions"]
+            ).events_transitions(sf),
+        ),
+        (
+            "user_event_paths",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.behavior", fromlist=["user_event_paths"]
+            ).user_event_paths(sf),
+        ),
         ("mixture_sample", _round4_op("webtext", "mixture_sample")),
         (
             "events_intervals",

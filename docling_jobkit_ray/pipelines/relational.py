@@ -2490,6 +2490,62 @@ ORDER BY hour
 RELATIONAL_QUERIES["events_pivot_hourly"] = (events_pivot_hourly, EVENTS_PIVOT_HOURLY_SQL)
 
 
+def events_unpivot_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Wide->long UNPIVOT of the hourly pivot: one (hour, event_type,
+    n_events) row per cell of the wide matrix, zero cells kept — the melt
+    transform (the inverse of ``events_pivot_hourly``; the pair gives the
+    engine both reshape directions).
+
+    The melt itself is trivially parallel: each wide batch emits one long
+    slice per type column (pa.concat of k column-projections — no Python
+    row loop), and the input is already the pivot's tiny (hours x types)
+    matrix, so the only real work is the upstream pivot."""
+    types = sorted(
+        distinct_event_types(sf_dir).to_pandas()["event_type"].tolist()
+    )
+    wide = events_pivot_hourly(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = [
+            pa.table(
+                {
+                    "hour": batch["hour"],
+                    "event_type": pa.array([t] * n, pa.string()),
+                    "n_events": pc.cast(batch[f"n_{t}"], pa.int64()),
+                }
+            )
+            for t in types
+        ]
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["hour", "event_type"]
+    )
+
+
+EVENTS_UNPIVOT_HOURLY_SQL = """
+WITH wide AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+         CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+  FROM events GROUP BY 1
+)
+SELECT hour, substr(name, 3) AS event_type, CAST(value AS BIGINT) AS n_events
+FROM (UNPIVOT wide ON n_click, n_error, n_purchase, n_signup, n_view
+      INTO NAME name VALUE value)
+ORDER BY hour, event_type
+"""
+
+RELATIONAL_QUERIES["events_unpivot_hourly"] = (
+    events_unpivot_hourly,
+    EVENTS_UNPIVOT_HOURLY_SQL,
+)
+
+
 # ---------------------------------------------------------------------------
 # distributed two-variable statistics (grouped Pearson correlation)
 # ---------------------------------------------------------------------------

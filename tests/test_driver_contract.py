@@ -147,6 +147,7 @@ SQL_BACKED = [
     "dup_components",
     "dedup_cluster_docs",
     "events_pivot_hourly",
+    "events_unpivot_hourly",
     "events_hour_value_corr",
     "q4_priority_with_returns",
     "q10_returned_revenue",
