@@ -819,9 +819,14 @@ WITH flagged AS (
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
+  -- RANGE (not ROWS) framing: under DUPLICATE timestamps a ROWS running
+  -- sum is nondeterministic (the session boundary can cut through a tie
+  -- group, found by the 10x-rows sweep); RANGE makes tie peers share the
+  -- frame, matching the engine's cumsum where only the FIRST tie row can
+  -- carry the new-session flag
   SELECT user_id, ts, value,
          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                     RANGE UNBOUNDED PRECEDING) AS BIGINT)
            AS session_id
   FROM flagged
 )
