@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_orders",  # 4th join-agg chain (q3/q5/q13 stay); makes room for revenue_rollup
         "events_pivot_hourly",  # conditional-agg cousin of q1; locally SQL-checked
         "events_unpivot_hourly",  # the melt inverse; locally SQL-checked
+        "event_type_share_hourly",  # ratio-to-report window; locally SQL-checked
         "events_hour_value_corr",  # co-moment stats cousin of events_value_zscore
         # round-4 TPC-H shapes: join/agg family has q3/q5/q13 in-cap; these
         # five stay pytest-SQL-checked at 3 scales
@@ -362,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["q18_large_volume_orders"] = RELATIONAL_QUERIES["q18_large_volume_orders"][0]
     q["events_pivot_hourly"] = RELATIONAL_QUERIES["events_pivot_hourly"][0]
     q["events_unpivot_hourly"] = RELATIONAL_QUERIES["events_unpivot_hourly"][0]
+    q["event_type_share_hourly"] = RELATIONAL_QUERIES["event_type_share_hourly"][0]
     q["events_hour_value_corr"] = RELATIONAL_QUERIES["events_hour_value_corr"][0]
     q["q4_priority_with_returns"] = RELATIONAL_QUERIES["q4_priority_with_returns"][0]
     q["q10_returned_revenue"] = RELATIONAL_QUERIES["q10_returned_revenue"][0]

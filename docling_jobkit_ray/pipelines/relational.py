@@ -2551,6 +2551,90 @@ RELATIONAL_QUERIES["events_unpivot_hourly"] = (
 )
 
 
+def event_type_share_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Each event type's share of its hour's total value — the
+    ratio-to-report window (``value / sum(value) OVER (PARTITION BY
+    hour)``), the last classic window shape the surface lacked.
+
+    The fact table folds to exact (hour, type, int-cents) partials per
+    batch, one small groupby, then a per-hour share pass: grouping directly
+    on ``hour`` is safe HERE because the grouped result is bounded by the
+    TIME DOMAIN x |types| (hours of data, not rows — a year is ~9k groups
+    of ~5 rows), unlike per-user/per-doc keys which must bucket.  The share
+    is one float division of two exact int64 sums, mirroring the oracle's
+    DOUBLE cast bit-for-bit; a zero-total hour yields NULL on both engines
+    (NULLIF)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+                "event_type": batch["event_type"],
+                "value_c": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+        return (
+            t.group_by(["hour", "event_type"])
+            .aggregate([("value_c", "sum")])
+            .rename_columns(["hour", "event_type", "value_c"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("value_c", alias_name="value_c"))
+    )
+
+    def share_group(g: pd.DataFrame) -> pd.DataFrame:
+        tot = int(g["value_c"].sum())
+        out = pd.DataFrame(
+            {
+                "hour": g["hour"].astype("datetime64[us]"),
+                "event_type": g["event_type"],
+                "sum_value": g["value_c"].astype("int64") / 100.0,
+                "share": (
+                    g["value_c"].astype("int64").astype("float64") / float(tot)
+                    if tot != 0
+                    else pd.Series([None] * len(g), dtype="float64")
+                ),
+            }
+        )
+        return out
+
+    return (
+        agg.groupby("hour")
+        .map_groups(share_group, batch_format="pandas")
+        .sort(["hour", "event_type"])
+    )
+
+
+EVENT_TYPE_SHARE_HOURLY_SQL = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, value_c / 100.0 AS sum_value,
+       CAST(value_c AS DOUBLE)
+         / CAST(NULLIF(sum(value_c) OVER (PARTITION BY hour), 0) AS DOUBLE)
+         AS share
+FROM agg
+ORDER BY hour, event_type
+"""
+
+RELATIONAL_QUERIES["event_type_share_hourly"] = (
+    event_type_share_hourly,
+    EVENT_TYPE_SHARE_HOURLY_SQL,
+)
+
+
 # ---------------------------------------------------------------------------
 # distributed two-variable statistics (grouped Pearson correlation)
 # ---------------------------------------------------------------------------

@@ -148,6 +148,7 @@ SQL_BACKED = [
     "dedup_cluster_docs",
     "events_pivot_hourly",
     "events_unpivot_hourly",
+    "event_type_share_hourly",
     "events_hour_value_corr",
     "q4_priority_with_returns",
     "q10_returned_revenue",
