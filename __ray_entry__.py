@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube_type_dow",
         "events_transitions",
         "user_event_paths",
+        "events_since_purchase",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -507,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube_type_dow",
         "events_transitions",
         "user_event_paths",
+        "events_since_purchase",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

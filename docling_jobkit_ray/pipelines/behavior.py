@@ -329,11 +329,75 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# conditional-reset running count (rows since the last marker event)
+# ---------------------------------------------------------------------------
+
+def events_since_purchase(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """For every event, how many events its user has produced since their
+    most recent 'purchase' (the purchase itself = 0; events before the
+    first purchase count from the user's first event) — the
+    CONDITIONAL-RESET running count, the window shape where the frame
+    restarts at a data-dependent marker rather than a fixed gap
+    (sessionize) or partition edge.
+
+    Ordering is (ts, event_id) — deterministic under timestamp ties, same
+    tiebreak as events_transitions.  ONE user-bucketed exchange; within a
+    bucket the reset-count is two vectorized passes: a per-user cumsum of
+    the marker flags segments the stream, then position-within-segment is
+    arange minus each segment start (the repeat/searchsorted trick) —
+    never a Python loop over users or segments."""
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    add_bucket = rel._user_bucket_adder(rel._user_buckets(sf_dir, n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        marker = (g["event_type"] == "purchase").to_numpy()
+        user = g["user_id"].to_numpy()
+        # segment id = (user changes) OR (marker row starts a new segment)
+        new_seg = np.r_[True, user[1:] != user[:-1]] | marker
+        seg_start = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        since = np.arange(len(g), dtype=np.int64) - seg_start[seg_of]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "events_since_purchase": since,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+EVENTS_SINCE_PURCHASE_SQL = """
+WITH seg AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id)
+            - 1 AS BIGINT) AS events_since_purchase
+FROM seg
+ORDER BY event_id
+"""
+
+
 BEHAVIOR_QUERIES = {
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
     "user_event_paths": (user_event_paths, USER_EVENT_PATHS_SQL),
+    "events_since_purchase": (events_since_purchase, EVENTS_SINCE_PURCHASE_SQL),
 }
 
 

@@ -451,3 +451,37 @@ def test_user_event_paths_ordered_concatenation(ray_session, tmp_path):
     out = user_event_paths(str(tmp_path), n_buckets=4).to_pandas().set_index("user_id")
     assert out.loc[1, "path"] == "a->b->c" and out.loc[1, "n_events"] == 3
     assert out.loc[2, "path"] == "z" and out.loc[2, "n_events"] == 1
+
+
+def test_events_since_purchase_reset_semantics(ray_session, tmp_path):
+    """Purchase resets the count to 0; pre-first-purchase events count from
+    the user's first event; users never interleave."""
+    from docling_jobkit_ray.pipelines.behavior import events_since_purchase
+
+    t0 = pd.Timestamp("2024-01-01")
+    mk = lambda m: t0 + pd.Timedelta(minutes=m)
+    rows = [
+        (0, 1, mk(0), "view"),      # since=0 (no purchase yet)
+        (1, 1, mk(1), "view"),      # 1
+        (2, 1, mk(2), "purchase"),  # 0 (reset)
+        (3, 1, mk(3), "click"),     # 1
+        (4, 1, mk(4), "purchase"),  # 0 (reset again)
+        (5, 2, mk(0), "click"),     # other user: 0
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "events", t)
+    out = (
+        events_since_purchase(str(tmp_path), n_buckets=4)
+        .to_pandas()
+        .set_index("event_id")["events_since_purchase"]
+    )
+    assert out.to_dict() == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0, 5: 0}

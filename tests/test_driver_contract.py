@@ -180,6 +180,7 @@ SQL_BACKED = [
     "events_cube_type_dow",
     "events_transitions",
     "user_event_paths",
+    "events_since_purchase",
     "dup_span_stats",
     "scrub_eval_spans",
     "bigram_fluency_scores",
