@@ -267,6 +267,26 @@ def run_bench() -> dict:
                 "docling_jobkit_ray.pipelines.behavior", fromlist=["user_event_paths"]
             ).user_event_paths(sf),
         ),
+        (
+            "events_since_purchase",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.behavior", fromlist=["events_since_purchase"]
+            ).events_since_purchase(sf),
+        ),
+        (
+            "event_type_share_hourly",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.relational",
+                fromlist=["event_type_share_hourly"],
+            ).event_type_share_hourly(sf),
+        ),
+        (
+            "events_unpivot_hourly",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.relational",
+                fromlist=["events_unpivot_hourly"],
+            ).events_unpivot_hourly(sf),
+        ),
         ("mixture_sample", _round4_op("webtext", "mixture_sample")),
         (
             "events_intervals",
