@@ -114,7 +114,20 @@ def build_inverted_index(
         [("bucket", pa.int64()), ("term", pa.string()), ("doc_id", pa.int64())]
     )
 
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("postings", pa.list_(pa.int64())),
+        ]
+    )
+
     def fold(group: pa.Table) -> pa.Table:
+        # Empty shuffle blocks can arrive column-less at wide splits
+        # (CLAUDE.md) — select() would raise before the cast.
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _OUT_SCHEMA.empty_table()
         # batch-local distinct is NOT global distinct (a term's postings
         # span batches): re-distinct, then fold to sorted posting lists in
         # ONE vectorized pass over the sorted bucket.  Cast first: Ray's
@@ -197,7 +210,19 @@ def inverted_index_stats(
 
     _PD_SCHEMA = pa.schema([("term", pa.string()), ("doc_id", pa.int64())])
 
+    _STATS_SCHEMA = pa.schema(
+        [
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("postings_sum", pa.int64()),
+            ("doc_min", pa.int64()),
+            ("doc_max", pa.int64()),
+        ]
+    )
+
     def dedup_fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _STATS_SCHEMA.empty_table()
         g = (
             group.select(_PD_SCHEMA.names)
             .cast(_PD_SCHEMA)

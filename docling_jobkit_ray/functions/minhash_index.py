@@ -101,15 +101,27 @@ def probe_minhash_index(
     out_dir: str,
     ds: ray.data.Dataset,
     *,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate CANDIDATE pairs (probe_doc_id, index_doc_id) between
     new documents and the indexed corpus: any band collision is a
     candidate (standard LSH semantics — verify downstream with exact
     Jaccard).  One tagged-union co-shuffle; the index never reaches the
-    driver and is read band-partition-parallel."""
+    driver and is read band-partition-parallel.
+
+    ``n_buckets`` defaults to a scale-derived count: per-bucket mass grows
+    as n_docs x n_bands, so a fixed count would overflow a worker's heap at
+    100x (CLAUDE.md bucket rule)."""
     with open(os.path.join(out_dir, _META_NAME)) as f:
         meta = json.load(f)
+
+    if n_buckets is None:
+        from ..scale import bucket_count, estimate_table_rows
+
+        # index band rows from footers (free) + probe-side estimate: the
+        # probe dataset has meta["n_bands"] band rows per input row.
+        probe_rows = ds.count() * meta["n_bands"]
+        n_buckets = bucket_count(estimate_table_rows(out_dir) + probe_rows)
 
     probe_bands = ds.map_batches(
         _sign_to_bands(

@@ -58,6 +58,17 @@ def _shard_of(doc_ids: pa.ChunkedArray | pa.Array, epoch: int, n_shards: int) ->
     return pa.array(h % np.int64(n_shards))
 
 
+def _input_fingerprint(sf_dir: str) -> str:
+    """Footer row count + size + mtime of the input table — metadata-only,
+    changes whenever the corpus is regenerated in place."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    rows = pq.ParquetFile(p).metadata.num_rows
+    return f"{rows}:{st.st_size}:{st.st_mtime_ns}"
+
+
 def make_training_shards(
     sf_dir: str,
     out_dir: str,
@@ -75,15 +86,24 @@ def make_training_shards(
     from ..functions.packing import pack_batch
     from ..scale import bucket_count, estimate_rows
 
-    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        from .ingest import _count_parquet_rows
+    # Input fingerprint guards the _SUCCESS short-circuit: a regenerated
+    # corpus at the same path must NOT silently reuse stale shards
+    # (CLAUDE.md /tmp-cache rule — keys bump when inputs change).
+    fingerprint = _input_fingerprint(sf_dir)
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            committed_fp = f.read().strip()
+        if committed_fp == fingerprint:
+            from .ingest import _count_parquet_rows
 
-        return {
-            "out_dir": out_dir,
-            "n_docs": _count_parquet_rows(out_dir),
-            "n_shards": None,
-            "already_committed": True,
-        }
+            return {
+                "out_dir": out_dir,
+                "n_docs": _count_parquet_rows(out_dir),
+                "n_shards": None,
+                "already_committed": True,
+            }
+        shutil.rmtree(out_dir)  # stale: input changed under the same path
 
     if n_shards is None:
         n_shards = bucket_count(estimate_rows(sf_dir, "documents"), min_buckets=8)
@@ -152,6 +172,7 @@ def make_training_shards(
 
     n_docs = _count_parquet_rows(staging)
     with open(os.path.join(staging, "_SUCCESS"), "w") as f:
+        f.write(fingerprint)
         f.flush()
         os.fsync(f.fileno())
     if os.path.exists(out_dir):

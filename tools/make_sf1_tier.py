@@ -41,7 +41,7 @@ def replicate(src: str, dest: str, mult: int) -> None:
             pq.write_table(pq.read_table(f"{src}/{t}.parquet"), dp)
     # one consistent orderkey stride for orders AND lineitem
     strides: dict[str, int] = {}
-    omax = pq.read_table(f"{SRC}/orders.parquet", columns=["o_orderkey"])
+    omax = pq.read_table(f"{src}/orders.parquet", columns=["o_orderkey"])
     strides["o_orderkey"] = strides["l_orderkey"] = (
         int(np.asarray(omax["o_orderkey"]).max()) + 1
     )
