@@ -415,6 +415,56 @@ def test_string_shingle_jaccard_kernel():
     assert string_shingle_jaccard("tiny", "tiny") == 0.0  # both empty sets
 
 
+def test_minhash_arrow_path_matches_python_reference():
+    """The Arrow-native signing kernel (flat-buffer byte polynomial +
+    reduceat) must stay byte-identical to the pure-Python per-doc reference
+    — every LSH band and index artifact derives from these hashes."""
+    import string as _string
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_jobkit_ray.functions.dedup import (
+        MinHasher,
+        _shingle_hash_frame,
+        _shingles,
+    )
+
+    edge = [
+        "Hello, World! foo_bar baz qux quux",
+        "", "  x  ", "a b", "one two", "one two three",
+        "punct... only !!! ??? ---", "single",
+        "a  b   c\t d \n e f g h",
+        "the quick brown fox jumps over the lazy dog " * 5,
+    ]
+    rng = random.Random(13)
+    alphabet = _string.ascii_letters + _string.digits + " .,!_-\t\n"
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 300)))
+        for _ in range(200)
+    ]
+    texts = edge + fuzz
+    for k in (1, 2, 3, 5):
+        h = MinHasher(num_perm=32, shingle_k=k)
+        ref = h.signatures_batch(texts)
+        assert np.array_equal(ref, h.signatures_from_arrow(pa.array(texts)))
+        # chunked and sliced views exercise the buffer-offset handling
+        ch = pa.chunked_array([pa.array(texts[:7]), pa.array(texts[7:])])
+        assert np.array_equal(ref, h.signatures_from_arrow(ch))
+        sl = pa.array(texts)[3:50]
+        assert np.array_equal(
+            h.signatures_batch(texts[3:50]), h.signatures_from_arrow(sl)
+        )
+        # the shingle hash streams themselves agree per doc
+        lens, cat = _shingle_hash_frame(pa.array(texts), k)
+        pos = 0
+        for i, t in enumerate(texts):
+            seg = cat[pos : pos + lens[i]]
+            pos += lens[i]
+            assert np.array_equal(_shingles(t, k), seg), (k, i, t[:40])
+
+
 # ---------------------------------------------------------------------------
 # t-digest approximate quantiles
 # ---------------------------------------------------------------------------
