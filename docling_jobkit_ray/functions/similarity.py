@@ -258,6 +258,184 @@ def knn_ivf(
 
 
 # ---------------------------------------------------------------------------
+# SQL-checkable exact variants (the driver's value-hash oracle surface)
+# ---------------------------------------------------------------------------
+
+def _cosine_f64(vecs: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """(n, nq) float64 cosine — double end-to-end so the 1e-6 quantized
+    output lands on the same grid as DuckDB's double
+    ``list_cosine_similarity`` (fp op-order differences are ~1e-15, nine
+    orders of magnitude inside the grid)."""
+    v = vecs.astype(np.float64)
+    q = queries.astype(np.float64)
+    vn = np.linalg.norm(v, axis=1, keepdims=True)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    vn[vn == 0] = 1.0
+    qn[qn == 0] = 1.0
+    return (v / vn) @ (q / qn).T
+
+
+def _query_matrix_f64(sf_dir: str, n_queries: int) -> tuple[np.ndarray, list[int]]:
+    """UN-normalized float64 query rows (the SQL oracle normalizes inside
+    ``list_cosine_similarity``; normalizing twice here would drift)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(n_queries, "vec_id")
+
+    small = ds.map_batches(local_min, batch_format="pandas").to_pandas()
+    small = small.nsmallest(n_queries, "vec_id").sort_values("vec_id")
+    ids = small["vec_id"].astype("int64").tolist()
+    return np.vstack(small["embedding"].to_numpy()).astype(np.float64), ids
+
+
+class _ExactTopK:
+    """Per-batch float64 cosine partials: each query's local top-k rows
+    carry the RAW float64 cosine (rank and quantization happen at the
+    final per-query merge, so partials stay bit-faithful)."""
+
+    def __init__(self, queries: np.ndarray, query_ids: list[int], k: int):
+        self.q = queries
+        self.query_ids = query_ids
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = list_column_to_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = _cosine_f64(vecs, self.q)
+        k = min(self.k, len(vec_ids))
+        idx = np.argpartition(-sims, k - 1, axis=0)[:k] if k else np.empty((0, sims.shape[1]), np.int64)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            for vi in idx[:, qi]:
+                out_q.append(qid)
+                out_v.append(int(vec_ids[vi]))
+                out_s.append(float(sims[vi, qi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_exact_ranks(
+    sf_dir: str, *, k: int = 5, n_queries: int = 4
+) -> ray.data.Dataset:
+    """Exact cosine top-k in the driver's value-hash-checkable form:
+    (query_id, rank, vec_id, cosine_e6) with rank from the float64 cosine
+    (desc, vec_id asc ties) and the cosine quantized to integer 1e-6 units
+    ONLY in the output (VERDICT r4 #2 — the ANN family's SQL-green row).
+
+    Same partial-top-k combiner shape as :func:`knn_brute_force`: O(batches
+    x queries x k) ever crosses the exchange, never O(N)."""
+    queries, qids = _query_matrix_f64(sf_dir, n_queries)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _ExactTopK(queries, qids, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nlargest(
+            k, group.itertuples(index=False), key=lambda r: (r.cosine, -r.vec_id)
+        )
+        df = pd.DataFrame(top, columns=group.columns)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["cosine_e6"] = np.round(df["cosine"].to_numpy() * 1e6).astype(np.int64)
+        return df[["query_id", "rank", "vec_id", "cosine_e6"]]
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+def knn_exact_ranks_sql(k: int = 5, n_queries: int = 4) -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+    FROM embeddings e CROSS JOIN q
+), ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id
+           ) AS rank,
+           CAST(round(cos * 1000000) AS BIGINT) AS cosine_e6
+    FROM scored
+)
+SELECT query_id, rank, vec_id, cosine_e6 FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def embedding_assign_seeds(
+    sf_dir: str, *, n_seeds: int = 8
+) -> ray.data.Dataset:
+    """Voronoi assignment to deterministic seed vectors (the n_seeds
+    smallest vec_ids): per vector, the argmax-cosine seed — the coarse
+    quantizer's assignment step with NON-iterative (hence SQL-expressible)
+    centroids.  Ties break to the smaller seed id; cosine quantized to
+    1e-6 integer units.  One broadcast + one matmul per batch, no shuffle:
+    the exact shape ``embedding_clusters``' IVF assignment runs at scale,
+    now with a value-hash oracle."""
+    seeds, seed_ids = _query_matrix_f64(sf_dir, n_seeds)
+    sid_arr = np.asarray(seed_ids, dtype=np.int64)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vecs = list_column_to_matrix(batch.column("embedding"))
+        sims = _cosine_f64(vecs, seeds)  # (n, n_seeds), seed_ids ascending
+        best = np.argmax(sims, axis=1)  # first max = smallest seed id
+        cos = sims[np.arange(len(best)), best]
+        return pa.table(
+            {
+                "vec_id": pc_cast_i64(batch["vec_id"]),
+                "seed_id": pa.array(sid_arr[best]),
+                "cosine_e6": pa.array(np.round(cos * 1e6).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("vec_id")
+
+
+def pc_cast_i64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
+
+
+def embedding_assign_seeds_sql(n_seeds: int = 8) -> str:
+    return f"""
+WITH s AS (
+    SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS se
+    FROM embeddings ORDER BY vec_id LIMIT {n_seeds}
+), scored AS (
+    SELECT e.vec_id, s.seed_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.se) AS cos,
+           row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.se) DESC,
+               s.seed_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN s
+)
+SELECT vec_id, seed_id, CAST(round(cos * 1000000) AS BIGINT) AS cosine_e6
+FROM scored WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Product quantization: the 100 TB memory-compression path
 # ---------------------------------------------------------------------------
 

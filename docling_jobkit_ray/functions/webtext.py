@@ -596,6 +596,107 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# learned quality-classifier scoring (fastText/DSIR-style linear filter)
+# ---------------------------------------------------------------------------
+
+# Stand-in for a trained quality classifier: a linear model over exact
+# integer text features with a broadcast weight vector — the shape every
+# webtext pipeline runs (fastText LM filter, DSIR importance weights).  The
+# weights are FIXED literals here (no trainer in the sandbox); swapping in
+# trained weights changes nothing structurally.
+QC_BIAS = -1.5
+QC_W_N_WORDS = 0.02
+QC_W_ALPHA = -0.003
+QC_W_STOP = 0.45
+QC_W_DIGITS = -0.08
+QC_W_UPPER = -0.03
+
+
+def classifier_quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """Linear quality-classifier logits per document: five exact-int64 RE2
+    token/char counts x a broadcast float weight vector, summed in a FIXED
+    left-to-right order so the float64 logit is bit-identical to the
+    oracle's arithmetic (each w*f is one exactly-rounded IEEE op on an
+    exact integer; the chained adds associate identically).  ``keep`` is
+    the logit>=0 verdict.  One embarrassingly-parallel map — the exact
+    shape a real model-scoring filter runs at 100 TB (weights ride the UDF
+    closure; per-batch work is vectorized kernels + a dot product).
+
+    VERDICT r4 #4: the learned-filter counterpart of the heuristic
+    ``gopher_quality_docs``."""
+    stops = pa.array(GOPHER_STOPWORDS, pa.string())
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch["text"])
+        nw = pc.cast(
+            pc.count_substring_regex(lower, pattern="[a-z]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        al = pc.cast(
+            pc.count_substring_regex(lower, pattern="[a-z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nd = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern="[0-9]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nu = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern="[A-Z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        hit = pc.and_(
+            pc.is_in(flat, value_set=stops), pc.not_equal(flat, "")
+        ).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        sh = np.bincount(doc_idx, weights=hit, minlength=len(lens)).astype(np.int64)
+        # FIXED evaluation order — mirrors the SQL parenthesization exactly
+        z = QC_BIAS + QC_W_N_WORDS * nw.astype(np.float64)
+        z = z + QC_W_ALPHA * al.astype(np.float64)
+        z = z + QC_W_STOP * sh.astype(np.float64)
+        z = z + QC_W_DIGITS * nd.astype(np.float64)
+        z = z + QC_W_UPPER * nu.astype(np.float64)
+        # quantize BEFORE the verdict: engines may FMA-contract the chain
+        # (measured 1-ULP drift vs DuckDB), so the hashable output is the
+        # 1e-6-grid integer and `keep` derives from the quantized value —
+        # both sides agree whenever the true logit is >4e-16 from a grid
+        # boundary
+        ze6 = np.round(z * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "logit_e6": pa.array(ze6),
+                "keep": pa.array((ze6 >= 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+CLASSIFIER_QUALITY_SCORES_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS nw,
+         len(regexp_extract_all(lower(text), '[a-z]')) AS al,
+         len(regexp_extract_all(text, '[0-9]')) AS nd,
+         len(regexp_extract_all(text, '[A-Z]')) AS nu,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> list_contains({list(GOPHER_STOPWORDS)!r}, x))) AS sh
+  FROM documents
+), z AS (
+  SELECT doc_id,
+         (((({QC_BIAS} + {QC_W_N_WORDS} * nw) + {QC_W_ALPHA} * al)
+            + {QC_W_STOP} * sh) + {QC_W_DIGITS} * nd) + {QC_W_UPPER} * nu AS logit
+  FROM f
+)
+SELECT doc_id, CAST(round(logit * 1000000) AS BIGINT) AS logit_e6,
+       CAST(CAST(round(logit * 1000000) AS BIGINT) >= 0 AS BIGINT) AS keep
+FROM z ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # boilerplate-passage REMOVAL (the materialization of duplicated_passages)
 # ---------------------------------------------------------------------------
 

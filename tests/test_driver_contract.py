@@ -189,6 +189,12 @@ SQL_BACKED = [
     "length_percentile_rank",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
+    # round-5: learned quality classifier + the embedding family's
+    # value-hash-checkable forms
+    "classifier_quality_scores",
+    "knn_exact_ranks",
+    "embedding_assign_seeds",
+    "embedding_near_dup_planted",
 ]
 
 
@@ -252,6 +258,7 @@ ROWS_ONLY = [
     "url_canonical_dups",
     "strip_duplicated_passages",
     "semantic_dedup_embeddings",
+    "semantic_dedup_text",
     "minhash_index_probe",
 ]
 

@@ -720,6 +720,69 @@ def test_semantic_dedup_embeddings_planted_clusters(ray_session, tmp_path):
     assert np.allclose(np.asarray(row0, dtype=np.float32), vecs[0])
 
 
+def test_text_embedder_deterministic_and_semantic():
+    """The hashed-n-gram projection stand-in must be deterministic across
+    instances and give near-dup texts near-dup embeddings (the geometry the
+    ANN/semantic-dedup machinery relies on)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_jobkit_ray.functions.embed import TextEmbedder
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep woods tonight without any further delay"
+    )
+    texts = [
+        base,
+        base.replace("lazy", "sleepy"),  # one-word edit: near-dup
+        "completely different content about database engines and queries",
+        "",
+    ]
+    a = TextEmbedder().embed_arrow(pa.array(texts))
+    b = TextEmbedder().embed_arrow(pa.array(texts))  # fresh instance
+    assert np.array_equal(a, b)
+    # unit norm (except the empty doc, which may be zero-bag -> stays 0 row)
+    norms = np.linalg.norm(a, axis=1)
+    assert np.allclose(norms[:3], 1.0, atol=1e-5)
+    assert a[0] @ a[1] > 0.8  # near-dup pair
+    assert a[0] @ a[2] < 0.5  # unrelated pair
+    # batch split invariance (per-doc determinism regardless of batching)
+    c = TextEmbedder().embed_arrow(pa.array(texts[:2]))
+    assert np.array_equal(a[:2], c)
+
+
+def test_semantic_dedup_text_planted_clusters(ray_session, tmp_path):
+    """End-to-end SemDeDup FROM RAW TEXT: planted duplicate texts collapse
+    to their min doc_id; distinct docs survive with text intact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.embed import semantic_dedup_text
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    n = 24
+    texts = [
+        " ".join(rng.choice(vocab, size=40).tolist()) for _ in range(n)
+    ]
+    texts[1] = texts[0]
+    texts[2] = texts[0]  # cluster {0,1,2}
+    texts[7] = texts[6]  # cluster {6,7}
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = semantic_dedup_text(str(tmp_path), cos_threshold=0.999).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(set(range(n)) - {1, 2, 7})
+    assert out.set_index("doc_id")["text"].loc[0] == texts[0]
+    assert (out["doc_id"].values == np.sort(out["doc_id"].values)).all()
+
+
 def test_events_funnel_ordering_semantics(ray_session, tmp_path):
     """Crafted users where order matters: completing steps out of order
     must NOT count, and the greedy-earliest rule uses the FIRST qualifying
