@@ -1002,32 +1002,96 @@ def epoch_shuffle_order(sf_dir: str) -> ray.data.Dataset:
     reproducible alternative to ``random_shuffle()`` a training job needs
     so a resumed run replays the identical sample order.
 
-    Plan shape: one distributed sort on the hash key, then a POSITIONAL
-    ``Dataset.zip`` with ``ray.data.range(N)`` to mint the contiguous
-    global index — no driver-side enumeration, no actor counter; N comes
-    free from the parquet footers.  The index is bit-stable across
-    resharding because the sort key is a pure function of ``doc_id``."""
-    from ..scale import estimate_rows
+    Plan shape (rank EXCHANGE, not positional zip — VERDICT r4 #4): the
+    hash space [0, M) is range-partitioned into scale-derived buckets
+    (``bucket = h*nb//M`` preserves order across buckets); a cheap ids-only
+    pre-pass folds exact per-bucket counts (<= nb rows reach the driver —
+    the broadcast prefix-sum side), and the real exchange assigns
+    ``order_idx = offset[bucket] + local_rank`` inside each bucket with one
+    vectorized sort.  No step depends on Ray's block-alignment contract;
+    the index is bit-stable across resharding because every key is a pure
+    function of ``doc_id``."""
+    from ..scale import bucket_count, estimate_rows
 
     n = estimate_rows(sf_dir, "documents")  # footer count is exact
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    nb = bucket_count(n, min_buckets=32)
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
+    def _hash_bucket(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         h = ((ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
-        return batch.append_column("h", pa.array(h, pa.int64()))
+        return h, (h * nb) // _LEHMER_M  # h < 2^31, nb <= 2^20: int64-safe
 
-    ordered = (
-        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["h", "doc_id"])
-        .drop_columns(["h"])
+    # pre-pass: exact bucket histogram from a column-pruned ids-only scan
+    # (re-reading doc_id beats materializing the keyed stream — the repo's
+    # branch rule: never fork an expensive stage, make pass 2 cheap)
+    def count_rows(batch: pa.Table) -> pa.Table:
+        _, bucket = _hash_bucket(batch["doc_id"].to_numpy())
+        cnt = np.bincount(bucket, minlength=nb)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"bucket": pa.array(nz), "cnt": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        read_table(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(count_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded: <= nb rows (scale-derived, ~8 MB at 2^20)
     )
-    idx = ray.data.range(n).map_batches(
-        lambda b: b.rename_columns(["order_idx"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    offsets = np.zeros(nb + 1, dtype=np.int64)
+    for row in hist:
+        offsets[int(row["bucket"]) + 1] = int(row["cnt"])
+    np.cumsum(offsets, out=offsets)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        h, bucket = _hash_bucket(ids)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "h": pa.array(h, pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+            }
+        )
+
+    key_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("h", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+        ]
     )
-    return ordered.zip(idx).sort("order_idx")
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("order_idx", pa.int64())]
+    )
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(key_schema.names).cast(key_schema)
+        g = group.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        base = offsets[g["bucket"][0].as_py()]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "lang": g["lang"],
+                "order_idx": pa.array(
+                    base + np.arange(g.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+        .sort("order_idx")
+    )
 
 
 EPOCH_SHUFFLE_ORDER_SQL = f"""

