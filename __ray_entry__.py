@@ -515,6 +515,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
 
     q["minhash_index_probe"] = _minhash_index_probe
+
+    def _ivf_index_probe(sf_dir: str):
+        # persisted IVF vector index (the semantic member of the
+        # bloom/minhash/ivf incremental-index triad): build over the
+        # embeddings table, probe the 4 smallest vec_ids; rows-only
+        # (full-probe==brute-force + pruning pinned in
+        # tests/test_vector_index.py)
+        import tempfile
+
+        import numpy as np
+
+        from docling_jobkit_ray.functions.vector_index import (
+            build_ivf_index,
+            probe_ivf_index,
+        )
+        from docling_jobkit_ray.sources.pages import read_table
+
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        qdf = ds.limit(4).to_pandas().sort_values("vec_id")
+        queries = np.vstack(qdf["embedding"].to_numpy()).astype(np.float32)
+        with tempfile.TemporaryDirectory() as tmp:
+            build_ivf_index(ds, tmp, n_cells=8)
+            out = probe_ivf_index(
+                tmp, queries, qdf["vec_id"].astype("int64").tolist(), k=5, n_probe=4
+            ).to_pandas()
+        return out[["query_id", "rank", "vec_id"]]
+
+    q["ivf_index_probe"] = _ivf_index_probe
     q["top_quartile_docs_by_lang"] = webtext.top_quartile_docs_by_lang
     q["events_funnel"] = RELATIONAL_QUERIES["events_funnel"][0]
     q["doc_repetition_stats"] = webtext.doc_repetition_stats

@@ -288,6 +288,13 @@ def run_bench() -> dict:
             ).events_unpivot_hourly(sf),
         ),
         ("mixture_sample", _round4_op("webtext", "mixture_sample")),
+        # round-5 additions: learned quality classifier, SQL-exact ANN
+        # forms, planted near-dup detection, SemDeDup from raw text
+        ("classifier_quality_scores", _round4_op("webtext", "classifier_quality_scores")),
+        ("knn_exact_ranks", _round4_op("similarity", "knn_exact_ranks")),
+        ("embedding_assign_seeds", _round4_op("similarity", "embedding_assign_seeds")),
+        ("embedding_near_dup_planted", _round4_op("dedup", "embedding_near_dup_planted")),
+        ("semantic_dedup_text", _round4_op("embed", "semantic_dedup_text")),
         (
             "events_intervals",
             lambda sf: __import__(

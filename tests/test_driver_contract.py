@@ -260,6 +260,7 @@ ROWS_ONLY = [
     "semantic_dedup_embeddings",
     "semantic_dedup_text",
     "minhash_index_probe",
+    "ivf_index_probe",
 ]
 
 
