@@ -547,6 +547,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_funnel"] = RELATIONAL_QUERIES["events_funnel"][0]
     q["doc_repetition_stats"] = webtext.doc_repetition_stats
     q["mixture_sample"] = webtext.mixture_sample
+
+    def _bpe_word_counts(sf_dir: str):
+        from docling_jobkit_ray.functions.bpe import corpus_word_counts
+
+        return corpus_word_counts(sf_dir, top_k=200)
+
+    q["bpe_word_counts"] = _bpe_word_counts
+
+    def _bpe_token_stats(sf_dir: str):
+        # tokenizer FIT + application: learn 150 merges from the corpus
+        # word-frequency exchange, then count each doc's subword tokens
+        # (rows-only: the merge list is data-dependent; invariants +
+        # known-corpus merge order pinned in tests/test_bpe.py)
+        from docling_jobkit_ray.functions.bpe import bpe_token_counts
+
+        return bpe_token_counts(sf_dir, n_merges=150)
+
+    q["bpe_token_stats"] = _bpe_token_stats
     for name in (
         "q2_min_balance_supplier",
         "q8_market_share",
@@ -699,6 +717,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.dedup import EMBEDDING_NEAR_DUP_PLANTED_SQL
 
     sql["embedding_near_dup_planted"] = EMBEDDING_NEAR_DUP_PLANTED_SQL
+    from docling_jobkit_ray.functions.bpe import BPE_WORD_COUNTS_SQL
+
+    sql["bpe_word_counts"] = BPE_WORD_COUNTS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1,0 +1,205 @@
+"""Distributed BPE tokenizer fitting + application — the tokenizer half of
+a training-data platform (the reference's chunker consumes a PRE-trained
+tokenizer, ``docling_jobkit/chunking``; a data platform must also FIT one
+from the corpus it just curated).
+
+Split of labor (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units"):
+
+* the DATA-proportional step is the word-frequency table — ONE word-bucket
+  exchange of within-doc-distinct ``(word, tf)`` partials (the same
+  exchange shape as ``term_rarity_scores``; the vocabulary never
+  broadcasts, texts never cross);
+* BPE merges operate on the word-frequency TABLE, whose size is the
+  DISTINCT vocabulary (Zipf-bounded; capped at ``max_words`` by frequency
+  — the standard practice, since sub-cap words can't influence top merges
+  materially and the cap bounds the driver pull);
+* application is an embarrassingly-parallel map with the merge list
+  broadcast in the UDF closure and a per-batch unique-word cache (the
+  trick every production tokenizer uses: encode each DISTINCT word once,
+  then scatter counts).
+
+Deterministic end to end: merge ties break on (pair count desc, pair
+lexicographic), so the same corpus always yields the same vocabulary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+__all__ = [
+    "corpus_word_counts",
+    "train_bpe",
+    "bpe_token_counts",
+    "encode_word",
+    "BPE_WORD_COUNTS_SQL",
+]
+
+# exact oracle for corpus_word_counts(top_k=200): one word-bucket exchange
+# == a DuckDB unnest/GROUP BY; deterministic (count desc, word) ordering
+BPE_WORD_COUNTS_SQL = """
+SELECT w AS word, count(*) AS count
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> ''
+GROUP BY w
+ORDER BY count DESC, word
+LIMIT 200
+"""
+
+_END = "</w>"
+
+
+def corpus_word_counts(sf_dir: str, *, top_k: int | None = None) -> ray.data.Dataset:
+    """Exact corpus (word, count) via one word-bucket exchange.  Words are
+    single-space splits of ``text`` (the repo's oracle-contract
+    tokenization); empties dropped.  ``top_k`` adds a final count-desc
+    truncation (tiny sort: the exchange already collapsed to distinct
+    words)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        t = (
+            pa.table({"word": words})
+            .filter(pc.not_equal(words, ""))
+            .group_by("word")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"word": t["word"], "count": pc.cast(t["count_all"], pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("count", alias_name="count"))
+    )
+    if top_k is not None:
+        counts = counts.sort(["count", "word"], descending=[True, False]).limit(top_k)
+    return counts
+
+
+def _merge_pass(symseqs: list[list[str]], counts: np.ndarray) -> tuple[str, str] | None:
+    """One BPE iteration: the most frequent adjacent symbol pair across the
+    weighted word table (count desc, pair lexicographic ties)."""
+    pair_counts: dict[tuple[str, str], int] = {}
+    for seq, c in zip(symseqs, counts):
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + int(c)
+    if not pair_counts:
+        return None
+    return min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+
+def _apply_merge(seq: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def train_bpe(
+    sf_dir: str, *, n_merges: int = 200, max_words: int = 50_000
+) -> list[tuple[str, str]]:
+    """Fit ``n_merges`` BPE merges on the corpus word-frequency table.
+
+    The driver pull is the top-``max_words`` rows of the (already
+    distinct-folded) word-count exchange — a bounded, Zipf-justified
+    truncation, NOT a corpus materialization."""
+    wc = corpus_word_counts(sf_dir, top_k=max_words).to_pandas()
+    words = wc["word"].tolist()
+    counts = wc["count"].to_numpy(np.int64)
+    symseqs = [list(w) + [_END] for w in words]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = _merge_pass(symseqs, counts)
+        if best is None:
+            break
+        merges.append(best)
+        symseqs = [_apply_merge(s, *best) for s in symseqs]
+    return merges
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the merge list to one word (training-order replay — the
+    canonical BPE encoder)."""
+    seq = list(word) + [_END]
+    for a, b in merges:
+        if len(seq) < 2:
+            break
+        seq = _apply_merge(seq, a, b)
+    return seq
+
+
+class BpeCounter:
+    """Batch UDF: (doc_id, text) -> (doc_id, n_words, n_bpe_tokens) with a
+    per-instance encoded-word cache (each DISTINCT word is encoded once
+    per actor lifetime, then looked up — the production-tokenizer shape)."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.merges = merges
+        self.cache: dict[str, int] = {}
+
+    def _token_len(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            n = len(encode_word(w, self.merges))
+            self.cache[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        uniq, inv = np.unique(
+            flat.to_numpy(zero_copy_only=False).astype(object), return_inverse=True
+        )
+        keep = np.array([len(w) > 0 for w in uniq])
+        tok_of = np.array(
+            [self._token_len(w) if k else 0 for w, k in zip(uniq, keep)],
+            dtype=np.int64,
+        )
+        per_occ = tok_of[inv]
+        n_tokens = np.bincount(doc_idx, weights=per_occ, minlength=len(lens)).astype(
+            np.int64
+        )
+        n_words = np.bincount(
+            doc_idx, weights=keep[inv].astype(np.float64), minlength=len(lens)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_words": pa.array(n_words),
+                "n_bpe_tokens": pa.array(n_tokens),
+            }
+        )
+
+
+def bpe_token_counts(
+    sf_dir: str, *, n_merges: int = 200, max_words: int = 50_000
+) -> ray.data.Dataset:
+    """Fit BPE on the corpus, then count each document's subword tokens —
+    the token-budget accounting a training run does with its OWN tokenizer
+    (vs ``token_counts``' whitespace proxy).  Rows-only (the learned
+    merges are data-dependent, not SQL-expressible); invariants pinned in
+    tests/test_bpe.py."""
+    merges = train_bpe(sf_dir, n_merges=n_merges, max_words=max_words)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        BpeCounter(merges), batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")

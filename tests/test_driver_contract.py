@@ -195,6 +195,8 @@ SQL_BACKED = [
     "knn_exact_ranks",
     "embedding_assign_seeds",
     "embedding_near_dup_planted",
+    # round-5: BPE tokenizer family's exact word-frequency exchange
+    "bpe_word_counts",
 ]
 
 
@@ -261,6 +263,7 @@ ROWS_ONLY = [
     "semantic_dedup_text",
     "minhash_index_probe",
     "ivf_index_probe",
+    "bpe_token_stats",
 ]
 
 
