@@ -555,6 +555,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bpe_word_counts"] = _bpe_word_counts
 
+    def _dsir_importance_weights(sf_dir: str):
+        from docling_jobkit_ray.functions.dsir import dsir_importance_weights
+
+        return dsir_importance_weights(sf_dir)
+
+    q["dsir_importance_weights"] = _dsir_importance_weights
+
     def _bpe_token_stats(sf_dir: str):
         # tokenizer FIT + application: learn 150 merges from the corpus
         # word-frequency exchange, then count each doc's subword tokens
@@ -720,6 +727,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.bpe import BPE_WORD_COUNTS_SQL
 
     sql["bpe_word_counts"] = BPE_WORD_COUNTS_SQL
+    from docling_jobkit_ray.functions.dsir import DSIR_IMPORTANCE_WEIGHTS_SQL
+
+    sql["dsir_importance_weights"] = DSIR_IMPORTANCE_WEIGHTS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

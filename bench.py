@@ -307,6 +307,16 @@ def run_bench() -> dict:
                 "docling_jobkit_ray.pipelines.behavior", fromlist=["cohort_retention"]
             ).cohort_retention(sf),
         ),
+        # round-5 late additions: persisted IVF vector index, BPE tokenizer
+        (
+            "ivf_index_probe",
+            lambda sf: __import__("__ray_entry__").queries()["ivf_index_probe"](sf),
+        ),
+        (
+            "bpe_token_stats",
+            lambda sf: __import__("__ray_entry__").queries()["bpe_token_stats"](sf),
+        ),
+        ("dsir_importance_weights", _round4_op("dsir", "dsir_importance_weights")),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

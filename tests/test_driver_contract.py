@@ -197,6 +197,8 @@ SQL_BACKED = [
     "embedding_near_dup_planted",
     # round-5: BPE tokenizer family's exact word-frequency exchange
     "bpe_word_counts",
+    # round-5: DSIR importance resampling (int64-quantized log-ratios)
+    "dsir_importance_weights",
 ]
 
 
