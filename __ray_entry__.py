@@ -562,6 +562,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dsir_importance_weights"] = _dsir_importance_weights
 
+    def _benchmark_leakage_report(sf_dir: str):
+        return webtext.benchmark_leakage_report(sf_dir)
+
+    q["benchmark_leakage_report"] = _benchmark_leakage_report
+
     def _bpe_token_stats(sf_dir: str):
         # tokenizer FIT + application: learn 150 merges from the corpus
         # word-frequency exchange, then count each doc's subword tokens
@@ -730,6 +735,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.dsir import DSIR_IMPORTANCE_WEIGHTS_SQL
 
     sql["dsir_importance_weights"] = DSIR_IMPORTANCE_WEIGHTS_SQL
+    from docling_jobkit_ray.functions.webtext import benchmark_leakage_report_sql
+
+    sql["benchmark_leakage_report"] = benchmark_leakage_report_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -2479,3 +2479,169 @@ WHERE ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M}
       < (CASE source {num_cases} ELSE {rest[0]} END)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark-leakage report (the reverse aggregate of decontaminate)
+# ---------------------------------------------------------------------------
+
+def benchmark_leakage_report(
+    sf_dir: str, *, n: int = 4, benchmark_mod: int = 97
+) -> ray.data.Dataset:
+    """Per EVAL-item contamination coverage: for each benchmark document
+    (``doc_id % benchmark_mod == 0``), how many of its distinct word-
+    ``n``-grams occur anywhere in the TRAINING corpus — the leakage audit a
+    lab runs before trusting an eval number (GPT-3 App. C reports exactly
+    this per-benchmark overlap table; ``decontaminate`` is the per-training
+    -doc direction, this is the per-eval-doc direction).
+
+    Scale shape: the training side is the big side, so nothing broadcasts —
+    each training batch contributes its batch-local DISTINCT gram strings,
+    the eval side contributes distinct ``(eval_doc, gram)`` pairs, and both
+    meet in ONE gram-hash-bucketed exchange (`scale.bucket_count`-derived).
+    In-bucket membership is an exact ``pc.is_in``; per-doc hit counts fold
+    through an int-keyed groupby.  ``leak_ppm`` is exact integer floor
+    division (no float anywhere -> engine-identical at any scale)."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_rows = estimate_rows(sf_dir, "documents")
+    gram_buckets = bucket_count(n_rows * 40, min_buckets=64)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    union_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("g", pa.string()),
+            ("doc_id", pa.int64()),
+            ("side", pa.int64()),
+        ]
+    )
+    partial_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_leaked", pa.int64())]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.empty_table()
+        doc_idx, grams = _gram_frame(batch["text"], n)
+        if len(doc_idx) == 0:
+            return union_schema.empty_table()
+        doc_ids = pc.take(batch["doc_id"], pa.array(doc_idx, pa.int64()))
+        is_bench = pc.equal(_mod(doc_ids, benchmark_mod), 0)
+        tb = pa.table({"doc_id": doc_ids, "g": grams})
+        ev = (
+            tb.filter(is_bench).group_by(["doc_id", "g"]).aggregate([])
+        )  # distinct (eval_doc, gram); docs never span batches
+        tr_g = pc.unique(tb.filter(pc.invert(is_bench))["g"])
+        parts = []
+        if ev.num_rows:
+            parts.append(
+                pa.table(
+                    {
+                        "g": ev["g"],
+                        "doc_id": pc.cast(ev["doc_id"], pa.int64()),
+                        "side": pa.array(np.ones(ev.num_rows, np.int64)),
+                    }
+                )
+            )
+        if len(tr_g):
+            parts.append(
+                pa.table(
+                    {
+                        "g": tr_g,
+                        "doc_id": pa.array(np.full(len(tr_g), -1, np.int64)),
+                        "side": pa.array(np.zeros(len(tr_g), np.int64)),
+                    }
+                )
+            )
+        if not parts:
+            return union_schema.empty_table()
+        out = pa.concat_tables(parts)
+        gcol = out["g"].combine_chunks() if isinstance(out["g"], pa.ChunkedArray) else out["g"]
+        bucket = (
+            pd.util.hash_array(gcol.to_numpy(zero_copy_only=False))
+            & np.uint64(gram_buckets - 1)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "g": gcol,
+                "doc_id": out["doc_id"],
+                "side": out["side"],
+            }
+        )
+
+    def fold_gram_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return partial_schema.empty_table()
+        group = group.cast(union_schema)  # pandas shuffle round-trip guard
+        ev = group.filter(pc.equal(group["side"], 1))
+        if ev.num_rows == 0:
+            return partial_schema.empty_table()
+        tr_set = pc.unique(group.filter(pc.equal(group["side"], 0))["g"])
+        hit = pc.cast(pc.is_in(ev["g"], value_set=tr_set), pa.int64())
+        agg = (
+            pa.table(
+                {
+                    "doc_id": ev["doc_id"],
+                    "n_grams": pa.array(np.ones(ev.num_rows, np.int64)),
+                    "n_leaked": hit,
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("n_grams", "sum"), ("n_leaked", "sum")])
+            .rename_columns(["doc_id", "n_grams", "n_leaked"])
+        )
+        return agg.cast(partial_schema)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_grams", pa.int64()),
+                    ("n_leaked", pa.int64()),
+                    ("leak_ppm", pa.int64()),
+                ]
+            ).empty_table()
+        ng = batch["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = batch["n_leaked"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_grams": pa.array(ng),
+                "n_leaked": pa.array(nl),
+                "leak_ppm": pa.array(nl * np.int64(1_000_000) // ng),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_gram_bucket, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams", alias_name="n_grams"), Sum("n_leaked", alias_name="n_leaked"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def benchmark_leakage_report_sql(n: int = 4, benchmark_mod: int = 97) -> str:
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS g
+  FROM words, unnest(range(1, len(w) - {n - 2})) AS t(i)
+),
+ev AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % {benchmark_mod} = 0),
+tr AS (SELECT DISTINCT g FROM grams WHERE doc_id % {benchmark_mod} <> 0)
+SELECT ev.doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE ev.g IN (SELECT g FROM tr)) AS n_leaked,
+       (count(*) FILTER (WHERE ev.g IN (SELECT g FROM tr)) * 1000000) // count(*)
+         AS leak_ppm
+FROM ev GROUP BY ev.doc_id ORDER BY ev.doc_id
+"""

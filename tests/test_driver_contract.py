@@ -199,6 +199,8 @@ SQL_BACKED = [
     "bpe_word_counts",
     # round-5: DSIR importance resampling (int64-quantized log-ratios)
     "dsir_importance_weights",
+    # round-5: per-eval-item contamination coverage (integer-exact ppm)
+    "benchmark_leakage_report",
 ]
 
 
