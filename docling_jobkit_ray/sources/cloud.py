@@ -80,6 +80,11 @@ class CloudCoordinates:
     def root_path(self) -> str:  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def requires_interactive_auth(self) -> bool:
+        """True when compiling this coordinate would trigger a browser
+        auth flow (see sources/auth_context.py).  Default: never."""
+        return False
+
 
 @dataclass(frozen=True)
 class S3Coordinates(CloudCoordinates):
@@ -212,6 +217,16 @@ class GoogleDriveCoordinates(CloudCoordinates):
     def root_path(self) -> str:
         return self.path_id
 
+    def requires_interactive_auth(self) -> bool:
+        # with no stored token material, gdrivefs falls back to a browser
+        # OAuth flow — only permissible inside an allow_interactive_auth()
+        # scope on the driver (sources/auth_context.py)
+        return (
+            self.token_path is None
+            and self.refresh_token is None
+            and self.credentials_path is None
+        )
+
 
 @dataclass(frozen=True)
 class LocalCoordinates(CloudCoordinates):
@@ -283,7 +298,11 @@ def filesystem_for(coords: CloudCoordinates, *, protocol: str | None = None):
     import fsspec
     from pyarrow.fs import FSSpecHandler, PyFileSystem
 
+    from .auth_context import require_interactive_auth
+
     proto = protocol or coords.protocol()
+    if coords.requires_interactive_auth():
+        require_interactive_auth(f"{proto!r} connector without offline credentials")
     try:
         fs = fsspec.filesystem(proto, **coords.storage_options())
     except (ImportError, ValueError) as exc:
