@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return webtext.benchmark_leakage_report(sf_dir)
 
     q["benchmark_leakage_report"] = _benchmark_leakage_report
+    q["filter_agreement_matrix"] = webtext.filter_agreement_matrix
 
     def _bpe_token_stats(sf_dir: str):
         # tokenizer FIT + application: learn 150 merges from the corpus
@@ -738,6 +739,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import benchmark_leakage_report_sql
 
     sql["benchmark_leakage_report"] = benchmark_leakage_report_sql()
+    from docling_jobkit_ray.functions.webtext import filter_agreement_matrix_sql
+
+    sql["filter_agreement_matrix"] = filter_agreement_matrix_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

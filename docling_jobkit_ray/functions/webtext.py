@@ -2645,3 +2645,171 @@ SELECT ev.doc_id,
          AS leak_ppm
 FROM ev GROUP BY ev.doc_id ORDER BY ev.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# filter-agreement matrix (curation audit across the three quality filters)
+# ---------------------------------------------------------------------------
+
+def filter_agreement_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Contingency counts of the three quality filters' verdicts per
+    document — heuristic (Gopher rules), learned (linear classifier), and
+    distributional (DSIR importance resampling).  The audit every curation
+    pipeline runs before composing filters: how much do they agree, and
+    which documents does exactly one of them reject?
+
+    ONE batch map computes all three verdicts off a SHARED token stream
+    (the expensive part — regex token split — runs once, not three times),
+    emits batch-local (g,c,d) partial counts, and a <=8-row groupby folds
+    them: zero data-proportional driver state beyond DSIR's bounded
+    bucket table."""
+    from ray.data.aggregate import Sum
+
+    from .dsir import _word_buckets, dsir_bucket_logratios
+
+    lr_e6, thr_e6 = dsir_bucket_logratios(sf_dir)
+    stops = pa.array(GOPHER_STOPWORDS, pa.string())
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("gopher_keep", pa.int64()),
+            ("classifier_keep", pa.int64()),
+            ("dsir_keep", pa.int64()),
+            ("n_docs", pa.int64()),
+        ]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        nw = pc.cast(
+            pc.count_substring_regex(lower, pattern="[a-z]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        al = pc.cast(
+            pc.count_substring_regex(lower, pattern="[a-z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nd = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern="[0-9]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nu = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern="[A-Z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        hit = pc.and_(
+            pc.is_in(flat, value_set=stops), pc.not_equal(flat, "")
+        ).to_numpy(zero_copy_only=False)
+        sh = np.bincount(doc_idx, weights=hit, minlength=len(lens)).astype(np.int64)
+        # gopher rules — identical expressions to gopher_quality_docs
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mwl = np.where(nw > 0, al / np.maximum(nw, 1), 0.0)
+        g = (
+            (nw >= GOPHER_MIN_WORDS)
+            & (nw <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (sh >= GOPHER_MIN_STOP_HITS)
+        ).astype(np.int64)
+        # linear classifier — identical chain to classifier_quality_scores
+        z = QC_BIAS + QC_W_N_WORDS * nw.astype(np.float64)
+        z = z + QC_W_ALPHA * al.astype(np.float64)
+        z = z + QC_W_STOP * sh.astype(np.float64)
+        z = z + QC_W_DIGITS * nd.astype(np.float64)
+        z = z + QC_W_UPPER * nu.astype(np.float64)
+        c = (np.round(z * 1e6).astype(np.int64) >= 0).astype(np.int64)
+        # DSIR — identical rule to dsir_importance_weights (n_tok == nw)
+        buckets = _word_buckets(flat.filter(pa.array(mask)))
+        logw = np.bincount(
+            doc_idx[mask], weights=lr_e6[buckets].astype(np.float64), minlength=len(lens)
+        ).astype(np.int64)
+        d = (logw > nw * thr_e6).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "gopher_keep": pa.array(g),
+                    "classifier_keep": pa.array(c),
+                    "dsir_keep": pa.array(d),
+                    "n_docs": pa.array(np.ones(len(g), np.int64)),
+                }
+            )
+            .group_by(["gopher_keep", "classifier_keep", "dsir_keep"])
+            .aggregate([("n_docs", "sum")])
+            .rename_columns(["gopher_keep", "classifier_keep", "dsir_keep", "n_docs"])
+            .cast(out_schema)
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["gopher_keep", "classifier_keep", "dsir_keep"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort(["gopher_keep", "classifier_keep", "dsir_keep"])
+    )
+
+
+def filter_agreement_matrix_sql() -> str:
+    from .dsir import N_BUCKETS as _NB
+    from .dsir import _PRIME as _P
+
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS nw,
+         len(regexp_extract_all(lower(text), '[a-z]')) AS al,
+         len(regexp_extract_all(text, '[0-9]')) AS nd,
+         len(regexp_extract_all(text, '[A-Z]')) AS nu,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> list_contains({list(GOPHER_STOPWORDS)!r}, x))) AS sh
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), tb AS (
+  SELECT doc_id, lang,
+         list_reduce(list_transform(string_split(substr(w, 1, 8), ''),
+                                    c -> ascii(c)),
+                     (a, b) -> (a * 31 + b) % {_P}) % {_NB} AS bucket
+  FROM toks
+), counts AS (
+  SELECT bucket, count(*) AS raw_n,
+         count(*) FILTER (WHERE lang = 'en') AS tgt_n
+  FROM tb GROUP BY bucket
+), tot AS (
+  SELECT sum(raw_n) AS rt, sum(tgt_n) AS tt FROM counts
+), lr AS (
+  SELECT bucket,
+         CAST(round((ln((tgt_n + 1.0) / (tt + {_NB}))
+                     - ln((raw_n + 1.0) / (rt + {_NB}))) * 1000000)
+              AS BIGINT) AS lr_e6
+  FROM counts, tot
+), thr AS (
+  SELECT CAST(round((sum(counts.raw_n * lr.lr_e6) * 1.0)
+                    / (SELECT rt FROM tot)) AS BIGINT) AS thr_e6
+  FROM counts JOIN lr USING (bucket)
+), docw AS (
+  SELECT tb.doc_id, count(*) AS n_tok, CAST(sum(lr.lr_e6) AS BIGINT) AS logw_e6
+  FROM tb JOIN lr USING (bucket) GROUP BY tb.doc_id
+), v AS (
+  SELECT f.doc_id,
+         CAST(f.nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND f.al * 1.0 / f.nw
+                  BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+              AND f.sh >= {GOPHER_MIN_STOP_HITS} AS BIGINT) AS gopher_keep,
+         CAST(CAST(round(((((({QC_BIAS} + {QC_W_N_WORDS} * f.nw)
+                             + {QC_W_ALPHA} * f.al) + {QC_W_STOP} * f.sh)
+                           + {QC_W_DIGITS} * f.nd) + {QC_W_UPPER} * f.nu)
+                         * 1000000) AS BIGINT) >= 0 AS BIGINT)
+           AS classifier_keep,
+         CAST(COALESCE(w.logw_e6, 0)
+              > COALESCE(w.n_tok, 0) * (SELECT thr_e6 FROM thr) AS BIGINT)
+           AS dsir_keep
+  FROM f LEFT JOIN docw w ON f.doc_id = w.doc_id
+)
+SELECT gopher_keep, classifier_keep, dsir_keep, count(*) AS n_docs
+FROM v GROUP BY gopher_keep, classifier_keep, dsir_keep
+ORDER BY gopher_keep, classifier_keep, dsir_keep
+"""

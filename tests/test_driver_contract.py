@@ -201,6 +201,8 @@ SQL_BACKED = [
     "dsir_importance_weights",
     # round-5: per-eval-item contamination coverage (integer-exact ppm)
     "benchmark_leakage_report",
+    # round-5: three-filter contingency audit (gopher x classifier x dsir)
+    "filter_agreement_matrix",
 ]
 
 
