@@ -567,6 +567,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["benchmark_leakage_report"] = _benchmark_leakage_report
     q["filter_agreement_matrix"] = webtext.filter_agreement_matrix
+    q["ccnet_perplexity_buckets"] = webtext.ccnet_perplexity_buckets
+
+    def _dup_cluster_size_histogram(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram
+
+        return dup_cluster_size_histogram(sf_dir)
+
+    q["dup_cluster_size_histogram"] = _dup_cluster_size_histogram
 
     def _bpe_token_stats(sf_dir: str):
         # tokenizer FIT + application: learn 150 merges from the corpus
@@ -742,6 +750,12 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import filter_agreement_matrix_sql
 
     sql["filter_agreement_matrix"] = filter_agreement_matrix_sql()
+    from docling_jobkit_ray.functions.webtext import ccnet_perplexity_buckets_sql
+
+    sql["ccnet_perplexity_buckets"] = ccnet_perplexity_buckets_sql()
+    from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram_sql
+
+    sql["dup_cluster_size_histogram"] = dup_cluster_size_histogram_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -325,3 +325,39 @@ WHERE doc_id NOT IN (
 )
 ORDER BY doc_id
 """
+
+
+def dup_cluster_size_histogram(sf_dir: str, *, threshold: float = 0.6) -> ray.data.Dataset:
+    """Duplicate-cluster SIZE distribution — the dedup health report every
+    corpus audit prints (a fat tail of giant clusters means boilerplate or
+    a crawler loop, not legitimate near-dups).  Two tiny folds over the
+    components output: component -> size, size -> n_clusters; both key
+    spaces are bounded by the (already small) duplicate-cluster count."""
+    from ray.data.aggregate import Count
+
+    comp = dup_components(sf_dir, threshold=threshold)
+    sizes = comp.groupby("component").aggregate(Count(alias_name="size"))
+    return (
+        sizes.groupby("size")
+        .aggregate(Count(alias_name="n_clusters"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "size": pc.cast(b["size"], pa.int64()),
+                    "n_clusters": pc.cast(b["n_clusters"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort("size")
+    )
+
+
+def dup_cluster_size_histogram_sql(threshold: float = 0.6, shingle_k: int = 3) -> str:
+    return f"""
+WITH comp AS ({dup_components_sql(threshold=threshold, shingle_k=shingle_k).replace("ORDER BY doc_id", "")})
+SELECT size, count(*) AS n_clusters
+FROM (SELECT component, count(*) AS size FROM comp GROUP BY component)
+GROUP BY size ORDER BY size
+"""

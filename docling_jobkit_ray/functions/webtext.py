@@ -2813,3 +2813,70 @@ SELECT gopher_keep, classifier_keep, dsir_keep, count(*) AS n_docs
 FROM v GROUP BY gopher_keep, classifier_keep, dsir_keep
 ORDER BY gopher_keep, classifier_keep, dsir_keep
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality tercile bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+def ccnet_perplexity_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet's signature move (Wenzek et al. 2020): split the corpus into
+    head / middle / tail TERCILES of a language-model quality score and
+    keep/weight them differently downstream.  The score here is the
+    learned-classifier logit (the sandbox's LM-perplexity stand-in; a real
+    deployment swaps the scoring stage, nothing else changes).
+
+    Thresholds come from :func:`exact_global_quantiles` (iterative
+    histogram refinement — driver pull hard-bounded at any corpus size, no
+    global sort), then one broadcast-threshold pure map labels every
+    document.  The scoring map runs twice (once under the histogram, once
+    under the labeler) — deliberate: the classifier map is cheap and
+    re-running it avoids materializing a corpus-sized intermediate
+    (CLAUDE.md branching rule)."""
+    from ..pipelines.relational import exact_global_quantiles
+
+    t1, t2 = exact_global_quantiles(
+        classifier_quality_scores(sf_dir), "logit_e6", [1 / 3, 2 / 3]
+    )
+    labels = pa.array(["tail", "middle", "head"], pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("logit_e6", pa.int64()),
+                    ("bucket", pa.string()),
+                ]
+            ).empty_table()
+        v = batch["logit_e6"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted([t1, t2], v, side="left")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "logit_e6": batch["logit_e6"],
+                "bucket": pc.take(labels, pa.array(idx, pa.int64())),
+            }
+        )
+
+    return (
+        classifier_quality_scores(sf_dir)
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+def ccnet_perplexity_buckets_sql() -> str:
+    # the classifier CTE reused verbatim; quantile_disc == the engine's
+    # smallest-value-with-cumcount>=ceil(q*n) rank rule
+    inner = CLASSIFIER_QUALITY_SCORES_SQL.strip().rstrip().removesuffix("ORDER BY doc_id").rstrip()
+    return f"""
+WITH scores AS ({inner}),
+t AS (SELECT quantile_disc(logit_e6, 1.0/3) AS t1,
+             quantile_disc(logit_e6, 2.0/3) AS t2 FROM scores)
+SELECT s.doc_id, s.logit_e6,
+       CASE WHEN s.logit_e6 <= t.t1 THEN 'tail'
+            WHEN s.logit_e6 <= t.t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scores s, t ORDER BY s.doc_id
+"""

@@ -203,6 +203,9 @@ SQL_BACKED = [
     "benchmark_leakage_report",
     # round-5: three-filter contingency audit (gopher x classifier x dsir)
     "filter_agreement_matrix",
+    # round-5: CCNet quality terciles + dedup health histogram
+    "ccnet_perplexity_buckets",
+    "dup_cluster_size_histogram",
 ]
 
 
