@@ -317,6 +317,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"approx_n_users": [round(approx_distinct_users(sf_dir))]})
 
     q["approx_distinct_users"] = _approx_distinct
+
+    def _approx_distinct_users_by_type(sf_dir: str):
+        from docling_jobkit_ray.functions.sketches import approx_distinct_users_by_type
+
+        return approx_distinct_users_by_type(sf_dir)
+
+    q["approx_distinct_users_by_type"] = _approx_distinct_users_by_type
     q["knn_brute_force"] = functools.partial(similarity.knn_brute_force, k=5, n_queries=4)
     q["embedding_clusters"] = similarity.embedding_clusters
     q["export_projections"] = _export_query

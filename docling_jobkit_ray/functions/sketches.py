@@ -420,3 +420,65 @@ def approx_top_terms(
             "approx_count": pa.array(top.to_numpy(np.int64)),
         }
     )
+
+
+def approx_distinct_by(
+    ds: ray.data.Dataset, key: str, column: str, *, p: int = 12
+) -> ray.data.Dataset:
+    """GROUPED approximate COUNT(DISTINCT column) — one HLL per group key.
+
+    Per batch: one sketch per key PRESENT in the batch (the Python loop is
+    over the batch's distinct keys, not rows — sized for low-cardinality
+    grouping keys like event types or languages, where per-key sketches are
+    the textbook scale shape); the per-key fold rides ``groupby(key)`` so
+    the result stays distributed — estimates never collect to the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [(key, pa.string()), ("sketch", pa.binary())]
+            ).empty_table()
+        keys = batch.column(key).to_pylist()
+        vals = batch.column(column).to_pylist()
+        by: dict = {}
+        for k, v in zip(keys, vals):
+            by.setdefault(k, []).append(v)
+        ks, sks = [], []
+        for k, vs in by.items():
+            hll = HyperLogLog(p)
+            hll.add_values(vs)
+            ks.append(k)
+            sks.append(hll.serialize())
+        return pa.table({key: pa.array(ks, pa.string()), "sketch": pa.array(sks, pa.binary())})
+
+    out_schema = pa.schema([(key, pa.string()), ("approx_n", pa.int64())])
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        m = HyperLogLog(p)
+        for s in group["sketch"].to_pylist():
+            m = m.merge(HyperLogLog.deserialize(s))
+        return pa.table(
+            {
+                key: pa.array([group[key][0].as_py()], pa.string()),
+                "approx_n": pa.array([int(round(m.estimate()))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .map_groups(fold, batch_format="pyarrow")
+        .sort(key)
+    )
+
+
+def approx_distinct_users_by_type(sf_dir: str, *, p: int = 12) -> ray.data.Dataset:
+    """Approximate distinct users per event type (the grouped sketch the
+    ungrouped ``approx_distinct_users`` cannot answer without one pass per
+    type)."""
+    from ..sources.pages import read_table as _rt
+
+    ds = _rt(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct_by(ds, "event_type", "user_id", p=p)

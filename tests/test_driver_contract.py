@@ -273,6 +273,7 @@ ROWS_ONLY = [
     "minhash_index_probe",
     "ivf_index_probe",
     "bpe_token_stats",
+    "approx_distinct_users_by_type",
 ]
 
 

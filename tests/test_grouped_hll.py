@@ -1,0 +1,50 @@
+"""Grouped HLL (sketches.approx_distinct_by): accuracy vs exact, and the
+per-key fold's block-split invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+
+def test_grouped_hll_accuracy(ray_session):
+    from docling_jobkit_ray.functions.sketches import approx_distinct_users_by_type
+
+    sf = "/root/testdata/sf0.1"
+    got = approx_distinct_users_by_type(sf).to_pandas()
+    want = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        f"GROUP BY event_type ORDER BY event_type"
+    ).df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    err = np.abs(got["approx_n"].to_numpy() - want["n"].to_numpy()) / np.maximum(
+        want["n"].to_numpy(), 1
+    )
+    # p=12 -> ~1.6% standard error; 5% is a safe hard bound
+    assert float(err.max()) < 0.05
+
+
+def test_grouped_hll_split_invariance(ray_session, tmp_path):
+    """The merged per-key estimate must not depend on how rows were split
+    into batches (sketch merges are associative/commutative)."""
+    import pyarrow as pa
+    import ray
+
+    from docling_jobkit_ray.functions.sketches import approx_distinct_by
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(np.where(rng.random(n) < 0.5, "a", "b")),
+            "v": pa.array(rng.integers(0, 700, size=n)),
+        }
+    )
+    one = approx_distinct_by(
+        ray.data.from_arrow(tbl), "k", "v"
+    ).to_pandas()
+    many = approx_distinct_by(
+        ray.data.from_arrow(tbl).repartition(17), "k", "v"
+    ).to_pandas()
+    assert one.values.tolist() == many.values.tolist()
