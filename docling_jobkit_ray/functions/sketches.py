@@ -438,16 +438,22 @@ def approx_distinct_by(
             return pa.schema(
                 [(key, pa.string()), ("sketch", pa.binary())]
             ).empty_table()
-        keys = batch.column(key).to_pylist()
+        keys = np.asarray(batch.column(key).to_pylist(), dtype=object)
         vals = batch.column(column).to_pylist()
-        by: dict = {}
-        for k, v in zip(keys, vals):
-            by.setdefault(k, []).append(v)
+        # hash every value ONCE (same per-value blake2b as add_values),
+        # then route hashes per key — the only Python loop is over the
+        # batch's DISTINCT keys
+        hs = np.fromiter(
+            (HyperLogLog._hash64(str(v).encode("utf-8")) for v in vals),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+        uk, inv = np.unique(keys, return_inverse=True)
         ks, sks = [], []
-        for k, vs in by.items():
+        for i, k in enumerate(uk):
             hll = HyperLogLog(p)
-            hll.add_values(vs)
-            ks.append(k)
+            hll.add_hashes(hs[inv == i])
+            ks.append(str(k))
             sks.append(hll.serialize())
         return pa.table({key: pa.array(ks, pa.string()), "sketch": pa.array(sks, pa.binary())})
 
