@@ -203,3 +203,80 @@ def bpe_token_counts(
     return ds.map_batches(
         BpeCounter(merges), batch_format="pyarrow", zero_copy_batch=True
     ).sort("doc_id")
+
+
+def bpe_fertility_by_lang(
+    sf_dir: str, *, n_merges: int = 150, max_words: int = 50_000
+) -> ray.data.Dataset:
+    """Tokenizer fertility per language: subword tokens per word after
+    fitting BPE on the WHOLE corpus — the multilingual-tokenizer health
+    check (a language with high fertility is under-served by the merge
+    table and will burn training budget).  Exact integer sums ride a tiny
+    per-lang groupby; fertility_ppm is integer floor division."""
+    from ray.data.aggregate import Sum
+
+    merges = train_bpe(sf_dir, n_merges=n_merges, max_words=max_words)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    counter = BpeCounter(merges)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("n_words", pa.int64()),
+                    ("n_bpe_tokens", pa.int64()),
+                ]
+            ).empty_table()
+        counts = counter(batch.select(["doc_id", "text"]))
+        return (
+            pa.table(
+                {
+                    "lang": batch["lang"],
+                    "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                    "n_words": counts["n_words"],
+                    "n_bpe_tokens": counts["n_bpe_tokens"],
+                }
+            )
+            .group_by("lang")
+            .aggregate([("n_docs", "sum"), ("n_words", "sum"), ("n_bpe_tokens", "sum")])
+            .rename_columns(["lang", "n_docs", "n_words", "n_bpe_tokens"])
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("n_words", pa.int64()),
+                    ("n_bpe_tokens", pa.int64()),
+                    ("fertility_ppm", pa.int64()),
+                ]
+            ).empty_table()
+        nw = batch["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = batch["n_bpe_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+                "n_words": pa.array(nw),
+                "n_bpe_tokens": pa.array(nt),
+                "fertility_ppm": pa.array(
+                    nt * np.int64(1_000_000) // np.maximum(nw, 1)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort("lang")
+    )

@@ -82,3 +82,20 @@ def test_corpus_word_counts_matches_duckdb(ray_session):
     ).df()
     assert got["word"].tolist() == want["word"].tolist()
     assert got["count"].tolist() == want["count"].tolist()
+
+
+def test_bpe_fertility_by_lang(ray_session):
+    """Per-lang fertility: sums reconcile with the per-doc counts and
+    fertility >= 1 token/word everywhere."""
+    from docling_jobkit_ray.functions.bpe import (
+        bpe_fertility_by_lang,
+        bpe_token_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fert = bpe_fertility_by_lang(sf, n_merges=50).to_pandas()
+    docs = bpe_token_counts(sf, n_merges=50).to_pandas()
+    assert int(fert["n_docs"].sum()) == len(docs)
+    assert int(fert["n_words"].sum()) == int(docs["n_words"].sum())
+    assert int(fert["n_bpe_tokens"].sum()) == int(docs["n_bpe_tokens"].sum())
+    assert (fert["fertility_ppm"] >= 1_000_000).all()
