@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions",
         "user_event_paths",
         "events_since_purchase",
+        # round-5: quantile-bucketize family already holds its cap slot via
+        # orders_price_deciles
+        "rfm_segments",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -610,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions",
         "user_event_paths",
         "events_since_purchase",
+        "rfm_segments",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

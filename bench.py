@@ -320,6 +320,12 @@ def run_bench() -> dict:
         ("benchmark_leakage_report", _round4_op("webtext", "benchmark_leakage_report")),
         ("filter_agreement_matrix", _round4_op("webtext", "filter_agreement_matrix")),
         ("ccnet_perplexity_buckets", _round4_op("webtext", "ccnet_perplexity_buckets")),
+        (
+            "rfm_segments",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.relational", fromlist=["rfm_segments"]
+            ).rfm_segments(sf),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

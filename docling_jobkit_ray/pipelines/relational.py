@@ -3418,3 +3418,132 @@ RELATIONAL_QUERIES.update(TPCH_SUPP_QUERIES)
 from .behavior import BEHAVIOR_QUERIES  # noqa: E402
 
 RELATIONAL_QUERIES.update(BEHAVIOR_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (multi-metric global-quantile bucketize)
+# ---------------------------------------------------------------------------
+
+def rfm_segments(sf_dir: str) -> ray.data.Dataset:
+    """Recency / Frequency / Monetary quartile codes per customer — the
+    classic lifecycle-segmentation shape: per-key aggregates, then THREE
+    independent global-quantile bucketizations stitched into one code.
+
+    The per-customer aggregate (one row per customer, bounded) is
+    ``materialize()``d once so the three quantile histograms and the final
+    labeling map share blocks instead of re-running the orders scan 4x
+    (CLAUDE.md branching rule — the parent here is the expensive part).
+    Recency rides as int64 epoch-us CAST BEFORE any shuffle (the pinned
+    timestamp-resolution hazard), money in exact int64 cents."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("r_us", pa.int64()),
+                    ("f", pa.int64()),
+                    ("m_cents", pa.int64()),
+                ]
+            ).empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        return (
+            pa.table(
+                {
+                    "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                    "r_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                    "f": pa.array(np.ones(batch.num_rows, np.int64)),
+                    "m_cents": cents,
+                }
+            )
+            .group_by("o_custkey")
+            .aggregate([("r_us", "max"), ("f", "sum"), ("m_cents", "sum")])
+            .rename_columns(["o_custkey", "r_us", "f", "m_cents"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(
+            Max("r_us", alias_name="r_us"),
+            Sum("f", alias_name="f"),
+            Sum("m_cents", alias_name="m_cents"),
+        )
+        .materialize()  # one row per customer — bounded at any order count
+    )
+    qs = [0.25, 0.5, 0.75]
+    th = {c: exact_global_quantiles(agg, c, qs) for c in ("r_us", "f", "m_cents")}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("r_us", pa.int64()),
+                    ("f", pa.int64()),
+                    ("m_cents", pa.int64()),
+                    ("r_score", pa.int64()),
+                    ("f_score", pa.int64()),
+                    ("m_score", pa.int64()),
+                    ("rfm_code", pa.int64()),
+                ]
+            ).empty_table()
+        scores = {}
+        for c in ("r_us", "f", "m_cents"):
+            v = batch[c].to_numpy(zero_copy_only=False)
+            # 1 + #thresholds strictly below v == the oracle's count(t < v)
+            scores[c] = 1 + np.searchsorted(th[c], v, side="left")
+        return pa.table(
+            {
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "r_us": pc.cast(batch["r_us"], pa.int64()),
+                "f": pc.cast(batch["f"], pa.int64()),
+                "m_cents": pc.cast(batch["m_cents"], pa.int64()),
+                "r_score": pa.array(scores["r_us"].astype(np.int64)),
+                "f_score": pa.array(scores["f"].astype(np.int64)),
+                "m_score": pa.array(scores["m_cents"].astype(np.int64)),
+                "rfm_code": pa.array(
+                    (
+                        100 * scores["r_us"] + 10 * scores["f"] + scores["m_cents"]
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return agg.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "o_custkey"
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH c AS (
+  SELECT o_custkey, epoch_us(max(o_orderdate)) AS r_us,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+rt AS (SELECT unnest(quantile_disc(r_us, [0.25, 0.5, 0.75])) AS t FROM c),
+ft AS (SELECT unnest(quantile_disc(f, [0.25, 0.5, 0.75])) AS t FROM c),
+mt AS (SELECT unnest(quantile_disc(m_cents, [0.25, 0.5, 0.75])) AS t FROM c),
+v AS (
+  SELECT c.o_custkey, c.r_us, c.f, c.m_cents,
+         CAST(1 + (SELECT count(*) FROM rt WHERE rt.t < c.r_us) AS BIGINT) AS r_score,
+         CAST(1 + (SELECT count(*) FROM ft WHERE ft.t < c.f) AS BIGINT) AS f_score,
+         CAST(1 + (SELECT count(*) FROM mt WHERE mt.t < c.m_cents) AS BIGINT) AS m_score
+  FROM c
+)
+SELECT o_custkey, r_us, f, m_cents, r_score, f_score, m_score,
+       CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) AS rfm_code
+FROM v ORDER BY o_custkey
+"""
+
+RELATIONAL_QUERIES["rfm_segments"] = (rfm_segments, RFM_SEGMENTS_SQL)

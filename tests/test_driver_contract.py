@@ -206,6 +206,8 @@ SQL_BACKED = [
     # round-5: CCNet quality terciles + dedup health histogram
     "ccnet_perplexity_buckets",
     "dup_cluster_size_histogram",
+    # round-5: RFM quartile segmentation (3x global-quantile bucketize)
+    "rfm_segments",
 ]
 
 
