@@ -579,6 +579,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["filter_agreement_matrix"] = webtext.filter_agreement_matrix
     q["ccnet_perplexity_buckets"] = webtext.ccnet_perplexity_buckets
 
+    def _profile_events(sf_dir: str):
+        from docling_jobkit_ray.functions.profile import profile_events
+
+        return profile_events(sf_dir)
+
+    q["profile_events"] = _profile_events
+
     def _dup_cluster_size_histogram(sf_dir: str):
         from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram
 
@@ -767,6 +774,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram_sql
 
     sql["dup_cluster_size_histogram"] = dup_cluster_size_histogram_sql()
+    from docling_jobkit_ray.functions.profile import PROFILE_EVENTS_SQL
+
+    sql["profile_events"] = PROFILE_EVENTS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -208,6 +208,8 @@ SQL_BACKED = [
     "dup_cluster_size_histogram",
     # round-5: RFM quartile segmentation (3x global-quantile bucketize)
     "rfm_segments",
+    # round-5: per-column table profiler (exact-int long form)
+    "profile_events",
 ]
 
 
