@@ -348,6 +348,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["extract_vlm"] = _extract_vlm
     q["quality_scores"] = textstats.quality_scores
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
+
+    def _embedding_top_component(sf_dir: str):
+        import pandas as pd
+
+        w = similarity.embedding_top_component(sf_dir)
+        return pd.DataFrame({"dim": range(len(w)), "weight": w})
+
+    q["embedding_top_component"] = _embedding_top_component
     q["knn_pq"] = functools.partial(similarity.knn_pq, k=5, n_queries=4)
     # the entries from here down sit beyond the driver's 50-query cap by
     # design (variants / lower-priority families); each is pytest-checked

@@ -672,3 +672,77 @@ def knn_pq(
         .map_groups(_final_topk(k), batch_format="pandas")
         .sort(["query_id", "rank"])
     )
+
+
+def embedding_top_component(
+    sf_dir: str, *, n_iter: int = 25, seed: int = 7
+) -> "np.ndarray":
+    """Top principal direction of the (mean-centered) embedding corpus by
+    DISTRIBUTED POWER ITERATION — the iterative-linear-algebra member of
+    the similarity family (k-means is the other): each round is one pass of
+    per-batch partials ``(X^T (X w), column sums, row count)`` folded to the
+    driver as a single d-vector; the corpus never materializes and the
+    driver state is O(d) at any scale.
+
+    Deterministic: fixed seed start, fixed iteration count, sign pinned so
+    the largest-|coordinate| entry is positive.  Returns the unit d-vector
+    (consumers project with it); parity vs numpy eigh pinned in
+    tests/test_power_iteration.py."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    # pass 0: mean vector (bounded d-vector fold)
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {"s": pa.array([], pa.list_(pa.float64())), "n": pa.array([], pa.int64())}
+            )
+        x = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        return pa.table(
+            {"s": pa.array([x.sum(axis=0).tolist()]), "n": pa.array([x.shape[0]])}
+        )
+
+    parts = ds.map_batches(
+        mean_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: one d-vector per input block
+    n = sum(p["n"] for p in parts)
+    # take_all() block order is nondeterministic and float summation is
+    # order-sensitive — sort partials before folding so repeated runs are
+    # bit-identical
+    svecs = sorted((tuple(p["s"]) for p in parts))
+    mu = np.sum([np.asarray(s) for s in svecs], axis=0) / max(n, 1)
+    d = mu.shape[0]
+
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal(d)
+    w /= np.linalg.norm(w)
+
+    for _ in range(n_iter):
+        w_b = w  # rides the UDF closure (d floats)
+
+        def cov_partial(batch: pa.Table, w_b=w_b) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return pa.table({"v": pa.array([], pa.list_(pa.float64()))})
+            x = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            xc = x - mu
+            return pa.table({"v": pa.array([(xc.T @ (xc @ w_b)).tolist()])})
+
+        vparts = ds.map_batches(
+            cov_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        vvecs = sorted((tuple(p["v"]) for p in vparts))  # order-stable fold
+        v = np.sum([np.asarray(s) for s in vvecs], axis=0)
+        nv = np.linalg.norm(v)
+        if nv == 0:
+            break
+        w = v / nv
+
+    # pin the sign: the largest-|coordinate| entry is positive
+    if w[np.argmax(np.abs(w))] < 0:
+        w = -w
+    return w

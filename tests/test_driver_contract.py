@@ -278,6 +278,7 @@ ROWS_ONLY = [
     "ivf_index_probe",
     "bpe_token_stats",
     "approx_distinct_users_by_type",
+    "embedding_top_component",
 ]
 
 
