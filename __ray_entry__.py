@@ -594,6 +594,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["profile_events"] = _profile_events
 
+    def _pmi_collocations(sf_dir: str):
+        return webtext.pmi_collocations(sf_dir)
+
+    q["pmi_collocations"] = _pmi_collocations
+
     def _dup_cluster_size_histogram(sf_dir: str):
         from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram
 
@@ -785,6 +790,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.profile import PROFILE_EVENTS_SQL
 
     sql["profile_events"] = PROFILE_EVENTS_SQL
+    from docling_jobkit_ray.functions.webtext import pmi_collocations_sql
+
+    sql["pmi_collocations"] = pmi_collocations_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -2880,3 +2880,125 @@ SELECT s.doc_id, s.logit_e6,
             ELSE 'head' END AS bucket
 FROM scores s, t ORDER BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus-level association mining)
+# ---------------------------------------------------------------------------
+
+def pmi_collocations(sf_dir: str, *, k: int = 200) -> pa.Table:
+    """Top-``k`` bigrams by corpus count with their pointwise mutual
+    information — collocation mining (Church & Hanks 1990), the corpus-
+    association counterpart of the per-document bigram stats.
+
+    Scale shape: bigram counts fold through one groupby exchange; the
+    top-k pull is bounded; unigram counts are then gathered ONLY for the
+    <= 2k words appearing in those bigrams (broadcast word set + filtered
+    fold — the full vocabulary never reaches the driver).  Totals (bigram /
+    word occurrences) are scalar aggregates.  PMI is quantized once per
+    BIGRAM to the 1e-6 int grid, the same trick that makes DSIR
+    hash-exact."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        doc_idx, grams = _gram_frame(batch["text"], 2)
+        if len(doc_idx) == 0:
+            return pa.schema([("g", pa.string()), ("c_ab", pa.int64())]).empty_table()
+        t = pa.table({"g": grams}).group_by("g").aggregate([([], "count_all")])
+        return pa.table({"g": t["g"], "c_ab": pc.cast(t["count_all"], pa.int64())})
+
+    bg = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("c_ab", alias_name="c_ab"))
+    )
+    top = bg.sort(["c_ab", "g"], descending=[True, False]).limit(k).to_pandas()
+
+    # scalar totals: bigram and word occurrence counts (one cheap pass)
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], pattern=" ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "nb": pa.array([int(np.maximum(lens - 1, 0).sum())], pa.int64()),
+                "nw": pa.array([int(lens.sum())], pa.int64()),
+            }
+        )
+
+    tot = (
+        ds.map_batches(totals_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum(["nb", "nw"])
+    )
+    nb, nw = int(tot["sum(nb)"]), int(tot["sum(nw)"])
+
+    # unigram counts for ONLY the words of the top-k bigrams
+    need = set()
+    for g in top["g"]:
+        a, _, b = g.partition(" ")
+        need.add(a)
+        need.add(b)
+    need_arr = pa.array(sorted(need), pa.string())
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
+        flat = flat.filter(pc.is_in(flat, value_set=need_arr))
+        if len(flat) == 0:
+            return pa.schema([("wd", pa.string()), ("c", pa.int64())]).empty_table()
+        t = pa.table({"wd": flat}).group_by("wd").aggregate([([], "count_all")])
+        return pa.table({"wd": t["wd"], "c": pc.cast(t["count_all"], pa.int64())})
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("wd")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded: <= 2k rows
+    )
+    cnt = dict(zip(uni["wd"], uni["c"].astype(np.int64)))
+
+    pmi = []
+    for g, c_ab in zip(top["g"], top["c_ab"].astype(np.int64)):
+        a, _, b = g.partition(" ")
+        v = (
+            np.log(float(c_ab) / nb)
+            - np.log(float(cnt[a]) / nw)
+            - np.log(float(cnt[b]) / nw)
+        )
+        pmi.append(int(round(v * 1e6)))
+    return pa.table(
+        {
+            "bigram": pa.array(top["g"].tolist(), pa.string()),
+            "c_ab": pa.array(top["c_ab"].astype(np.int64).tolist(), pa.int64()),
+            "pmi_e6": pa.array(pmi, pa.int64()),
+        }
+    )
+
+
+def pmi_collocations_sql(k: int = 200) -> str:
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT array_to_string(w[i:i+1], ' ') AS g
+  FROM words, unnest(range(1, len(w))) AS t(i)
+),
+bg AS (SELECT g, count(*) AS c_ab FROM grams GROUP BY g),
+topk AS (SELECT g, c_ab FROM bg ORDER BY c_ab DESC, g LIMIT {k}),
+uni AS (
+  SELECT u AS wd, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS u FROM documents)
+  GROUP BY u
+),
+tot AS (
+  SELECT (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) FROM words) AS nb,
+         (SELECT CAST(sum(len(w)) AS BIGINT) FROM words) AS nw
+)
+SELECT t.g AS bigram, CAST(t.c_ab AS BIGINT) AS c_ab,
+       CAST(round((ln(t.c_ab * 1.0 / tot.nb)
+                   - ln(ua.c * 1.0 / tot.nw)
+                   - ln(ub.c * 1.0 / tot.nw)) * 1000000) AS BIGINT) AS pmi_e6
+FROM topk t, tot
+JOIN uni ua ON ua.wd = string_split(t.g, ' ')[1]
+JOIN uni ub ON ub.wd = string_split(t.g, ' ')[2]
+ORDER BY c_ab DESC, bigram
+"""

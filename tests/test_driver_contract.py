@@ -210,6 +210,8 @@ SQL_BACKED = [
     "rfm_segments",
     # round-5: per-column table profiler (exact-int long form)
     "profile_events",
+    # round-5: PMI collocations (quantize-per-bigram)
+    "pmi_collocations",
 ]
 
 
