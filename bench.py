@@ -326,6 +326,8 @@ def run_bench() -> dict:
                 "docling_jobkit_ray.pipelines.relational", fromlist=["rfm_segments"]
             ).rfm_segments(sf),
         ),
+        ("profile_events", _round4_op("profile", "profile_events")),
+        ("pmi_collocations", _round4_op("webtext", "pmi_collocations")),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
