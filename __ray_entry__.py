@@ -616,6 +616,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bpe_token_counts(sf_dir, n_merges=150)
 
     q["bpe_token_stats"] = _bpe_token_stats
+
+    def _bpe_fertility_by_lang(sf_dir: str):
+        from docling_jobkit_ray.functions.bpe import bpe_fertility_by_lang
+
+        return bpe_fertility_by_lang(sf_dir)
+
+    q["bpe_fertility_by_lang"] = _bpe_fertility_by_lang
     for name in (
         "q2_min_balance_supplier",
         "q8_market_share",

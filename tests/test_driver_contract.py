@@ -281,6 +281,7 @@ ROWS_ONLY = [
     "bpe_token_stats",
     "approx_distinct_users_by_type",
     "embedding_top_component",
+    "bpe_fertility_by_lang",
 ]
 
 
