@@ -705,14 +705,46 @@ def embedding_top_component(
             {"s": pa.array([x.sum(axis=0).tolist()]), "n": pa.array([x.shape[0]])}
         )
 
-    parts = ds.map_batches(
+    def _fold_vectors(partials: ray.data.Dataset, col: str) -> list[tuple]:
+        """Bounded, order-stable vector fold: partials (one d-vector per
+        block — unbounded at 10^6 blocks, the sketch-tree-fold hazard)
+        route to <=64 fold groups and sum WITHIN the exchange, so the
+        driver pull is constant at any block count.  Sums sort their
+        inputs (in-group and at the driver) so float accumulation order —
+        and therefore the result — is bit-identical across runs."""
+        import zlib
+
+        def tag(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return batch.append_column("fk", pa.array([], pa.int64()))
+            keys = [
+                zlib.crc32(np.asarray(v, np.float64).tobytes()) % 64
+                for v in batch[col].to_pylist()
+            ]
+            return batch.append_column("fk", pa.array(keys, pa.int64()))
+
+        def fold(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0 or group.num_columns == 0:
+                return pa.table({col: pa.array([], pa.list_(pa.float64()))})
+            vecs = sorted(tuple(v) for v in group[col].to_pylist())
+            s = np.sum([np.asarray(v) for v in vecs], axis=0)
+            return pa.table({col: pa.array([s.tolist()])})
+
+        rows = (
+            partials.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("fk")
+            .map_groups(
+                lambda g: fold(g.drop_columns(["fk"])), batch_format="pyarrow"
+            )
+            .take_all()  # <= 64 rows at ANY block count
+        )
+        return sorted(tuple(r[col]) for r in rows)
+
+    mean_ds = ds.map_batches(
         mean_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # bounded: one d-vector per input block
-    n = sum(p["n"] for p in parts)
-    # take_all() block order is nondeterministic and float summation is
-    # order-sensitive — sort partials before folding so repeated runs are
-    # bit-identical
-    svecs = sorted((tuple(p["s"]) for p in parts))
+    ).materialize()  # tiny (one (s, n) row per block); reused by both folds
+    n = int(mean_ds.sum("n") or 0)
+    svecs = _fold_vectors(mean_ds.select_columns(["s"]), "s")
     mu = np.sum([np.asarray(s) for s in svecs], axis=0) / max(n, 1)
     d = mu.shape[0]
 
@@ -732,10 +764,10 @@ def embedding_top_component(
             xc = x - mu
             return pa.table({"v": pa.array([(xc.T @ (xc @ w_b)).tolist()])})
 
-        vparts = ds.map_batches(
-            cov_partial, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
-        vvecs = sorted((tuple(p["v"]) for p in vparts))  # order-stable fold
+        vvecs = _fold_vectors(
+            ds.map_batches(cov_partial, batch_format="pyarrow", zero_copy_batch=True),
+            "v",
+        )
         v = np.sum([np.asarray(s) for s in vvecs], axis=0)
         nv = np.linalg.norm(v)
         if nv == 0:
