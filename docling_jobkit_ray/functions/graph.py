@@ -341,11 +341,15 @@ def dup_cluster_size_histogram(sf_dir: str, *, threshold: float = 0.6) -> ray.da
         sizes.groupby("size")
         .aggregate(Count(alias_name="n_clusters"))
         .map_batches(
-            lambda b: pa.table(
-                {
-                    "size": pc.cast(b["size"], pa.int64()),
-                    "n_clusters": pc.cast(b["n_clusters"], pa.int64()),
-                }
+            lambda b: (
+                pa.schema([("size", pa.int64()), ("n_clusters", pa.int64())]).empty_table()
+                if b.num_rows == 0 or b.num_columns == 0
+                else pa.table(
+                    {
+                        "size": pc.cast(b["size"], pa.int64()),
+                        "n_clusters": pc.cast(b["n_clusters"], pa.int64()),
+                    }
+                )
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,

@@ -97,7 +97,11 @@ def profile_table(
             Max("max_v", alias_name="max_v"),
         )
         .map_batches(
-            lambda b: b.cast(out_schema),
+            lambda b: (
+                out_schema.empty_table()
+                if b.num_rows == 0 or b.num_columns == 0
+                else b.cast(out_schema)
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

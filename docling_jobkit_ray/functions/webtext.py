@@ -2903,6 +2903,8 @@ def pmi_collocations(sf_dir: str, *, k: int = 200) -> pa.Table:
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def bigram_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("g", pa.string()), ("c_ab", pa.int64())]).empty_table()
         doc_idx, grams = _gram_frame(batch["text"], 2)
         if len(doc_idx) == 0:
             return pa.schema([("g", pa.string()), ("c_ab", pa.int64())]).empty_table()
@@ -2918,6 +2920,8 @@ def pmi_collocations(sf_dir: str, *, k: int = 200) -> pa.Table:
 
     # scalar totals: bigram and word occurrence counts (one cheap pass)
     def totals_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({"nb": pa.array([0], pa.int64()), "nw": pa.array([0], pa.int64())})
         words = pc.split_pattern(batch["text"], pattern=" ")
         lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
@@ -2942,6 +2946,8 @@ def pmi_collocations(sf_dir: str, *, k: int = 200) -> pa.Table:
     need_arr = pa.array(sorted(need), pa.string())
 
     def uni_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("wd", pa.string()), ("c", pa.int64())]).empty_table()
         flat = pc.list_flatten(pc.split_pattern(batch["text"], pattern=" "))
         flat = flat.filter(pc.is_in(flat, value_set=need_arr))
         if len(flat) == 0:
