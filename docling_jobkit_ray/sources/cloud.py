@@ -33,7 +33,7 @@ key_prefix/verify_ssl) so a reference user's job config maps 1:1.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 from urllib.parse import urlparse
 
 __all__ = [
@@ -313,36 +313,89 @@ def filesystem_for(coords: CloudCoordinates, *, protocol: str | None = None):
     return PyFileSystem(FSSpecHandler(fs)), coords.root_path()
 
 
+# ---------------------------------------------------------------------------
+# dynamic connector registry (the reference rebuilds a pydantic
+# discriminated union when plugins register connector configs —
+# datamodel/dynamic_unions.py; here the same capability is a scheme ->
+# parser registry that plugins extend at runtime, so a new connector's URIs
+# parse without touching this module)
+# ---------------------------------------------------------------------------
+
+_SCHEME_PARSERS: dict[str, "Callable[[str, str, str], CloudCoordinates]"] = {}
+
+
+def register_coordinate_scheme(scheme: str, parser, *, replace: bool = False) -> None:
+    """Register ``parser(uri, host, path) -> CloudCoordinates`` for a URI
+    scheme.  Third-party connector plugins call this (directly or from an
+    entry point) to join ``coordinates_for_uri`` dispatch; re-registering
+    an existing scheme requires ``replace=True`` so a plugin cannot
+    silently shadow a builtin."""
+    key = scheme.lower()
+    if key in _SCHEME_PARSERS and not replace:
+        raise ValueError(f"scheme {key!r} already registered (pass replace=True)")
+    _SCHEME_PARSERS[key] = parser
+
+
+def registered_coordinate_schemes() -> list[str]:
+    return sorted(_SCHEME_PARSERS)
+
+
+def _parse_s3(uri: str, host: str, path: str) -> CloudCoordinates:
+    return S3Coordinates(bucket=host, key_prefix=path)
+
+
+def _parse_azure(uri: str, host: str, path: str) -> CloudCoordinates:
+    # abfs://container@account.dfs.core.windows.net/prefix or abfs://container/prefix
+    if "@" in host:
+        container, account_host = host.split("@", 1)
+        account = account_host.split(".", 1)[0]
+        return AzureBlobCoordinates(
+            container=container, key_prefix=path, account_name=account
+        )
+    return AzureBlobCoordinates(container=host, key_prefix=path)
+
+
+def _parse_gcs(uri: str, host: str, path: str) -> CloudCoordinates:
+    return GcsCoordinates(bucket=host, key_prefix=path)
+
+
+def _parse_gdrive(uri: str, host: str, path: str) -> CloudCoordinates:
+    return GoogleDriveCoordinates(path_id=_join_prefix(host, path) if path else host)
+
+
+for _scheme, _parser in (
+    ("s3", _parse_s3),
+    ("abfs", _parse_azure),
+    ("az", _parse_azure),
+    ("gs", _parse_gcs),
+    ("gcs", _parse_gcs),
+    ("gdrive", _parse_gdrive),
+):
+    register_coordinate_scheme(_scheme, _parser)
+
+
 def coordinates_for_uri(uri: str) -> CloudCoordinates:
     """Parse a cloud URI into its coordinate object.
 
     ``s3://bucket/prefix`` / ``abfs://container/prefix`` (also ``az://``) /
     ``gs://bucket/prefix`` (also ``gcs://``) / ``gdrive://path_id`` /
-    ``file:///abs/path`` or a bare local path.  Credentials come from the
-    environment/instance profile when not set on the returned object."""
+    ``file:///abs/path`` or a bare local path — plus any scheme a plugin
+    added via :func:`register_coordinate_scheme`.  Credentials come from
+    the environment/instance profile when not set on the returned object."""
     parsed = urlparse(uri)
-    scheme = parsed.scheme
+    scheme = parsed.scheme.lower()
     host = parsed.netloc
     path = parsed.path.lstrip("/")
     if scheme in ("", "file"):
         local = uri[len("file://") :] if scheme == "file" else uri
         return LocalCoordinates(path=local)
-    if scheme == "s3":
-        return S3Coordinates(bucket=host, key_prefix=path)
-    if scheme in ("abfs", "az"):
-        # abfs://container@account.dfs.core.windows.net/prefix or abfs://container/prefix
-        if "@" in host:
-            container, account_host = host.split("@", 1)
-            account = account_host.split(".", 1)[0]
-            return AzureBlobCoordinates(
-                container=container, key_prefix=path, account_name=account
-            )
-        return AzureBlobCoordinates(container=host, key_prefix=path)
-    if scheme in ("gs", "gcs"):
-        return GcsCoordinates(bucket=host, key_prefix=path)
-    if scheme == "gdrive":
-        return GoogleDriveCoordinates(path_id=_join_prefix(host, path) if path else host)
-    raise ValueError(f"unrecognized cloud URI scheme {scheme!r} in {uri!r}")
+    parser = _SCHEME_PARSERS.get(scheme)
+    if parser is None:
+        raise ValueError(
+            f"unrecognized cloud URI scheme {scheme!r} in {uri!r} "
+            f"(registered: {registered_coordinate_schemes()})"
+        )
+    return parser(uri, host, path)
 
 
 def read_cloud_pages(

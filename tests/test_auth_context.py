@@ -63,3 +63,38 @@ def test_local_coords_never_gated(tmp_path):
     fs, root = filesystem_for(LocalCoordinates(path=str(tmp_path)))
     assert root == str(tmp_path)
     assert fs.get_file_info(root).is_file is False  # directory exists
+
+
+def test_dynamic_scheme_registry(tmp_path):
+    """Plugin-registered URI schemes join coordinates_for_uri dispatch —
+    the reference's dynamic connector-config union rebuilt as a parser
+    registry (datamodel/dynamic_unions.py capability parity)."""
+    import pytest as _pytest
+
+    from docling_jobkit_ray.sources.cloud import (
+        LocalCoordinates,
+        coordinates_for_uri,
+        register_coordinate_scheme,
+        registered_coordinate_schemes,
+    )
+
+    assert "s3" in registered_coordinate_schemes()
+    with _pytest.raises(ValueError):
+        coordinates_for_uri("myvault://tenant/prefix")
+
+    def parse_myvault(uri, host, path):
+        return LocalCoordinates(path=f"/vault/{host}/{path}")
+
+    register_coordinate_scheme("myvault", parse_myvault)
+    try:
+        c = coordinates_for_uri("myvault://tenant/prefix")
+        assert c.root_path() == "/vault/tenant/prefix"
+        # builtins cannot be silently shadowed
+        with _pytest.raises(ValueError):
+            register_coordinate_scheme("s3", parse_myvault)
+        # explicit replace is allowed (and restored below)
+        register_coordinate_scheme("myvault", parse_myvault, replace=True)
+    finally:
+        from docling_jobkit_ray.sources import cloud as _cloud
+
+        _cloud._SCHEME_PARSERS.pop("myvault", None)
