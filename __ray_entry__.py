@@ -599,6 +599,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pmi_collocations"] = _pmi_collocations
 
+    def _score_drift_psi(sf_dir: str):
+        return webtext.score_drift_psi(sf_dir)
+
+    q["score_drift_psi"] = _score_drift_psi
+
     def _dup_cluster_size_histogram(sf_dir: str):
         from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram
 
@@ -800,6 +805,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import pmi_collocations_sql
 
     sql["pmi_collocations"] = pmi_collocations_sql()
+    from docling_jobkit_ray.functions.webtext import score_drift_psi_sql
+
+    sql["score_drift_psi"] = score_drift_psi_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -3008,3 +3008,119 @@ JOIN uni ua ON ua.wd = string_split(t.g, ' ')[1]
 JOIN uni ub ON ub.wd = string_split(t.g, ' ')[2]
 ORDER BY c_ab DESC, bigram
 """
+
+
+# ---------------------------------------------------------------------------
+# PSI score-drift monitor (distribution drift between corpus snapshots)
+# ---------------------------------------------------------------------------
+
+def score_drift_psi(sf_dir: str) -> pa.Table:
+    """Population Stability Index of the quality-score distribution between
+    a REFERENCE corpus half (even doc_id — "last snapshot") and the CURRENT
+    half (odd doc_id) — the drift monitor a production ingest runs before
+    trusting a new crawl (PSI > 0.2 = investigate).
+
+    Decile bins come from the reference half's exact quantiles (bounded
+    refine — no sort); one counting pass bins BOTH halves (20 partial rows
+    per batch); the driver does 10-bin math.  Laplace-smoothed shares and
+    one ln() per bin, quantized once per BIN to the 1e-6 grid — the DSIR
+    trick again, so the float method is hash-exact vs DuckDB."""
+    from ..pipelines.relational import exact_global_quantiles
+
+    qs = [i / 10 for i in range(1, 10)]
+
+    def _ref_scores(sf: str):
+        ds = classifier_quality_scores(sf)
+        return ds.map_batches(
+            lambda b: (
+                b.filter(
+                    pc.equal(
+                        pc.bit_wise_and(b["doc_id"], pa.scalar(1, pa.int64())), 0
+                    )
+                )
+                if b.num_rows and b.num_columns
+                else b
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    th = exact_global_quantiles(_ref_scores(sf_dir), "logit_e6", qs)
+
+    out_schema = pa.schema(
+        [("bin", pa.int64()), ("ref_n", pa.int64()), ("cur_n", pa.int64())]
+    )
+
+    def count_bins(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        v = batch["logit_e6"].to_numpy(zero_copy_only=False)
+        b = 1 + np.searchsorted(th, v, side="left")  # 1..10, oracle's count(t < v)
+        is_ref = (
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2 == 0
+        )
+        ref = np.bincount(b[is_ref], minlength=11)[1:]
+        cur = np.bincount(b[~is_ref], minlength=11)[1:]
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(1, 11, dtype=np.int64)),
+                "ref_n": pa.array(ref.astype(np.int64)),
+                "cur_n": pa.array(cur.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        classifier_quality_scores(sf_dir)
+        .map_batches(count_bins, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("ref_n", alias_name="ref_n"), Sum("cur_n", alias_name="cur_n"))
+        .to_pandas()  # bounded: exactly 10 rows
+        .sort_values("bin", ignore_index=True)
+    )
+    ref_n = counts["ref_n"].to_numpy(np.int64)
+    cur_n = counts["cur_n"].to_numpy(np.int64)
+    rt, ct = int(ref_n.sum()), int(cur_n.sum())
+    # Laplace-smoothed shares, same parenthesization as the oracle
+    p = (ref_n + 0.5) / (rt + 5.0)
+    q = (cur_n + 0.5) / (ct + 5.0)
+    psi = np.round((p - q) * (np.log(p) - np.log(q)) * 1e6).astype(np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(counts["bin"].to_numpy(np.int64)),
+            "ref_n": pa.array(ref_n),
+            "cur_n": pa.array(cur_n),
+            "psi_e6": pa.array(psi),
+        }
+    )
+
+
+def score_drift_psi_sql() -> str:
+    inner = CLASSIFIER_QUALITY_SCORES_SQL.strip().removesuffix("ORDER BY doc_id").rstrip()
+    qlist = ", ".join(str(i / 10) for i in range(1, 10))
+    return f"""
+WITH scores AS ({inner}),
+th AS (
+  SELECT unnest(quantile_disc(logit_e6, [{qlist}])) AS t
+  FROM scores WHERE doc_id % 2 = 0
+),
+binned AS (
+  SELECT doc_id,
+         CAST(1 + (SELECT count(*) FROM th WHERE th.t < s.logit_e6) AS BIGINT) AS bin
+  FROM scores s
+),
+c AS (
+  SELECT b.bin,
+         count(*) FILTER (WHERE doc_id % 2 = 0) AS ref_n,
+         count(*) FILTER (WHERE doc_id % 2 = 1) AS cur_n
+  FROM (SELECT unnest(range(1, 11)) AS bin) b
+  LEFT JOIN binned USING (bin) GROUP BY b.bin
+),
+tot AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM c)
+SELECT c.bin, CAST(c.ref_n AS BIGINT) AS ref_n, CAST(c.cur_n AS BIGINT) AS cur_n,
+       CAST(round((((c.ref_n + 0.5) / (tot.rt + 5.0)) - ((c.cur_n + 0.5) / (tot.ct + 5.0)))
+                  * (ln((c.ref_n + 0.5) / (tot.rt + 5.0)) - ln((c.cur_n + 0.5) / (tot.ct + 5.0)))
+                  * 1000000) AS BIGINT) AS psi_e6
+FROM c, tot ORDER BY c.bin
+"""

@@ -212,6 +212,8 @@ SQL_BACKED = [
     "profile_events",
     # round-5: PMI collocations (quantize-per-bigram)
     "pmi_collocations",
+    # round-5: PSI distribution-drift monitor
+    "score_drift_psi",
 ]
 
 
