@@ -603,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return webtext.score_drift_psi(sf_dir)
 
     q["score_drift_psi"] = _score_drift_psi
+    q["train_val_test_split"] = webtext.train_val_test_split
 
     def _dup_cluster_size_histogram(sf_dir: str):
         from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram
@@ -808,6 +809,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import score_drift_psi_sql
 
     sql["score_drift_psi"] = score_drift_psi_sql()
+    from docling_jobkit_ray.functions.webtext import train_val_test_split_sql
+
+    sql["train_val_test_split"] = train_val_test_split_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -3124,3 +3124,68 @@ SELECT c.bin, CAST(c.ref_n AS BIGINT) AS ref_n, CAST(c.cur_n AS BIGINT) AS cur_n
                   * 1000000) AS BIGINT) AS psi_e6
 FROM c, tot ORDER BY c.bin
 """
+
+
+# ---------------------------------------------------------------------------
+# train / val / test split assignment
+# ---------------------------------------------------------------------------
+
+def train_val_test_split(
+    sf_dir: str, *, train: float = 0.8, val: float = 0.1
+) -> ray.data.Dataset:
+    """Deterministic 3-way split assignment per document — the partition
+    every training run needs BEFORE any shuffling, and one that must never
+    change when the corpus is resharded, re-ordered, or appended to (a doc
+    that moves from train to test between runs silently contaminates
+    eval).
+
+    Same exact-integer Lehmer rule as the sampling family: split by
+    ``((doc_id % m) * a) % m`` against integer thresholds floor(train*m)
+    and floor((train+val)*m) — int64-exact on both engines at any doc_id
+    magnitude; reshard-invariant by construction.  Pure map, zero
+    shuffles."""
+    if not (0 < train < 1 and 0 < val < 1 and train + val < 1):
+        raise ValueError(f"invalid split rates train={train} val={val}")
+    t1 = int(train * _LEHMER_M)
+    t2 = int((train + val) * _LEHMER_M)
+    labels = pa.array(["train", "val", "test"], pa.string())
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("lang", pa.string()),
+                    ("split", pa.string()),
+                ]
+            ).empty_table()
+        doc_ids = batch["doc_id"].to_numpy()
+        h = ((doc_ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        idx = np.where(h < t1, 0, np.where(h < t2, 1, 2))
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+                "split": pc.take(labels, pa.array(idx, pa.int64())),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+def train_val_test_split_sql(train: float = 0.8, val: float = 0.1) -> str:
+    t1 = int(train * _LEHMER_M)
+    t2 = int((train + val) * _LEHMER_M)
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} < {t1}
+              THEN 'train'
+            WHEN ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} < {t2}
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""

@@ -214,6 +214,8 @@ SQL_BACKED = [
     "pmi_collocations",
     # round-5: PSI distribution-drift monitor
     "score_drift_psi",
+    # round-5: deterministic train/val/test partition
+    "train_val_test_split",
 ]
 
 
