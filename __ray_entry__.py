@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["extract_vlm"] = _extract_vlm
     q["quality_scores"] = textstats.quality_scores
+    q["compression_ratio_scores"] = textstats.compression_ratio_scores
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
 
     def _embedding_top_component(sf_dir: str):

@@ -286,6 +286,7 @@ ROWS_ONLY = [
     "approx_distinct_users_by_type",
     "embedding_top_component",
     "bpe_fertility_by_lang",
+    "compression_ratio_scores",
 ]
 
 
