@@ -149,3 +149,39 @@ def export_pipeline(extracted: ray.data.Dataset) -> ray.data.Dataset:
 
 def doc_stats_pipeline(extracted: ray.data.Dataset) -> ray.data.Dataset:
     return extracted.map_batches(doc_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def export_jsonl_shards(ds: ray.data.Dataset, out_dir: str) -> dict:
+    """Materialize a Dataset as sharded JSONL — the interchange format LLM
+    training stacks consume (one JSON object per line, one file per block,
+    so a 256-node reader streams shards independently).
+
+    Staged-write protocol shared with the checkpoint/training sinks:
+    write into ``<out_dir>.staging``, stamp ``_SUCCESS`` with the row
+    count, atomically rename — a crashed export leaves only a staging dir
+    a replay discards, and a committed export replays as a no-op.
+    Returns {rows, files, committed}."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = _json.load(fh)
+        return {**meta, "committed": False}
+    staging = out_dir.rstrip("/") + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # torn previous attempt
+    os.makedirs(staging, exist_ok=True)
+    ds.write_json(staging)
+    files = sorted(_glob.glob(os.path.join(staging, "*.json")))
+    rows = 0
+    for f in files:
+        with open(f) as fh:
+            rows += sum(1 for _ in fh)
+    with open(os.path.join(staging, "_SUCCESS"), "w") as fh:
+        _json.dump({"rows": rows, "files": len(files)}, fh)
+    os.rename(staging, out_dir)
+    return {"rows": rows, "files": len(files), "committed": True}
