@@ -327,6 +327,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return approx_distinct_users_by_type(sf_dir)
 
     q["approx_distinct_users_by_type"] = _approx_distinct_users_by_type
+
+    def _doc_length_quantiles_by_lang_approx(sf_dir: str):
+        from docling_jobkit_ray.functions.sketches import (
+            doc_length_quantiles_by_lang_approx,
+        )
+
+        return doc_length_quantiles_by_lang_approx(sf_dir)
+
+    q["doc_length_quantiles_by_lang_approx"] = _doc_length_quantiles_by_lang_approx
     q["knn_brute_force"] = functools.partial(similarity.knn_brute_force, k=5, n_queries=4)
     q["embedding_clusters"] = similarity.embedding_clusters
     q["export_projections"] = _export_query

@@ -488,3 +488,68 @@ def approx_distinct_users_by_type(sf_dir: str, *, p: int = 12) -> ray.data.Datas
 
     ds = _rt(sf_dir, "events", columns=["event_type", "user_id"])
     return approx_distinct_by(ds, "event_type", "user_id", p=p)
+
+
+def approx_quantiles_by(
+    ds: ray.data.Dataset,
+    key: str,
+    column: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    delta: int = 200,
+) -> ray.data.Dataset:
+    """GROUPED approximate quantiles — one t-digest per group key (the
+    grouped twin of :func:`approx_distinct_by`): per batch one digest per
+    key PRESENT (loop over the batch's distinct keys, vectorized
+    from_values within), per-key merge rides ``groupby(key)``; the result
+    stays distributed."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [(key, pa.string()), ("sketch", pa.binary())]
+            ).empty_table()
+        keys = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        vals = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        ks, sks = [], []
+        for i, k in enumerate(uk):
+            td = TDigest.from_values(vals[inv == i], delta=delta)
+            ks.append(str(k))
+            sks.append(td.serialize())
+        return pa.table(
+            {key: pa.array(ks, pa.string()), "sketch": pa.array(sks, pa.binary())}
+        )
+
+    cols = [f"q{int(q * 100)}" for q in qs]
+    out_schema = pa.schema(
+        [(key, pa.string())] + [(c, pa.float64()) for c in cols]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        m = None
+        for s in group["sketch"].to_pylist():
+            t = TDigest.deserialize(s)
+            m = t if m is None else m.merge(t)
+        row = {key: pa.array([group[key][0].as_py()], pa.string())}
+        for q, c in zip(qs, cols):
+            row[c] = pa.array([float(m.quantile(q))], pa.float64())
+        return pa.table(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .map_groups(fold, batch_format="pyarrow")
+        .sort(key)
+    )
+
+
+def doc_length_quantiles_by_lang_approx(
+    sf_dir: str, *, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> ray.data.Dataset:
+    from ..sources.pages import read_table as _rt
+
+    ds = _rt(sf_dir, "documents", columns=["lang", "n_chars"])
+    return approx_quantiles_by(ds, "lang", "n_chars", qs)

@@ -287,6 +287,7 @@ ROWS_ONLY = [
     "embedding_top_component",
     "bpe_fertility_by_lang",
     "compression_ratio_scores",
+    "doc_length_quantiles_by_lang_approx",
 ]
 
 

@@ -48,3 +48,26 @@ def test_grouped_hll_split_invariance(ray_session, tmp_path):
         ray.data.from_arrow(tbl).repartition(17), "k", "v"
     ).to_pandas()
     assert one.values.tolist() == many.values.tolist()
+
+
+def test_grouped_tdigest_accuracy(ray_session):
+    """Grouped t-digest medians within 5% of the exact per-lang medians."""
+    import duckdb as dd
+
+    from docling_jobkit_ray.functions.sketches import (
+        doc_length_quantiles_by_lang_approx,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    got = (
+        doc_length_quantiles_by_lang_approx(sf).to_pandas().set_index("lang")
+    )
+    want = dd.sql(
+        f"SELECT lang, quantile_cont(n_chars, 0.5) AS m "
+        f"FROM read_parquet('{sf}/documents.parquet') GROUP BY lang"
+    ).df().set_index("lang")
+    for lang in want.index:
+        rel = abs(got.loc[lang, "q50"] - want.loc[lang, "m"]) / max(
+            want.loc[lang, "m"], 1
+        )
+        assert rel < 0.05, (lang, rel)
