@@ -614,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["score_drift_psi"] = _score_drift_psi
     q["train_val_test_split"] = webtext.train_val_test_split
+    q["length_weighted_sample"] = webtext.length_weighted_sample
 
     def _dup_cluster_size_histogram(sf_dir: str):
         from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram
@@ -822,6 +823,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import train_val_test_split_sql
 
     sql["train_val_test_split"] = train_val_test_split_sql()
+    from docling_jobkit_ray.functions.webtext import length_weighted_sample_sql
+
+    sql["length_weighted_sample"] = length_weighted_sample_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

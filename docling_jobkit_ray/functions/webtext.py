@@ -3189,3 +3189,65 @@ SELECT doc_id, lang,
             ELSE 'test' END AS split
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+def length_weighted_sample(sf_dir: str, *, k: int = 200) -> ray.data.Dataset:
+    """Deterministic weighted sample WITHOUT replacement, weights = doc
+    length — the Efraimidis-Spirakis one-pass reservoir (keys u^(1/w),
+    keep the top-k) that budget-aware corpus inspection uses (long docs
+    carry more tokens, so they deserve proportionally more draws).
+
+    The key order is ln(u)/w (monotone in u^(1/w)); u derives from the
+    Lehmer hash of doc_id so the draw is reshard-invariant and replayable.
+    Keys are quantized ONCE per doc to the 1e-9 grid with doc_id as the
+    total-order tiebreak — deterministic on both engines.  Per-batch
+    top-k partials are associative (the fold is lossless), so only
+    k rows per batch ever move."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_chars", pa.int64()), ("score_e9", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        doc_ids = batch["doc_id"].to_numpy()
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = ((doc_ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        u = (h.astype(np.float64) + 1.0) / float(_LEHMER_M)
+        score = np.round(np.log(u) / np.maximum(w, 1.0) * 1e9).astype(np.int64)
+        if len(score) > k:
+            # batch-local top-k partial (score desc, doc_id asc tiebreak)
+            order = np.lexsort((doc_ids, -score))[:k]
+        else:
+            order = np.arange(len(score))
+        return pa.table(
+            {
+                "doc_id": pc.cast(pc.take(batch["doc_id"], pa.array(order)), pa.int64()),
+                "n_chars": pc.cast(pc.take(batch["n_chars"], pa.array(order)), pa.int64()),
+                "score_e9": pa.array(score[order]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score_e9", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def length_weighted_sample_sql(k: int = 200) -> str:
+    return f"""
+SELECT doc_id, n_chars,
+       CAST(round(ln((((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} + 1.0)
+                     / {_LEHMER_M})
+                  / greatest(n_chars, 1) * 1000000000) AS BIGINT) AS score_e9
+FROM documents
+ORDER BY score_e9 DESC, doc_id
+LIMIT {k}
+"""

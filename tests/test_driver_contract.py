@@ -216,6 +216,8 @@ SQL_BACKED = [
     "score_drift_psi",
     # round-5: deterministic train/val/test partition
     "train_val_test_split",
+    # round-5: Efraimidis-Spirakis weighted sample
+    "length_weighted_sample",
 ]
 
 

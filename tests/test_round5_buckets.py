@@ -95,3 +95,26 @@ def test_score_drift_psi_parity_and_semantics(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     drifted = score_drift_psi(str(tmp_path)).to_pandas()
     assert int(drifted["psi_e6"].sum()) > 10 * max(base_psi, 1)
+
+
+def test_length_weighted_sample(ray_session):
+    """Efraimidis-Spirakis weighted draw: DuckDB parity; the sample skews
+    long (weights work); exactly k rows; deterministic."""
+    from docling_jobkit_ray.functions.webtext import (
+        length_weighted_sample,
+        length_weighted_sample_sql,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = length_weighted_sample(sf, k=100).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(length_weighted_sample_sql(k=100)).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) == 100
+    corpus_mean = con.execute("SELECT avg(n_chars) FROM documents").fetchone()[0]
+    assert got["n_chars"].mean() > corpus_mean
+    again = length_weighted_sample(sf, k=100).to_pandas()
+    assert got.equals(again)
