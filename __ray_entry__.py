@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: quantile-bucketize family already holds its cap slot via
         # orders_price_deciles
         "rfm_segments",
+        # round-5: MERGE/upsert (join family holds its cap slots)
+        "orders_merge_upsert",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -658,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths",
         "events_since_purchase",
         "rfm_segments",
+        "orders_merge_upsert",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

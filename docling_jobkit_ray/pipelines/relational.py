@@ -3547,3 +3547,133 @@ FROM v ORDER BY o_custkey
 """
 
 RELATIONAL_QUERIES["rfm_segments"] = (rfm_segments, RFM_SEGMENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert (lakehouse MERGE INTO: delta overrides base by key)
+# ---------------------------------------------------------------------------
+
+def orders_merge_upsert(sf_dir: str) -> ray.data.Dataset:
+    """MERGE INTO shape: a DELTA batch (here the deterministic slice
+    ``o_orderkey % 5 == 0`` with repriced totals, standing in for a CDC
+    feed) upserts into the BASE orders table — matched keys take the delta
+    row, unmatched keys keep the base row, delta-only keys insert.
+
+    One tagged-union co-shuffle keyed by orderkey bucket (base and delta
+    rows ride the SAME exchange; no join materializes); per bucket a
+    vectorized last-writer-wins mask picks the surviving row.  Money in
+    int64 cents end-to-end."""
+    import numpy as np
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=32)
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    union_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("price_cents", pa.int64()),
+            ("src", pa.int64()),  # 0 = base, 1 = delta
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("price_cents", pa.int64()),
+            ("src", pa.int64()),
+        ]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.empty_table()
+        keys = pc.cast(batch["o_orderkey"], pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        kn = keys.to_numpy()
+        bucket = pa.array((kn % n_buckets).astype(np.int64))
+        base = pa.table(
+            {
+                "bucket": bucket,
+                "o_orderkey": keys,
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "price_cents": cents,
+                "src": pa.array(np.zeros(len(kn), np.int64)),
+            }
+        )
+        is_delta = kn % 5 == 0
+        if not is_delta.any():
+            return base
+        idx = pa.array(np.flatnonzero(is_delta))
+        delta = pa.table(
+            {
+                "bucket": pc.take(base["bucket"], idx),
+                "o_orderkey": pc.take(keys, idx),
+                "o_custkey": pc.take(base["o_custkey"], idx),
+                "price_cents": pc.add(
+                    pc.take(cents, idx), pa.scalar(100_000, pa.int64())
+                ),
+                "src": pa.array(np.ones(len(idx), np.int64)),
+            }
+        )
+        return pa.concat_tables([base, delta])
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.cast(union_schema)
+        keys = group["o_orderkey"].to_numpy()
+        src = group["src"].to_numpy()
+        # last-writer-wins: sort by (key, src) and keep each key's LAST row
+        order = np.lexsort((src, keys))
+        k_sorted = keys[order]
+        keep = np.ones(len(order), bool)
+        keep[:-1] = k_sorted[1:] != k_sorted[:-1]
+        take = pa.array(order[keep])
+        return pa.table(
+            {
+                "o_orderkey": pc.take(group["o_orderkey"], take),
+                "o_custkey": pc.take(group["o_custkey"], take),
+                "price_cents": pc.take(group["price_cents"], take),
+                "src": pc.take(group["src"], take),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("o_orderkey")
+    )
+
+
+ORDERS_MERGE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(0 AS BIGINT) AS src
+  FROM orders
+),
+delta AS (
+  SELECT o_orderkey, o_custkey, price_cents + 100000 AS price_cents,
+         CAST(1 AS BIGINT) AS src
+  FROM base WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderkey, o_custkey, price_cents, src
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+)
+WHERE rn = 1
+ORDER BY o_orderkey
+"""
+
+RELATIONAL_QUERIES["orders_merge_upsert"] = (orders_merge_upsert, ORDERS_MERGE_UPSERT_SQL)

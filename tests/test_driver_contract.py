@@ -218,6 +218,8 @@ SQL_BACKED = [
     "train_val_test_split",
     # round-5: Efraimidis-Spirakis weighted sample
     "length_weighted_sample",
+    # round-5: lakehouse MERGE INTO / upsert
+    "orders_merge_upsert",
 ]
 
 
