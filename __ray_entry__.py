@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments",
         # round-5: MERGE/upsert (join family holds its cap slots)
         "orders_merge_upsert",
+        # round-5: skyline (top-k family holds the cap slot)
+        "orders_pareto_frontier",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -661,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_since_purchase",
         "rfm_segments",
         "orders_merge_upsert",
+        "orders_pareto_frontier",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

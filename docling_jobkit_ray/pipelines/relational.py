@@ -3677,3 +3677,134 @@ ORDER BY o_orderkey
 """
 
 RELATIONAL_QUERIES["orders_merge_upsert"] = (orders_merge_upsert, ORDERS_MERGE_UPSERT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# distributed skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+def _pareto_sweep(date_us: "np.ndarray", price: "np.ndarray"):
+    """Indices on the (min date, max price) Pareto frontier: a row
+    survives iff it carries its date's max price AND that max strictly
+    beats every earlier date's max.  O(n log n) vectorized sweep."""
+    import numpy as np
+
+    order = np.lexsort((-price, date_us))
+    d, p = date_us[order], price[order]
+    new_date = np.ones(len(d), bool)
+    new_date[1:] = d[1:] != d[:-1]
+    # per-row: its date's max price (first row of each date after the sort)
+    date_max = p[new_date][np.cumsum(new_date) - 1]
+    # strictly-earlier-date running max
+    dm = p[new_date]
+    prev = np.empty(len(dm))
+    prev[0] = -np.inf
+    np.maximum.accumulate(dm[:-1], out=prev[1:]) if len(dm) > 1 else None
+    prev_max = prev[np.cumsum(new_date) - 1]
+    keep = (p == date_max) & (date_max > prev_max)
+    return order[keep]
+
+
+def orders_pareto_frontier(sf_dir: str) -> ray.data.Dataset | pa.Table:
+    """Skyline query: orders not dominated on (earlier date, higher price)
+    — the multi-criteria "best tradeoffs" operator (Börzsönyi et al. 2001).
+
+    Distributed shape: the local frontier of any block is a SUPERSET
+    restriction of the global one (a globally undominated row is
+    undominated in its block), so each batch emits only its local frontier
+    (~log-size on non-adversarial data), a <=64-group fold re-sweeps, and
+    the driver's final sweep sees a bounded candidate set.  Money int64
+    cents, dates as int64 epoch-us cast before any exchange."""
+    import numpy as np
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    cand_schema = pa.schema(
+        [
+            ("fk", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("date_us", pa.int64()),
+            ("price_cents", pa.int64()),
+        ]
+    )
+
+    def local_frontier(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return cand_schema.empty_table()
+        date_us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy()
+        price = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        ).to_numpy()
+        keep = _pareto_sweep(date_us, price)
+        keys = batch["o_orderkey"].to_numpy()[keep]
+        return pa.table(
+            {
+                "fk": pa.array((keys % 64).astype(np.int64)),
+                "o_orderkey": pa.array(keys.astype(np.int64)),
+                "date_us": pa.array(date_us[keep]),
+                "price_cents": pa.array(price[keep]),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return cand_schema.empty_table()
+        group = group.cast(cand_schema)
+        keep = _pareto_sweep(
+            group["date_us"].to_numpy(), group["price_cents"].to_numpy()
+        )
+        return group.take(pa.array(np.sort(keep)))
+
+    cands = (
+        ds.map_batches(local_frontier, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fk")
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()  # bounded: <=64 folded local frontiers of a skyline
+    )
+    if cands.empty:
+        return pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("date_us", pa.int64()),
+                ("price_cents", pa.int64()),
+            ]
+        ).empty_table()
+    keep = _pareto_sweep(
+        cands["date_us"].to_numpy(np.int64), cands["price_cents"].to_numpy(np.int64)
+    )
+    out = cands.iloc[np.sort(keep)].sort_values("o_orderkey", ignore_index=True)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(np.int64)),
+            "date_us": pa.array(out["date_us"].to_numpy(np.int64)),
+            "price_cents": pa.array(out["price_cents"].to_numpy(np.int64)),
+        }
+    )
+
+
+ORDERS_PARETO_FRONTIER_SQL = """
+WITH b AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS date_us,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+w AS (
+  SELECT *,
+         max(price_cents) OVER (PARTITION BY date_us) AS date_max,
+         max(price_cents) OVER (ORDER BY date_us
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           EXCLUDE GROUP) AS prev_max
+  FROM b
+)
+SELECT o_orderkey, date_us, price_cents
+FROM w
+WHERE price_cents = date_max AND (prev_max IS NULL OR date_max > prev_max)
+ORDER BY o_orderkey
+"""
+
+RELATIONAL_QUERIES["orders_pareto_frontier"] = (
+    orders_pareto_frontier,
+    ORDERS_PARETO_FRONTIER_SQL,
+)

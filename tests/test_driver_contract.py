@@ -220,6 +220,8 @@ SQL_BACKED = [
     "length_weighted_sample",
     # round-5: lakehouse MERGE INTO / upsert
     "orders_merge_upsert",
+    # round-5: distributed skyline
+    "orders_pareto_frontier",
 ]
 
 
