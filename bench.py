@@ -328,6 +328,22 @@ def run_bench() -> dict:
         ),
         ("profile_events", _round4_op("profile", "profile_events")),
         ("pmi_collocations", _round4_op("webtext", "pmi_collocations")),
+        ("score_drift_psi", _round4_op("webtext", "score_drift_psi")),
+        ("train_val_test_split", _round4_op("webtext", "train_val_test_split")),
+        ("length_weighted_sample", _round4_op("webtext", "length_weighted_sample")),
+        (
+            "orders_merge_upsert",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.relational", fromlist=["orders_merge_upsert"]
+            ).orders_merge_upsert(sf),
+        ),
+        (
+            "orders_pareto_frontier",
+            lambda sf: __import__(
+                "docling_jobkit_ray.pipelines.relational",
+                fromlist=["orders_pareto_frontier"],
+            ).orders_pareto_frontier(sf),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
