@@ -233,3 +233,32 @@ def probe_minhash_index(
         .map_groups(dedup_pairs, batch_format="pyarrow")
         .sort(["probe_doc_id", "index_doc_id"])
     )
+
+
+def append_minhash_index(out_dir: str, new_ds: ray.data.Dataset) -> dict:
+    """Incrementally add documents to a persisted band-row index — the
+    LSH counterpart of ``append_ivf_index`` (frozen parameters, new rows
+    only): signature parameters come FROM the existing ``meta.json`` (an
+    append can never drift the permutation set — the invariant the probe's
+    missing-meta refusal protects), and the new band rows land in the same
+    ``band_id=N`` hive partitions, so probes see old + new uniformly.
+
+    Parquet appends into an existing partition directory create new files
+    (never rewrites), so a crashed append leaves the prior index readable;
+    re-running the append then duplicates band rows for the re-added docs,
+    which is HARMLESS for probe semantics (candidate pairs dedup by ids)."""
+    if not os.path.exists(os.path.join(out_dir, _META_NAME)):
+        raise FileNotFoundError(
+            f"no {_META_NAME} in {out_dir} — build_minhash_index first"
+        )
+    with open(os.path.join(out_dir, _META_NAME)) as f:
+        meta = json.load(f)
+    bands = new_ds.map_batches(
+        _sign_to_bands(
+            meta["num_perm"], meta["shingle_k"], meta["seed"], meta["n_bands"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bands.write_parquet(out_dir, partition_cols=["band_id"])
+    return dict(meta, path=out_dir)

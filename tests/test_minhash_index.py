@@ -68,3 +68,51 @@ def test_probe_refuses_missing_meta(ray_session, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         probe_minhash_index(str(tmp_path / "nope"), _ds([(1, "a b c")]))
+
+
+def test_append_minhash_index_probe_sees_both(ray_session, tmp_path):
+    """Append with frozen params: a probe finds near-dups of BOTH the
+    originally-indexed and the appended docs; appending to a dir with no
+    meta refuses."""
+    import pyarrow as pa
+    import ray
+
+    from docling_jobkit_ray.functions.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again today"
+    new_text = "completely different words about distributed systems and arrow tables here"
+
+    def _ds(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(_ds([(1, base_text)]), idx)
+    append_minhash_index(idx, _ds([(2, new_text)]))
+    # probe docs: near-dup of the ORIGINAL (3) and of the APPENDED (4)
+    probe = _ds(
+        [
+            (3, base_text.replace("today", "tonight")),
+            (4, new_text.replace("here", "now")),
+            (5, "zebra xylophone quartz vortex jackdaw mint plume")
+        ]
+    )
+    out = probe_minhash_index(idx, probe).to_pandas()
+    pairs = set(zip(out["probe_doc_id"], out["index_doc_id"]))
+    assert (3, 1) in pairs and (4, 2) in pairs
+    assert not any(p == 5 for p, _ in pairs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        append_minhash_index(str(tmp_path / "nope"), _ds([(9, "x y z")]))
