@@ -644,6 +644,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bpe_fertility_by_lang(sf_dir)
 
     q["bpe_fertility_by_lang"] = _bpe_fertility_by_lang
+
+    def _bpe_packed_sequences(sf_dir: str):
+        from docling_jobkit_ray.functions.bpe import bpe_packed_sequences
+
+        return bpe_packed_sequences(sf_dir, seq_len=512, n_merges=150).drop_columns(
+            ["input_ids"]
+        )  # stats view for the driver (list payloads stay distributed)
+
+    q["bpe_packed_sequences"] = _bpe_packed_sequences
     for name in (
         "q2_min_balance_supplier",
         "q8_market_share",

@@ -280,3 +280,118 @@ def bpe_fertility_by_lang(
         .map_batches(finalize, batch_format="pyarrow")
         .sort("lang")
     )
+
+
+UNK_ID = 0
+EOS_ID = 1
+
+
+def build_vocab(merges: list[tuple[str, str]], words: list[str]) -> dict[str, int]:
+    """Deterministic token-string -> id table: specials, then the sorted
+    set of symbols produced by encoding the (capped) word table plus all
+    single characters seen — the id space a resumed run reproduces exactly
+    from (merges, word table)."""
+    syms: set[str] = set(_END)
+    for w in words:
+        syms.update(encode_word(w, merges))
+        syms.update(w)
+    table = {"<unk>": UNK_ID, "<eos>": EOS_ID}
+    for i, s in enumerate(sorted(syms)):
+        table[s] = i + 2
+    return table
+
+
+class BpeSequencePacker:
+    """Batch UDF: documents -> fixed-length packed token-id sequences (the
+    tensors a training run consumes): encode each DISTINCT word once per
+    actor (cached), concatenate docs greedily up to ``seq_len`` with an
+    <eos> separator, never splitting a document across sequences (docs
+    longer than seq_len are truncated — counted in ``n_truncated``).
+
+    Packing is batch-local by design (bins never span batches — the same
+    locality tradeoff as functions/packing.py: a global bin-packing would
+    be an all-to-all for a ~1% density win)."""
+
+    def __init__(self, merges: list[tuple[str, str]], vocab: dict[str, int], seq_len: int):
+        self.merges = merges
+        self.vocab = vocab
+        self.seq_len = seq_len
+        self.cache: dict[str, list[int]] = {}
+
+    def _ids(self, word: str) -> list[int]:
+        ids = self.cache.get(word)
+        if ids is None:
+            ids = [self.vocab.get(t, UNK_ID) for t in encode_word(word, self.merges)]
+            self.cache[word] = ids
+        return ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("seq_key", pa.int64()),
+                    ("n_docs", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("n_truncated", pa.int64()),
+                    ("input_ids", pa.list_(pa.int32())),
+                ]
+            ).empty_table()
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        seqs: list[dict] = []
+        cur: dict | None = None
+        for did, text in zip(doc_ids, texts):
+            ids: list[int] = []
+            for w in text.split(" "):
+                if w:
+                    ids.extend(self._ids(w))
+            truncated = 0
+            if len(ids) > self.seq_len:
+                ids = ids[: self.seq_len]
+                truncated = 1
+            need = len(ids) if cur is None else len(ids) + 1  # +1 eos sep
+            if cur is None or cur["n"] + need > self.seq_len:
+                cur = {"key": did, "docs": 0, "n": 0, "trunc": 0, "ids": []}
+                seqs.append(cur)
+            elif cur["ids"]:
+                cur["ids"].append(EOS_ID)
+                cur["n"] += 1
+            cur["ids"].extend(ids)
+            cur["n"] += len(ids)
+            cur["docs"] += 1
+            cur["trunc"] += truncated
+        return pa.table(
+            {
+                "seq_key": pa.array([s["key"] for s in seqs], pa.int64()),
+                "n_docs": pa.array([s["docs"] for s in seqs], pa.int64()),
+                "n_tokens": pa.array([s["n"] for s in seqs], pa.int64()),
+                "n_truncated": pa.array([s["trunc"] for s in seqs], pa.int64()),
+                "input_ids": pa.array(
+                    [s["ids"] for s in seqs], pa.list_(pa.int32())
+                ),
+            }
+        )
+
+
+def bpe_packed_sequences(
+    sf_dir: str,
+    *,
+    seq_len: int = 512,
+    n_merges: int = 150,
+    max_words: int = 50_000,
+) -> ray.data.Dataset:
+    """End-to-end tokenize-and-pack: fit BPE on the corpus, build the
+    deterministic vocab, encode every document and pack into
+    ``seq_len``-token training rows — the terminal materialization of the
+    curation pipeline (curated text -> tensors).  The merge list + vocab
+    ride the actor closure; encoding is cached per distinct word per
+    actor."""
+    wc = corpus_word_counts(sf_dir, top_k=max_words).to_pandas()
+    merges = train_bpe(sf_dir, n_merges=n_merges, max_words=max_words)
+    vocab = build_vocab(merges, wc["word"].tolist())
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        BpeSequencePacker(merges, vocab, seq_len),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("seq_key")

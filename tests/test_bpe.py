@@ -99,3 +99,33 @@ def test_bpe_fertility_by_lang(ray_session):
     assert int(fert["n_words"].sum()) == int(docs["n_words"].sum())
     assert int(fert["n_bpe_tokens"].sum()) == int(docs["n_bpe_tokens"].sum())
     assert (fert["fertility_ppm"] >= 1_000_000).all()
+
+
+def test_bpe_packed_sequences_invariants(ray_session):
+    """Packed training rows: every sequence fits seq_len, token mass
+    reconciles with per-doc counts plus separators, ids decode within the
+    vocab, determinism."""
+    from docling_jobkit_ray.functions.bpe import (
+        EOS_ID,
+        bpe_packed_sequences,
+        bpe_token_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    seqs = bpe_packed_sequences(sf, seq_len=256, n_merges=50).to_pandas()
+    docs = bpe_token_counts(sf, n_merges=50).to_pandas()
+    assert (seqs["n_tokens"] <= 256).all()
+    assert int(seqs["n_docs"].sum()) == len(docs)
+    # token mass: sum of per-doc tokens (minus truncation losses) plus one
+    # eos per extra doc per sequence equals the packed totals
+    seps = int((seqs["n_docs"] - 1).clip(lower=0).sum())
+    packed_payload = int(seqs["n_tokens"].sum()) - seps
+    assert packed_payload <= int(docs["n_bpe_tokens"].sum())
+    if int(seqs["n_truncated"].sum()) == 0:
+        assert packed_payload == int(docs["n_bpe_tokens"].sum())
+    # ids are in-vocab int32s; eos appears exactly `seps` times as separator
+    all_ids = [i for ids in seqs["input_ids"] for i in ids]
+    assert min(all_ids) >= 0
+    assert sum(1 for i in all_ids if i == EOS_ID) == seps
+    again = bpe_packed_sequences(sf, seq_len=256, n_merges=50).to_pandas()
+    assert seqs.equals(again)

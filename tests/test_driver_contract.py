@@ -294,6 +294,7 @@ ROWS_ONLY = [
     "bpe_fertility_by_lang",
     "compression_ratio_scores",
     "doc_length_quantiles_by_lang_approx",
+    "bpe_packed_sequences",
 ]
 
 
