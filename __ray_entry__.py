@@ -620,6 +620,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["train_val_test_split"] = webtext.train_val_test_split
     q["length_weighted_sample"] = webtext.length_weighted_sample
 
+    def _incremental_hourly_view(sf_dir: str):
+        from docling_jobkit_ray.functions.matview import incremental_hourly_view
+
+        return incremental_hourly_view(sf_dir)
+
+    q["incremental_hourly_view"] = _incremental_hourly_view
+
     def _dup_cluster_size_histogram(sf_dir: str):
         from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram
 
@@ -841,6 +848,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import length_weighted_sample_sql
 
     sql["length_weighted_sample"] = length_weighted_sample_sql()
+    from docling_jobkit_ray.functions.matview import INCREMENTAL_HOURLY_VIEW_SQL
+
+    sql["incremental_hourly_view"] = INCREMENTAL_HOURLY_VIEW_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

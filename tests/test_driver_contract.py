@@ -222,6 +222,8 @@ SQL_BACKED = [
     "orders_merge_upsert",
     # round-5: distributed skyline
     "orders_pareto_frontier",
+    # round-5: incremental materialized-view refresh == full recompute
+    "incremental_hourly_view",
 ]
 
 

@@ -1,0 +1,78 @@
+"""Incremental materialized view (functions/matview.py): refresh ==
+full recompute (exact), versioned commit, torn-staging recovery."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _events_ds(sf: str, parity: int):
+    import ray
+
+    from docling_jobkit_ray.sources.pages import read_table
+
+    ds = read_table(sf, "events", columns=["ts", "event_type", "value", "event_id"])
+    return ds.map_batches(
+        lambda b, p=parity: b.filter(
+            pc.equal(
+                pc.bit_wise_and(b["event_id"], pa.scalar(1, pa.int64())),
+                p,
+            )
+        ).drop_columns(["event_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def test_refresh_equals_full_recompute(ray_session, tmp_path):
+    from docling_jobkit_ray.functions.matview import (
+        current_view,
+        hourly_event_counts,
+        init_view,
+        refresh_view,
+    )
+    from docling_jobkit_ray.sources.pages import read_table
+
+    sf = "/root/testdata/sf0.001"
+    view_dir = str(tmp_path / "view")
+    init_view(_events_ds(sf, 0), view_dir)  # base = even event_ids
+    refresh_view(view_dir, _events_ds(sf, 1))  # delta = odd event_ids
+    got = (
+        current_view(view_dir)
+        .to_pandas()
+        .sort_values(["hour", "event_type"], ignore_index=True)
+    )
+    full = (
+        hourly_event_counts(
+            read_table(sf, "events", columns=["ts", "event_type", "value"])
+        )
+        .to_pandas()
+        .sort_values(["hour", "event_type"], ignore_index=True)
+    )
+    assert got.values.tolist() == full.values.tolist()
+    # two committed versions exist
+    assert sorted(os.listdir(view_dir))[:2] == ["v1", "v2"]
+
+
+def test_refresh_requires_init_and_recovers_torn_staging(ray_session, tmp_path):
+    import pytest
+
+    from docling_jobkit_ray.functions.matview import init_view, refresh_view
+
+    sf = "/root/testdata/sf0.001"
+    view_dir = str(tmp_path / "view")
+    with pytest.raises(FileNotFoundError):
+        refresh_view(view_dir, _events_ds(sf, 1))
+    init_view(_events_ds(sf, 0), view_dir)
+    # torn staging from a crashed refresh is discarded by the retry
+    os.makedirs(os.path.join(view_dir, "v2.staging"))
+    with open(os.path.join(view_dir, "v2.staging", "junk.parquet"), "w") as fh:
+        fh.write("junk")
+    refresh_view(view_dir, _events_ds(sf, 1))
+    assert os.path.exists(os.path.join(view_dir, "v2", "_SUCCESS"))
+    meta = json.load(open(os.path.join(view_dir, "v2", "_SUCCESS")))
+    assert meta["op"] == "refresh" and meta["prev"] == 1
