@@ -344,6 +344,11 @@ def run_bench() -> dict:
                 fromlist=["orders_pareto_frontier"],
             ).orders_pareto_frontier(sf),
         ),
+        ("incremental_hourly_view", _round4_op("matview", "incremental_hourly_view")),
+        (
+            "bpe_packed_sequences",
+            lambda sf: __import__("__ray_entry__").queries()["bpe_packed_sequences"](sf),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
