@@ -340,6 +340,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return doc_length_quantiles_by_lang_approx(sf_dir)
 
     q["doc_length_quantiles_by_lang_approx"] = _doc_length_quantiles_by_lang_approx
+
+    def _approx_top_terms_by_lang(sf_dir: str):
+        from docling_jobkit_ray.functions.sketches import approx_top_terms_by_lang
+
+        return approx_top_terms_by_lang(sf_dir)
+
+    q["approx_top_terms_by_lang"] = _approx_top_terms_by_lang
     q["knn_brute_force"] = functools.partial(similarity.knn_brute_force, k=5, n_queries=4)
     q["embedding_clusters"] = similarity.embedding_clusters
     q["export_projections"] = _export_query

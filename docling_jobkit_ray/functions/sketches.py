@@ -553,3 +553,94 @@ def doc_length_quantiles_by_lang_approx(
 
     ds = _rt(sf_dir, "documents", columns=["lang", "n_chars"])
     return approx_quantiles_by(ds, "lang", "n_chars", qs)
+
+
+def approx_top_terms_by_lang(
+    sf_dir: str, *, k_counters: int = 1024, n: int = 10
+) -> ray.data.Dataset:
+    """GROUPED heavy hitters — top-``n`` terms PER LANGUAGE via per-batch
+    per-lang Misra-Gries summaries folded through ``groupby(lang)``
+    (completing the grouped-sketch triple: HLL distinct, t-digest
+    quantiles, MG heavy hitters).  Summaries are k-bounded per (batch,
+    lang); the per-lang fold is the associative MG merge, so the result is
+    split-invariant up to the documented N/k undercount."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    partial_schema = pa.schema(
+        [("lang", pa.string()), ("term", pa.string()), ("count", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return partial_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern=r"[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        langs = np.repeat(
+            np.asarray(batch["lang"].to_pylist(), dtype=object), lens
+        )
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"lang": langs[mask], "term": flat.filter(pa.array(mask)).to_pandas()}
+        )
+        rows = {"lang": [], "term": [], "count": []}
+        for lang, grp in df.groupby("lang", sort=False):
+            mg = MisraGries(k_counters)
+            mg.add_counts(grp["term"].value_counts())
+            rows["lang"].extend([str(lang)] * len(mg.counters))
+            rows["term"].extend(mg.counters.index.astype(str))
+            rows["count"].extend(mg.counters.to_numpy(np.int64))
+        return pa.table(
+            {
+                "lang": pa.array(rows["lang"], pa.string()),
+                "term": pa.array(rows["term"], pa.string()),
+                "count": pa.array(rows["count"], pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("rank", pa.int64()),
+            ("term", pa.string()),
+            ("count", pa.int64()),
+        ]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.cast(partial_schema)
+        s = (
+            group.group_by("term")
+            .aggregate([("count", "sum")])
+            .rename_columns(["term", "count"])
+        )
+        mg = MisraGries(
+            k_counters,
+            __import__("pandas").Series(
+                s["count"].to_numpy(zero_copy_only=False),
+                index=s["term"].to_pandas(),
+            ),
+        )
+        mg._shrink()
+        top = mg.top(n)
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"][0].as_py()] * len(top), pa.string()),
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "term": pa.array(top.index.astype(str), pa.string()),
+                "count": pa.array(top.to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort(["lang", "rank"])
+    )

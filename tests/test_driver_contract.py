@@ -296,6 +296,7 @@ ROWS_ONLY = [
     "bpe_fertility_by_lang",
     "compression_ratio_scores",
     "doc_length_quantiles_by_lang_approx",
+    "approx_top_terms_by_lang",
     "bpe_packed_sequences",
 ]
 

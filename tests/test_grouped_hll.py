@@ -71,3 +71,26 @@ def test_grouped_tdigest_accuracy(ray_session):
             want.loc[lang, "m"], 1
         )
         assert rel < 0.05, (lang, rel)
+
+
+def test_grouped_mg_top_terms(ray_session):
+    """Grouped Misra-Gries: each language's reported top term matches the
+    exact per-lang top term (heaviest hitters always survive MG)."""
+    import duckdb as dd
+
+    from docling_jobkit_ray.functions.sketches import approx_top_terms_by_lang
+
+    sf = "/root/testdata/sf0.01"
+    got = approx_top_terms_by_lang(sf, n=3).to_pandas()
+    want = dd.sql(
+        f"""
+        SELECT lang, w AS term, count(*) AS c
+        FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM read_parquet('{sf}/documents.parquet'))
+        GROUP BY lang, w QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) = 1
+        """
+    ).df()
+    for _, row in want.iterrows():
+        top1 = got[(got["lang"] == row["lang"]) & (got["rank"] == 1)]
+        assert top1["term"].iloc[0] == row["term"]
+        assert int(top1["count"].iloc[0]) <= int(row["c"])  # MG undercounts only
