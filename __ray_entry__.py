@@ -347,6 +347,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return approx_top_terms_by_lang(sf_dir)
 
     q["approx_top_terms_by_lang"] = _approx_top_terms_by_lang
+
+    def _table_stats_events(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_catalog import table_stats_events
+
+        return table_stats_events(sf_dir)
+
+    q["table_stats_events"] = _table_stats_events
     q["knn_brute_force"] = functools.partial(similarity.knn_brute_force, k=5, n_queries=4)
     q["embedding_clusters"] = similarity.embedding_clusters
     q["export_projections"] = _export_query

@@ -298,6 +298,7 @@ ROWS_ONLY = [
     "doc_length_quantiles_by_lang_approx",
     "approx_top_terms_by_lang",
     "bpe_packed_sequences",
+    "table_stats_events",
 ]
 
 
