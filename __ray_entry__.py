@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merge_upsert",
         # round-5: skyline (top-k family holds the cap slot)
         "orders_pareto_frontier",
+        # round-5: layout-key kernel (sort family holds the cap slot)
+        "orders_zorder_keys",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -694,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments",
         "orders_merge_upsert",
         "orders_pareto_frontier",
+        "orders_zorder_keys",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

@@ -3808,3 +3808,76 @@ RELATIONAL_QUERIES["orders_pareto_frontier"] = (
     orders_pareto_frontier,
     ORDERS_PARETO_FRONTIER_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys — multi-dimensional data clustering
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def orders_zorder_keys(sf_dir: str) -> ray.data.Dataset:
+    """Morton/Z-order key per order over (customer, order-hour) — the
+    lakehouse layout operator (Delta/Iceberg OPTIMIZE ZORDER BY): sorting
+    or partitioning by the interleaved key co-locates rows that are close
+    in BOTH dimensions, so per-customer AND per-time-range scans both prune
+    well from one layout.
+
+    The key interleaves the low ``_Z_BITS`` bits of each dimension
+    (bit i of custkey -> bit 2i, bit i of hour -> bit 2i+1) — pure int64
+    vectorized shifts, and the same 32-term expression generated into the
+    SQL oracle.  One map + the global sort a layout rewrite performs
+    anyway."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("zkey", pa.int64()),
+                ]
+            ).empty_table()
+        a = batch["o_custkey"].to_numpy().astype(np.int64) & ((1 << _Z_BITS) - 1)
+        hour = (
+            pc.cast(batch["o_orderdate"], pa.int64()).to_numpy() // 3_600_000_000
+        ) & ((1 << _Z_BITS) - 1)
+        z = np.zeros(len(a), np.int64)
+        for i in range(_Z_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((hour >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "zkey": pa.array(z),
+            }
+        )
+
+    return ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["zkey", "o_orderkey"]
+    )
+
+
+def _zorder_sql_expr(a: str, b: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+ORDERS_ZORDER_KEYS_SQL = f"""
+WITH b AS (
+  SELECT o_orderkey,
+         o_custkey & {(1 << _Z_BITS) - 1} AS a,
+         (epoch_us(o_orderdate) // 3600000000) & {(1 << _Z_BITS) - 1} AS h
+  FROM orders
+)
+SELECT o_orderkey, CAST({_zorder_sql_expr("a", "h")} AS BIGINT) AS zkey
+FROM b ORDER BY zkey, o_orderkey
+"""
+
+RELATIONAL_QUERIES["orders_zorder_keys"] = (orders_zorder_keys, ORDERS_ZORDER_KEYS_SQL)

@@ -224,6 +224,8 @@ SQL_BACKED = [
     "orders_pareto_frontier",
     # round-5: incremental materialized-view refresh == full recompute
     "incremental_hourly_view",
+    # round-5: Z-order layout keys
+    "orders_zorder_keys",
 ]
 
 
