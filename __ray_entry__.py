@@ -356,6 +356,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return table_stats_events(sf_dir)
 
     q["table_stats_events"] = _table_stats_events
+
+    def _user_overlap_estimate(sf_dir: str):
+        from docling_jobkit_ray.functions.sketches import user_overlap_estimate
+
+        return user_overlap_estimate(sf_dir)
+
+    q["user_overlap_estimate"] = _user_overlap_estimate
     q["knn_brute_force"] = functools.partial(similarity.knn_brute_force, k=5, n_queries=4)
     q["embedding_clusters"] = similarity.embedding_clusters
     q["export_projections"] = _export_query

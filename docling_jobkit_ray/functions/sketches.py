@@ -644,3 +644,91 @@ def approx_top_terms_by_lang(
         .map_groups(fold, batch_format="pyarrow")
         .sort(["lang", "rank"])
     )
+
+
+def user_overlap_estimate(sf_dir: str, *, p: int = 12) -> pa.Table:
+    """Sketch set algebra: estimated distinct users in each activity half
+    (first/second half of the time range), their UNION (HLL registers
+    max-merge — exact sketch algebra) and their INTERSECTION via
+    inclusion-exclusion — the audience-overlap estimate computed WITHOUT
+    ever shuffling user ids (three p-register sketches cross the wire,
+    nothing else).
+
+    Rows-only: estimates are approximate by design; accuracy pinned in
+    tests against exact DuckDB counts."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    lo, hi = None, None
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64())
+        mm = pc.min_max(t)
+        return pa.table(
+            {
+                "lo": pa.array([mm["min"].as_py()], pa.int64()),
+                "hi": pa.array([mm["max"].as_py()], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True)
+    lo = int(agg.min("lo"))
+    hi = int(agg.max("hi"))
+    mid = (lo + hi) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        users = batch["user_id"].to_pylist()
+        a, b = HyperLogLog(p), HyperLogLog(p)
+        early = [u for u, tt in zip(users, t) if tt <= mid]
+        late = [u for u, tt in zip(users, t) if tt > mid]
+        if early:
+            a.add_values(early)
+        if late:
+            b.add_values(late)
+        return pa.table(
+            {
+                "a": pa.array([a.serialize()], pa.binary()),
+                "b": pa.array([b.serialize()], pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        a, b = HyperLogLog(p), HyperLogLog(p)
+        for sa, sb in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            a = a.merge(HyperLogLog.deserialize(sa))
+            b = b.merge(HyperLogLog.deserialize(sb))
+        return pa.table(
+            {
+                "a": pa.array([a.serialize()], pa.binary()),
+                "b": pa.array([b.serialize()], pa.binary()),
+            }
+        )
+
+    def key_of(batch: pa.Table) -> np.ndarray:
+        import zlib
+
+        return np.fromiter(
+            (zlib.crc32(s) for s in batch["a"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+
+    folded = _tree_fold_sketches(rows, fold, key_of=key_of)
+    a, b = HyperLogLog(p), HyperLogLog(p)
+    for r in folded.take_all():  # <= 256 rows
+        a = a.merge(HyperLogLog.deserialize(r["a"]))
+        b = b.merge(HyperLogLog.deserialize(r["b"]))
+    na, nb = a.estimate(), b.estimate()
+    nu = a.merge(b).estimate()  # union by register max — exact sketch algebra
+    ni = max(0.0, na + nb - nu)  # inclusion-exclusion
+    return pa.table(
+        {
+            "n_early": pa.array([int(round(na))], pa.int64()),
+            "n_late": pa.array([int(round(nb))], pa.int64()),
+            "n_union": pa.array([int(round(nu))], pa.int64()),
+            "n_intersection": pa.array([int(round(ni))], pa.int64()),
+        }
+    )

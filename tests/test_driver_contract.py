@@ -301,6 +301,7 @@ ROWS_ONLY = [
     "approx_top_terms_by_lang",
     "bpe_packed_sequences",
     "table_stats_events",
+    "user_overlap_estimate",
 ]
 
 

@@ -94,3 +94,29 @@ def test_grouped_mg_top_terms(ray_session):
         top1 = got[(got["lang"] == row["lang"]) & (got["rank"] == 1)]
         assert top1["term"].iloc[0] == row["term"]
         assert int(top1["count"].iloc[0]) <= int(row["c"])  # MG undercounts only
+
+
+def test_user_overlap_estimate_accuracy(ray_session):
+    """HLL set algebra: union/intersection estimates within 7% of the
+    exact time-half overlap (inclusion-exclusion compounds two sketch
+    errors, hence the looser bound)."""
+    import duckdb as dd
+
+    from docling_jobkit_ray.functions.sketches import user_overlap_estimate
+
+    sf = "/root/testdata/sf0.1"
+    got = user_overlap_estimate(sf).to_pandas().iloc[0]
+    truth = dd.sql(
+        f"""
+        WITH b AS (SELECT user_id, epoch_us(ts) AS t FROM read_parquet('{sf}/events.parquet')),
+        m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM b)
+        SELECT count(DISTINCT CASE WHEN t <= mid THEN user_id END) AS e,
+               count(DISTINCT CASE WHEN t > mid THEN user_id END) AS l,
+               count(DISTINCT user_id) AS u
+        FROM b, m
+        """
+    ).df().iloc[0]
+    inter = int(truth["e"]) + int(truth["l"]) - int(truth["u"])
+    for k, t in (("n_early", truth["e"]), ("n_late", truth["l"]), ("n_union", truth["u"]), ("n_intersection", inter)):
+        rel = abs(int(got[k]) - int(t)) / max(int(t), 1)
+        assert rel < 0.07, (k, got[k], t)
