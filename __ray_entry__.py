@@ -382,6 +382,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["url", "status", "vlm_json"]).sort("url")
 
     q["extract_vlm"] = _extract_vlm
+
+    def _extract_ab_compare(sf_dir: str):
+        from docling_jobkit_ray.pipelines.extract import extract_ab_compare
+
+        return extract_ab_compare(_corpus_for(sf_dir))
+
+    q["extract_ab_compare"] = _extract_ab_compare
     q["quality_scores"] = textstats.quality_scores
     q["compression_ratio_scores"] = textstats.compression_ratio_scores
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)

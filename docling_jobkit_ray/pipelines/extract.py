@@ -347,3 +347,72 @@ def dedup_pages_by_url(
         .groupby("bucket")
         .map_groups(keep_first_bucket, batch_format="pandas")
     )
+
+
+def extract_ab_compare(
+    input_path: str,
+    *,
+    preset_a: str = "default",
+    preset_b: str = "aggressive_strip",
+) -> "ray.data.Dataset":
+    """Shadow-compare two extraction option presets in ONE pass: every
+    document is read once and extracted twice inside the same task (the
+    efficient shadow-deploy design — no second corpus scan, no join to
+    align results), and the per-URL verdict folds into a tiny
+    (status_a, status_b, texts_equal) contingency table.
+
+    The audit a platform runs before switching presets: how many documents
+    change status, and how many produce different text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..extract.presets import get_preset
+    from ..extract.record import extract_record
+    from ..sources.pages import read_pages
+
+    opt_a, opt_b = get_preset(preset_a), get_preset(preset_b)
+    ds = read_pages(input_path, columns=["url", "html"], include_paths=False)
+
+    out_schema = pa.schema(
+        [
+            ("status_a", pa.string()),
+            ("status_b", pa.string()),
+            ("texts_equal", pa.int64()),
+            ("n_docs", pa.int64()),
+        ]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        sa, sb, eq = [], [], []
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        for url, html in zip(urls, htmls):
+            data = html if isinstance(html, (bytes, bytearray)) else str(html).encode()
+            ra = extract_record(url, data, opt_a)
+            rb = extract_record(url, data, opt_b)
+            sa.append(ra["status"])
+            sb.append(rb["status"])
+            eq.append(1 if ra.get("text") == rb.get("text") else 0)
+        return (
+            pa.table(
+                {
+                    "status_a": pa.array(sa, pa.string()),
+                    "status_b": pa.array(sb, pa.string()),
+                    "texts_equal": pa.array(eq, pa.int64()),
+                    "n_docs": pa.array([1] * len(sa), pa.int64()),
+                }
+            )
+            .group_by(["status_a", "status_b", "texts_equal"])
+            .aggregate([("n_docs", "sum")])
+            .rename_columns(["status_a", "status_b", "texts_equal", "n_docs"])
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["status_a", "status_b", "texts_equal"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort(["status_a", "status_b", "texts_equal"])
+    )

@@ -302,6 +302,7 @@ ROWS_ONLY = [
     "bpe_packed_sequences",
     "table_stats_events",
     "user_overlap_estimate",
+    "extract_ab_compare",
 ]
 
 
