@@ -349,6 +349,19 @@ def run_bench() -> dict:
             "bpe_packed_sequences",
             lambda sf: __import__("__ray_entry__").queries()["bpe_packed_sequences"](sf),
         ),
+        ("orders_zorder_keys", lambda sf: __import__(
+            "docling_jobkit_ray.pipelines.relational", fromlist=["orders_zorder_keys"]
+        ).orders_zorder_keys(sf)),
+        ("bpe_fertility_by_lang", _round4_op("bpe", "bpe_fertility_by_lang")),
+        ("compression_ratio_scores", _round4_op("textstats", "compression_ratio_scores")),
+        ("approx_distinct_users_by_type", _round4_op("sketches", "approx_distinct_users_by_type")),
+        ("approx_top_terms_by_lang", _round4_op("sketches", "approx_top_terms_by_lang")),
+        ("user_overlap_estimate", _round4_op("sketches", "user_overlap_estimate")),
+        ("table_stats_events", _round4_op("stats_catalog", "table_stats_events")),
+        (
+            "extract_ab_compare",
+            lambda sf: __import__("__ray_entry__").queries()["extract_ab_compare"](sf),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
