@@ -371,8 +371,20 @@ def extract_ab_compare(
     from ..extract.record import extract_record
     from ..sources.pages import read_pages
 
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
     opt_a, opt_b = get_preset(preset_a), get_preset(preset_b)
-    ds = read_pages(input_path, columns=["url", "html"], include_paths=False)
+    # fused shard plan (the headline-mode trick): one task = read one shard
+    # + extract it TWICE — the chained read->map plan measured ~2x slower
+    # on exactly this workload (CLAUDE.md fused rule)
+    if isinstance(input_path, str) and _os.path.isdir(input_path):
+        paths = sorted(_glob.glob(_os.path.join(input_path, "*.parquet")))
+    else:
+        paths = [input_path] if isinstance(input_path, str) else list(input_path)
 
     out_schema = pa.schema(
         [
@@ -383,19 +395,21 @@ def extract_ab_compare(
         ]
     )
 
-    def fn(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or batch.num_columns == 0:
-            return out_schema.empty_table()
+    def fn(batch) -> pa.Table:
         sa, sb, eq = [], [], []
-        urls = batch["url"].to_pylist()
-        htmls = batch["html"].to_pylist()
-        for url, html in zip(urls, htmls):
-            data = html if isinstance(html, (bytes, bytearray)) else str(html).encode()
-            ra = extract_record(url, data, opt_a)
-            rb = extract_record(url, data, opt_b)
-            sa.append(ra["status"])
-            sb.append(rb["status"])
-            eq.append(1 if ra.get("text") == rb.get("text") else 0)
+        for p in batch["path"]:
+            t = _pq.read_table(str(p), columns=["url", "html"])
+            for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+                data = (
+                    html if isinstance(html, (bytes, bytearray)) else str(html).encode()
+                )
+                ra = extract_record(url, data, opt_a)
+                rb = extract_record(url, data, opt_b)
+                sa.append(ra["status"])
+                sb.append(rb["status"])
+                eq.append(1 if ra.get("text") == rb.get("text") else 0)
+        if not sa:
+            return out_schema.empty_table()
         return (
             pa.table(
                 {
@@ -410,8 +424,9 @@ def extract_ab_compare(
             .rename_columns(["status_a", "status_b", "texts_equal", "n_docs"])
         )
 
+    shards = _rd.from_items([{"path": p} for p in paths])
     return (
-        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        shards.map_batches(fn, batch_size=1, batch_format="pyarrow")
         .groupby(["status_a", "status_b", "texts_equal"])
         .aggregate(Sum("n_docs", alias_name="n_docs"))
         .sort(["status_a", "status_b", "texts_equal"])
