@@ -526,3 +526,93 @@ def compression_ratio_scores(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
         "doc_id"
     )
+
+
+def lang_stopword_profile(sf_dir: str) -> ray.data.Dataset:
+    """SQL-portable language-evidence profile: per-document function-word
+    hit counts for every language in ``_LANG_MARKERS``, the argmax
+    prediction (lexicographic tie-break, 'und' when no evidence) and the
+    evidence margin (best - second) — the hash-checkable upgrade of the
+    rows-only ``lang_id`` heuristic.
+
+    Tokenization is the oracle contract ``[a-z]+`` over lowercased text
+    (ASCII-only, so DuckDB counts the identical token stream; non-ASCII
+    markers like 'für' simply never match on either engine).  One
+    vectorized ``pc.is_in`` pass per language over the flat token child —
+    no shuffle at any scale."""
+    langs = sorted(_LANG_MARKERS)
+    value_sets = {
+        lang: pa.array(sorted(_LANG_MARKERS[lang]), pa.string()) for lang in langs
+    }
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_fields = [("doc_id", pa.int64())]
+    out_fields += [(f"h_{lang}", pa.int64()) for lang in langs]
+    out_fields += [("pred_lang", pa.string()), ("margin", pa.int64())]
+    out_schema = pa.schema(out_fields)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        hits = np.zeros((len(lens), len(langs)), np.int64)
+        for j, lang in enumerate(langs):
+            m = pc.is_in(flat, value_set=value_sets[lang]).to_numpy(
+                zero_copy_only=False
+            ) & nonempty
+            hits[:, j] = np.bincount(doc_idx, weights=m, minlength=len(lens)).astype(
+                np.int64
+            )
+        order = np.argsort(-hits, axis=1, kind="stable")  # lexicographic tie
+        best = np.take_along_axis(hits, order[:, :1], axis=1)[:, 0]
+        second = (
+            np.take_along_axis(hits, order[:, 1:2], axis=1)[:, 0]
+            if len(langs) > 1
+            else np.zeros(len(lens), np.int64)
+        )
+        lang_arr = np.asarray(langs, dtype=object)
+        pred = np.where(best > 0, lang_arr[order[:, 0]], "und")
+        cols = {"doc_id": pc.cast(batch["doc_id"], pa.int64())}
+        for j, lang in enumerate(langs):
+            cols[f"h_{lang}"] = pa.array(hits[:, j])
+        cols["pred_lang"] = pa.array(pred.astype(str), pa.string())
+        cols["margin"] = pa.array((best - second).astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+def lang_stopword_profile_sql() -> str:
+    langs = sorted(_LANG_MARKERS)
+    hit_exprs = []
+    for lang in langs:
+        lst = sorted(_LANG_MARKERS[lang])
+        hit_exprs.append(
+            f"len(list_filter(toks, x -> list_contains({lst!r}, x))) AS h_{lang}"
+        )
+    hits_list = ", ".join(f"h_{lang}" for lang in langs)
+    pred_cases = " ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+), h AS (
+  SELECT doc_id, {", ".join(hit_exprs)} FROM t
+), v AS (
+  SELECT *, greatest({hits_list}) AS best,
+         list_sort([{hits_list}], 'DESC')[2] AS second
+  FROM h
+)
+SELECT doc_id, {", ".join(f"CAST(h_{lang} AS BIGINT) AS h_{lang}" for lang in langs)},
+       CASE WHEN best = 0 THEN 'und' {pred_cases} END AS pred_lang,
+       CAST(best - second AS BIGINT) AS margin
+FROM v ORDER BY doc_id
+"""

@@ -226,6 +226,8 @@ SQL_BACKED = [
     "incremental_hourly_view",
     # round-5: Z-order layout keys
     "orders_zorder_keys",
+    # round-5: SQL-portable language-evidence profile
+    "lang_stopword_profile",
 ]
 
 
