@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_scores"] = textstats.quality_scores
     q["compression_ratio_scores"] = textstats.compression_ratio_scores
     q["lang_stopword_profile"] = textstats.lang_stopword_profile
+    q["lang_confusion_matrix"] = textstats.lang_confusion_matrix
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
 
     def _embedding_top_component(sf_dir: str):
@@ -886,6 +887,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.textstats import lang_stopword_profile_sql
 
     sql["lang_stopword_profile"] = lang_stopword_profile_sql()
+    from docling_jobkit_ray.functions.textstats import lang_confusion_matrix_sql
+
+    sql["lang_confusion_matrix"] = lang_confusion_matrix_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -616,3 +616,88 @@ SELECT doc_id, {", ".join(f"CAST(h_{lang} AS BIGINT) AS h_{lang}" for lang in la
        CAST(best - second AS BIGINT) AS margin
 FROM v ORDER BY doc_id
 """
+
+
+def lang_confusion_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Confusion matrix of the declared ``lang`` column vs the stopword-
+    evidence prediction — the eval table you'd print for ANY classifier
+    stage (precision/recall derive from the margins).  Batch-local partial
+    counts fold through a <= |langs|^2-row groupby."""
+    from ray.data.aggregate import Sum
+
+    langs = sorted(_LANG_MARKERS)
+    value_sets = {
+        lang: pa.array(sorted(_LANG_MARKERS[lang]), pa.string()) for lang in langs
+    }
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("pred_lang", pa.string()), ("n_docs", pa.int64())]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        hits = np.zeros((len(lens), len(langs)), np.int64)
+        for j, lang in enumerate(langs):
+            m = pc.is_in(flat, value_set=value_sets[lang]).to_numpy(
+                zero_copy_only=False
+            ) & nonempty
+            hits[:, j] = np.bincount(doc_idx, weights=m, minlength=len(lens)).astype(
+                np.int64
+            )
+        order = np.argsort(-hits, axis=1, kind="stable")
+        best = np.take_along_axis(hits, order[:, :1], axis=1)[:, 0]
+        lang_arr = np.asarray(langs, dtype=object)
+        pred = np.where(best > 0, lang_arr[order[:, 0]], "und")
+        return (
+            pa.table(
+                {
+                    "lang": batch["lang"],
+                    "pred_lang": pa.array(pred.astype(str), pa.string()),
+                    "n_docs": pa.array(np.ones(len(lens), np.int64)),
+                }
+            )
+            .group_by(["lang", "pred_lang"])
+            .aggregate([("n_docs", "sum")])
+            .rename_columns(["lang", "pred_lang", "n_docs"])
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort(["lang", "pred_lang"])
+    )
+
+
+def lang_confusion_matrix_sql() -> str:
+    langs = sorted(_LANG_MARKERS)
+    hit_exprs = []
+    for lang in langs:
+        lst = sorted(_LANG_MARKERS[lang])
+        hit_exprs.append(
+            f"len(list_filter(toks, x -> list_contains({lst!r}, x))) AS h_{lang}"
+        )
+    hits_list = ", ".join(f"h_{lang}" for lang in langs)
+    pred_cases = " ".join(f"WHEN h_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, {", ".join(hit_exprs)} FROM t
+), v AS (
+  SELECT lang, greatest({hits_list}) AS best, {hits_list} FROM h
+), p AS (
+  SELECT lang, CASE WHEN best = 0 THEN 'und' {pred_cases} END AS pred_lang FROM v
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""

@@ -228,6 +228,7 @@ SQL_BACKED = [
     "orders_zorder_keys",
     # round-5: SQL-portable language-evidence profile
     "lang_stopword_profile",
+    "lang_confusion_matrix",
 ]
 
 
