@@ -393,6 +393,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["compression_ratio_scores"] = textstats.compression_ratio_scores
     q["lang_stopword_profile"] = textstats.lang_stopword_profile
     q["lang_confusion_matrix"] = textstats.lang_confusion_matrix
+
+    def _lang_agreement_kappa(sf_dir: str):
+        return textstats.lang_agreement_kappa(sf_dir)
+
+    q["lang_agreement_kappa"] = _lang_agreement_kappa
+
+    def _classifier_threshold_calibration(sf_dir: str):
+        return webtext.classifier_threshold_calibration(sf_dir)
+
+    q["classifier_threshold_calibration"] = _classifier_threshold_calibration
     q["knn_ivf"] = functools.partial(similarity.knn_ivf, k=5, n_queries=4)
 
     def _embedding_top_component(sf_dir: str):
@@ -890,6 +900,14 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.textstats import lang_confusion_matrix_sql
 
     sql["lang_confusion_matrix"] = lang_confusion_matrix_sql()
+    from docling_jobkit_ray.functions.textstats import lang_agreement_kappa_sql
+
+    sql["lang_agreement_kappa"] = lang_agreement_kappa_sql()
+    from docling_jobkit_ray.functions.webtext import (
+        classifier_threshold_calibration_sql,
+    )
+
+    sql["classifier_threshold_calibration"] = classifier_threshold_calibration_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

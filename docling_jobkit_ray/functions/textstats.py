@@ -701,3 +701,47 @@ WITH t AS (
 SELECT lang, pred_lang, count(*) AS n_docs
 FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
+
+
+def lang_agreement_kappa(sf_dir: str) -> "pa.Table":
+    """Cohen's kappa between the declared ``lang`` column and the stopword
+    prediction — chance-corrected agreement, the one-number summary of the
+    confusion matrix.  Computed on the driver from the <= |langs|^2 exact
+    matrix (observed and expected agreement as exact integer sums over
+    N^2-scaled rationals), quantized once to the 1e-6 grid."""
+    m = lang_confusion_matrix(sf_dir).to_pandas()  # bounded: <= |langs|^2 rows
+    n = int(m["n_docs"].sum())
+    po_num = int(m.loc[m["lang"] == m["pred_lang"], "n_docs"].sum())  # / n
+    row = m.groupby("lang")["n_docs"].sum()
+    col = m.groupby("pred_lang")["n_docs"].sum()
+    keys = sorted(set(row.index) | set(col.index))
+    pe_num = sum(int(row.get(k, 0)) * int(col.get(k, 0)) for k in keys)  # / n^2
+    # kappa = (po - pe) / (1 - pe) = (po_num*n - pe_num) / (n*n - pe_num)
+    denom = n * n - pe_num
+    kappa = (po_num * n - pe_num) / denom if denom else 0.0
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_agree": pa.array([po_num], pa.int64()),
+            "kappa_e6": pa.array([int(round(kappa * 1e6))], pa.int64()),
+        }
+    )
+
+
+def lang_agreement_kappa_sql() -> str:
+    inner = lang_confusion_matrix_sql().strip().removesuffix(
+        "ORDER BY lang, pred_lang"
+    )
+    return f"""
+WITH m AS ({inner}),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM m),
+agree AS (SELECT CAST(coalesce(sum(n_docs) FILTER (WHERE lang = pred_lang), 0) AS BIGINT) AS a FROM m),
+rows_ AS (SELECT lang AS k, sum(n_docs) AS r FROM m GROUP BY lang),
+cols_ AS (SELECT pred_lang AS k, sum(n_docs) AS c FROM m GROUP BY pred_lang),
+pe AS (SELECT CAST(coalesce(sum(rows_.r * cols_.c), 0) AS BIGINT) AS p
+       FROM rows_ JOIN cols_ USING (k))
+SELECT tot.n AS n_docs, agree.a AS n_agree,
+       CAST(round((agree.a * tot.n - pe.p) * 1.0 / (tot.n * tot.n - pe.p)
+                  * 1000000) AS BIGINT) AS kappa_e6
+FROM tot, agree, pe
+"""

@@ -3251,3 +3251,171 @@ FROM documents
 ORDER BY score_e9 DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# recall-targeted threshold calibration
+# ---------------------------------------------------------------------------
+
+def classifier_threshold_calibration(
+    sf_dir: str, *, target_recall: float = 0.9
+) -> pa.Table:
+    """Calibrate the classifier's decision threshold to a RECALL target
+    against the Gopher rules as reference labels — the operating-point
+    selection every learned filter needs before deployment (pick the logit
+    cutoff that keeps >= 90% of known-good docs, then report the precision
+    you pay).
+
+    threshold = the (1 - target)-quantile of positive logits via the
+    bounded exact-quantile refine (no sort); counts are one exact-integer
+    aggregate pass; recall/precision in integer ppm (floor division).
+    Driver state: one threshold + four counters."""
+    from ..pipelines.relational import exact_global_quantiles
+
+    stops = pa.array(GOPHER_STOPWORDS, pa.string())
+
+    def scores_ds():
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return pa.schema(
+                    [("logit_e6", pa.int64()), ("keep", pa.int64())]
+                ).empty_table()
+            lower = pc.utf8_lower(batch["text"])
+            nw = pc.cast(
+                pc.count_substring_regex(lower, pattern="[a-z]+"), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            al = pc.cast(
+                pc.count_substring_regex(lower, pattern="[a-z]"), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            nd = pc.cast(
+                pc.count_substring_regex(batch["text"], pattern="[0-9]"), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            nu = pc.cast(
+                pc.count_substring_regex(batch["text"], pattern="[A-Z]"), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+            flat = pc.list_flatten(words)
+            lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+            hit = pc.and_(
+                pc.is_in(flat, value_set=stops), pc.not_equal(flat, "")
+            ).to_numpy(zero_copy_only=False)
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            sh = np.bincount(doc_idx, weights=hit, minlength=len(lens)).astype(
+                np.int64
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mwl = np.where(nw > 0, al / np.maximum(nw, 1), 0.0)
+            keep = (
+                (nw >= GOPHER_MIN_WORDS)
+                & (nw <= GOPHER_MAX_WORDS)
+                & (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
+                & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+                & (sh >= GOPHER_MIN_STOP_HITS)
+            ).astype(np.int64)
+            z = QC_BIAS + QC_W_N_WORDS * nw.astype(np.float64)
+            z = z + QC_W_ALPHA * al.astype(np.float64)
+            z = z + QC_W_STOP * sh.astype(np.float64)
+            z = z + QC_W_DIGITS * nd.astype(np.float64)
+            z = z + QC_W_UPPER * nu.astype(np.float64)
+            return pa.table(
+                {
+                    "logit_e6": pa.array(np.round(z * 1e6).astype(np.int64)),
+                    "keep": pa.array(keep),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    positives = scores_ds().map_batches(
+        lambda b: b.filter(pc.equal(b["keep"], 1))
+        if b.num_rows and b.num_columns
+        else b,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    (thr,) = exact_global_quantiles(positives, "logit_e6", [1.0 - target_recall])
+    thr = int(thr)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "n_pos": pa.array([0], pa.int64()),
+                    "n_flagged": pa.array([0], pa.int64()),
+                    "n_true": pa.array([0], pa.int64()),
+                }
+            )
+        keep = batch["keep"].to_numpy(zero_copy_only=False)
+        logit = batch["logit_e6"].to_numpy(zero_copy_only=False)
+        flagged = logit >= thr
+        return pa.table(
+            {
+                "n_pos": pa.array([int(keep.sum())], pa.int64()),
+                "n_flagged": pa.array([int(flagged.sum())], pa.int64()),
+                "n_true": pa.array([int((flagged & (keep == 1)).sum())], pa.int64()),
+            }
+        )
+
+    tot = scores_ds().map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["n_pos", "n_flagged", "n_true"])
+    n_pos, n_flagged, n_true = (
+        int(tot["sum(n_pos)"]),
+        int(tot["sum(n_flagged)"]),
+        int(tot["sum(n_true)"]),
+    )
+    return pa.table(
+        {
+            "threshold_e6": pa.array([thr], pa.int64()),
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_flagged": pa.array([n_flagged], pa.int64()),
+            "n_true_flagged": pa.array([n_true], pa.int64()),
+            "recall_ppm": pa.array(
+                [n_true * 1_000_000 // max(n_pos, 1)], pa.int64()
+            ),
+            "precision_ppm": pa.array(
+                [n_true * 1_000_000 // max(n_flagged, 1)], pa.int64()
+            ),
+        }
+    )
+
+
+def classifier_threshold_calibration_sql(target_recall: float = 0.9) -> str:
+    inner = CLASSIFIER_QUALITY_SCORES_SQL.strip().removesuffix("ORDER BY doc_id").rstrip()
+    gate = f"""
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS nw,
+         len(regexp_extract_all(lower(text), '[a-z]')) AS al,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> list_contains({list(GOPHER_STOPWORDS)!r}, x))) AS sh
+  FROM documents
+"""
+    return f"""
+WITH scores AS ({inner}),
+g AS ({gate}),
+z AS (
+  SELECT s.doc_id, s.logit_e6,
+         CAST(g.nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND g.al * 1.0 / g.nw
+                  BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+              AND g.sh >= {GOPHER_MIN_STOP_HITS} AS BIGINT) AS keep
+  FROM scores s JOIN g ON s.doc_id = g.doc_id
+),
+t AS (SELECT quantile_disc(logit_e6, {1.0 - target_recall}) AS thr
+      FROM z WHERE keep = 1),
+c AS (
+  SELECT count(*) FILTER (WHERE keep = 1) AS n_pos,
+         count(*) FILTER (WHERE logit_e6 >= t.thr) AS n_flagged,
+         count(*) FILTER (WHERE keep = 1 AND logit_e6 >= t.thr) AS n_true
+  FROM z, t
+)
+SELECT t.thr AS threshold_e6,
+       CAST(c.n_pos AS BIGINT) AS n_pos,
+       CAST(c.n_flagged AS BIGINT) AS n_flagged,
+       CAST(c.n_true AS BIGINT) AS n_true_flagged,
+       (c.n_true * 1000000) // greatest(c.n_pos, 1) AS recall_ppm,
+       (c.n_true * 1000000) // greatest(c.n_flagged, 1) AS precision_ppm
+FROM t, c
+"""

@@ -229,6 +229,9 @@ SQL_BACKED = [
     # round-5: SQL-portable language-evidence profile
     "lang_stopword_profile",
     "lang_confusion_matrix",
+    # round-5: evaluation family (chance-corrected agreement, operating point)
+    "lang_agreement_kappa",
+    "classifier_threshold_calibration",
 ]
 
 
