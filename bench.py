@@ -362,6 +362,13 @@ def run_bench() -> dict:
             "extract_ab_compare",
             lambda sf: __import__("__ray_entry__").queries()["extract_ab_compare"](sf),
         ),
+        ("lang_stopword_profile", _round4_op("textstats", "lang_stopword_profile")),
+        ("lang_confusion_matrix", _round4_op("textstats", "lang_confusion_matrix")),
+        ("lang_agreement_kappa", _round4_op("textstats", "lang_agreement_kappa")),
+        (
+            "classifier_threshold_calibration",
+            _round4_op("webtext", "classifier_threshold_calibration"),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
