@@ -416,6 +416,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the entries from here down sit beyond the driver's 50-query cap by
     # design (variants / lower-priority families); each is pytest-checked
     # (tests/test_driver_contract.py ROWS_ONLY + its own unit tests)
+
+    def _classifier_auc_vs_gopher(sf_dir: str):
+        return webtext.classifier_auc_vs_gopher(sf_dir)
+
+    q["classifier_auc_vs_gopher"] = _classifier_auc_vs_gopher
     from docling_jobkit_ray.functions.packing import pack_sequences
 
     q["pack_sequences"] = pack_sequences
@@ -908,6 +913,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["classifier_threshold_calibration"] = classifier_threshold_calibration_sql()
+    from docling_jobkit_ray.functions.webtext import classifier_auc_vs_gopher_sql
+
+    sql["classifier_auc_vs_gopher"] = classifier_auc_vs_gopher_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

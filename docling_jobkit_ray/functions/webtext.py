@@ -3257,6 +3257,63 @@ LIMIT {k}
 # recall-targeted threshold calibration
 # ---------------------------------------------------------------------------
 
+def _classifier_gopher_scores(sf_dir: str) -> ray.data.Dataset:
+    """Shared evaluation-family scorer: (logit_e6, keep) per document —
+    the classifier logit and the Gopher reference label off ONE token
+    stream (used by threshold calibration and AUC)."""
+    stops = pa.array(GOPHER_STOPWORDS, pa.string())
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("logit_e6", pa.int64()), ("keep", pa.int64())]
+            ).empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        nw = pc.cast(
+            pc.count_substring_regex(lower, pattern="[a-z]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        al = pc.cast(
+            pc.count_substring_regex(lower, pattern="[a-z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nd = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern="[0-9]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nu = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern="[A-Z]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        hit = pc.and_(
+            pc.is_in(flat, value_set=stops), pc.not_equal(flat, "")
+        ).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        sh = np.bincount(doc_idx, weights=hit, minlength=len(lens)).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mwl = np.where(nw > 0, al / np.maximum(nw, 1), 0.0)
+        keep = (
+            (nw >= GOPHER_MIN_WORDS)
+            & (nw <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (sh >= GOPHER_MIN_STOP_HITS)
+        ).astype(np.int64)
+        z = QC_BIAS + QC_W_N_WORDS * nw.astype(np.float64)
+        z = z + QC_W_ALPHA * al.astype(np.float64)
+        z = z + QC_W_STOP * sh.astype(np.float64)
+        z = z + QC_W_DIGITS * nd.astype(np.float64)
+        z = z + QC_W_UPPER * nu.astype(np.float64)
+        return pa.table(
+            {
+                "logit_e6": pa.array(np.round(z * 1e6).astype(np.int64)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def classifier_threshold_calibration(
     sf_dir: str, *, target_recall: float = 0.9
 ) -> pa.Table:
@@ -3272,61 +3329,8 @@ def classifier_threshold_calibration(
     Driver state: one threshold + four counters."""
     from ..pipelines.relational import exact_global_quantiles
 
-    stops = pa.array(GOPHER_STOPWORDS, pa.string())
-
     def scores_ds():
-        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-        def fn(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 or batch.num_columns == 0:
-                return pa.schema(
-                    [("logit_e6", pa.int64()), ("keep", pa.int64())]
-                ).empty_table()
-            lower = pc.utf8_lower(batch["text"])
-            nw = pc.cast(
-                pc.count_substring_regex(lower, pattern="[a-z]+"), pa.int64()
-            ).to_numpy(zero_copy_only=False)
-            al = pc.cast(
-                pc.count_substring_regex(lower, pattern="[a-z]"), pa.int64()
-            ).to_numpy(zero_copy_only=False)
-            nd = pc.cast(
-                pc.count_substring_regex(batch["text"], pattern="[0-9]"), pa.int64()
-            ).to_numpy(zero_copy_only=False)
-            nu = pc.cast(
-                pc.count_substring_regex(batch["text"], pattern="[A-Z]"), pa.int64()
-            ).to_numpy(zero_copy_only=False)
-            words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
-            flat = pc.list_flatten(words)
-            lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-            hit = pc.and_(
-                pc.is_in(flat, value_set=stops), pc.not_equal(flat, "")
-            ).to_numpy(zero_copy_only=False)
-            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-            sh = np.bincount(doc_idx, weights=hit, minlength=len(lens)).astype(
-                np.int64
-            )
-            with np.errstate(divide="ignore", invalid="ignore"):
-                mwl = np.where(nw > 0, al / np.maximum(nw, 1), 0.0)
-            keep = (
-                (nw >= GOPHER_MIN_WORDS)
-                & (nw <= GOPHER_MAX_WORDS)
-                & (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
-                & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
-                & (sh >= GOPHER_MIN_STOP_HITS)
-            ).astype(np.int64)
-            z = QC_BIAS + QC_W_N_WORDS * nw.astype(np.float64)
-            z = z + QC_W_ALPHA * al.astype(np.float64)
-            z = z + QC_W_STOP * sh.astype(np.float64)
-            z = z + QC_W_DIGITS * nd.astype(np.float64)
-            z = z + QC_W_UPPER * nu.astype(np.float64)
-            return pa.table(
-                {
-                    "logit_e6": pa.array(np.round(z * 1e6).astype(np.int64)),
-                    "keep": pa.array(keep),
-                }
-            )
-
-        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        return _classifier_gopher_scores(sf_dir)
 
     positives = scores_ds().map_batches(
         lambda b: b.filter(pc.equal(b["keep"], 1))
@@ -3418,4 +3422,174 @@ SELECT t.thr AS threshold_e6,
        (c.n_true * 1000000) // greatest(c.n_pos, 1) AS recall_ppm,
        (c.n_true * 1000000) // greatest(c.n_flagged, 1) AS precision_ppm
 FROM t, c
+"""
+
+
+# ---------------------------------------------------------------------------
+# classifier AUC vs the Gopher reference labels
+# ---------------------------------------------------------------------------
+
+def classifier_auc_vs_gopher(sf_dir: str) -> pa.Table:
+    """Exact ranking quality (AUC-ROC) of the learned quality classifier
+    against the Gopher rules as reference labels — the other half of the
+    evaluation family next to ``classifier_threshold_calibration`` (that one
+    picks an operating POINT; this scores the whole RANKING).
+
+    AUC == the Mann-Whitney U statistic normalised by n_pos*n_neg, with the
+    standard half-credit for ties.  Kept exact-integer end to end by working
+    with 2*U:
+
+        2U = sum_v (2 * pos_v * cumneg_below(v)  +  pos_v * neg_v)
+
+    over distinct logit values v in ascending order (the second term is the
+    tie half-credit, doubled).  Distributed as a VALUE-RANGE bucketed
+    exchange — the length_percentile_rank pattern: bucket logits into K
+    equal-width value ranges (K scale-derived), compute the within-bucket 2U
+    partial plus the bucket's (pos, neg) totals inside one ``map_groups``
+    call per bucket, then finish the cross-bucket term on the driver from K
+    rows (2U += 2 * pos_b * cumneg_in_lower_buckets).  Driver state is K
+    rows of four int64s — bounded, never the corpus.
+
+    Output is one row: n_pos, n_neg, u_times2, auc_ppm (floor division —
+    ppm outputs never round(), see CLAUDE.md).
+    """
+    from ..scale import bucket_count, estimate_rows
+
+    scores = _classifier_gopher_scores(sf_dir)
+    agg = scores.aggregate(
+        ray.data.aggregate.Min("logit_e6"), ray.data.aggregate.Max("logit_e6")
+    )
+    lo, hi = int(agg["min(logit_e6)"]), int(agg["max(logit_e6)"])
+    n_buckets = bucket_count(estimate_rows(sf_dir, "documents"), min_buckets=16)
+    # ceil width so bucket ids land in [0, n_buckets)
+    width = max(1, -((lo - hi - 1) // n_buckets))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("logit_e6", pa.int64()),
+                    ("keep", pa.int64()),
+                ]
+            ).empty_table()
+        b = pc.divide(pc.subtract(batch["logit_e6"], lo), width)
+        return pa.table(
+            {
+                "bucket": pc.cast(b, pa.int64()),
+                "logit_e6": batch["logit_e6"],
+                "keep": batch["keep"],
+            }
+        )
+
+    part_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("pos", pa.int64()),
+            ("neg", pa.int64()),
+            ("u2_within", pa.int64()),
+        ]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return part_schema.empty_table()
+        group = group.cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("logit_e6", pa.int64()),
+                    ("keep", pa.int64()),
+                ]
+            )
+        )
+        logit = group["logit_e6"].to_numpy(zero_copy_only=False)
+        keep = group["keep"].to_numpy(zero_copy_only=False)
+        order = np.argsort(logit, kind="stable")
+        lv, kv = logit[order], keep[order]
+        new = np.empty(len(lv), dtype=bool)
+        new[0] = True
+        new[1:] = lv[1:] != lv[:-1]
+        gid = np.cumsum(new) - 1
+        pos_v = np.bincount(gid, weights=kv).astype(np.int64)
+        cnt_v = np.bincount(gid).astype(np.int64)
+        neg_v = cnt_v - pos_v
+        cumneg_below = np.concatenate(([0], np.cumsum(neg_v)[:-1]))
+        u2 = int((2 * pos_v * cumneg_below + pos_v * neg_v).sum())
+        return pa.table(
+            {
+                "bucket": pa.array([int(group["bucket"][0].as_py())], pa.int64()),
+                "pos": pa.array([int(pos_v.sum())], pa.int64()),
+                "neg": pa.array([int(neg_v.sum())], pa.int64()),
+                "u2_within": pa.array([u2], pa.int64()),
+            }
+        )
+
+    parts = (
+        scores.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()
+    )  # <= n_buckets rows of 4 ints — the bounded driver state
+    parts.sort(key=lambda r: r["bucket"])
+    u2_total, cumneg, n_pos, n_neg = 0, 0, 0, 0
+    for r in parts:
+        u2_total += r["u2_within"] + 2 * r["pos"] * cumneg
+        cumneg += r["neg"]
+        n_pos += r["pos"]
+        n_neg += r["neg"]
+    auc_ppm = u2_total * 1_000_000 // (2 * max(n_pos, 1) * max(n_neg, 1))
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "u_times2": pa.array([u2_total], pa.int64()),
+            "auc_ppm": pa.array([auc_ppm], pa.int64()),
+        }
+    )
+
+
+def classifier_auc_vs_gopher_sql() -> str:
+    inner = CLASSIFIER_QUALITY_SCORES_SQL.strip().removesuffix("ORDER BY doc_id").rstrip()
+    gate = f"""
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS nw,
+         len(regexp_extract_all(lower(text), '[a-z]')) AS al,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> list_contains({list(GOPHER_STOPWORDS)!r}, x))) AS sh
+  FROM documents
+"""
+    # v has one row per DISTINCT logit value, so ROWS framing over
+    # ORDER BY logit_e6 is tie-free and deterministic.
+    return f"""
+WITH scores AS ({inner}),
+g AS ({gate}),
+z AS (
+  SELECT s.logit_e6,
+         CAST(g.nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND g.al * 1.0 / g.nw
+                  BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+              AND g.sh >= {GOPHER_MIN_STOP_HITS} AS BIGINT) AS keep
+  FROM scores s JOIN g ON s.doc_id = g.doc_id
+),
+v AS (
+  SELECT logit_e6, sum(keep) AS pos, count(*) - sum(keep) AS neg
+  FROM z GROUP BY logit_e6
+),
+c AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY logit_e6
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+  FROM v
+),
+a AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(neg) AS BIGINT) AS n_neg,
+         CAST(sum(2 * pos * cumneg + pos * neg) AS BIGINT) AS u2
+  FROM c
+)
+SELECT n_pos, n_neg, u2 AS u_times2,
+       CAST((u2 * 1000000) // (2 * greatest(n_pos, 1) * greatest(n_neg, 1))
+            AS BIGINT) AS auc_ppm
+FROM a
 """

@@ -232,6 +232,7 @@ SQL_BACKED = [
     # round-5: evaluation family (chance-corrected agreement, operating point)
     "lang_agreement_kappa",
     "classifier_threshold_calibration",
+    "classifier_auc_vs_gopher",
 ]
 
 
