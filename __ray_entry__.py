@@ -421,6 +421,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return webtext.classifier_auc_vs_gopher(sf_dir)
 
     q["classifier_auc_vs_gopher"] = _classifier_auc_vs_gopher
+
+    def _classifier_calibration_bins(sf_dir: str):
+        return webtext.classifier_calibration_bins(sf_dir)
+
+    q["classifier_calibration_bins"] = _classifier_calibration_bins
     from docling_jobkit_ray.functions.packing import pack_sequences
 
     q["pack_sequences"] = pack_sequences
@@ -916,6 +921,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import classifier_auc_vs_gopher_sql
 
     sql["classifier_auc_vs_gopher"] = classifier_auc_vs_gopher_sql()
+    from docling_jobkit_ray.functions.webtext import classifier_calibration_bins_sql
+
+    sql["classifier_calibration_bins"] = classifier_calibration_bins_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

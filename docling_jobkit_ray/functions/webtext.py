@@ -3593,3 +3593,125 @@ SELECT n_pos, n_neg, u2 AS u_times2,
             AS BIGINT) AS auc_ppm
 FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration curve (reliability bins)
+# ---------------------------------------------------------------------------
+
+def classifier_calibration_bins(sf_dir: str) -> pa.Table:
+    """Reliability diagram of the learned quality classifier against the
+    Gopher reference labels — the third leg of the evaluation family
+    (operating point = ``classifier_threshold_calibration``, ranking =
+    ``classifier_auc_vs_gopher``, calibration = this).
+
+    Equal-count decile bins: the 9 inner edges come from the bounded
+    exact-quantile refine (``exact_global_quantiles`` — no global sort, hard
+    driver budget); bin id = number of edges STRICTLY below the logit
+    (mirrored in the oracle as ``len(list_filter(edges, x -> logit > x))``
+    so the tie rule is pinned).  Per bin: doc count, positive count,
+    exact-int logit sum, positive rate in ppm (floor division) and floor
+    mean logit.  One broadcast of 9 ints + one 10-group aggregate — no
+    all-to-all beyond the tiny groupby.
+    """
+    from ..pipelines.relational import exact_global_quantiles
+
+    scores = _classifier_gopher_scores(sf_dir)
+    qs = [i / 10 for i in range(1, 10)]
+    edges = np.asarray(
+        [int(e) for e in exact_global_quantiles(scores, "logit_e6", qs)],
+        dtype=np.int64,
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("bin", pa.int64()),
+                    ("n_docs", pa.int64()),
+                    ("n_pos", pa.int64()),
+                    ("sum_logit_e6", pa.int64()),
+                ]
+            ).empty_table()
+        logit = batch["logit_e6"].to_numpy(zero_copy_only=False)
+        keep = batch["keep"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, logit, side="left")  # edges < logit count
+        n = np.bincount(b, minlength=10).astype(np.int64)
+        npos = np.bincount(b, weights=keep, minlength=10).astype(np.int64)
+        sl = np.zeros(10, np.int64)
+        np.add.at(sl, b, logit)  # exact int64 bin sums at any magnitude
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(10, dtype=np.int64)),
+                "n_docs": pa.array(n),
+                "n_pos": pa.array(npos),
+                "sum_logit_e6": pa.array(sl.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        scores.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .sum(["n_docs", "n_pos", "sum_logit_e6"])
+    ).to_pandas()
+    agg = agg.sort_values("bin").reset_index(drop=True)
+    n = agg["sum(n_docs)"].to_numpy(np.int64)
+    npos = agg["sum(n_pos)"].to_numpy(np.int64)
+    sl = agg["sum(sum_logit_e6)"].to_numpy(np.int64)
+    mask = n > 0
+    return pa.table(
+        {
+            "bin": pa.array(agg["bin"].to_numpy(np.int64)[mask]),
+            "n_docs": pa.array(n[mask]),
+            "n_pos": pa.array(npos[mask]),
+            "pos_rate_ppm": pa.array(npos[mask] * 1_000_000 // n[mask]),
+            # DuckDB's integer `//` truncates toward zero (unlike Python's
+            # floor) and logit sums can be negative — truncate to match
+            "avg_logit_e6": pa.array(
+                [
+                    (abs(int(s)) // int(c)) * (1 if s >= 0 else -1)
+                    for s, c in zip(sl[mask], n[mask])
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def classifier_calibration_bins_sql() -> str:
+    inner = CLASSIFIER_QUALITY_SCORES_SQL.strip().removesuffix("ORDER BY doc_id").rstrip()
+    gate = f"""
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS nw,
+         len(regexp_extract_all(lower(text), '[a-z]')) AS al,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> list_contains({list(GOPHER_STOPWORDS)!r}, x))) AS sh
+  FROM documents
+"""
+    fracs = "[" + ", ".join(f"{i/10}" for i in range(1, 10)) + "]"
+    return f"""
+WITH scores AS ({inner}),
+g AS ({gate}),
+z AS (
+  SELECT s.logit_e6,
+         CAST(g.nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND g.al * 1.0 / g.nw
+                  BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+              AND g.sh >= {GOPHER_MIN_STOP_HITS} AS BIGINT) AS keep
+  FROM scores s JOIN g ON s.doc_id = g.doc_id
+),
+e AS (SELECT quantile_disc(logit_e6, {fracs}) AS edges FROM z),
+b AS (
+  SELECT z.keep, z.logit_e6,
+         len(list_filter(e.edges, x -> z.logit_e6 > x)) AS bin
+  FROM z, e
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_pos,
+       CAST((sum(keep) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm,
+       CAST(CAST(sum(logit_e6) AS BIGINT) // count(*) AS BIGINT) AS avg_logit_e6
+FROM b
+GROUP BY bin
+ORDER BY bin
+"""

@@ -233,6 +233,7 @@ SQL_BACKED = [
     "lang_agreement_kappa",
     "classifier_threshold_calibration",
     "classifier_auc_vs_gopher",
+    "classifier_calibration_bins",
 ]
 
 
