@@ -426,6 +426,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return webtext.classifier_calibration_bins(sf_dir)
 
     q["classifier_calibration_bins"] = _classifier_calibration_bins
+
+    def _pagerank_part_supplier(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import pagerank_part_supplier
+
+        return pagerank_part_supplier(sf_dir)
+
+    q["pagerank_part_supplier"] = _pagerank_part_supplier
     from docling_jobkit_ray.functions.packing import pack_sequences
 
     q["pack_sequences"] = pack_sequences
@@ -924,6 +931,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import classifier_calibration_bins_sql
 
     sql["classifier_calibration_bins"] = classifier_calibration_bins_sql()
+    from docling_jobkit_ray.functions.graph import pagerank_part_supplier_sql
+
+    sql["pagerank_part_supplier"] = pagerank_part_supplier_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -234,6 +234,7 @@ SQL_BACKED = [
     "classifier_threshold_calibration",
     "classifier_auc_vs_gopher",
     "classifier_calibration_bins",
+    "pagerank_part_supplier",
 ]
 
 

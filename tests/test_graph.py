@@ -125,3 +125,50 @@ def test_dup_components_matches_recursive_cte(ray_session, tmp_path):
     oracle = con.execute(dup_components_sql()).fetchdf()
     pd.testing.assert_frame_equal(mine, oracle)
     assert len(mine) >= 4  # both planted clusters present
+
+
+# ---------------------------------------------------------------------------
+# PageRank: all three execution tiers produce the identical integer ranks
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pagerank_oracle():
+    from docling_jobkit_ray.functions.graph import pagerank_part_supplier_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    return con.execute(pagerank_part_supplier_sql()).fetch_arrow_table()
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},  # tier 1: driver numpy (sf0.001 edges << limit)
+        {"small_graph_limit": 0},  # tier 2: broadcast ranks
+        {"small_graph_limit": 0, "node_budget": 0},  # tier 3: bucketed
+    ],
+    ids=["driver", "broadcast", "bucketed"],
+)
+def test_pagerank_tiers_match_oracle(ray_session, kwargs):
+    from docling_jobkit_ray.functions.graph import pagerank_part_supplier
+
+    got = pagerank_part_supplier(SF, **kwargs)
+    if isinstance(got, ray.data.Dataset):
+        got = pa.Table.from_pandas(got.to_pandas())
+    want = _pagerank_oracle()
+    assert got.cast(want.schema).equals(want)
+
+
+def test_pagerank_ranks_sum_near_scale(ray_session):
+    # total rank mass stays within N floor-losses of the scale constant
+    from docling_jobkit_ray.functions.graph import pagerank_part_supplier
+
+    t = pagerank_part_supplier(SF).to_pandas()
+    total = int(t["rank_e12"].sum())
+    # flooring loses up to deg(u)-1 per share and 1 per node per round —
+    # bounded but graph-dependent; 1% of the scale constant is generous
+    assert 0.99 * 10**12 <= total <= 10**12
