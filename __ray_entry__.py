@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pareto_frontier",
         # round-5: layout-key kernel (sort family holds the cap slot)
         "orders_zorder_keys",
+        # round-5: grouped robust stats (quantile family holds the cap slot
+        # via orders_price_deciles)
+        "orders_robust_stats",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -740,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merge_upsert",
         "orders_pareto_frontier",
         "orders_zorder_keys",
+        "orders_robust_stats",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

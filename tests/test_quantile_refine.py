@@ -118,3 +118,36 @@ def test_empty_column_raises(ray_session, tmp_path):
     ds = read_table(sf, "orders", columns=["o_totalprice"])
     with pytest.raises(ValueError, match="empty"):
         exact_global_quantiles(ds, "o_totalprice", QS)
+
+def test_explicit_ranks_selects_order_statistics(ray_session, tmp_path):
+    """The explicit-``ranks`` path (the grouped rank-selection hook used by
+    orders_robust_stats): rank r must return the r-th smallest value, with
+    refinement forced by a dense single-bin distribution."""
+    from docling_jobkit_ray.pipelines.relational import exact_global_quantiles
+    from docling_jobkit_ray.sources.pages import read_table
+
+    rng = np.random.default_rng(5)
+    prices = rng.uniform(0.0, 800.0, size=120_000)
+    sf = _write_orders(tmp_path, prices)
+    ds = read_table(sf, "orders", columns=["o_totalprice"])
+    s = np.sort(prices)
+    ranks = [1, 17, 60_000, 119_999, 120_000]
+    stats: dict = {}
+    th = exact_global_quantiles(
+        ds, "o_totalprice", [], ranks=ranks,
+        bin_width=1000.0, driver_row_budget=5_000, stats=stats,
+    )
+    assert stats["levels"] >= 1
+    np.testing.assert_array_equal(th, s[np.array(ranks) - 1])
+
+
+def test_explicit_ranks_validation(ray_session, tmp_path):
+    from docling_jobkit_ray.pipelines.relational import exact_global_quantiles
+    from docling_jobkit_ray.sources.pages import read_table
+
+    sf = _write_orders(tmp_path, np.arange(100, dtype=np.float64))
+    ds = read_table(sf, "orders", columns=["o_totalprice"])
+    with pytest.raises(ValueError, match="ascending"):
+        exact_global_quantiles(ds, "o_totalprice", [], ranks=[5, 3])
+    with pytest.raises(ValueError, match="out of range"):
+        exact_global_quantiles(ds, "o_totalprice", [], ranks=[1, 101])
