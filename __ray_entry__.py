@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: grouped robust stats (quantile family holds the cap slot
         # via orders_price_deciles)
         "orders_robust_stats",
+        "orders_outliers_mad",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -744,6 +745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pareto_frontier",
         "orders_zorder_keys",
         "orders_robust_stats",
+        "orders_outliers_mad",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

@@ -4162,3 +4162,93 @@ RELATIONAL_QUERIES["orders_robust_stats"] = (
     orders_robust_stats,
     ORDERS_ROBUST_STATS_SQL,
 )
+
+
+def orders_outliers_mad(sf_dir: str, *, k_mad_tenths: int = 19) -> ray.data.Dataset:
+    """Row-level robust outlier detection: orders whose value deviates from
+    their priority class's median by more than ``k_mad_tenths/10`` MADs —
+    the median/MAD rule that a single corrupted row cannot shift (unlike
+    mean/stddev z-scores, cf. ``events_value_zscore``).  The threshold is
+    in TENTHS of a MAD so the cut stays pure int64
+    (``|dev| * 10 > k * mad``); 1.9 MADs keeps ~5% of a uniform
+    distribution (whose max deviation is 2 MADs — the classic 3-MAD cut is
+    vacuous on bounded-support data).
+
+    The per-group (median, MAD) table comes from
+    :func:`orders_robust_stats` (bounded rank refine — 5 rows) and is
+    BROADCAST into one vectorized filter pass; exact int64 cents
+    throughout, so the cut is hash-exact."""
+    import numpy as np
+
+    stats = orders_robust_stats(sf_dir)
+    groups = stats["grp"].to_pylist()
+    med = stats["median_cents"].to_numpy()
+    mad = stats["mad_cents"].to_numpy()
+    grp_arr = pa.array(groups, pa.string())
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def flag(batch: pa.Table, *, _med=med, _mad=mad, _k=k_mad_tenths) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("grp", pa.string()),
+                    ("cents", pa.int64()),
+                    ("absdev_cents", pa.int64()),
+                ]
+            ).empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        ).to_numpy()
+        gid = (
+            pc.index_in(batch["o_orderpriority"], value_set=grp_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dev = np.abs(cents - _med[gid])
+        keep = dev * 10 > _k * _mad[gid]
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "grp": batch["o_orderpriority"].filter(pa.array(keep)),
+                "cents": pa.array(cents[keep]),
+                "absdev_cents": pa.array(dev[keep]),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "o_orderkey"
+    )
+
+
+ORDERS_OUTLIERS_MAD_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), med AS (
+  SELECT grp, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents
+  FROM base GROUP BY grp
+), mad AS (
+  SELECT b.grp,
+         CAST(quantile_disc(abs(b.cents - m.median_cents), 0.5) AS BIGINT)
+           AS mad_cents
+  FROM base b JOIN med m USING (grp)
+  GROUP BY b.grp
+)
+SELECT b.o_orderkey, b.grp, b.cents,
+       CAST(abs(b.cents - m.median_cents) AS BIGINT) AS absdev_cents
+FROM base b JOIN med m USING (grp) JOIN mad d ON d.grp = b.grp
+WHERE abs(b.cents - m.median_cents) * 10 > 19 * d.mad_cents
+ORDER BY b.o_orderkey
+"""
+
+RELATIONAL_QUERIES["orders_outliers_mad"] = (
+    orders_outliers_mad,
+    ORDERS_OUTLIERS_MAD_SQL,
+)
