@@ -437,6 +437,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pagerank_part_supplier(sf_dir)
 
     q["pagerank_part_supplier"] = _pagerank_part_supplier
+
+    def _fuzzy_prefix_pairs(sf_dir: str):
+        from docling_jobkit_ray.functions.fuzzy import fuzzy_prefix_pairs
+
+        return fuzzy_prefix_pairs(sf_dir)
+
+    q["fuzzy_prefix_pairs"] = _fuzzy_prefix_pairs
     from docling_jobkit_ray.functions.packing import pack_sequences
 
     q["pack_sequences"] = pack_sequences
@@ -940,6 +947,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.graph import pagerank_part_supplier_sql
 
     sql["pagerank_part_supplier"] = pagerank_part_supplier_sql()
+    from docling_jobkit_ray.functions.fuzzy import FUZZY_PREFIX_PAIRS_SQL
+
+    sql["fuzzy_prefix_pairs"] = FUZZY_PREFIX_PAIRS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

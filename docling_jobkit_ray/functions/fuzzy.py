@@ -1,0 +1,268 @@
+"""Fuzzy entity-resolution join: all document pairs whose text PREFIX is
+within a small Levenshtein distance — the blocking+verify shape of entity
+resolution / record linkage, recall-COMPLETE by construction.
+
+Blocking is PassJoin-style pigeonhole (Li, Deng, Feng: "PASS-JOIN", VLDB
+2011 — public literature): partition each string into ``d+1`` contiguous
+segments; if ``ed(A, B) <= d`` then (pigeonhole over the <= d edits) at
+least one segment of A survives un-edited, so it appears EXACTLY in B, and
+its start position shifts by at most the <= d insertions/deletions.  So a
+join of A's segments against B's position-windowed substrings misses no
+qualifying pair; an exact dynamic-programming verify (identical cost model
+to DuckDB ``levenshtein``: unit insert/delete/substitute, no transposition)
+then discards the false candidates.  No LSH, no similarity approximation —
+the quadratic oracle and this engine provably agree.
+
+Distributed shape (mirrors the minhash/jaccard family):
+  1. one map over the corpus emits (int64 key-hash, role, doc_id) rows —
+     key = (segment index, indexed-string length, gram) so only
+     position/length-compatible grams meet; text never rides the shuffle;
+  2. a scale-adaptive bucket groupby + per-bucket vectorized self-merge
+     yields distinct candidate pairs (hash collisions only ADD candidates
+     — a surviving segment always hashes equal on both sides);
+  3. the shared hybrid verify (broadcast under a byte budget, bucketed
+     joins beyond it) attaches prefixes and scores the exact distance.
+
+Scale note: a boilerplate gram (shared page furniture) concentrates
+candidates in one key; the standard mitigations — longer prefixes, more
+segments (higher selectivity per gram), or a document-frequency cap on
+index grams — all preserve completeness except the cap, which must then
+be mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+PREFIX_CHARS = 30
+MAX_DIST = 2
+_N_SEG = MAX_DIST + 1
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Exact unit-cost edit distance (two-row Wagner-Fischer) — the same
+    cost model as DuckDB ``levenshtein`` (insert/delete/substitute, no
+    transposition), asserted by the oracle parity tests."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        bj = b[j - 1]
+        cur = [j] + [0] * la
+        for i in range(1, la + 1):
+            cur[i] = min(
+                prev[i] + 1,  # delete
+                cur[i - 1] + 1,  # insert
+                prev[i - 1] + (a[i - 1] != bj),  # substitute
+            )
+        prev = cur
+    return prev[la]
+
+
+def _seg_bounds(length: int) -> list[tuple[int, int]]:
+    """(start, len) of the _N_SEG even segments of a length-``length``
+    string: start_i = floor(i*L/k) — deterministic, same on both roles."""
+    starts = [(i * length) // _N_SEG for i in range(_N_SEG + 1)]
+    return [(starts[i], starts[i + 1] - starts[i]) for i in range(_N_SEG)]
+
+
+def fuzzy_prefix_pairs(
+    sf_dir: str,
+    *,
+    prefix_chars: int = PREFIX_CHARS,
+    max_dist: int = MAX_DIST,
+    broadcast_pair_limit: int = 200_000,
+    broadcast_byte_limit: int = 256 * 1024 * 1024,
+) -> ray.data.Dataset:
+    """Every (doc_a < doc_b) pair with
+    ``levenshtein(prefix(a), prefix(b)) <= max_dist`` over the documents
+    table, plus the exact distance — complete via pigeonhole blocking."""
+    if max_dist != MAX_DIST:
+        # the segment machinery below is generic, but the emission loops
+        # and the SQL constant are pinned to d=2; widen both together
+        raise ValueError("fuzzy_prefix_pairs: only max_dist=2 is wired up")
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # pass 0 (tiny): the set of DISTINCT prefix lengths in the corpus —
+    # bounded by prefix_chars+1 values — so the probe side only emits
+    # substring grams for indexed lengths that actually exist.
+    from ray.data.aggregate import Count
+
+    def length_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("plen", pa.int64())]).empty_table()
+        plen = pc.min_element_wise(
+            pc.utf8_length(batch["text"]), pa.scalar(prefix_chars, pa.int64())
+        )
+        return pa.table({"plen": pc.unique(pc.cast(plen, pa.int64()))})
+
+    lengths = sorted(
+        int(r["plen"])
+        for r in (
+            ds.map_batches(length_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("plen")
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+    )
+    length_set = set(lengths)
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_docs = estimate_rows(sf_dir, "documents")
+    n_buckets = bucket_count(n_docs * 16, target_rows_per_bucket=100_000)
+    bucket_mask = n_buckets - 1
+
+    def _hash_keys(seg: int, length: int, grams: pa.Array) -> np.ndarray:
+        tagged = pc.binary_join_element_wise(
+            pa.scalar(f"{seg}|{length}|"), grams, pa.scalar("")
+        )
+        return pd.util.hash_array(
+            np.asarray(tagged.to_pylist(), dtype=object)
+        ).astype(np.int64)
+
+    def emit(batch: pa.Table, *, _d=max_dist) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("hkey", pa.int64()),
+                    ("bucket", pa.int64()),
+                    ("role", pa.int64()),
+                    ("doc_id", pa.int64()),
+                ]
+            ).empty_table()
+        prefix = pc.utf8_slice_codeunits(batch["text"], 0, prefix_chars)
+        plen = pc.cast(pc.utf8_length(prefix), pa.int64()).to_numpy()
+        doc = pc.cast(batch["doc_id"], pa.int64()).to_numpy()
+        out_h: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        # group rows by prefix length: slicing is columnar per length group
+        for length in np.unique(plen):
+            length = int(length)
+            sel = plen == length
+            sub = prefix.filter(pa.array(sel))
+            docs_sel = doc[sel]
+            # INDEX role: this string's own d+1 segments
+            for seg, (start, slen) in enumerate(_seg_bounds(length)):
+                grams = pc.utf8_slice_codeunits(sub, start, start + slen)
+                out_h.append(_hash_keys(seg, length, grams))
+                out_r.append(np.zeros(len(docs_sel), np.int64))
+                out_d.append(docs_sel)
+            # PROBE role: substrings matching segments of any indexed
+            # length within +-d of this length, at starts within +-d of
+            # that segment's start (clamped to valid range)
+            for other in range(length - _d, length + _d + 1):
+                if other not in length_set:
+                    continue
+                for seg, (start, slen) in enumerate(_seg_bounds(other)):
+                    if slen <= 0 or slen > length:
+                        continue
+                    for s0 in range(
+                        max(0, start - _d), min(length - slen, start + _d) + 1
+                    ):
+                        grams = pc.utf8_slice_codeunits(sub, s0, s0 + slen)
+                        out_h.append(_hash_keys(seg, other, grams))
+                        out_r.append(np.ones(len(docs_sel), np.int64))
+                        out_d.append(docs_sel)
+        h = np.concatenate(out_h)
+        return pa.table(
+            {
+                "hkey": pa.array(h),
+                "bucket": pa.array(h & bucket_mask),
+                "role": pa.array(np.concatenate(out_r)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    grams = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["hkey", "role", "doc_id"]].drop_duplicates()
+        idx = g[g["role"] == 0][["hkey", "doc_id"]]
+        prb = g[g["role"] == 1][["hkey", "doc_id"]]
+        m = idx.merge(prb, on="hkey", suffixes=("_i", "_p"))
+        m = m[m["doc_id_i"] != m["doc_id_p"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        a = np.minimum(m["doc_id_i"].to_numpy(), m["doc_id_p"].to_numpy())
+        b = np.maximum(m["doc_id_i"].to_numpy(), m["doc_id_p"].to_numpy())
+        return (
+            pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates().astype("int64")
+        )
+
+    candidates = (
+        grams.groupby("bucket")
+        .map_groups(emit_pairs, batch_format="pandas")
+        # map_groups leaves one TINY block per bucket; a multi-key groupby
+        # over that many near-empty blocks pays ~17s of per-block shuffle
+        # overhead (measured) — coalesce to a scale-derived block count
+        # first (cheap: the pair stream is far smaller than the gram
+        # stream it came from)
+        .repartition(max(8, n_buckets // 8))
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_hits"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+    # exact verify through the shared hybrid (score >= threshold keeps a
+    # pair, so score = -distance with threshold -max_dist)
+    from .dedup import _verify_pairs_hybrid
+
+    def neg_dist(ta: str, tb: str) -> float:
+        return -float(levenshtein(ta[:prefix_chars], tb[:prefix_chars]))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    verified = _verify_pairs_hybrid(
+        candidates,
+        docs,
+        sf_dir,
+        neg_dist,
+        -float(max_dist),
+        broadcast_pair_limit=broadcast_pair_limit,
+        broadcast_byte_limit=broadcast_byte_limit,
+    )
+
+    def to_dist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("dist", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_a": pc.cast(batch["doc_a"], pa.int64()),
+                "doc_b": pc.cast(batch["doc_b"], pa.int64()),
+                "dist": pc.cast(pc.negate(batch["jaccard"]), pa.int64()),
+            }
+        )
+
+    return verified.map_batches(
+        to_dist, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["doc_a", "doc_b"])
+
+
+FUZZY_PREFIX_PAIRS_SQL = f"""
+WITH e AS (SELECT doc_id, substr(text, 1, {PREFIX_CHARS}) AS s FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM e a JOIN e b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= {MAX_DIST}
+ORDER BY doc_a, doc_b
+"""
