@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families hold their cap slots via sessionize/funnel
         "events_intervals",
         "cohort_retention",
+        "events_asof_last_click",
+        "events_band_join",
         "user_activity_setops",
         "events_cube_type_dow",
         "events_transitions",
@@ -742,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers",
         "events_intervals",
         "cohort_retention",
+        "events_asof_last_click",
+        "events_band_join",
         "user_activity_setops",
         "events_cube_type_dow",
         "events_transitions",

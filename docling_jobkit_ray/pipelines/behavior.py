@@ -582,3 +582,297 @@ BEHAVIOR_QUERIES.update(
         "events_cube_type_dow": (events_cube_type_dow, EVENTS_CUBE_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins: AS-OF and band (range) — the two inequality-join shapes
+# ---------------------------------------------------------------------------
+
+_ASOF_LEFT_TYPE = "purchase"
+_ASOF_RIGHT_TYPE = "click"
+_BAND_US = 5 * 60 * 1_000_000  # +-5 minutes
+
+_ASOF_UNION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("event_id", pa.int64()),
+        ("role", pa.int64()),
+        ("bucket", pa.int64()),
+    ]
+)
+
+
+def _asof_union(sf_dir: str, n_buckets: int | None):
+    """Tagged-union emit shared by the two temporal joins: purchase and
+    click events ride ONE user-bucketed exchange as (user, int64-us ts,
+    event_id, role) rows — timestamps travel as exact int64 microseconds so
+    no pandas ns round-trip or shuffle unit degradation can touch them."""
+    rel = _rel()
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _ASOF_UNION_SCHEMA.empty_table()
+        role = pc.case_when(
+            pc.make_struct(
+                pc.equal(batch["event_type"], pa.scalar(_ASOF_RIGHT_TYPE)),
+                pc.equal(batch["event_type"], pa.scalar(_ASOF_LEFT_TYPE)),
+            ),
+            pa.scalar(0, pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+                ),
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "role": role,
+            }
+        ).filter(pc.is_valid(role))
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], mask))
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _split_roles(group: pa.Table) -> tuple[pd.DataFrame, pd.DataFrame] | None:
+    """Cast a shuffled bucket group back to the declared union schema and
+    split it into (clicks, purchases) pandas frames of exact int64 columns
+    (the nullable-int64 pandas coercion hazard never arises: every column
+    is int64 and non-null by construction)."""
+    if group.num_rows == 0 or group.num_columns == 0:
+        return None
+    group = group.select(["user_id", "ts_us", "event_id", "role"]).cast(
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts_us", pa.int64()),
+                ("event_id", pa.int64()),
+                ("role", pa.int64()),
+            ]
+        )
+    )
+    df = group.to_pandas()
+    clicks = df[df["role"] == 0]
+    purchases = df[df["role"] == 1]
+    if purchases.empty:
+        return None
+    return clicks, purchases
+
+
+def _temporal_out_table(
+    purchases: pd.DataFrame, extra: dict[str, pa.Array]
+) -> pa.Table:
+    cols: dict[str, pa.Array] = {
+        "event_id": pa.array(purchases["event_id"].to_numpy(), pa.int64()),
+        "user_id": pa.array(purchases["user_id"].to_numpy(), pa.int64()),
+        "ts": pc.cast(
+            pa.array(purchases["ts_us"].to_numpy(), pa.int64()), pa.timestamp("us")
+        ),
+    }
+    cols.update(extra)
+    return pa.table(cols)
+
+
+def events_asof_last_click(
+    sf_dir: str, *, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """AS-OF join: each purchase event matched to the same user's most
+    recent click at-or-before it — the event-to-state temporal join Ray
+    Data has no native operator for.
+
+    Plan shape: ONE user-bucketed tagged-union exchange (timestamps as
+    int64 us); inside each bucket a single ``pandas.merge_asof(by=user_id,
+    direction=backward)`` performs every user's as-of lookup vectorized.
+    Click-side ties at the same (user, ts) are collapsed to max(event_id)
+    BEFORE the asof so the matched row is deterministic — the oracle
+    mirrors the collapse, keeping DuckDB's native ASOF JOIN (which picks an
+    arbitrary tie row) hash-exact.  Purchases with no prior click drop
+    (inner asof).  Output gap_us is an exact int64 microsecond difference.
+    """
+    union = _asof_union(sf_dir, n_buckets)
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("click_ts", pa.timestamp("us")),
+            ("click_event_id", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        parts = _split_roles(group)
+        if parts is None:
+            return out_schema.empty_table()
+        clicks, purchases = parts
+        if clicks.empty:
+            return out_schema.empty_table()
+        # deterministic tie collapse: one click row per (user, ts)
+        clicks = (
+            clicks.groupby(["user_id", "ts_us"], as_index=False)["event_id"]
+            .max()
+            .sort_values("ts_us", kind="stable")
+        )
+        purchases = purchases.sort_values("ts_us", kind="stable")
+        m = pd.merge_asof(
+            purchases,
+            clicks.rename(
+                columns={"ts_us": "click_ts_us", "event_id": "click_event_id"}
+            ),
+            left_on="ts_us",
+            right_on="click_ts_us",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m["click_event_id"].notna()]
+        if m.empty:
+            return out_schema.empty_table()
+        click_us = m["click_ts_us"].to_numpy().astype(np.int64)
+        return _temporal_out_table(
+            m,
+            {
+                "click_ts": pc.cast(
+                    pa.array(click_us, pa.int64()), pa.timestamp("us")
+                ),
+                "click_event_id": pa.array(
+                    m["click_event_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "gap_us": pa.array(
+                    m["ts_us"].to_numpy().astype(np.int64) - click_us, pa.int64()
+                ),
+            },
+        )
+
+    rel = _rel()
+    return (
+        union.groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pyarrow")
+        .map_batches(
+            rel._pin_timestamp_us(["ts", "click_ts"]), batch_format="pyarrow"
+        )
+        .sort("event_id")
+    )
+
+
+EVENTS_ASOF_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = '{_ASOF_RIGHT_TYPE}'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = '{_ASOF_LEFT_TYPE}'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.click_event_id,
+       CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+FROM purchases p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+def events_band_join(
+    sf_dir: str, *, n_buckets: int | None = None, band_us: int = _BAND_US
+) -> ray.data.Dataset:
+    """Band (range) join: for every purchase event, the number of clicks by
+    the same user within +-``band_us`` of it — the bounded-inequality join
+    shape (|t1 - t2| <= delta), which would be a full per-user cross join
+    in a naive plan.
+
+    Plan shape: the same ONE user-bucketed tagged-union exchange; inside a
+    bucket, clicks are sorted once on a dense-user combined integer key
+    (user_index * padded_time_span + offset-shifted ts) and every
+    purchase's window becomes TWO vectorized ``np.searchsorted`` probes —
+    no per-user Python loop, no pair materialization.  The span padding
+    (+2 * band + 2) guarantees a window never crosses a user boundary.
+    Zero-click purchases are kept with n_clicks = 0 (left semantics)."""
+    union = _asof_union(sf_dir, n_buckets)
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("n_clicks_band", pa.int64()),
+        ]
+    )
+
+    def band_bucket(group: pa.Table) -> pa.Table:
+        parts = _split_roles(group)
+        if parts is None:
+            return out_schema.empty_table()
+        clicks, purchases = parts
+        if clicks.empty:
+            counts = np.zeros(len(purchases), np.int64)
+        else:
+            all_ts = np.concatenate(
+                [clicks["ts_us"].to_numpy(), purchases["ts_us"].to_numpy()]
+            )
+            t0 = int(all_ts.min())
+            span = int(all_ts.max()) - t0 + 2 * band_us + 2
+            users, inv = np.unique(
+                np.concatenate(
+                    [clicks["user_id"].to_numpy(), purchases["user_id"].to_numpy()]
+                ),
+                return_inverse=True,
+            )
+            if (len(users)) * span >= np.iinfo(np.int64).max // 2:
+                raise ValueError(
+                    "band join bucket too wide for the combined key — "
+                    "raise n_buckets"
+                )
+            u_click = inv[: len(clicks)]
+            u_pur = inv[len(clicks) :]
+            ck = u_click * span + (clicks["ts_us"].to_numpy() - t0) + band_us + 1
+            pk = u_pur * span + (purchases["ts_us"].to_numpy() - t0) + band_us + 1
+            ck = np.sort(ck)
+            counts = (
+                np.searchsorted(ck, pk + band_us, side="right")
+                - np.searchsorted(ck, pk - band_us, side="left")
+            ).astype(np.int64)
+        return _temporal_out_table(
+            purchases, {"n_clicks_band": pa.array(counts, pa.int64())}
+        )
+
+    rel = _rel()
+    return (
+        union.groupby("bucket")
+        .map_groups(band_bucket, batch_format="pyarrow")
+        .map_batches(rel._pin_timestamp_us(["ts"]), batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_BAND_JOIN_SQL = f"""
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks_band
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = '{_ASOF_LEFT_TYPE}') p
+LEFT JOIN (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = '{_ASOF_RIGHT_TYPE}') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL {_BAND_US} MICROSECONDS
+ AND c.ts <= p.ts + INTERVAL {_BAND_US} MICROSECONDS
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY p.event_id
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_asof_last_click": (events_asof_last_click, EVENTS_ASOF_SQL),
+        "events_band_join": (events_band_join, EVENTS_BAND_JOIN_SQL),
+    }
+)

@@ -485,3 +485,88 @@ def test_events_since_purchase_reset_semantics(ray_session, tmp_path):
         .set_index("event_id")["events_since_purchase"]
     )
     assert out.to_dict() == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0, 5: 0}
+
+
+def _events_table(rows):
+    """rows: (event_id, user_id, ts, event_type)."""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+
+
+def test_events_asof_semantics(ray_session, tmp_path):
+    """Backward asof with exact-match inclusion, deterministic tie
+    collapse (max event_id at equal click ts), per-user isolation, and
+    inner semantics for purchases with no prior click."""
+    from docling_jobkit_ray.pipelines.behavior import events_asof_last_click
+
+    base = pd.Timestamp("2024-01-01")
+    s = lambda n: base + pd.Timedelta(seconds=n)
+    rows = [
+        # user 1: clicks at 0 (ids 10 and 11 — tie) and 100; purchases at
+        # 0 (exact match -> tie collapsed to id 11), 50 (-> tie pair at 0),
+        # 150 (-> click at 100)
+        (10, 1, s(0), "click"),
+        (11, 1, s(0), "click"),
+        (12, 1, s(100), "click"),
+        (20, 1, s(0), "purchase"),
+        (21, 1, s(50), "purchase"),
+        (22, 1, s(150), "purchase"),
+        # user 2: purchase BEFORE its only click -> dropped (inner asof)
+        (30, 2, s(10), "purchase"),
+        (31, 2, s(20), "click"),
+        # user 3: clicks only -> no output; must not leak into user 1
+        (40, 3, s(40), "click"),
+    ]
+    _write(tmp_path, "events", _events_table(rows))
+    out = (
+        events_asof_last_click(str(tmp_path), n_buckets=4)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert list(out.index) == [20, 21, 22]
+    assert out.loc[20, "click_event_id"] == 11 and out.loc[20, "gap_us"] == 0
+    assert out.loc[21, "click_event_id"] == 11
+    assert out.loc[21, "gap_us"] == 50_000_000
+    assert out.loc[22, "click_event_id"] == 12
+    assert out.loc[22, "gap_us"] == 50_000_000
+    assert str(out.loc[22, "click_ts"]) == str(s(100))
+
+
+def test_events_band_join_boundaries(ray_session, tmp_path):
+    """The +-band window is CLOSED on both ends; zero-click purchases are
+    kept at 0; users never see each other's clicks."""
+    from docling_jobkit_ray.pipelines.behavior import events_band_join
+
+    base = pd.Timestamp("2024-01-01")
+    s = lambda n: base + pd.Timedelta(seconds=n)
+    band_us = 10 * 1_000_000  # +-10 s
+    rows = [
+        # user 1 purchase at t=100; clicks at 89.999999 (out), 90 (in,
+        # boundary), 100 (in), 110 (in, boundary), 110.000001 (out)
+        (1, 1, s(100), "purchase"),
+        (2, 1, base + pd.Timedelta(microseconds=89_999_999), "click"),
+        (3, 1, s(90), "click"),
+        (4, 1, s(100), "click"),
+        (5, 1, s(110), "click"),
+        (6, 1, base + pd.Timedelta(microseconds=110_000_001), "click"),
+        # user 2: purchase with NO clicks anywhere near -> count 0
+        (7, 2, s(100), "purchase"),
+        # user 3: a click inside user 1's window must not count for user 1
+        (8, 3, s(100), "click"),
+    ]
+    _write(tmp_path, "events", _events_table(rows))
+    out = (
+        events_band_join(str(tmp_path), n_buckets=4, band_us=band_us)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert out.loc[1, "n_clicks_band"] == 3
+    assert out.loc[7, "n_clicks_band"] == 0
