@@ -446,6 +446,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return fuzzy_prefix_pairs(sf_dir)
 
     q["fuzzy_prefix_pairs"] = _fuzzy_prefix_pairs
+
+    def _fuzzy_entity_resolution(sf_dir: str):
+        from docling_jobkit_ray.functions.fuzzy import fuzzy_entity_resolution
+
+        return fuzzy_entity_resolution(sf_dir)
+
+    q["fuzzy_entity_resolution"] = _fuzzy_entity_resolution
     from docling_jobkit_ray.functions.packing import pack_sequences
 
     q["pack_sequences"] = pack_sequences
@@ -954,6 +961,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.fuzzy import FUZZY_PREFIX_PAIRS_SQL
 
     sql["fuzzy_prefix_pairs"] = FUZZY_PREFIX_PAIRS_SQL
+    from docling_jobkit_ray.functions.fuzzy import FUZZY_ENTITY_RESOLUTION_SQL
+
+    sql["fuzzy_entity_resolution"] = FUZZY_ENTITY_RESOLUTION_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -266,3 +266,92 @@ FROM e a JOIN e b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.s, b.s) <= {MAX_DIST}
 ORDER BY doc_a, doc_b
 """
+
+
+def fuzzy_entity_resolution(sf_dir: str) -> ray.data.Dataset:
+    """Golden-record assignment: every document mapped to its entity's
+    canonical id — the min doc_id of its connected component in the fuzzy
+    prefix-pair graph (docs in no pair are their own canonical).  The
+    blocking -> verify -> transitive-closure -> survivorship chain is the
+    standard entity-resolution pipeline; all stages reuse this engine's
+    distributed operators (PassJoin blocking above, the hybrid
+    union-find/label-propagation of ``graph.connected_components``, one
+    bucketed left-outer join to fan the small cluster map over the corpus).
+    """
+    from ..pipelines.joins import bucketed_join
+    from ..scale import estimate_rows
+    from .graph import connected_components
+
+    edges = fuzzy_prefix_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    comp = connected_components(
+        edges, src="doc_a", dst="doc_b", est_edges=estimate_rows(sf_dir, "documents")
+    ).map_batches(
+        lambda b: (
+            pa.schema([("cdoc_id", pa.int64()), ("component", pa.int64())]).empty_table()
+            if b.num_rows == 0 or b.num_columns == 0
+            else pa.table({"cdoc_id": b["node"], "component": b["component"]})
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    joined = bucketed_join(
+        docs,
+        comp,
+        on="doc_id",
+        right_on="cdoc_id",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("cdoc_id", pa.int64()), ("component", pa.int64())]),
+        join_type="left outer",
+        est_rows=estimate_rows(sf_dir, "documents"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("canonical_id", pa.int64()),
+                    ("is_canonical", pa.int64()),
+                ]
+            ).empty_table()
+        canonical = pc.coalesce(batch["component"], batch["doc_id"])
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "canonical_id": pc.cast(canonical, pa.int64()),
+                "is_canonical": pc.cast(
+                    pc.equal(batch["doc_id"], canonical), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+FUZZY_ENTITY_RESOLUTION_SQL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, substr(text, 1, {PREFIX_CHARS}) AS s FROM documents) a
+  JOIN (SELECT doc_id, substr(text, 1, {PREFIX_CHARS}) AS s FROM documents) b
+    ON a.doc_id < b.doc_id
+  WHERE levenshtein(a.s, b.s) <= {MAX_DIST}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS v FROM edges),
+walk(v, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.v
+),
+comp AS (SELECT v AS doc_id, min(lbl) AS component FROM walk GROUP BY v)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+       CAST(d.doc_id = coalesce(c.component, d.doc_id) AS BIGINT) AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""

@@ -106,3 +106,23 @@ def test_fuzzy_planted_recall_complete(ray_session, tmp_path):
 def test_fuzzy_rejects_other_max_dist():
     with pytest.raises(ValueError):
         fuzzy_prefix_pairs(SF_DIR, max_dist=3)
+
+
+def test_fuzzy_entity_resolution_matches_sql_sf0001(ray_session):
+    from docling_jobkit_ray.functions.fuzzy import (
+        FUZZY_ENTITY_RESOLUTION_SQL,
+        fuzzy_entity_resolution,
+    )
+
+    got = fuzzy_entity_resolution(SF_DIR).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = con.execute(FUZZY_ENTITY_RESOLUTION_SQL).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # survivorship invariants: each cluster's canonical is a member and is
+    # its own canonical; the map covers every doc exactly once
+    canon = dict(zip(got["doc_id"], got["canonical_id"]))
+    assert all(canon[c] == c for c in set(got["canonical_id"]))
+    assert got["doc_id"].is_unique and len(got) == 500
