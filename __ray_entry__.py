@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention",
         "events_asof_last_click",
         "events_band_join",
+        "events_gapfill_hourly",
+        "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",
         "events_transitions",
@@ -753,6 +755,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention",
         "events_asof_last_click",
         "events_band_join",
+        "events_gapfill_hourly",
+        "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",
         "events_transitions",

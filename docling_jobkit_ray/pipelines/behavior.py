@@ -876,3 +876,140 @@ BEHAVIOR_QUERIES.update(
         "events_band_join": (events_band_join, EVENTS_BAND_JOIN_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# time-series densification: per-user hourly grid with zero-filled gaps
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3600 * 1_000_000
+
+
+def events_gapfill_hourly(
+    sf_dir: str, *, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Gap-filled per-user hourly activity: every hour from each user's
+    first to last active hour (inclusive), with n_events = 0 for silent
+    hours — the resample/densify reshape (rows are GENERATED, not just
+    transformed) that feeds forecasting and uptime models.
+
+    Plan: per-batch (user, hour) count partials, ONE user-bucketed
+    exchange, then each bucket folds partials and EXPANDS to the grid with
+    pure numpy (np.repeat of per-user start hours + a cumsum-reset arange
+    for offsets); observed counts land on the grid by index arithmetic
+    (start offset + hour delta), never a join.  Grid size is bounded by
+    users x observation span, independent of the event count."""
+    rel = _rel()
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("hour_us", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.insert(3, pa.field("bucket", pa.int64())).empty_table()
+        hour = pc.multiply(
+            pc.divide(
+                pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(_HOUR_US, pa.int64()),
+            ),
+            pa.scalar(_HOUR_US, pa.int64()),
+        )
+        t = (
+            pa.table(
+                {
+                    "user_id": pc.cast(batch["user_id"], pa.int64()),
+                    "hour_us": hour,
+                }
+            )
+            .group_by(["user_id", "hour_us"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "hour_us", "n"])
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], mask))
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("hour_ts", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def expand_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        t = (
+            group.select(part_schema.names)
+            .cast(part_schema)
+            .group_by(["user_id", "hour_us"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["user_id", "hour_us", "n"])
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("hour_us", "ascending")]
+        )
+        t = t.take(order)
+        uid = t["user_id"].to_numpy()
+        hour = t["hour_us"].to_numpy() // _HOUR_US  # hour index
+        n = t["n"].to_numpy()
+        starts_mask = np.empty(len(uid), np.bool_)
+        starts_mask[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=starts_mask[1:])
+        first = np.flatnonzero(starts_mask)  # first row of each user
+        last = np.append(first[1:], len(uid)) - 1
+        h0, h1 = hour[first], hour[last]
+        widths = (h1 - h0 + 1).astype(np.int64)
+        total = int(widths.sum())
+        # vectorized per-user arange: global arange minus each segment's
+        # cumulative start, plus that user's first hour
+        seg_start = np.repeat(np.cumsum(widths) - widths, widths)
+        grid_hour = np.arange(total, dtype=np.int64) - seg_start + np.repeat(h0, widths)
+        grid_uid = np.repeat(uid[first], widths)
+        counts = np.zeros(total, np.int64)
+        # each observed (user, hour) lands at its user's segment offset
+        seg_of_row = np.repeat(np.cumsum(widths) - widths, last - first + 1)
+        counts[seg_of_row + (hour - np.repeat(h0, last - first + 1))] = n
+        return pa.table(
+            {
+                "user_id": pa.array(grid_uid, pa.int64()),
+                "hour_ts": pc.cast(
+                    pa.array(grid_hour * _HOUR_US, pa.int64()), pa.timestamp("us")
+                ),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(expand_bucket, batch_format="pyarrow")
+        .map_batches(rel._pin_timestamp_us(["hour_ts"]), batch_format="pyarrow")
+        .sort(["user_id", "hour_ts"])
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH per AS (
+  SELECT user_id, date_trunc('hour', ts) AS h FROM events
+),
+bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM per GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+),
+cnt AS (SELECT user_id, h AS hour_ts, count(*) AS n FROM per GROUP BY user_id, h)
+SELECT g.user_id, g.hour_ts, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN cnt c ON g.user_id = c.user_id AND g.hour_ts = c.hour_ts
+ORDER BY g.user_id, g.hour_ts
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_gapfill_hourly": (events_gapfill_hourly, EVENTS_GAPFILL_SQL),
+    }
+)

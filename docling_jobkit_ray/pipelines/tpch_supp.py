@@ -1393,3 +1393,166 @@ TPCH_SUPP_QUERIES = {
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2: customer order-status history as validity intervals
+# ---------------------------------------------------------------------------
+
+_SCD2_SENTINEL = "9999-12-31"
+
+
+def scd2_customer_status(sf_dir: str) -> ray.data.Dataset:
+    """Slowly-changing-dimension (Type 2) build: per customer, consecutive
+    runs of equal order status (ordered by o_orderdate, o_orderkey)
+    collapsed to versioned validity intervals [valid_from, valid_to) —
+    valid_to is the NEXT run's start, the open current run gets the
+    {sentinel} sentinel.  The gaps-and-islands + LEAD window shape, i.e.
+    how a warehouse derives a dimension history from an event log.
+
+    Plan: ONE customer-bucketed exchange (timestamps ride as exact int64
+    us); each bucket sorts once by (custkey, date_us, orderkey) and derives
+    run breaks / run ids / versions / next-run starts with vectorized
+    pandas shifts and cumsums — no Python loop, no window re-shuffle per
+    analytic function.  A run never spans buckets (bucket = f(custkey)).
+    """
+    import pandas as pd
+
+    n_buckets = _order_buckets(sf_dir)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+    ds = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey"],
+    )
+
+    union_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("date_us", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_orderkey", pa.int64()),
+        ]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.insert(4, pa.field("bucket", pa.int64())).empty_table()
+        t = pa.table(
+            {
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "date_us": pc.cast(
+                    pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            }
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["o_custkey"], mask))
+
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("version", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("valid_from", pa.timestamp("us")),
+            ("valid_to", pa.timestamp("us")),
+            ("n_orders", pa.int64()),
+        ]
+    )
+    sentinel_us = int(
+        pa.scalar(_SCD2_SENTINEL).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+    )
+
+    def runs_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        df = (
+            group.select(union_schema.names)
+            .cast(union_schema)
+            .to_pandas()
+            .sort_values(["o_custkey", "date_us", "o_orderkey"], kind="stable")
+            .reset_index(drop=True)
+        )
+        new_cust = df["o_custkey"].ne(df["o_custkey"].shift())
+        brk = new_cust | df["o_orderstatus"].ne(df["o_orderstatus"].shift())
+        df["gid"] = brk.cumsum()
+        runs = (
+            df.groupby("gid", as_index=False)
+            .agg(
+                o_custkey=("o_custkey", "first"),
+                o_orderstatus=("o_orderstatus", "first"),
+                from_us=("date_us", "first"),
+                n_orders=("date_us", "size"),
+            )
+            .sort_values("gid", kind="stable")
+        )
+        runs["version"] = runs.groupby("o_custkey").cumcount() + 1
+        nxt = runs["from_us"].shift(-1)
+        same = runs["o_custkey"].eq(runs["o_custkey"].shift(-1))
+        to_us = nxt.where(same, other=float(sentinel_us)).astype("int64")
+        return pa.table(
+            {
+                "o_custkey": pa.array(runs["o_custkey"].to_numpy(), pa.int64()),
+                "version": pa.array(
+                    runs["version"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "o_orderstatus": pa.array(runs["o_orderstatus"], pa.string()),
+                "valid_from": pc.cast(
+                    pa.array(runs["from_us"].to_numpy(), pa.int64()),
+                    pa.timestamp("us"),
+                ),
+                "valid_to": pc.cast(
+                    pa.array(to_us.to_numpy(), pa.int64()), pa.timestamp("us")
+                ),
+                "n_orders": pa.array(
+                    runs["n_orders"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rel = _rel()
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(runs_bucket, batch_format="pyarrow")
+        .map_batches(
+            rel._pin_timestamp_us(["valid_from", "valid_to"]),
+            batch_format="pyarrow",
+        )
+        .sort(["o_custkey", "version"])
+    )
+
+
+SCD2_SQL = f"""
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         row_number() OVER w AS rn,
+         CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+              THEN 1 ELSE 0 END AS brk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT *, sum(brk) OVER (PARTITION BY o_custkey ORDER BY rn) AS run_id
+  FROM seq
+),
+agg AS (
+  SELECT o_custkey, run_id,
+         min(o_orderstatus) AS o_orderstatus,
+         min(o_orderdate) AS valid_from,
+         count(*) AS n_orders
+  FROM runs GROUP BY o_custkey, run_id
+)
+SELECT o_custkey, CAST(run_id AS BIGINT) AS version, o_orderstatus, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id),
+                TIMESTAMP '{_SCD2_SENTINEL}') AS valid_to,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM agg ORDER BY o_custkey, version
+"""
+
+scd2_customer_status.__doc__ = scd2_customer_status.__doc__.format(
+    sentinel=_SCD2_SENTINEL
+)
+
+TPCH_SUPP_QUERIES["scd2_customer_status"] = (scd2_customer_status, SCD2_SQL)

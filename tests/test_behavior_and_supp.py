@@ -570,3 +570,70 @@ def test_events_band_join_boundaries(ray_session, tmp_path):
     )
     assert out.loc[1, "n_clicks_band"] == 3
     assert out.loc[7, "n_clicks_band"] == 0
+
+
+def test_scd2_runs_versions_sentinel(ray_session, tmp_path):
+    """Run collapse, per-customer versioning, next-run valid_to chaining,
+    and the open-run sentinel; same-date runs tie-break by orderkey."""
+    from docling_jobkit_ray.pipelines.tpch_supp import scd2_customer_status
+
+    d = lambda s: pd.Timestamp(s)
+    rows = [
+        # cust 1: O,O (run1) -> F (run2) -> O (run3); run2 and run3 share a
+        # date, disambiguated by orderkey
+        (100, 1, "O", d("1995-01-01")),
+        (101, 1, "O", d("1995-02-01")),
+        (102, 1, "F", d("1995-03-01")),
+        (103, 1, "O", d("1995-03-01")),
+        # cust 2: single order -> one open run
+        (200, 2, "P", d("1996-01-01")),
+    ]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows]),
+            "o_totalprice": pa.array([0.0] * len(rows)),
+            "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "orders", t)
+    out = scd2_customer_status(str(tmp_path)).to_pandas()
+    c1 = out[out["o_custkey"] == 1].reset_index(drop=True)
+    assert list(c1["version"]) == [1, 2, 3]
+    assert list(c1["o_orderstatus"]) == ["O", "F", "O"]
+    assert list(c1["n_orders"]) == [2, 1, 1]
+    assert c1.loc[0, "valid_to"] == d("1995-03-01")
+    assert c1.loc[1, "valid_from"] == d("1995-03-01")
+    assert c1.loc[1, "valid_to"] == d("1995-03-01")
+    assert str(c1.loc[2, "valid_to"]) == "9999-12-31 00:00:00"
+    c2 = out[out["o_custkey"] == 2].reset_index(drop=True)
+    assert len(c2) == 1 and str(c2.loc[0, "valid_to"]).startswith("9999")
+
+
+def test_events_gapfill_zero_hours(ray_session, tmp_path):
+    """Silent hours inside a user's span appear with n_events=0; a
+    single-hour user gets exactly one grid row; spans never leak across
+    users."""
+    from docling_jobkit_ray.pipelines.behavior import events_gapfill_hourly
+
+    base = pd.Timestamp("2024-01-01 00:30:00")
+    h = lambda n: base + pd.Timedelta(hours=n)
+    rows = [
+        # user 1: events in hours 0 (x2) and 3 -> grid 0..3 with gaps 1,2
+        (1, 1, h(0), "e"),
+        (2, 1, h(0) + pd.Timedelta(minutes=10), "e"),
+        (3, 1, h(3), "e"),
+        # user 2: one event -> one row
+        (4, 2, h(10), "e"),
+    ]
+    _write(tmp_path, "events", _events_table(rows))
+    out = events_gapfill_hourly(str(tmp_path), n_buckets=4).to_pandas()
+    u1 = out[out["user_id"] == 1].reset_index(drop=True)
+    assert list(u1["n_events"]) == [2, 0, 0, 1]
+    assert list(u1["hour_ts"]) == [
+        pd.Timestamp("2024-01-01 00:00:00") + pd.Timedelta(hours=k) for k in range(4)
+    ]
+    u2 = out[out["user_id"] == 2].reset_index(drop=True)
+    assert len(u2) == 1 and u2.loc[0, "n_events"] == 1
