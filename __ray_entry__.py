@@ -675,6 +675,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dsir_importance_weights"] = _dsir_importance_weights
 
+    def _cms_term_counts(sf_dir: str):
+        from docling_jobkit_ray.functions.cms import cms_term_counts
+
+        return cms_term_counts(sf_dir)
+
+    q["cms_term_counts"] = _cms_term_counts
+
     def _benchmark_leakage_report(sf_dir: str):
         return webtext.benchmark_leakage_report(sf_dir)
 
@@ -968,6 +975,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.fuzzy import FUZZY_ENTITY_RESOLUTION_SQL
 
     sql["fuzzy_entity_resolution"] = FUZZY_ENTITY_RESOLUTION_SQL
+    from docling_jobkit_ray.functions.cms import cms_term_counts_sql
+
+    sql["cms_term_counts"] = cms_term_counts_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

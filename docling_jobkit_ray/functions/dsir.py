@@ -52,10 +52,11 @@ _PRIME = 1_000_003
 _SMOOTH = 1.0  # add-one smoothing on bucket counts
 
 
-def _word_buckets(flat: pa.Array) -> np.ndarray:
-    """Vectorized polynomial hash of each word's first 8 bytes -> bucket.
-    Words are ASCII ``[a-z]+`` tokens, so DuckDB's character fold computes
-    the identical value."""
+def _word_hash(flat: pa.Array) -> np.ndarray:
+    """Vectorized polynomial hash of each word's first 8 bytes, mod
+    ``_PRIME`` (the pre-bucket value; cms.py derives its row hashes from
+    it).  Words are ASCII ``[a-z]+`` tokens, so DuckDB's character fold
+    computes the identical value."""
     arr = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
     n = len(arr)
     if n == 0:
@@ -71,7 +72,11 @@ def _word_buckets(flat: pa.Array) -> np.ndarray:
         if not m.any():
             break
         h[m] = (h[m] * 31 + data[starts[m] + j]) % _PRIME
-    return h % N_BUCKETS
+    return h
+
+
+def _word_buckets(flat: pa.Array) -> np.ndarray:
+    return _word_hash(flat) % N_BUCKETS
 
 
 def _tokens(batch_text: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
