@@ -682,6 +682,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["cms_term_counts"] = _cms_term_counts
 
+    def _lang_source_chisq(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import lang_source_chisq
+
+        return lang_source_chisq(sf_dir)
+
+    q["lang_source_chisq"] = _lang_source_chisq
+
+    def _events_hourly_ols(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import events_hourly_ols
+
+        return events_hourly_ols(sf_dir)
+
+    q["events_hourly_ols"] = _events_hourly_ols
+
     def _benchmark_leakage_report(sf_dir: str):
         return webtext.benchmark_leakage_report(sf_dir)
 
@@ -978,6 +992,13 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.cms import cms_term_counts_sql
 
     sql["cms_term_counts"] = cms_term_counts_sql()
+    from docling_jobkit_ray.functions.stats_tests import (
+        EVENTS_HOURLY_OLS_SQL,
+        LANG_SOURCE_CHISQ_SQL,
+    )
+
+    sql["lang_source_chisq"] = LANG_SOURCE_CHISQ_SQL
+    sql["events_hourly_ols"] = EVENTS_HOURLY_OLS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1,0 +1,217 @@
+"""Exact-integer statistical tests over distributed aggregates: chi-square
+independence (lang x source) and grouped OLS trend lines.
+
+Both follow the same scale shape: the distributed work is ONE pass of
+per-batch vectorized partials folded by a small groupby (cells bounded by
+the categorical cross product / the event-type count, never by row count),
+and the final statistic is computed on the driver with PYTHON INTEGERS —
+arbitrary precision, mirrored in SQL by HUGEINT (int128) casts.  Every
+output is quantized ONCE by integer division; DuckDB's ``//`` TRUNCATES
+toward zero (measured: -7 // 2 = -3) while Python's floors, so
+``_trunc_div`` mirrors the truncating form for possibly-negative
+numerators (chi-square contributions are non-negative and unaffected).
+
+Overflow bounds (documented, asserted nowhere hot): chi-square needs
+(O*N - R*C)^2 * 1e6 < 2^127, i.e. N < ~2e5 * 2^31 ~ 5e14 docs worth of
+margin product — far past any real corpus; OLS needs
+(Sy * Sxx) * 1e6 < 2^127 with y in cents and x in 0..23.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero — DuckDB ``//`` semantics
+    (Python's ``//`` floors, which differs on negative numerators)."""
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den >= 0) else -q
+
+
+def lang_source_chisq(sf_dir: str) -> pa.Table:
+    """Chi-square-of-independence cell table for (lang, source): observed
+    count, expected count (1e-6 grid) and the cell's chi-square
+    contribution (1e-6 grid) over the FULL observed-margin grid — absent
+    combinations appear with n_docs = 0, as the statistic requires.
+
+    contribution = (O*N - R*C)^2 / (N*R*C) on the exact integer margins;
+    one quantization per cell, so sum(contrib_e6)/1e6 is the statistic.
+    """
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        return (
+            batch.select(["lang", "source"])
+            .group_by(["lang", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded by |langs| x |sources| — a categorical grid
+    )
+    obs = {(r["lang"], r["source"]): int(r["n"]) for r in cells}
+    langs = sorted({k[0] for k in obs})
+    sources = sorted({k[1] for k in obs})
+    row_tot = {l: sum(obs.get((l, s), 0) for s in sources) for l in langs}
+    col_tot = {s: sum(obs.get((l, s), 0) for l in langs) for s in sources}
+    n_total = sum(row_tot.values())
+
+    out = {"lang": [], "source": [], "n_docs": [], "expected_e6": [], "contrib_e6": []}
+    for l in langs:
+        for s in sources:
+            o = obs.get((l, s), 0)
+            r, c = row_tot[l], col_tot[s]
+            d = o * n_total - r * c
+            out["lang"].append(l)
+            out["source"].append(s)
+            out["n_docs"].append(o)
+            out["expected_e6"].append(r * c * 1_000_000 // n_total)
+            out["contrib_e6"].append(d * d * 1_000_000 // (n_total * r * c))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "expected_e6": pa.array(out["expected_e6"], pa.int64()),
+            "contrib_e6": pa.array(out["contrib_e6"], pa.int64()),
+        }
+    )
+
+
+LANG_SOURCE_CHISQ_SQL = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, sum(o) AS rn FROM cells GROUP BY lang),
+c AS (SELECT source, sum(o) AS cn FROM cells GROUP BY source),
+tot AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT r.lang, c.source, coalesce(cells.o, 0) AS o, r.rn, c.cn, tot.n
+  FROM r CROSS JOIN c CROSS JOIN tot
+  LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+)
+SELECT lang, source, CAST(o AS BIGINT) AS n_docs,
+       CAST(CAST(rn AS HUGEINT) * cn * 1000000 // n AS BIGINT) AS expected_e6,
+       CAST((CAST(o AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn)
+            * (CAST(o AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn)
+            * 1000000 // (CAST(n AS HUGEINT) * rn * cn) AS BIGINT) AS contrib_e6
+FROM grid
+ORDER BY lang, source
+"""
+
+
+def events_hourly_ols(sf_dir: str) -> pa.Table:
+    """Per-event-type least-squares trend of value (exact int64 cents)
+    against hour-of-day: slope and intercept on the 1e-6 grid from the
+    closed-form normal equations over five exact integer sums
+    (n, Sx, Sy, Sxx, Sxy).  Degenerate groups (all events in one hour:
+    n*Sxx == Sx^2) are excluded, mirrored by the oracle's HAVING."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("sxx", pa.int64()),
+            ("sxy", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        x = pc.cast(pc.hour(batch["ts"]), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        return (
+            t.group_by("event_type")
+            .aggregate(
+                [([], "count_all"), ("x", "sum"), ("y", "sum"), ("xx", "sum"), ("xy", "sum")]
+            )
+            .rename_columns(["event_type", "n", "sx", "sy", "sxx", "sxy"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    groups = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .take_all()  # bounded by the event-type cardinality
+    )
+    out = {"event_type": [], "n_events": [], "slope_e6": [], "intercept_e6": []}
+    for r in sorted(groups, key=lambda r: r["event_type"]):
+        n, sx, sy, sxx, sxy = (int(r[k]) for k in ("n", "sx", "sy", "sxx", "sxy"))
+        den = n * sxx - sx * sx
+        if den <= 0:
+            continue
+        out["event_type"].append(r["event_type"])
+        out["n_events"].append(n)
+        out["slope_e6"].append(_trunc_div((n * sxy - sx * sy) * 1_000_000, den))
+        out["intercept_e6"].append(_trunc_div((sy * sxx - sx * sxy) * 1_000_000, den))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "slope_e6": pa.array(out["slope_e6"], pa.int64()),
+            "intercept_e6": pa.array(out["intercept_e6"], pa.int64()),
+        }
+    )
+
+
+EVENTS_HOURLY_OLS_SQL = """
+WITH pts AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts GROUP BY event_type
+  HAVING count(*) * sum(x * x) - sum(x) * sum(x) > 0
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            AS BIGINT) AS slope_e6,
+       CAST((CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy) * 1000000
+            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            AS BIGINT) AS intercept_e6
+FROM s
+ORDER BY event_type
+"""

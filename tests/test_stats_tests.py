@@ -1,0 +1,125 @@
+"""Exact-integer statistical tests (functions/stats_tests.py): chi-square
+independence cell table and grouped OLS trend — crafted corpora pin the
+zero-cell grid, the truncating-division parity on NEGATIVE slopes, and the
+degenerate-group exclusion."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from docling_jobkit_ray.functions.stats_tests import (
+    EVENTS_HOURLY_OLS_SQL,
+    LANG_SOURCE_CHISQ_SQL,
+    _trunc_div,
+    events_hourly_ols,
+    lang_source_chisq,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_trunc_div_matches_duckdb_fuzz():
+    rng = np.random.default_rng(3)
+    con = duckdb.connect()
+    for _ in range(200):
+        num = int(rng.integers(-10**12, 10**12))
+        den = int(rng.integers(1, 10**6))
+        want = con.execute(
+            "SELECT CAST(? AS HUGEINT) // CAST(? AS HUGEINT)", [num, den]
+        ).fetchone()[0]
+        assert _trunc_div(num, den) == int(want), (num, den)
+
+
+def test_chisq_matches_sql_and_includes_zero_cells(ray_session, tmp_path):
+    """A (lang, source) combination with no documents must appear with
+    n_docs = 0 and a positive contribution."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(["x"] * 6),
+            "lang": pa.array(["en", "en", "en", "de", "de", "de"]),
+            "source": pa.array(["web", "web", "wiki", "web", "web", "web"]),
+            "n_chars": pa.array([1] * 6, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = lang_source_chisq(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(LANG_SOURCE_CHISQ_SQL).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    zero = got[(got["lang"] == "de") & (got["source"] == "wiki")]
+    assert len(zero) == 1 and zero.iloc[0]["n_docs"] == 0
+    assert zero.iloc[0]["contrib_e6"] > 0
+    # statistic identity vs scipy-free hand computation: chi2 = sum over the
+    # 2x2 grid of (O - E)^2 / E with margins (en,de)=(3,3), (web,wiki)=(5,1)
+    expected_stat = sum(
+        (o - e) ** 2 / e
+        for o, e in [(2, 2.5), (1, 0.5), (3, 2.5), (0, 0.5)]
+    )
+    assert got["contrib_e6"].sum() / 1e6 == pytest.approx(expected_stat, abs=1e-5)
+
+
+def test_chisq_matches_sql_sf0001(ray_session):
+    got = lang_source_chisq(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = con.execute(LANG_SOURCE_CHISQ_SQL).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ols_negative_slope_and_degenerate_exclusion(ray_session, tmp_path):
+    """A strictly decreasing value-by-hour series gives a negative slope
+    (truncating-division parity with DuckDB), and a group whose events all
+    share one hour is excluded on both engines."""
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # 'down': y = 1000 - 100*x cents at hours 0..9 -> slope exactly -1 $/h
+    for hx in range(10):
+        rows.append(("down", base + pd.Timedelta(hours=hx), (1000 - 100 * hx) / 100.0))
+    # 'flatline': two events in the same hour -> degenerate, excluded
+    rows.append(("flatline", base, 5.0))
+    rows.append(("flatline", base + pd.Timedelta(minutes=10), 7.0))
+    # 'noisy': non-integral slope exercising truncation of a negative num
+    for hx, v in [(0, 3.0), (1, 1.0), (2, 2.5), (3, 0.2)]:
+        rows.append(("noisy", base + pd.Timedelta(hours=hx), v))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = events_hourly_ols(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(EVENTS_HOURLY_OLS_SQL).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got["event_type"]) == {"down", "noisy"}
+    down = got.set_index("event_type").loc["down"]
+    assert down["slope_e6"] == -100 * 1_000_000  # -100 cents/hour exactly
+
+
+def test_ols_matches_sql_sf0001(ray_session):
+    got = events_hourly_ols(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = con.execute(EVENTS_HOURLY_OLS_SQL).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
