@@ -696,6 +696,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_hourly_ols"] = _events_hourly_ols
 
+    def _events_props_extract(sf_dir: str):
+        from docling_jobkit_ray.functions.jsontools import events_props_extract
+
+        return events_props_extract(sf_dir)
+
+    q["events_props_extract"] = _events_props_extract
+
+    def _events_props_stats(sf_dir: str):
+        from docling_jobkit_ray.functions.jsontools import events_props_stats
+
+        return events_props_stats(sf_dir)
+
+    q["events_props_stats"] = _events_props_stats
+
     def _benchmark_leakage_report(sf_dir: str):
         return webtext.benchmark_leakage_report(sf_dir)
 
@@ -999,6 +1013,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lang_source_chisq"] = LANG_SOURCE_CHISQ_SQL
     sql["events_hourly_ols"] = EVENTS_HOURLY_OLS_SQL
+    from docling_jobkit_ray.functions.jsontools import (
+        EVENTS_PROPS_EXTRACT_SQL,
+        EVENTS_PROPS_STATS_SQL,
+    )
+
+    sql["events_props_extract"] = EVENTS_PROPS_EXTRACT_SQL
+    sql["events_props_stats"] = EVENTS_PROPS_STATS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,
