@@ -710,6 +710,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_props_stats"] = _events_props_stats
 
+    def _score_drift_ks(sf_dir: str):
+        return webtext.score_drift_ks(sf_dir)
+
+    q["score_drift_ks"] = _score_drift_ks
+
     def _benchmark_leakage_report(sf_dir: str):
         return webtext.benchmark_leakage_report(sf_dir)
 
@@ -1020,6 +1025,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["events_props_extract"] = EVENTS_PROPS_EXTRACT_SQL
     sql["events_props_stats"] = EVENTS_PROPS_STATS_SQL
+    from docling_jobkit_ray.functions.webtext import score_drift_ks_sql
+
+    sql["score_drift_ks"] = score_drift_ks_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

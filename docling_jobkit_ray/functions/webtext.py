@@ -3715,3 +3715,183 @@ FROM b
 GROUP BY bin
 ORDER BY bin
 """
+
+
+def score_drift_ks(sf_dir: str) -> pa.Table:
+    """Exact Kolmogorov-Smirnov drift statistic between the reference
+    (even doc_id) and current (odd doc_id) halves of the quality-score
+    distribution — PSI's nonparametric sibling: no binning, the supremum
+    CDF gap itself, kept exact-integer end to end by maximizing
+    ``|c_ref(v) * N_cur - c_cur(v) * N_ref|`` over distinct logit values.
+
+    Scale shape: the AUC recipe — ONE value-range bucketed exchange
+    (order-preserving bucket ids).  The key reduction: within a bucket the
+    global objective is ``|A_b + x_v|`` where ``x_v`` is the local
+    cumulative difference and ``A_b`` a cross-bucket constant — convex in
+    ``x_v``, so each bucket only reports its EXTREME x values (plus the
+    earliest logit achieving each, for the deterministic argmax threshold);
+    the driver finishes from K rows of int64s.  Ties on the max break to
+    the smallest threshold on both engines.
+
+    Output (one row): n_ref, n_cur, ks_ppm (floor division), threshold_e6.
+    """
+    from ..scale import bucket_count, estimate_rows
+
+    scores = classifier_quality_scores(sf_dir).select_columns(["doc_id", "logit_e6"])
+
+    def side_of(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("logit_e6", pa.int64()), ("side", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "logit_e6": pc.cast(batch["logit_e6"], pa.int64()),
+                "side": pc.bit_wise_and(batch["doc_id"], pa.scalar(1, pa.int64())),
+            }
+        )
+
+    sided = scores.map_batches(side_of, batch_format="pyarrow", zero_copy_batch=True)
+    agg = sided.aggregate(
+        ray.data.aggregate.Min("logit_e6"),
+        ray.data.aggregate.Max("logit_e6"),
+        ray.data.aggregate.Sum("side"),
+        ray.data.aggregate.Count(),
+    )
+    lo, hi = int(agg["min(logit_e6)"]), int(agg["max(logit_e6)"])
+    n_total = int(agg["count()"])
+    n_cur = int(agg["sum(side)"])
+    n_ref = n_total - n_cur
+    if n_ref == 0 or n_cur == 0:
+        raise ValueError("score_drift_ks: one side of the doc_id-parity split is empty")
+    n_buckets = bucket_count(estimate_rows(sf_dir, "documents"), min_buckets=16)
+    width = max(1, -((lo - hi - 1) // n_buckets))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("logit_e6", pa.int64()),
+                    ("side", pa.int64()),
+                ]
+            ).empty_table()
+        return batch.add_column(
+            0,
+            "bucket",
+            pc.cast(
+                pc.divide(pc.subtract(batch["logit_e6"], lo), width), pa.int64()
+            ),
+        )
+
+    part_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("t_ref", pa.int64()),
+            ("t_cur", pa.int64()),
+            ("xmin", pa.int64()),
+            ("v_xmin", pa.int64()),
+            ("xmax", pa.int64()),
+            ("v_xmax", pa.int64()),
+        ]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return part_schema.empty_table()
+        group = group.cast(
+            pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("logit_e6", pa.int64()),
+                    ("side", pa.int64()),
+                ]
+            )
+        )
+        v = group["logit_e6"].to_numpy(zero_copy_only=False)
+        s = group["side"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        vv, sv = v[order], s[order]
+        new = np.empty(len(vv), dtype=bool)
+        new[0] = True
+        new[1:] = vv[1:] != vv[:-1]
+        gid = np.cumsum(new) - 1
+        cur_v = np.bincount(gid, weights=sv).astype(np.int64)
+        cnt_v = np.bincount(gid).astype(np.int64)
+        ref_v = cnt_v - cur_v
+        # x_v = local cumulative (ref*N_cur - cur*N_ref), inclusive of v
+        x = np.cumsum(ref_v) * n_cur - np.cumsum(cur_v) * n_ref
+        distinct = vv[new]
+        imin, imax = int(np.argmin(x)), int(np.argmax(x))  # first occurrence
+        return pa.table(
+            {
+                "bucket": pa.array([int(group["bucket"][0].as_py())], pa.int64()),
+                "t_ref": pa.array([int(ref_v.sum())], pa.int64()),
+                "t_cur": pa.array([int(cur_v.sum())], pa.int64()),
+                "xmin": pa.array([int(x[imin])], pa.int64()),
+                "v_xmin": pa.array([int(distinct[imin])], pa.int64()),
+                "xmax": pa.array([int(x[imax])], pa.int64()),
+                "v_xmax": pa.array([int(distinct[imax])], pa.int64()),
+            }
+        )
+
+    rows = sorted(
+        (
+            sided.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+            .take_all()  # bounded: one row per value-range bucket
+        ),
+        key=lambda r: r["bucket"],
+    )
+    o_ref = o_cur = 0
+    best = -1
+    best_v: int | None = None
+    for r in rows:
+        a = o_ref * n_cur - o_cur * n_ref
+        for m, v_at in ((abs(a + int(r["xmin"])), int(r["v_xmin"])),
+                        (abs(a + int(r["xmax"])), int(r["v_xmax"]))):
+            if m > best or (m == best and (best_v is None or v_at < best_v)):
+                best, best_v = m, v_at
+        o_ref += int(r["t_ref"])
+        o_cur += int(r["t_cur"])
+    ks_ppm = best * 1_000_000 // (n_ref * n_cur)
+    return pa.table(
+        {
+            "n_ref": pa.array([n_ref], pa.int64()),
+            "n_cur": pa.array([n_cur], pa.int64()),
+            "ks_ppm": pa.array([ks_ppm], pa.int64()),
+            "threshold_e6": pa.array([best_v], pa.int64()),
+        }
+    )
+
+
+def score_drift_ks_sql() -> str:
+    inner = CLASSIFIER_QUALITY_SCORES_SQL.strip().removesuffix("ORDER BY doc_id").rstrip()
+    return f"""
+WITH scores AS ({inner}),
+d AS (
+  SELECT logit_e6 AS v,
+         count(*) FILTER (WHERE doc_id % 2 = 0) AS n1,
+         count(*) FILTER (WHERE doc_id % 2 = 1) AS n2
+  FROM scores GROUP BY logit_e6
+),
+tot AS (SELECT sum(n1) AS nr, sum(n2) AS nc FROM d),
+c AS (
+  SELECT v,
+         sum(n1) OVER (ORDER BY v) AS c1,
+         sum(n2) OVER (ORDER BY v) AS c2
+  FROM d
+),
+cand AS (
+  SELECT v, abs(c1 * tot.nc - c2 * tot.nr) AS m FROM c, tot
+),
+best AS (
+  SELECT m, v FROM cand ORDER BY m DESC, v ASC LIMIT 1
+)
+SELECT CAST(tot.nr AS BIGINT) AS n_ref,
+       CAST(tot.nc AS BIGINT) AS n_cur,
+       CAST(best.m * 1000000 // (tot.nr * tot.nc) AS BIGINT) AS ks_ppm,
+       CAST(best.v AS BIGINT) AS threshold_e6
+FROM tot, best
+"""

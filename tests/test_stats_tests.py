@@ -123,3 +123,49 @@ def test_ols_matches_sql_sf0001(ray_session):
     )
     want = con.execute(EVENTS_HOURLY_OLS_SQL).fetchdf()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_score_drift_ks_crafted_shift(ray_session, tmp_path):
+    """A planted location shift between halves yields the hand-computable
+    KS gap; the argmax threshold tie-breaks to the smallest logit."""
+    import pyarrow as pa, pyarrow.parquet as pq
+    from docling_jobkit_ray.functions.webtext import score_drift_ks, score_drift_ks_sql
+
+    # even doc_ids (ref): text with many stopwords (high logit);
+    # odd doc_ids (cur): digit-heavy text (low logit) -> large KS
+    texts = []
+    for i in range(40):
+        if i % 2 == 0:
+            texts.append("the and that with for this from they have " * 3)
+        else:
+            texts.append("12345 67890 11111 22222 33333 44444")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 40),
+            "source": pa.array(["web"] * 40),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = score_drift_ks(str(tmp_path)).to_pandas()
+    assert got.loc[0, "ks_ppm"] == 1_000_000  # disjoint distributions
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(score_drift_ks_sql()).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_score_drift_ks_matches_sql_sf0001(ray_session):
+    from docling_jobkit_ray.functions.webtext import score_drift_ks, score_drift_ks_sql
+
+    got = score_drift_ks(SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = con.execute(score_drift_ks_sql()).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
