@@ -238,6 +238,21 @@ SQL_BACKED = [
     # round-5: grouped robust stats (median / trimmed sum / MAD, exact cents)
     "orders_robust_stats",
     "orders_outliers_mad",
+    # round-5 continuation: fuzzy ER, temporal joins, SCD2/gapfill, sketches
+    # and stats (tests/test_fuzzy.py, test_behavior_and_supp.py, test_cms.py,
+    # test_stats_tests.py, test_jsontools.py pin each at sf0.001 + crafted)
+    "fuzzy_prefix_pairs",
+    "fuzzy_entity_resolution",
+    "events_asof_last_click",
+    "events_band_join",
+    "scd2_customer_status",
+    "events_gapfill_hourly",
+    "cms_term_counts",
+    "lang_source_chisq",
+    "events_hourly_ols",
+    "events_props_extract",
+    "events_props_stats",
+    "score_drift_ks",
 ]
 
 
