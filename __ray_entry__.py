@@ -449,6 +449,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["fuzzy_prefix_pairs"] = _fuzzy_prefix_pairs
 
+    def _bfs_hops_part_supplier(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import bfs_hops_part_supplier
+
+        return bfs_hops_part_supplier(sf_dir)
+
+    q["bfs_hops_part_supplier"] = _bfs_hops_part_supplier
+
     def _fuzzy_entity_resolution(sf_dir: str):
         from docling_jobkit_ray.functions.fuzzy import fuzzy_entity_resolution
 
@@ -1028,6 +1035,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import score_drift_ks_sql
 
     sql["score_drift_ks"] = score_drift_ks_sql()
+    from docling_jobkit_ray.functions.graph import bfs_hops_part_supplier_sql
+
+    sql["bfs_hops_part_supplier"] = bfs_hops_part_supplier_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -784,3 +784,294 @@ FROM r{iters}
 ORDER BY node_type, key
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances (the third member of the graph trio: components /
+# pagerank / shortest unweighted paths)
+# ---------------------------------------------------------------------------
+
+BFS_SEED_SUPPLIERS = (1, 2, 3)
+BFS_MAX_HOPS = 4
+
+
+def bfs_hops_part_supplier(
+    sf_dir: str,
+    *,
+    seed_suppliers: tuple[int, ...] = BFS_SEED_SUPPLIERS,
+    max_hops: int = BFS_MAX_HOPS,
+    small_graph_limit: int = 1_000_000,
+    node_budget: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Unweighted shortest-path (BFS) hop distance from a seed supplier set
+    over the bipartite part<->supplier graph induced by lineitem — the
+    reachability/radius query of the graph family.  Returns every node
+    within ``max_hops`` hops as (node_type, key, hop), hop = exact minimum.
+
+    Three-tier hybrid (the pagerank recipe, every tier decided by MEASURED
+    counts): edges <= ``small_graph_limit`` run synchronous rounds of
+    vectorized ``np.minimum.at`` relaxation on the driver; nodes <=
+    ``node_budget`` run frontier-BROADCAST edge streaming — per round the
+    sorted frontier id array rides the UDF closure (once per stage, never
+    per batch) and ONE embarrassingly-parallel pass over the pinned edge
+    list emits per-batch-distinct discovered nodes, whose distinct fold
+    (bounded by n_nodes) updates a driver-side distance vector: NO join
+    shuffle per round, measured 15x faster than the bucketed-join
+    loop at sf0.1 (10 s vs 156 s — per-round all-to-alls over the full edge
+    list dominate BFS, whose frontier is tiny relative to edges); beyond
+    the budget, bucketed-join frontier expansion with a min-fold union.
+    All tiers compute the identical recurrence the recursive-CTE oracle
+    unrolls; iteration-round Datasets are materialized (branching a lazy
+    Dataset re-executes the parent chain)."""
+    from ray.data.aggregate import Count, Min
+
+    from ..pipelines.joins import bucketed_join
+    from ..sources.pages import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("pair", pa.int64())]).empty_table()
+        pair = pc.add(
+            pc.multiply(pc.cast(batch["l_partkey"], pa.int64()), 2**32),
+            pc.cast(batch["l_suppkey"], pa.int64()),
+        )
+        return pa.table({"pair": pair}).group_by("pair").aggregate([])
+
+    pairs = (
+        li.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _EDGE_SCHEMA.empty_table()
+        pair = batch["pair"]
+        p = pc.divide(pair, 2**32)
+        s = pc.subtract(pair, pc.multiply(p, 2**32))
+        pn = pc.multiply(p, 2)
+        sn = pc.add(pc.multiply(s, 2), 1)
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [pc.cast(pn, pa.int64()).combine_chunks(),
+                     pc.cast(sn, pa.int64()).combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [pc.cast(sn, pa.int64()).combine_chunks(),
+                     pc.cast(pn, pa.int64()).combine_chunks()]
+                ),
+            }
+        )
+
+    sym = pairs.map_batches(
+        to_adj, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_edges = sym.count()
+    seed_nodes = sorted(2 * s + 1 for s in seed_suppliers)
+
+    def finish(tbl: pa.Table) -> ray.data.Dataset:
+        order = pc.sort_indices(
+            tbl, sort_keys=[("node_type", "ascending"), ("key", "ascending")]
+        )
+        return ray.data.from_arrow(tbl.take(order))
+
+    def decode(node: np.ndarray, hop: np.ndarray) -> pa.Table:
+        kind = np.where(node % 2 == 0, "part", "supplier")
+        return pa.table(
+            {
+                "node_type": pa.array(kind, pa.string()),
+                "key": pa.array(node // 2, pa.int64()),
+                "hop": pa.array(hop, pa.int64()),
+            }
+        )
+
+    if n_edges <= small_graph_limit:
+        t = _collect_arrow(sym)
+        if t is None:
+            return ray.data.from_arrow(decode(np.empty(0, np.int64), np.empty(0, np.int64)))
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        nodes = np.unique(src)  # sym is symmetric: src covers every node
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        inf = np.int64(1) << 60
+        dist = np.full(len(nodes), inf, np.int64)
+        present = np.isin(np.asarray(seed_nodes, np.int64), nodes)
+        dist[np.searchsorted(nodes, np.asarray(seed_nodes, np.int64)[present])] = 0
+        for _ in range(max_hops):
+            nd = dist[si] + 1  # snapshot BEFORE update: synchronous rounds
+            np.minimum.at(dist, di, nd)
+        keep = dist <= max_hops
+        return finish(decode(nodes[keep], dist[keep]))
+
+    # node count decides the broadcast tier (nodes are far fewer than
+    # edges; the distinct fold carries one int64 per node)
+    def node_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table({"node": batch["src"]}).group_by("node").aggregate([])
+
+    from ray.data.aggregate import Count as _Count
+
+    nodes_ds = (
+        sym.map_batches(node_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(_Count(alias_name="_n"))
+        .materialize()
+    )
+    n_nodes = nodes_ds.count()
+
+    if n_nodes <= node_budget:
+        # frontier-broadcast tier: one streaming pass over the edge list
+        # per round, driver state = two bounded arrays (node ids + hops)
+        nt = _collect_arrow(nodes_ds)
+        nodes_arr = np.sort(nt["node"].to_numpy(zero_copy_only=False))
+        inf = np.int64(1) << 60
+        dist = np.full(n_nodes, inf, np.int64)
+        seeds_np = np.asarray(seed_nodes, np.int64)
+        present = np.isin(seeds_np, nodes_arr)
+        seed_idx = np.searchsorted(nodes_arr, seeds_np[present])
+        dist[seed_idx] = 0
+        frontier = np.sort(nodes_arr[seed_idx])
+        for r in range(1, max_hops + 1):
+            if len(frontier) == 0:
+                break
+
+            def expand(batch: pa.Table, fr=frontier) -> pa.Table:
+                if batch.num_rows == 0 or batch.num_columns == 0:
+                    return pa.schema([("node", pa.int64())]).empty_table()
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(fr, src)
+                idx[idx == len(fr)] = 0
+                hit = fr[idx] == src
+                dsts = np.unique(batch["dst"].to_numpy(zero_copy_only=False)[hit])
+                return pa.table({"node": pa.array(dsts, pa.int64())})
+
+            reached = _collect_arrow(
+                sym.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+                .groupby("node")
+                .aggregate(_Count(alias_name="_n"))
+            )
+            if reached is None:
+                break
+            cand = reached["node"].to_numpy(zero_copy_only=False)
+            ci = np.searchsorted(nodes_arr, cand)
+            newly = dist[ci] > r
+            dist[ci[newly]] = r
+            frontier = np.sort(cand[newly])
+        keep = dist <= max_hops
+        return finish(decode(nodes_arr[keep], dist[keep]))
+
+    # fully-distributed tier: bucketed-join frontier expansion
+    label_schema = pa.schema([("node", pa.int64()), ("hop", pa.int64())])
+    seed_arr = pa.array(seed_nodes, pa.int64())
+
+    def seed_init(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return label_schema.empty_table()
+        hits = batch.filter(pc.is_in(batch["src"], value_set=seed_arr))
+        t = pa.table({"node": hits["src"]}).group_by("node").aggregate([])
+        return pa.table(
+            {
+                "node": t["node"],
+                "hop": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            }
+        )
+
+    dist = (
+        sym.map_batches(seed_init, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("hop", alias_name="hop"))
+        .materialize()
+    )
+    frontier = dist
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("node")
+            .aggregate([("hop", "min")])
+            .rename_columns(["node", "hop"])
+        )
+
+    for r in range(1, max_hops + 1):
+        joined = bucketed_join(
+            sym,
+            frontier,
+            on="src",
+            right_on="node",
+            left_schema=_EDGE_SCHEMA,
+            right_schema=label_schema,
+            est_rows=n_edges,
+        )
+        cand = joined.map_batches(
+            lambda b, _r=r: (
+                label_schema.empty_table()
+                if b.num_rows == 0 or b.num_columns == 0
+                else pa.table(
+                    {
+                        "node": b["dst"],
+                        "hop": pc.add(b["hop"], pa.scalar(1, pa.int64())),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        dist = (
+            cand.union(dist)
+            .map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .aggregate(Min("hop", alias_name="hop"))
+            .materialize()
+        )
+        frontier = dist.map_batches(
+            lambda b, _r=r: (
+                label_schema.empty_table()
+                if b.num_rows == 0 or b.num_columns == 0
+                else b.filter(pc.equal(b["hop"], pa.scalar(_r, pa.int64())))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        if frontier.count() == 0:
+            break
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("node_type", pa.string()), ("key", pa.int64()), ("hop", pa.int64())]
+            ).empty_table()
+        node = batch["node"].to_numpy()
+        return decode(node, batch["hop"].to_numpy())
+
+    return dist.map_batches(
+        decode_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["node_type", "key"])
+
+
+def bfs_hops_part_supplier_sql(
+    seed_suppliers: tuple[int, ...] = BFS_SEED_SUPPLIERS,
+    max_hops: int = BFS_MAX_HOPS,
+) -> str:
+    seeds = ", ".join(str(2 * s + 1) for s in seed_suppliers)
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+adj AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM edges
+        UNION ALL SELECT s * 2 + 1, p * 2 FROM edges),
+seeds AS (SELECT DISTINCT src AS v FROM adj WHERE src IN ({seeds})),
+bfs(v, hop) AS (
+  SELECT v, 0 FROM seeds
+  UNION
+  SELECT a.dst, bfs.hop + 1 FROM bfs JOIN adj a ON a.src = bfs.v
+  WHERE bfs.hop < {max_hops}
+)
+SELECT CASE WHEN v % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       CAST(v // 2 AS BIGINT) AS key,
+       CAST(min(hop) AS BIGINT) AS hop
+FROM bfs GROUP BY v
+ORDER BY node_type, key
+"""

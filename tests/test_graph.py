@@ -172,3 +172,83 @@ def test_pagerank_ranks_sum_near_scale(ray_session):
     # flooring loses up to deg(u)-1 per share and 1 per node per round —
     # bounded but graph-dependent; 1% of the scale constant is generous
     assert 0.99 * 10**12 <= total <= 10**12
+
+
+def test_bfs_hops_tier_parity_and_truncation(ray_session, tmp_path):
+    """Crafted chain graph: parts/suppliers alternate in a path so hops
+    truncate at max_hops; the driver and distributed tiers agree with the
+    recursive-CTE oracle exactly."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.graph import (
+        bfs_hops_part_supplier,
+        bfs_hops_part_supplier_sql,
+    )
+
+    # chain: s1 - p1 - s10 - p2 - s11 - p3 - s12 - p4 - s13 (plus isolated
+    # pair p9-s9): from seed s1, s13 sits at hop 8 > max_hops=4 -> excluded
+    pairs = [(1, 1), (1, 10), (2, 10), (2, 11), (3, 11), (3, 12), (4, 12), (4, 13), (9, 9)]
+    t = pa.table(
+        {
+            "l_partkey": pa.array([p for p, _ in pairs], pa.int64()),
+            "l_suppkey": pa.array([s for _, s in pairs], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = con.execute(bfs_hops_part_supplier_sql()).fetchdf()
+    for kw in ({}, {"small_graph_limit": 0}):
+        got = bfs_hops_part_supplier(str(tmp_path), **kw).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+        )
+    # seed s1 at hop 0; p1 hop 1; s10 hop 2; ... s12 hop 6 excluded;
+    # within max_hops=4 the chain reaches p2 (hop 3) and s11 (hop 4)
+    m = got.set_index(["node_type", "key"])["hop"]
+    assert m[("supplier", 1)] == 0 and m[("part", 1)] == 1
+    assert m[("supplier", 10)] == 2 and m[("part", 2)] == 3
+    assert m[("supplier", 11)] == 4
+    assert ("part", 3) not in m.index  # hop 5: beyond max_hops
+    assert ("part", 9) not in m.index  # disconnected component
+    # every hop is minimal: seed s1 also reaches p1 directly (1,1) even
+    # though (1,10) offers a longer alternative
+    assert m.max() <= 4 and m.min() == 0
+
+
+def test_bfs_hops_sf0001_sql(ray_session):
+    import duckdb
+
+    from docling_jobkit_ray.functions.graph import (
+        bfs_hops_part_supplier,
+        bfs_hops_part_supplier_sql,
+    )
+
+    got = bfs_hops_part_supplier("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    want = con.execute(bfs_hops_part_supplier_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_bfs_hops_broadcast_tier_parity(ray_session):
+    """The frontier-broadcast tier (forced via small_graph_limit=0) and the
+    fully-bucketed tier (node_budget=0 too) agree with the driver tier."""
+    from docling_jobkit_ray.functions.graph import bfs_hops_part_supplier
+
+    base = bfs_hops_part_supplier("/root/testdata/sf0.001").to_pandas()
+    bc = bfs_hops_part_supplier(
+        "/root/testdata/sf0.001", small_graph_limit=0
+    ).to_pandas()
+    bk = bfs_hops_part_supplier(
+        "/root/testdata/sf0.001", small_graph_limit=0, node_budget=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(base, bc)
+    pd.testing.assert_frame_equal(base, bk)
