@@ -253,6 +253,7 @@ SQL_BACKED = [
     "events_props_extract",
     "events_props_stats",
     "score_drift_ks",
+    "bfs_hops_part_supplier",
 ]
 
 
