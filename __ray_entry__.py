@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_click",
         "events_band_join",
         "events_gapfill_hourly",
+        "events_trigram_paths",
         "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",
@@ -803,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_click",
         "events_band_join",
         "events_gapfill_hourly",
+        "events_trigram_paths",
         "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",

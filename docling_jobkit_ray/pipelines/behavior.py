@@ -1013,3 +1013,123 @@ BEHAVIOR_QUERIES.update(
         "events_gapfill_hourly": (events_gapfill_hourly, EVENTS_GAPFILL_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining: most common 3-step event paths
+# ---------------------------------------------------------------------------
+
+def events_trigram_paths(
+    sf_dir: str, *, top_k: int = 20, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Most frequent 3-step event-type sequences across users (consecutive
+    triples in each user's (ts, event_id)-ordered stream) — the sequential
+    pattern-mining extension of the 2-step ``events_transitions`` matrix.
+
+    Plan: ONE user-bucketed exchange; each bucket sorts once and forms
+    triples with two vectorized shifts (triples never span users); triple
+    counts fold per bucket before the tiny global (e1,e2,e3) aggregate
+    (bounded by |event types|^3).  Deterministic top-k: count desc, then
+    lexicographic triple."""
+    rel = _rel()
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    union_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.insert(4, pa.field("bucket", pa.int64())).empty_table()
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+                ),
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], mask))
+
+    tri_schema = pa.schema(
+        [
+            ("e1", pa.string()),
+            ("e2", pa.string()),
+            ("e3", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def triples_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return tri_schema.empty_table()
+        df = (
+            group.select(union_schema.names)
+            .cast(union_schema)
+            .to_pandas()
+            .sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+            .reset_index(drop=True)
+        )
+        same2 = df["user_id"].eq(df["user_id"].shift(-2))
+        tri = pd.DataFrame(
+            {
+                "e1": df["event_type"],
+                "e2": df["event_type"].shift(-1),
+                "e3": df["event_type"].shift(-2),
+            }
+        )[same2]
+        if tri.empty:
+            return tri_schema.empty_table()
+        counts = tri.groupby(["e1", "e2", "e3"], as_index=False).size()
+        return pa.table(
+            {
+                "e1": pa.array(counts["e1"], pa.string()),
+                "e2": pa.array(counts["e2"], pa.string()),
+                "e3": pa.array(counts["e3"], pa.string()),
+                "n": pa.array(counts["size"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(triples_bucket, batch_format="pyarrow")
+        .groupby(["e1", "e2", "e3"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "e1", "e2", "e3"], descending=[True, False, False, False])
+        .limit(top_k)
+    )
+
+
+EVENTS_TRIGRAM_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_trigram_paths": (events_trigram_paths, EVENTS_TRIGRAM_PATHS_SQL),
+    }
+)

@@ -637,3 +637,27 @@ def test_events_gapfill_zero_hours(ray_session, tmp_path):
     ]
     u2 = out[out["user_id"] == 2].reset_index(drop=True)
     assert len(u2) == 1 and u2.loc[0, "n_events"] == 1
+
+
+def test_events_trigram_paths_user_isolation(ray_session, tmp_path):
+    """Triples never span users; ordering ties break by event_id; counts
+    fold across buckets."""
+    from docling_jobkit_ray.pipelines.behavior import events_trigram_paths
+
+    base = pd.Timestamp("2024-01-01")
+    s = lambda n: base + pd.Timedelta(seconds=n)
+    rows = [
+        # user 1: a b c a b c -> abc x2, bca, cab
+        (1, 1, s(0), "a"), (2, 1, s(1), "b"), (3, 1, s(2), "c"),
+        (4, 1, s(3), "a"), (5, 1, s(4), "b"), (6, 1, s(5), "c"),
+        # user 2: c a b — must NOT extend user 1's stream
+        (7, 2, s(0), "c"), (8, 2, s(1), "a"), (9, 2, s(2), "b"),
+        # user 3: same-ts tie broken by event_id: a(10) b(11) at t=0, c at 1
+        (10, 3, s(0), "a"), (11, 3, s(0), "b"), (12, 3, s(1), "c"),
+    ]
+    _write(tmp_path, "events", _events_table(rows))
+    out = events_trigram_paths(str(tmp_path), n_buckets=4).to_pandas()
+    m = out.set_index(["e1", "e2", "e3"])["n"]
+    assert m[("a", "b", "c")] == 3  # 2 from user 1 + 1 from user 3
+    assert m[("b", "c", "a")] == 1 and m[("c", "a", "b")] == 2
+    assert len(out) == 3

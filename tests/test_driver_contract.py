@@ -254,6 +254,7 @@ SQL_BACKED = [
     "events_props_stats",
     "score_drift_ks",
     "bfs_hops_part_supplier",
+    "events_trigram_paths",
 ]
 
 
