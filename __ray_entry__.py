@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_band_join",
         "events_gapfill_hourly",
         "events_trigram_paths",
+        "events_debounced",
         "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",
@@ -805,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_band_join",
         "events_gapfill_hourly",
         "events_trigram_paths",
+        "events_debounced",
         "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",

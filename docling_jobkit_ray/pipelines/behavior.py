@@ -1133,3 +1133,116 @@ BEHAVIOR_QUERIES.update(
         "events_trigram_paths": (events_trigram_paths, EVENTS_TRIGRAM_PATHS_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# debounce / throttle: stateful stream filter as a batch operator
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 24 * 3600 * 1_000_000
+
+
+def events_debounced(
+    sf_dir: str, *, window_us: int = _DEBOUNCE_US, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Debounce: keep an event only if the same (user, event_type) stream
+    was silent for at least ``window_us`` before it — the stateful
+    rate-limit/dedup filter a streaming engine runs with per-key state,
+    expressed here as one bucketed batch pass (state never leaves the
+    bucket because a key lives in exactly one bucket).
+
+    Same-timestamp duplicates order by event_id, so the later one always
+    sees a zero gap and drops — deterministic on both engines."""
+    rel = _rel()
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    union_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts_us", pa.int64()),
+        ]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.insert(4, pa.field("bucket", pa.int64())).empty_table()
+        t = pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "event_type": batch["event_type"],
+                "ts_us": pc.cast(
+                    pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], mask))
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+
+    def debounce_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        df = (
+            group.select(union_schema.names)
+            .cast(union_schema)
+            .to_pandas()
+            .sort_values(["user_id", "event_type", "ts_us", "event_id"], kind="stable")
+            .reset_index(drop=True)
+        )
+        same = df["user_id"].eq(df["user_id"].shift()) & df["event_type"].eq(
+            df["event_type"].shift()
+        )
+        gap = df["ts_us"].diff()
+        keep = (~same) | (gap > window_us)
+        kept = df[keep]
+        return pa.table(
+            {
+                "event_id": pa.array(kept["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(kept["user_id"].to_numpy(), pa.int64()),
+                "event_type": pa.array(kept["event_type"], pa.string()),
+                "ts": pc.cast(
+                    pa.array(kept["ts_us"].to_numpy(), pa.int64()), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(debounce_bucket, batch_format="pyarrow")
+        .map_batches(rel._pin_timestamp_us(["ts"]), batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_DEBOUNCED_SQL = f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM g
+WHERE prev IS NULL OR ts - prev > to_microseconds({_DEBOUNCE_US})
+ORDER BY event_id
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_debounced": (events_debounced, EVENTS_DEBOUNCED_SQL),
+    }
+)

@@ -661,3 +661,25 @@ def test_events_trigram_paths_user_isolation(ray_session, tmp_path):
     assert m[("a", "b", "c")] == 3  # 2 from user 1 + 1 from user 3
     assert m[("b", "c", "a")] == 1 and m[("c", "a", "b")] == 2
     assert len(out) == 3
+
+
+def test_events_debounced_semantics(ray_session, tmp_path):
+    """Per-(user, type) silence window: boundary gap (== window) drops,
+    just-over keeps; types don't suppress each other; same-ts duplicate
+    drops deterministically."""
+    from docling_jobkit_ray.pipelines.behavior import events_debounced
+
+    base = pd.Timestamp("2024-01-01")
+    w = 60 * 1_000_000  # 60 s window for the test
+    s = lambda us: base + pd.Timedelta(microseconds=us)
+    rows = [
+        (1, 1, s(0), "a"),            # keep (first)
+        (2, 1, s(60_000_000), "a"),   # gap == window -> DROP (strict >)
+        (3, 1, s(120_000_001), "a"),  # gap 60.000001s from #2 -> keep
+        (4, 1, s(1), "b"),            # other type: keep (own stream)
+        (5, 2, s(2), "a"),            # other user: keep
+        (6, 2, s(2), "a"),            # same-ts duplicate -> drop
+    ]
+    _write(tmp_path, "events", _events_table(rows))
+    out = events_debounced(str(tmp_path), window_us=w, n_buckets=4).to_pandas()
+    assert list(out["event_id"]) == [1, 3, 4, 5]

@@ -255,6 +255,7 @@ SQL_BACKED = [
     "score_drift_ks",
     "bfs_hops_part_supplier",
     "events_trigram_paths",
+    "events_debounced",
 ]
 
 
