@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_top_component"] = _embedding_top_component
     q["knn_pq"] = functools.partial(similarity.knn_pq, k=5, n_queries=4)
+    q["ann_recall_report"] = functools.partial(
+        similarity.ann_recall_report, k=5, n_queries=4
+    )
     # the entries from here down sit beyond the driver's 50-query cap by
     # design (variants / lower-priority families); each is pytest-checked
     # (tests/test_driver_contract.py ROWS_ONLY + its own unit tests)

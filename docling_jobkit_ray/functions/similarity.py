@@ -778,3 +778,44 @@ def embedding_top_component(
     if w[np.argmax(np.abs(w))] < 0:
         w = -w
     return w
+
+
+def ann_recall_report(
+    sf_dir: str, *, k: int = 5, n_queries: int = 4
+) -> pa.Table:
+    """Index-quality evaluation: recall@k of each approximate method (IVF
+    at two probe widths, PQ) against the exact brute-force top-k — the
+    audit a vector-search deployment runs before trusting an index.
+
+    Ground truth and candidates are both small (n_queries x k ids), so the
+    comparison happens on the driver; the EXPENSIVE work (three ANN runs +
+    one exact run) stays distributed.  Rows-only (recall depends on the
+    learned centroids/codebooks); pytest pins the invariants instead:
+    recall in [0, 1], full-probe IVF == 1, PQ re-rank >= raw PQ."""
+    truth = knn_brute_force(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    gt = truth.groupby("query_id")["vec_id"].apply(set).to_dict()
+
+    methods = {
+        "ivf_probe1": lambda: knn_ivf(sf_dir, k=k, n_queries=n_queries, n_probe=1),
+        "ivf_probe4": lambda: knn_ivf(sf_dir, k=k, n_queries=n_queries, n_probe=4),
+        "ivf_full": lambda: knn_ivf(sf_dir, k=k, n_queries=n_queries, n_probe=16),
+        "pq": lambda: knn_pq(sf_dir, k=k, n_queries=n_queries),
+    }
+    rows = {"method": [], "query_id": [], "n_hits": [], "recall_ppm": []}
+    for name, run in sorted(methods.items()):
+        got = run()
+        df = got.to_pandas() if hasattr(got, "to_pandas") else got
+        for qid, grp in df.groupby("query_id"):
+            hits = len(set(grp["vec_id"]) & gt[qid])
+            rows["method"].append(name)
+            rows["query_id"].append(int(qid))
+            rows["n_hits"].append(hits)
+            rows["recall_ppm"].append(hits * 1_000_000 // k)
+    return pa.table(
+        {
+            "method": pa.array(rows["method"], pa.string()),
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "n_hits": pa.array(rows["n_hits"], pa.int64()),
+            "recall_ppm": pa.array(rows["recall_ppm"], pa.int64()),
+        }
+    )

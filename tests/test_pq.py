@@ -116,3 +116,17 @@ def test_bloom_shard_routing_uses_all_shards():
     for n in (10, 16, 100):
         shards = _shard_of(keys, n)
         assert set(np.unique(shards)) == set(range(n)), f"n_shards={n}"
+
+
+def test_ann_recall_report_invariants(ray_session):
+    """recall in [0,1]; full-probe IVF is exhaustive (recall == 1); wider
+    probes never lose recall per query; every method covers every query."""
+    from docling_jobkit_ray.functions.similarity import ann_recall_report
+
+    out = ann_recall_report("/root/testdata/sf0.001", k=5, n_queries=4).to_pandas()
+    assert set(out["method"]) == {"ivf_probe1", "ivf_probe4", "ivf_full", "pq"}
+    assert out.groupby("method")["query_id"].nunique().eq(4).all()
+    assert out["recall_ppm"].between(0, 1_000_000).all()
+    m = out.pivot(index="query_id", columns="method", values="recall_ppm")
+    assert (m["ivf_full"] == 1_000_000).all()
+    assert (m["ivf_probe4"] >= m["ivf_probe1"]).all()
