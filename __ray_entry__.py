@@ -727,6 +727,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["score_drift_ks"] = _score_drift_ks
 
+    def _hourly_view_version_diff(sf_dir: str):
+        from docling_jobkit_ray.functions.matview import hourly_view_version_diff
+
+        return hourly_view_version_diff(sf_dir)
+
+    q["hourly_view_version_diff"] = _hourly_view_version_diff
+
     def _benchmark_leakage_report(sf_dir: str):
         return webtext.benchmark_leakage_report(sf_dir)
 
@@ -1045,6 +1052,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.graph import bfs_hops_part_supplier_sql
 
     sql["bfs_hops_part_supplier"] = bfs_hops_part_supplier_sql()
+    from docling_jobkit_ray.functions.matview import HOURLY_VIEW_VERSION_DIFF_SQL
+
+    sql["hourly_view_version_diff"] = HOURLY_VIEW_VERSION_DIFF_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

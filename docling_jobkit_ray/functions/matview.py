@@ -176,3 +176,95 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
 """
+
+
+def read_view_version(view_dir: str, version: int) -> ray.data.Dataset:
+    """Time-travel read: a specific committed version of the view (every
+    version directory is immutable once renamed in, so old versions stay
+    readable forever until GC'd)."""
+    if version not in _versions(view_dir):
+        raise FileNotFoundError(f"view version v{version} not committed in {view_dir}")
+    return ray.data.read_parquet(os.path.join(view_dir, f"v{version}"))
+
+
+def view_version_diff(view_dir: str, v_old: int, v_new: int) -> pa.Table:
+    """Audit diff between two committed view versions: every (hour,
+    event_type) key whose aggregate changed, with old/new counts and sums
+    (old side 0 for keys the refresh introduced).  Views are aggregate-
+    sized (hours x types) by definition, so the compare runs on the driver
+    over two bounded artifacts — the EXPENSIVE work happened at refresh
+    time."""
+    old = read_view_version(view_dir, v_old).to_pandas()
+    new = read_view_version(view_dir, v_new).to_pandas()
+    m = new.merge(
+        old, on=["hour", "event_type"], how="outer", suffixes=("_new", "_old")
+    ).fillna(0)
+    changed = m[(m["n_new"] != m["n_old"]) | (m["value_cents_new"] != m["value_cents_old"])]
+    changed = changed.sort_values(["hour", "event_type"], kind="stable")
+    return pa.table(
+        {
+            "hour": pa.array(changed["hour"].astype("int64"), pa.int64()),
+            "event_type": pa.array(changed["event_type"], pa.string()),
+            "n_old": pa.array(changed["n_old"].astype("int64"), pa.int64()),
+            "n_new": pa.array(changed["n_new"].astype("int64"), pa.int64()),
+            "cents_old": pa.array(changed["value_cents_old"].astype("int64"), pa.int64()),
+            "cents_new": pa.array(changed["value_cents_new"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+def hourly_view_version_diff(sf_dir: str) -> pa.Table:
+    """Driver-checkable end-to-end time travel: v1 = even event_ids,
+    v2 = refresh with the odd half; the v1 -> v2 diff must equal the
+    odd half's contribution computed by plain SQL over the base table."""
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from ..sources.pages import read_table
+
+    def _half(parity: int) -> ray.data.Dataset:
+        ds = read_table(
+            sf_dir, "events", columns=["ts", "event_type", "value", "event_id"]
+        )
+        return ds.map_batches(
+            lambda b, p=parity: b.filter(
+                _pc.equal(
+                    _pc.bit_wise_and(b["event_id"], pa.scalar(1, pa.int64())), p
+                )
+            ).drop_columns(["event_id"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        view_dir = os.path.join(tmp, "view")
+        init_view(_half(0), view_dir)
+        refresh_view(view_dir, _half(1))
+        return view_version_diff(view_dir, 1, 2)
+
+
+HOURLY_VIEW_VERSION_DIFF_SQL = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id % 2 AS odd
+  FROM events
+),
+old AS (
+  SELECT hour, event_type, count(*) AS n, sum(cents) AS c
+  FROM ev WHERE odd = 0 GROUP BY 1, 2
+),
+new AS (
+  SELECT hour, event_type, count(*) AS n, sum(cents) AS c
+  FROM ev GROUP BY 1, 2
+)
+SELECT new.hour, new.event_type,
+       CAST(coalesce(old.n, 0) AS BIGINT) AS n_old,
+       CAST(new.n AS BIGINT) AS n_new,
+       CAST(coalesce(old.c, 0) AS BIGINT) AS cents_old,
+       CAST(new.c AS BIGINT) AS cents_new
+FROM new LEFT JOIN old ON new.hour = old.hour AND new.event_type = old.event_type
+WHERE coalesce(old.n, 0) <> new.n OR coalesce(old.c, 0) <> new.c
+ORDER BY new.hour, new.event_type
+"""

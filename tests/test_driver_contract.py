@@ -256,6 +256,7 @@ SQL_BACKED = [
     "bfs_hops_part_supplier",
     "events_trigram_paths",
     "events_debounced",
+    "hourly_view_version_diff",
 ]
 
 

@@ -76,3 +76,51 @@ def test_refresh_requires_init_and_recovers_torn_staging(ray_session, tmp_path):
     assert os.path.exists(os.path.join(view_dir, "v2", "_SUCCESS"))
     meta = json.load(open(os.path.join(view_dir, "v2", "_SUCCESS")))
     assert meta["op"] == "refresh" and meta["prev"] == 1
+
+
+def test_view_version_diff_and_time_travel(ray_session, tmp_path):
+    """Old versions stay readable after refresh; the diff reports exactly
+    the keys the delta touched, with introduced keys at old = 0."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from docling_jobkit_ray.functions.matview import (
+        init_view,
+        read_view_version,
+        refresh_view,
+        view_version_diff,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    def ev(ts_h, typ, val):
+        return (ts_h, typ, val)
+    rows_v1 = [(0, "a", 1.0), (0, "a", 2.0), (1, "b", 5.0)]
+    rows_delta = [(0, "a", 1.5), (2, "c", 7.0)]  # touches (0,a); introduces (2,c)
+
+    def to_ds(rows):
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [base + pd.Timedelta(hours=h) for h, _, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array([ty for _, ty, _ in rows]),
+                "value": pa.array([v for _, _, v in rows], pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    view_dir = str(tmp_path / "view")
+    init_view(to_ds(rows_v1), view_dir)
+    refresh_view(view_dir, to_ds(rows_delta))
+    v1 = read_view_version(view_dir, 1).to_pandas().sort_values(["hour", "event_type"])
+    assert len(v1) == 2  # time travel: v1 unchanged by the refresh
+    diff = view_version_diff(view_dir, 1, 2).to_pandas()
+    assert len(diff) == 2
+    d = diff.set_index("event_type")
+    assert d.loc["a", "n_old"] == 2 and d.loc["a", "n_new"] == 3
+    assert d.loc["a", "cents_new"] - d.loc["a", "cents_old"] == 150
+    assert d.loc["c", "n_old"] == 0 and d.loc["c", "n_new"] == 1
+    with pytest.raises(FileNotFoundError):
+        read_view_version(view_dir, 9)
