@@ -734,6 +734,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["hourly_view_version_diff"] = _hourly_view_version_diff
 
+    def _data_quality_report(sf_dir: str):
+        from docling_jobkit_ray.functions.quality_checks import data_quality_report
+
+        return data_quality_report(sf_dir)
+
+    q["data_quality_report"] = _data_quality_report
+
     def _benchmark_leakage_report(sf_dir: str):
         return webtext.benchmark_leakage_report(sf_dir)
 
@@ -1055,6 +1062,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.matview import HOURLY_VIEW_VERSION_DIFF_SQL
 
     sql["hourly_view_version_diff"] = HOURLY_VIEW_VERSION_DIFF_SQL
+    from docling_jobkit_ray.functions.quality_checks import DATA_QUALITY_REPORT_SQL
+
+    sql["data_quality_report"] = DATA_QUALITY_REPORT_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1,0 +1,256 @@
+"""Distributed data-quality constraint checker — the dbt-test / Deequ
+surface: declarative constraints over the warehouse verified at scan
+scale, reported as one tiny (constraint, n_checked, n_violations) table.
+
+Constraint shapes and their distributed plans:
+
+* row predicates (not-null / range / derived-column consistency): a pure
+  counting ``map_batches`` — no exchange at all;
+* FK into a SMALL dimension (customer): the dimension's key set broadcasts
+  via the UDF closure, violations counted per batch;
+* FK between two FACT tables (lineitem -> orders): one tagged-union
+  key-bucketed co-shuffle, per-bucket presence fold — keys and row counts
+  only, never payloads;
+* key uniqueness (documents.doc_id): per-batch (key, n) partials, one
+  groupby, violations = sum(n - 1) over duplicated keys (counts every
+  extra row, matching the SQL definition).
+
+All counts are exact int64; the synthetic corpus satisfies every
+constraint, so the hash check verifies the n_checked plumbing while the
+planted-violation unit tests exercise the violation paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+
+def _count_rows(ds: ray.data.Dataset, pred_violations) -> tuple[int, int]:
+    """(n_checked, n_violations) from a per-batch predicate counter."""
+    from ray.data.aggregate import Sum
+
+    schema = pa.schema([("n", pa.int64()), ("bad", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return schema.empty_table()
+        bad = pred_violations(batch)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "bad": pa.array([int(bad)], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("n"), Sum("bad")
+    )
+    return int(agg["sum(n)"] or 0), int(agg["sum(bad)"] or 0)
+
+
+def data_quality_report(sf_dir: str) -> pa.Table:
+    """Six constraints over the sf tables; output sorted by constraint
+    name.  See module docstring for the per-shape plans."""
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+
+    results: dict[str, tuple[int, int]] = {}
+
+    # --- row predicates (pure map) ---
+    docs = read_table(sf_dir, "documents", columns=["text", "n_chars"])
+    results["docs_nchars_consistent"] = _count_rows(
+        docs,
+        lambda b: pc.sum(
+            pc.cast(
+                pc.not_equal(
+                    pc.cast(b["n_chars"], pa.int64()),
+                    pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+                ),
+                pa.int64(),
+            )
+        ).as_py()
+        or 0,
+    )
+    events_v = read_table(sf_dir, "events", columns=["value"])
+    results["events_value_nonneg"] = _count_rows(
+        events_v,
+        lambda b: pc.sum(
+            pc.cast(pc.less(b["value"], pa.scalar(0.0)), pa.int64())
+        ).as_py()
+        or 0,
+    )
+
+    # --- FK into a small broadcast dimension ---
+    import pyarrow.parquet as pq
+
+    cust_keys = pa.array(
+        np.unique(
+            pq.read_table(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+            )["c_custkey"].to_numpy()
+        ).astype(np.int64),
+        pa.int64(),
+    )
+    for name, table, col in (
+        ("fk_orders_customer", "orders", "o_custkey"),
+        ("fk_events_customer", "events", "user_id"),
+    ):
+        ds = read_table(sf_dir, table, columns=[col])
+        results[name] = _count_rows(
+            ds,
+            lambda b, c=col: pc.sum(
+                pc.cast(
+                    pc.invert(
+                        pc.is_in(pc.cast(b[c], pa.int64()), value_set=cust_keys)
+                    ),
+                    pa.int64(),
+                )
+            ).as_py()
+            or 0,
+        )
+
+    # --- key uniqueness (one groupby over per-batch partials) ---
+    dk = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("k", pa.int64()), ("n", pa.int64())]).empty_table()
+        return (
+            pa.table({"k": pc.cast(batch["doc_id"], pa.int64())})
+            .group_by("k")
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "n"])
+        )
+
+    kc = (
+        dk.map_batches(key_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def dup_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("n", pa.int64()), ("bad", pa.int64())]).empty_table()
+        n = pc.sum(batch["n"]).as_py() or 0
+        bad = pc.sum(
+            pc.subtract(batch["n"], pa.scalar(1, pa.int64()))
+        ).as_py() or 0
+        return pa.table(
+            {"n": pa.array([n], pa.int64()), "bad": pa.array([int(bad)], pa.int64())}
+        )
+
+    agg = kc.map_batches(dup_partial, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("n"), Sum("bad")
+    )
+    results["unique_doc_id"] = (int(agg["sum(n)"] or 0), int(agg["sum(bad)"] or 0))
+
+    # --- fact-to-fact FK via ONE tagged-union bucketed co-shuffle ---
+    n_b = bucket_count(estimate_rows(sf_dir, "lineitem"), min_buckets=64)
+    mask = pa.scalar(n_b - 1, pa.int64())
+    union_schema = pa.schema(
+        [("k", pa.int64()), ("side", pa.int64()), ("n", pa.int64()), ("bucket", pa.int64())]
+    )
+
+    def side_emit(col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return union_schema.empty_table()
+            t = (
+                pa.table({"k": pc.cast(batch[col], pa.int64())})
+                .group_by("k")
+                .aggregate([([], "count_all")])
+                .rename_columns(["k", "n"])
+            )
+            t = t.append_column(
+                "side", pa.nulls(t.num_rows, pa.int64()).fill_null(side)
+            )
+            return pa.table(
+                {
+                    "k": t["k"],
+                    "side": t["side"],
+                    "n": t["n"],
+                    "bucket": pc.bit_wise_and(t["k"], mask),
+                }
+            )
+
+        return fn
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        side_emit("l_orderkey", 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    okeys = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        side_emit("o_orderkey", 1), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def orphan_fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.schema([("n", pa.int64()), ("bad", pa.int64())]).empty_table()
+        group = group.select(["k", "side", "n"]).cast(
+            pa.schema([("k", pa.int64()), ("side", pa.int64()), ("n", pa.int64())])
+        )
+        df = group.to_pandas()
+        per = df.pivot_table(index="k", columns="side", values="n", aggfunc="sum").fillna(0)
+        li_n = per[0] if 0 in per.columns else pd.Series(0, index=per.index)
+        has_order = (per[1] if 1 in per.columns else pd.Series(0, index=per.index)) > 0
+        checked = int(li_n.sum())
+        bad = int(li_n[~has_order].sum())
+        return pa.table(
+            {"n": pa.array([checked], pa.int64()), "bad": pa.array([bad], pa.int64())}
+        )
+
+    agg = (
+        li.union(okeys)
+        .groupby("bucket")
+        .map_groups(orphan_fold, batch_format="pyarrow")
+        .aggregate(Sum("n"), Sum("bad"))
+    )
+    results["fk_lineitem_orders"] = (int(agg["sum(n)"] or 0), int(agg["sum(bad)"] or 0))
+
+    names = sorted(results)
+    return pa.table(
+        {
+            "check_name": pa.array(names, pa.string()),
+            "n_checked": pa.array([results[n][0] for n in names], pa.int64()),
+            "n_violations": pa.array([results[n][1] for n in names], pa.int64()),
+        }
+    )
+
+
+DATA_QUALITY_REPORT_SQL = """
+SELECT * FROM (
+  SELECT 'docs_nchars_consistent' AS check_name,
+         (SELECT count(*) FROM documents) AS n_checked,
+         (SELECT count(*) FROM documents WHERE n_chars <> length(text)) AS n_violations
+  UNION ALL
+  SELECT 'events_value_nonneg',
+         (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events WHERE value < 0)
+  UNION ALL
+  SELECT 'fk_events_customer',
+         (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events e
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+  UNION ALL
+  SELECT 'fk_lineitem_orders',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'fk_orders_customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'unique_doc_id',
+         (SELECT count(*) FROM documents),
+         (SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+)
+ORDER BY check_name
+"""

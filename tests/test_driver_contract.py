@@ -257,6 +257,7 @@ SQL_BACKED = [
     "events_trigram_paths",
     "events_debounced",
     "hourly_view_version_diff",
+    "data_quality_report",
 ]
 
 
