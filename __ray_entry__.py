@@ -595,6 +595,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["search_corpus"] = _search_corpus
 
+    def _bm25_search(sf_dir: str):
+        from docling_jobkit_ray.functions.index import bm25_search
+
+        return bm25_search(sf_dir, ["table", "spark", "window"], k=20)
+
+    q["bm25_search"] = _bm25_search
+
     def _minhash_index_probe(sf_dir: str):
         # incremental NEAR-dup family (the bloom index's LSH counterpart):
         # index the even-doc_id half as the ingested corpus, probe the odd
@@ -1065,6 +1072,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.quality_checks import DATA_QUALITY_REPORT_SQL
 
     sql["data_quality_report"] = DATA_QUALITY_REPORT_SQL
+    from docling_jobkit_ray.functions.index import bm25_search_sql
+
+    sql["bm25_search"] = bm25_search_sql(["table", "spark", "window"], k=20)
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -406,3 +406,167 @@ def search_postings(
         [("n_hits", "descending"), ("sum_df", "ascending"), ("doc_id", "ascending")]
     )
     return ordered.slice(0, k)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Sparck Jones / Okapi — public literature)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_search(sf_dir: str, terms: list[str], *, k: int = 20) -> ray.data.Dataset:
+    """Okapi BM25 ranking over the corpus for a fixed query-term list —
+    the tf/idf/length-normalized upgrade of ``search_corpus``'s ordinal
+    score, kept hash-exact by the quantize-once rule: each (doc, term)
+    contribution
+
+        idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b * dl * N / total_tokens))
+
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) is ONE float expression
+    evaluated in the identical operation order on both engines, quantized
+    to the 1e-6 grid per (doc, term); a document's score is then an exact
+    integer sum (the PMI/DSIR discipline — see CLAUDE.md's quantized-log
+    note).
+
+    Scale shape: pass A folds the global constants (N, total token count,
+    per-term df) from per-batch partials — bounded by len(terms)+2 rows;
+    pass B scores each batch embarrassingly parallel (tf via one
+    ``pc.count_substring_regex`` per term? no — via index_in over the
+    token stream, dl from the same stream) with the constants riding the
+    UDF closure; only (doc_id, score) rows reach the final top-k sort."""
+    from ray.data.aggregate import Sum
+
+    want = sorted({t.lower() for t in terms})
+    want_arr = pa.array(want, pa.string())
+    from .dsir import _tokens
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    stat_schema = pa.schema(
+        [("kind", pa.int64()), ("key", pa.int64()), ("n", pa.int64())]
+    )
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        # kind 0/key 0: doc count; kind 1/key 0: token count;
+        # kind 2/key i: df of term i (distinct docs containing it)
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return stat_schema.empty_table()
+        flat, doc_idx, _lens = _tokens(batch["text"])
+        idx = pc.index_in(flat, value_set=want_arr)
+        hit = idx.is_valid().to_numpy(zero_copy_only=False)
+        ti = idx.drop_null().to_numpy(zero_copy_only=False)
+        di = doc_idx[hit]
+        # distinct (doc, term) pairs in this batch
+        pair = np.unique(di * len(want) + ti)
+        df_part = np.bincount(pair % len(want), minlength=len(want))
+        kinds = np.concatenate(
+            [[0, 1], np.full(len(want), 2, np.int64)]
+        )
+        keys = np.concatenate([[0, 0], np.arange(len(want), dtype=np.int64)])
+        ns = np.concatenate(
+            [[batch.num_rows, len(flat)], df_part.astype(np.int64)]
+        )
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.int64()),
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["kind", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: len(terms) + 2 rows
+    )
+    n_docs = tot_tokens = 0
+    df = np.zeros(len(want), np.int64)
+    for r in folded:
+        if r["kind"] == 0:
+            n_docs = int(r["n"])
+        elif r["kind"] == 1:
+            tot_tokens = int(r["n"])
+        else:
+            df[r["key"]] = int(r["n"])
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("score_e6", pa.int64())])
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        flat, doc_idx, lens = _tokens(batch["text"])
+        dl = np.bincount(doc_idx, minlength=batch.num_rows).astype(np.int64)
+        idx = pc.index_in(flat, value_set=want_arr)
+        hit = idx.is_valid().to_numpy(zero_copy_only=False)
+        ti = idx.drop_null().to_numpy(zero_copy_only=False)
+        di = doc_idx[hit]
+        pair = di * len(want) + ti
+        tf_flat = np.bincount(pair, minlength=batch.num_rows * len(want))
+        tf = tf_flat.reshape(batch.num_rows, len(want)).astype(np.float64)
+        # one canonical float expression, mirrored token-for-token in SQL
+        denom = tf + _BM25_K1 * (
+            (1.0 - _BM25_B)
+            + _BM25_B * (dl[:, None].astype(np.float64) * float(n_docs)) / float(tot_tokens)
+        )
+        contrib = idf[None, :] * (tf * (_BM25_K1 + 1.0)) / denom
+        contrib_e6 = np.where(tf > 0, np.round(contrib * 1e6), 0.0).astype(np.int64)
+        score = contrib_e6.sum(axis=1)
+        keep = score > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "score_e6": pa.array(score[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score_e6", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def bm25_search_sql(terms: list[str], k: int = 20) -> str:
+    want = sorted({t.lower() for t in terms})
+    lits = ", ".join(f"'{t}'" for t in want)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok) AS tot
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dfs AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM tok
+  WHERE w IN ({lits}) GROUP BY w
+),
+tfs AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ({lits}) GROUP BY doc_id, w
+),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(round(
+           ln(1.0 + (consts.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (t.tf * {_BM25_K1 + 1.0})
+           / (t.tf + {_BM25_K1} * ((1.0 - {_BM25_B})
+              + {_BM25_B} * (dl.dl * CAST(consts.n_docs AS DOUBLE))
+                / CAST(consts.tot AS DOUBLE)))
+           * 1000000) AS BIGINT) AS c_e6
+  FROM tfs t
+  JOIN dfs ON dfs.w = t.w
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN consts
+)
+SELECT doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6
+FROM contrib GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id
+LIMIT {k}
+"""

@@ -258,6 +258,7 @@ SQL_BACKED = [
     "events_debounced",
     "hourly_view_version_diff",
     "data_quality_report",
+    "bm25_search",
 ]
 
 

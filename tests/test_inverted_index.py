@@ -109,3 +109,45 @@ def test_search_postings_equals_search_corpus(ray_session, tmp_path):
         out_dir, ["zzzznotaword"], n_buckets=info["n_buckets"], k=5
     )
     assert miss.num_rows == 0 and miss.column_names == ["doc_id", "n_hits", "sum_df"]
+
+
+def test_bm25_search_matches_sql_and_ranks_sensibly(ray_session, tmp_path):
+    """Hand-crafted corpus: rarer terms dominate (idf), higher tf beats
+    lower at equal length, longer docs are penalized at equal tf; parity
+    with the DuckDB oracle on the same corpus."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.index import bm25_search, bm25_search_sql
+
+    texts = [
+        "spark spark spark",           # 0: high tf of the rare term
+        "spark table table table",     # 1: one rare + common
+        "table table table",           # 2: common only
+        "spark " + "pad " * 50,        # 3: rare term in a LONG doc
+        "nothing relevant here",       # 4: no query terms -> excluded
+    ] + ["table window pad"] * 10      # commons
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = bm25_search(str(tmp_path), ["table", "spark", "window"], k=20).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(bm25_search_sql(["table", "spark", "window"], k=20)).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    ranks = {d: i for i, d in enumerate(got["doc_id"])}
+    assert 4 not in ranks  # no query terms
+    assert ranks[0] < ranks[2]  # rare-term tf beats common-term tf
+    assert ranks[0] < ranks[3]  # length normalization penalizes the long doc
