@@ -215,12 +215,42 @@ def _count_parquet_rows(*dirs: str) -> int:
     return sum(pq.read_metadata(f).num_rows for f in _parquet_files(*dirs))
 
 
-def read_corpus(corpus_dir: str, **read_kwargs) -> ray.data.Dataset | None:
+def superset_schema(files: list[str]) -> "pa.Schema":
+    """Schema-evolution union over parquet FOOTERS (metadata only — no row
+    reads): the field set is the name-union in first-seen order; a column
+    appearing with two different types raises (silent promotion hides
+    corruption).  Reading with this schema fills absent columns with
+    nulls, so increments written before a column existed stay readable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields: dict[str, pa.Field] = {}
+    for f in files:
+        for field in pq.read_schema(f):
+            seen = fields.get(field.name)
+            if seen is None:
+                fields[field.name] = field
+            elif seen.type != field.type:
+                raise TypeError(
+                    f"schema evolution conflict on column {field.name!r}: "
+                    f"{seen.type} vs {field.type} in {f}"
+                )
+    return pa.schema(list(fields.values()))
+
+
+def read_corpus(
+    corpus_dir: str, *, evolve_schema: bool = True, **read_kwargs
+) -> ray.data.Dataset | None:
     """Canonical corpus reader: every live increment, minus increments
     absorbed by a committed compaction.  During the compactor's only
     duplicate window (compacted dir renamed in, sources not yet deleted)
     the manifest suppresses the sources, so readers NEVER see a row twice.
-    Returns None for an empty corpus."""
+    Returns None for an empty corpus.
+
+    ``evolve_schema`` (default on) reads under the footer-union schema so
+    increments ingested before a column was added surface it as nulls —
+    when every increment agrees the union IS the common schema and the
+    flag is a no-op."""
     absorbed = _absorbed_set(corpus_dir)
     live = [
         os.path.join(corpus_dir, d)
@@ -230,6 +260,8 @@ def read_corpus(corpus_dir: str, **read_kwargs) -> ray.data.Dataset | None:
     files = _parquet_files(*live)
     if not files:
         return None
+    if evolve_schema and "schema" not in read_kwargs and "columns" not in read_kwargs:
+        read_kwargs["schema"] = superset_schema(files)
     return ray.data.read_parquet(files, **read_kwargs)
 
 

@@ -384,3 +384,43 @@ def test_gc_index_versions_keeps_live_plus_slack(ray_session, tmp_path):
     ds = ray.data.from_items([{"doc_id": 1, "text": "doc 1", "lang": "en"}])
     rep2 = ingest_increment(ds, corpus_dir=corpus, index_dir=index, increment_id="d5")
     assert rep2["n_written"] == 0
+
+
+def test_read_corpus_schema_evolution(ray_session, tmp_path):
+    """An increment written before a column existed reads back with nulls
+    under the footer-union schema; a type conflict raises instead of
+    silently promoting."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.pipelines.ingest import read_corpus, superset_schema
+
+    d1 = tmp_path / "increment=a"
+    d2 = tmp_path / "increment=b"
+    d1.mkdir(); d2.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64())}), d1 / "part0.parquet"
+    )
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([3], pa.int64()), "lang": pa.array(["en"])}
+        ),
+        d2 / "part0.parquet",
+    )
+    out = read_corpus(str(tmp_path)).to_pandas().sort_values("doc_id")
+    # the hive partition column rides along as usual
+    assert list(out.columns) == ["doc_id", "lang", "increment"]
+    assert out["lang"].isna().sum() == 2 and out["lang"].iloc[2] == "en"
+
+    # conflict: same column, different type
+    d3 = tmp_path / "increment=c"
+    d3.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([9], pa.int32())}), d3 / "part0.parquet"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="doc_id"):
+        superset_schema(
+            [str(d1 / "part0.parquet"), str(d3 / "part0.parquet")]
+        )
