@@ -438,20 +438,22 @@ def _minhash_lsh_candidate_groups(
 
     bucketed = bands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit_pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def emit_pairs_bucket(group: pd.DataFrame) -> pa.Table:
+        # ARROW out + ONE combined int64 pair key: pandas blocks into the
+        # downstream groupby make Ray's sort-based aggregate 5.5x slower,
+        # and a two-key groupby is pathological on top (26 s vs ~1 s on a
+        # 43k-row stream — measured in the fuzzy join, same shape)
         g = group[["band_id", "band_hash", "doc_id"]]
         m = g.merge(g, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         if m.empty:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                }
-            )
-        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
-            ["doc_a", "doc_b"]
-        ].drop_duplicates()
+            return pa.table({"pairkey": pa.array([], pa.int64())})
+        key = (
+            m["doc_id_a"].to_numpy() * np.int64(2**32) + m["doc_id_b"].to_numpy()
+        )
+        # bucket-local distinct; cross-bucket repeats (a pair colliding in
+        # several bands) fold in the global Count below
+        return pa.table({"pairkey": pa.array(np.unique(key), pa.int64())})
 
     pairs = bucketed.groupby("bucket").map_groups(
         emit_pairs_bucket, batch_format="pandas"
@@ -459,8 +461,32 @@ def _minhash_lsh_candidate_groups(
     # distinct pairs (a pair can collide in several bands/buckets)
     from ray.data.aggregate import Count
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands_hit")
+    def decode_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("n_bands_hit", pa.int64()),
+                ]
+            ).empty_table()
+        a = pc.divide(batch["pairkey"], pa.scalar(2**32, pa.int64()))
+        return pa.table(
+            {
+                "doc_a": a,
+                "doc_b": pc.subtract(
+                    batch["pairkey"], pc.multiply(a, pa.scalar(2**32, pa.int64()))
+                ),
+                "n_bands_hit": pc.cast(batch["n_bands_hit"], pa.int64()),
+            }
+        )
+
+    return (
+        pairs.groupby("pairkey")
+        .aggregate(Count(alias_name="n_bands_hit"))
+        .map_batches(decode_pairs, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -541,14 +567,20 @@ def _verify_pairs_hybrid(
     def verify_with(text_of):
         def verify(batch: pa.Table) -> pa.Table:
             # per-pair exact scoring: genuinely scalar kernel (set ops
-            # over shingles)
+            # over shingles) — unless the scorer publishes a vectorized
+            # ``batch_score(texts_a, texts_b) -> array`` (fuzzy.py's
+            # banded Levenshtein: 4x the whole-pipeline wall at sf0.1)
             doc_a = batch.column("doc_a").to_pylist()
             doc_b = batch.column("doc_b").to_pylist()
             texts_a, texts_b = text_of(batch, doc_a, doc_b)
-            jac = [
-                score_of_texts(ta, tb)
-                for ta, tb in zip(texts_a, texts_b)
-            ]
+            batch_fn = getattr(score_of_texts, "batch_score", None)
+            if batch_fn is not None:
+                jac = list(batch_fn(texts_a, texts_b))
+            else:
+                jac = [
+                    score_of_texts(ta, tb)
+                    for ta, tb in zip(texts_a, texts_b)
+                ]
             t = pa.table(
                 {
                     "doc_a": pa.array(doc_a, pa.int64()),

@@ -66,6 +66,46 @@ def levenshtein(a: str, b: str) -> int:
     return prev[la]
 
 
+def levenshtein_batch(texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+    """Exact unit-cost edit distance for MANY pairs at once: the classic
+    Wagner-Fischer recurrence iterated over (i, j) CELLS with every pair
+    advanced per cell as one numpy vector op — O(L^2) iterations of O(n)
+    arithmetic instead of O(n * L^2) interpreted steps.  Strings pad into
+    a fixed-width UCS4 matrix; padded cells never influence a result cell
+    (DP dependencies only flow from smaller i, j), and each pair's answer
+    is gathered at its own (len_b row, len_a column).  Fuzz-pinned against
+    the scalar :func:`levenshtein` (itself DuckDB-parity-pinned)."""
+    n = len(texts_a)
+    if n == 0:
+        return np.empty(0, np.int64)
+    la = np.fromiter((len(s) for s in texts_a), np.int64, n)
+    lb = np.fromiter((len(s) for s in texts_b), np.int64, n)
+    L1, L2 = int(la.max()), int(lb.max())
+    if L1 == 0:
+        return lb.copy()
+    A = np.array(texts_a, dtype=f"U{L1}").view(np.uint32).reshape(n, L1)
+    B = (
+        np.array(texts_b, dtype=f"U{max(L2, 1)}").view(np.uint32).reshape(n, max(L2, 1))
+    )
+    prev = np.tile(np.arange(L1 + 1, dtype=np.int32), (n, 1))
+    out = np.where(lb == 0, la, 0).astype(np.int64)
+    for j in range(1, L2 + 1):
+        bj = B[:, j - 1]
+        cur = np.empty_like(prev)
+        cur[:, 0] = j
+        for i in range(1, L1 + 1):
+            cost = (A[:, i - 1] != bj).view(np.int8)
+            cur[:, i] = np.minimum(
+                np.minimum(prev[:, i] + 1, prev[:, i - 1] + cost),
+                cur[:, i - 1] + 1,
+            )
+        done = lb == j
+        if done.any():
+            out[done] = cur[done, la[done]]
+        prev = cur
+    return out
+
+
 def _seg_bounds(length: int) -> list[tuple[int, int]]:
     """(start, len) of the _N_SEG even segments of a length-``length``
     string: start_i = floor(i*L/k) — deterministic, same on both roles."""
@@ -121,13 +161,33 @@ def fuzzy_prefix_pairs(
     n_buckets = bucket_count(n_docs * 16, target_rows_per_bucket=100_000)
     bucket_mask = n_buckets - 1
 
+    _HASH_P = 1_000_003
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
     def _hash_keys(seg: int, length: int, grams: pa.Array) -> np.ndarray:
-        tagged = pc.binary_join_element_wise(
-            pa.scalar(f"{seg}|{length}|"), grams, pa.scalar("")
-        )
-        return pd.util.hash_array(
-            np.asarray(tagged.to_pylist(), dtype=object)
-        ).astype(np.int64)
+        """Vectorized polynomial hash of every gram's FULL byte content,
+        tagged with (seg, length), golden-ratio mixed.  Never materializes
+        Python strings (the original pd.util.hash_array(to_pylist()) form
+        measured 36 s of the 42 s sf0.1 wall — thousands of tiny
+        object-array conversions per batch).  Hash collisions only ADD
+        candidates; the exact verify discards them, so completeness is
+        untouched by the hash choice."""
+        arr = grams.combine_chunks() if isinstance(grams, pa.ChunkedArray) else grams
+        n = len(arr)
+        if n == 0:
+            return np.empty(0, np.int64)
+        off = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        starts, lens = off[:-1], np.diff(off)
+        h = np.zeros(n, np.int64)
+        for j in range(int(lens.max()) if n else 0):
+            m = lens > j
+            h[m] = (h[m] * 31 + data[starts[m] + j]) % _HASH_P
+        tagged = h * _HASH_P + (seg * 211 + length) % _HASH_P
+        mixed = (tagged.astype(np.uint64) * _MIX) >> np.uint64(1)
+        return mixed.astype(np.int64)
 
     def emit(batch: pa.Table, *, _d=max_dist) -> pa.Table:
         if batch.num_rows == 0 or batch.num_columns == 0:
@@ -186,36 +246,50 @@ def fuzzy_prefix_pairs(
     grams = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # single combined int64 pair key (doc ids < 2^31): the global
+        # distinct fold groups on ONE int column — the two-key
+        # groupby(["doc_a","doc_b"]) form measured 26 s on 43k candidate
+        # rows (Ray 2.49's multi-key aggregate), vs ~1 s for this
         g = group[["hkey", "role", "doc_id"]].drop_duplicates()
         idx = g[g["role"] == 0][["hkey", "doc_id"]]
         prb = g[g["role"] == 1][["hkey", "doc_id"]]
         m = idx.merge(prb, on="hkey", suffixes=("_i", "_p"))
         m = m[m["doc_id_i"] != m["doc_id_p"]]
+        # return an ARROW block even from this pandas-format UDF: pandas
+        # blocks feeding the downstream groupby make Ray's sort-based
+        # aggregate 5.5x slower (measured 20.5 s vs 3.7 s on this stream)
         if m.empty:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                }
-            )
+            return pa.table({"pairkey": pa.array([], pa.int64())})
         a = np.minimum(m["doc_id_i"].to_numpy(), m["doc_id_p"].to_numpy())
         b = np.maximum(m["doc_id_i"].to_numpy(), m["doc_id_p"].to_numpy())
-        return (
-            pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates().astype("int64")
+        return pa.table(
+            {"pairkey": pa.array(np.unique(a * np.int64(2**32) + b), pa.int64())}
+        )
+
+    def decode_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            ).empty_table()
+        pk = batch["pairkey"]
+        a = pc.divide(pk, pa.scalar(2**32, pa.int64()))
+        return pa.table(
+            {
+                "doc_a": a,
+                "doc_b": pc.subtract(pk, pc.multiply(a, pa.scalar(2**32, pa.int64()))),
+            }
         )
 
     candidates = (
         grams.groupby("bucket")
         .map_groups(emit_pairs, batch_format="pandas")
-        # map_groups leaves one TINY block per bucket; a multi-key groupby
-        # over that many near-empty blocks pays ~17s of per-block shuffle
-        # overhead (measured) — coalesce to a scale-derived block count
-        # first (cheap: the pair stream is far smaller than the gram
-        # stream it came from)
+        # map_groups leaves one TINY block per bucket; coalesce to a
+        # scale-derived block count before the global fold (cheap: the
+        # pair stream is far smaller than the gram stream it came from)
         .repartition(max(8, n_buckets // 8))
-        .groupby(["doc_a", "doc_b"])
+        .groupby("pairkey")
         .aggregate(Count(alias_name="n_hits"))
-        .select_columns(["doc_a", "doc_b"])
+        .map_batches(decode_pairs, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     # exact verify through the shared hybrid (score >= threshold keeps a
@@ -224,6 +298,13 @@ def fuzzy_prefix_pairs(
 
     def neg_dist(ta: str, tb: str) -> float:
         return -float(levenshtein(ta[:prefix_chars], tb[:prefix_chars]))
+
+    # vectorized path for the shared verifier: one DP over ALL pairs at
+    # once (cells iterate, pairs vectorize) — the per-pair Python DP was
+    # the sf0.1 wall-clock (38k pairs x 900 cells of interpreted loop)
+    neg_dist.batch_score = lambda ta, tb: -levenshtein_batch(
+        [t[:prefix_chars] for t in ta], [t[:prefix_chars] for t in tb]
+    ).astype(float)
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     verified = _verify_pairs_hybrid(
