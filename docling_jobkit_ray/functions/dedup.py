@@ -814,29 +814,41 @@ def ngram_jaccard_pairs(
         zero_copy_batch=True,
     )
 
-    def emit_pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def emit_pairs_bucket(group: pd.DataFrame) -> pa.Table:
+        # arrow out + combined int64 pair key: see CLAUDE.md's
+        # pandas-blocks-into-aggregate note (5.5x) and the two-key groupby
+        # pathology (26s vs ~1s, measured on the fuzzy pair stream)
         g = group[["sh", "doc_id"]]
         m = g.merge(g, on="sh", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         if m.empty:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                }
-            )
-        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
-            ["doc_a", "doc_b"]
-        ].drop_duplicates()
+            return pa.table({"pairkey": pa.array([], pa.int64())})
+        key = m["doc_id_a"].to_numpy() * np.int64(2**32) + m["doc_id_b"].to_numpy()
+        return pa.table({"pairkey": pa.array(np.unique(key), pa.int64())})
 
     from ray.data.aggregate import Count
+
+    def decode_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            ).empty_table()
+        a = pc.divide(batch["pairkey"], pa.scalar(2**32, pa.int64()))
+        return pa.table(
+            {
+                "doc_a": a,
+                "doc_b": pc.subtract(
+                    batch["pairkey"], pc.multiply(a, pa.scalar(2**32, pa.int64()))
+                ),
+            }
+        )
 
     candidates = (
         bucketed.groupby("bucket")
         .map_groups(emit_pairs_bucket, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
+        .groupby("pairkey")
         .aggregate(Count(alias_name="n_hits"))
-        .select_columns(["doc_a", "doc_b"])
+        .map_batches(decode_pairs, batch_format="pyarrow", zero_copy_batch=True)
     )
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return _verify_pairs_hybrid(
