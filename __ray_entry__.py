@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_hourly",
         "events_trigram_paths",
         "events_debounced",
+        "events_hourly_uniques",
+        "top_orders_diversified",
+        "revenue_mom_growth",
         "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",
@@ -831,6 +834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_hourly",
         "events_trigram_paths",
         "events_debounced",
+        "events_hourly_uniques",
+        "top_orders_diversified",
+        "revenue_mom_growth",
         "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",

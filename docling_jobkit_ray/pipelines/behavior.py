@@ -1246,3 +1246,100 @@ BEHAVIOR_QUERIES.update(
         "events_debounced": (events_debounced, EVENTS_DEBOUNCED_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# exact distinct users per hour (two single-int-key exchanges)
+# ---------------------------------------------------------------------------
+
+def events_hourly_uniques(sf_dir: str) -> ray.data.Dataset:
+    """Per-hour EXACT distinct user count plus event count — the
+    count-distinct-per-window shape, kept to single-int-key exchanges:
+    per-batch distinct (hour, user) partials ride as ONE combined int64
+    key (hour_index * 2^32 + user), fold once to global distinct pairs
+    (carrying the event-count partial), then a second tiny fold by hour.
+    A two-key groupby here measured pathological (CLAUDE.md)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    part_schema = pa.schema([("hu", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        hour_idx = pc.divide(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(_HOUR_US, pa.int64()),
+        )
+        hu = pc.add(
+            pc.multiply(hour_idx, pa.scalar(2**32, pa.int64())),
+            pc.cast(batch["user_id"], pa.int64()),
+        )
+        return (
+            pa.table({"hu": hu})
+            .group_by("hu")
+            .aggregate([([], "count_all")])
+            .rename_columns(["hu", "n"])
+        )
+
+    def to_hour(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("hour_idx", pa.int64()), ("one", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "hour_idx": pc.divide(batch["hu"], pa.scalar(2**32, pa.int64())),
+                "one": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+                "n": pc.cast(batch["n"], pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("hour_ts", pa.timestamp("us")),
+                    ("n_users", pa.int64()),
+                    ("n_events", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "hour_ts": pc.cast(
+                    pc.multiply(batch["hour_idx"], pa.scalar(_HOUR_US, pa.int64())),
+                    pa.timestamp("us"),
+                ),
+                "n_users": pc.cast(batch["n_users"], pa.int64()),
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+            }
+        )
+
+    rel = _rel()
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hu")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(to_hour, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour_idx")
+        .aggregate(Sum("one", alias_name="n_users"), Sum("n", alias_name="n_events"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(rel._pin_timestamp_us(["hour_ts"]), batch_format="pyarrow")
+        .sort("hour_ts")
+    )
+
+
+EVENTS_HOURLY_UNIQUES_SQL = """
+SELECT date_trunc('hour', ts) AS hour_ts,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY hour_ts
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_hourly_uniques": (events_hourly_uniques, EVENTS_HOURLY_UNIQUES_SQL),
+    }
+)

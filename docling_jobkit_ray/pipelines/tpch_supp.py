@@ -1556,3 +1556,179 @@ scd2_customer_status.__doc__ = scd2_customer_status.__doc__.format(
 )
 
 TPCH_SUPP_QUERIES["scd2_customer_status"] = (scd2_customer_status, SCD2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# diversified top-k: global ranking under a per-group quota
+# ---------------------------------------------------------------------------
+
+def top_orders_diversified(
+    sf_dir: str, *, k: int = 20, per_cust: int = 3
+) -> ray.data.Dataset:
+    """Global top-``k`` orders by price with AT MOST ``per_cust`` per
+    customer — the diversified-ranking shape (search results, feed
+    ranking): a plain top-k would let one whale customer fill the page.
+
+    Plan: per-customer quota enforced inside ONE customer-bucketed
+    exchange (sort + cumcount per bucket, fully vectorized), then the
+    small survivor stream (<= per_cust x customers rows) feeds the global
+    sort/limit.  Ties break by orderkey on both engines."""
+    import pandas as pd
+
+    n_buckets = _order_buckets(sf_dir)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                    ("bucket", pa.int64()),
+                ]
+            ).empty_table()
+        t = pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "o_totalprice": pc.cast(batch["o_totalprice"], pa.float64()),
+            }
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["o_custkey"], mask))
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+
+    def quota_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        df = (
+            group.select(out_schema.names)
+            .cast(out_schema)
+            .to_pandas()
+            .sort_values(
+                ["o_custkey", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+        )
+        kept = df[df.groupby("o_custkey").cumcount() < per_cust]
+        return pa.Table.from_pandas(kept, schema=out_schema, preserve_index=False)
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(quota_bucket, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_ORDERS_DIVERSIFIED_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM r WHERE rn <= 3
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# month-over-month growth: window over an aggregate
+# ---------------------------------------------------------------------------
+
+def revenue_mom_growth(sf_dir: str) -> pa.Table:
+    """Monthly revenue with month-over-month growth in ppm — the
+    LAG-over-aggregate shape.  Months fold from per-batch partials (exact
+    int64 cents); the window runs on the driver over the bounded monthly
+    series.  growth_ppm uses TRUNCATING integer division (DuckDB ``//``)
+    because declines are negative; the first month drops (no prior)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.stats_tests import _trunc_div
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema([("month_us", pa.int64()), ("cents", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        month = pc.cast(
+            pc.floor_temporal(
+                pc.cast(batch["o_orderdate"], pa.timestamp("us")), unit="month"
+            ),
+            pa.int64(),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        return (
+            pa.table({"month_us": month, "cents": cents})
+            .group_by("month_us")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["month_us", "cents"])
+        )
+
+    rows = sorted(
+        (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("month_us")
+            .aggregate(Sum("cents", alias_name="cents"))
+            .take_all()  # bounded by the order-date month span
+        ),
+        key=lambda r: r["month_us"],
+    )
+    out = {"month": [], "revenue": [], "growth_ppm": []}
+    prev = None
+    for r in rows:
+        cents = int(r["cents"])
+        if prev is not None:
+            out["month"].append(int(r["month_us"]))
+            out["revenue"].append(cents / 100.0)
+            out["growth_ppm"].append(_trunc_div((cents - prev) * 1_000_000, prev))
+        prev = cents
+    return pa.table(
+        {
+            "month": pc.cast(pa.array(out["month"], pa.int64()), pa.timestamp("us")),
+            "revenue": pa.array(out["revenue"], pa.float64()),
+            "growth_ppm": pa.array(out["growth_ppm"], pa.int64()),
+        }
+    )
+
+
+REVENUE_MOM_GROWTH_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT month, cents, lag(cents) OVER (ORDER BY month) AS prev FROM m
+)
+SELECT month, cents / 100.0 AS revenue,
+       CAST((cents - prev) * 1000000 // prev AS BIGINT) AS growth_ppm
+FROM w WHERE prev IS NOT NULL
+ORDER BY month
+"""
+
+
+TPCH_SUPP_QUERIES["top_orders_diversified"] = (
+    top_orders_diversified,
+    TOP_ORDERS_DIVERSIFIED_SQL,
+)
+TPCH_SUPP_QUERIES["revenue_mom_growth"] = (revenue_mom_growth, REVENUE_MOM_GROWTH_SQL)

@@ -683,3 +683,48 @@ def test_events_debounced_semantics(ray_session, tmp_path):
     _write(tmp_path, "events", _events_table(rows))
     out = events_debounced(str(tmp_path), window_us=w, n_buckets=4).to_pandas()
     assert list(out["event_id"]) == [1, 3, 4, 5]
+
+
+def test_top_orders_diversified_quota(ray_session, tmp_path):
+    """A whale customer caps at per_cust rows; remaining slots fill from
+    other customers in global price order."""
+    from docling_jobkit_ray.pipelines.tpch_supp import top_orders_diversified
+
+    rows = []
+    # whale customer 1: five orders priced 100..96 — only top 3 survive
+    for i in range(5):
+        rows.append((100 + i, 1, 100.0 - i))
+    # customer 2: two mid orders
+    rows.append((200, 2, 50.0))
+    rows.append((201, 2, 40.0))
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows)),
+            "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [pd.Timestamp("1995-01-01")] * len(rows), pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "orders", t)
+    out = top_orders_diversified(str(tmp_path), k=4, per_cust=3).to_pandas()
+    assert list(out["o_orderkey"]) == [100, 101, 102, 200]
+
+
+def test_events_hourly_uniques_exact_distinct(ray_session, tmp_path):
+    from docling_jobkit_ray.pipelines.behavior import events_hourly_uniques
+
+    base = pd.Timestamp("2024-01-01 05:00:00")
+    rows = [
+        (1, 1, base, "a"),
+        (2, 1, base + pd.Timedelta(minutes=5), "a"),  # same user, same hour
+        (3, 2, base + pd.Timedelta(minutes=9), "a"),
+        (4, 1, base + pd.Timedelta(hours=1), "a"),
+    ]
+    _write(tmp_path, "events", _events_table(rows))
+    out = events_hourly_uniques(str(tmp_path)).to_pandas()
+    assert list(out["n_users"]) == [2, 1]
+    assert list(out["n_events"]) == [3, 1]

@@ -259,6 +259,9 @@ SQL_BACKED = [
     "hourly_view_version_diff",
     "data_quality_report",
     "bm25_search",
+    "events_hourly_uniques",
+    "top_orders_diversified",
+    "revenue_mom_growth",
 ]
 
 
