@@ -718,6 +718,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_hourly_ols"] = _events_hourly_ols
 
+    def _bootstrap_ci_value(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import bootstrap_ci_value
+
+        return bootstrap_ci_value(sf_dir)
+
+    q["bootstrap_ci_value"] = _bootstrap_ci_value
+
     def _events_props_extract(sf_dir: str):
         from docling_jobkit_ray.functions.jsontools import events_props_extract
 
@@ -1059,6 +1066,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lang_source_chisq"] = LANG_SOURCE_CHISQ_SQL
     sql["events_hourly_ols"] = EVENTS_HOURLY_OLS_SQL
+    from docling_jobkit_ray.functions.stats_tests import BOOTSTRAP_CI_VALUE_SQL
+
+    sql["bootstrap_ci_value"] = BOOTSTRAP_CI_VALUE_SQL
     from docling_jobkit_ray.functions.jsontools import (
         EVENTS_PROPS_EXTRACT_SQL,
         EVENTS_PROPS_STATS_SQL,

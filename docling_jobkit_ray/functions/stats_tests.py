@@ -215,3 +215,113 @@ SELECT event_type, CAST(n AS BIGINT) AS n_events,
 FROM s
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic streaming bootstrap (double-or-nothing / Owen weights)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64
+_LEHMER_A = 630360016  # full-period MCG multiplier (see webtext.py's note)
+_LEHMER_M = 2147483647
+
+
+def bootstrap_ci_value(sf_dir: str, *, n_reps: int = _BOOT_B) -> pa.Table:
+    """Confidence interval for the mean event value via a STREAMING
+    bootstrap: each (row, replicate) pair gets a deterministic
+    double-or-nothing weight w in {0, 2} (mean 1, variance 1 — Owen's
+    half-sampling variant of the Poisson bootstrap, which never needs the
+    dataset length up front and so composes with streaming execution).
+    Weights come from the repo's full-period Lehmer hash of
+    ``event_id * n_reps + b`` — deterministic, reshard-invariant, and
+    exactly replayable in SQL.
+
+    ONE pass: every batch emits ``n_reps`` partial (sum(w * cents),
+    sum(w)) rows; the global fold is n_reps rows; replicate means quantize
+    once by truncating division (all quantities non-negative) with Python
+    big ints (HUGEINT in the oracle) and the CI reads fixed order
+    statistics (ranks 2 and n_reps-1 of the sorted means ~ the 2.5/97.5
+    percentiles at the default 64)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    part_schema = pa.schema(
+        [("b", pa.int64()), ("s", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        eid = pc.cast(batch["event_id"], pa.int64()).to_numpy()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        ).to_numpy()
+        bs = np.empty(n_reps + 1, np.int64)
+        ss = np.empty(n_reps + 1, np.int64)
+        ns = np.empty(n_reps + 1, np.int64)
+        base = eid * n_reps
+        for b in range(n_reps):
+            h = ((base + b) % _LEHMER_M) * _LEHMER_A % _LEHMER_M
+            w = (h % 2) * 2  # 0 or 2, mean 1
+            bs[b], ss[b], ns[b] = b, int((w * cents).sum()), int(w.sum())
+        # replicate -1 carries the exact full-sample sum/count
+        bs[n_reps], ss[n_reps], ns[n_reps] = -1, int(cents.sum()), len(cents)
+        return pa.table(
+            {"b": pa.array(bs), "s": pa.array(ss), "n": pa.array(ns)}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .take_all()  # bounded: n_reps + 1 rows
+    )
+    means = []
+    mean_e6 = n_events = 0
+    for r in rows:
+        s, n = int(r["s"]), int(r["n"])
+        if int(r["b"]) == -1:
+            n_events, mean_e6 = n, s * 1_000_000 // n
+        elif n > 0:
+            means.append(s * 1_000_000 // n)
+    means.sort()
+    lo = means[1] if len(means) > 2 else means[0]
+    hi = means[-2] if len(means) > 2 else means[-1]
+    return pa.table(
+        {
+            "n_events": pa.array([n_events], pa.int64()),
+            "mean_e6": pa.array([mean_e6], pa.int64()),
+            "ci_lo_e6": pa.array([lo], pa.int64()),
+            "ci_hi_e6": pa.array([hi], pa.int64()),
+        }
+    )
+
+
+BOOTSTRAP_CI_VALUE_SQL = f"""
+WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+w AS (
+  SELECT r.b,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         ((e.event_id * {_BOOT_B} + r.b) % {_LEHMER_M})
+           * {_LEHMER_A} % {_LEHMER_M} % 2 * 2 AS w
+  FROM events e CROSS JOIN reps r
+),
+s AS (SELECT b, sum(w * cents) AS s, sum(w) AS n FROM w GROUP BY b),
+m AS (
+  SELECT CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS m_e6
+  FROM s WHERE n > 0
+),
+ord AS (SELECT m_e6, row_number() OVER (ORDER BY m_e6) AS rk FROM m),
+nm AS (SELECT count(*) AS k FROM ord),
+full_s AS (
+  SELECT count(*) AS n_events,
+         CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+              * 1000000 // count(*) AS BIGINT) AS mean_e6
+  FROM events
+)
+SELECT CAST(full_s.n_events AS BIGINT) AS n_events, full_s.mean_e6,
+       (SELECT m_e6 FROM ord, nm WHERE rk = CASE WHEN nm.k > 2 THEN 2 ELSE 1 END) AS ci_lo_e6,
+       (SELECT m_e6 FROM ord, nm WHERE rk = CASE WHEN nm.k > 2 THEN nm.k - 1 ELSE nm.k END) AS ci_hi_e6
+FROM full_s
+"""

@@ -262,6 +262,7 @@ SQL_BACKED = [
     "events_hourly_uniques",
     "top_orders_diversified",
     "revenue_mom_growth",
+    "bootstrap_ci_value",
 ]
 
 

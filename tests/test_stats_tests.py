@@ -169,3 +169,57 @@ def test_score_drift_ks_matches_sql_sf0001(ray_session):
     )
     want = con.execute(score_drift_ks_sql()).fetchdf()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bootstrap_ci_brackets_mean_and_narrows(ray_session):
+    """CI brackets the exact mean at both scales and narrows with more
+    data (~sqrt(10) between sf0.001 and sf0.01); parity with the oracle."""
+    from docling_jobkit_ray.functions.stats_tests import (
+        BOOTSTRAP_CI_VALUE_SQL,
+        bootstrap_ci_value,
+    )
+
+    widths = {}
+    for sf in ["sf0.001", "sf0.01"]:
+        d = f"/root/testdata/{sf}"
+        got = bootstrap_ci_value(d).to_pandas()
+        r = got.iloc[0]
+        assert r["ci_lo_e6"] <= r["mean_e6"] <= r["ci_hi_e6"]
+        widths[sf] = r["ci_hi_e6"] - r["ci_lo_e6"]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(BOOTSTRAP_CI_VALUE_SQL).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ratio = widths["sf0.001"] / widths["sf0.01"]
+    assert 2.0 < ratio < 5.5, f"CI width should shrink ~sqrt(10), got {ratio}"
+
+
+def test_bootstrap_weights_are_reshard_invariant(ray_session, tmp_path):
+    """Splitting the same rows across different shard layouts cannot
+    change the CI (weights hash event_id, not position)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.stats_tests import bootstrap_ci_value
+
+    rng = np.random.default_rng(2)
+    n = 400
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([pd.Timestamp("2024-01-01")] * n, pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["a"] * n),
+            "value": pa.array(rng.uniform(0, 100, n), pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    a_dir = tmp_path / "one"; a_dir.mkdir()
+    pq.write_table(t, a_dir / "events.parquet")
+    b_dir = tmp_path / "many"; b_dir.mkdir()
+    pq.write_table(t, b_dir / "events.parquet", row_group_size=37)
+    out_a = bootstrap_ci_value(str(a_dir)).to_pandas()
+    out_b = bootstrap_ci_value(str(b_dir)).to_pandas()
+    pd.testing.assert_frame_equal(out_a, out_b)
