@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_recall_report"] = functools.partial(
         similarity.ann_recall_report, k=5, n_queries=4
     )
+    q["minhash_eval_report"] = dedup.minhash_eval_report
     # the entries from here down sit beyond the driver's 50-query cap by
     # design (variants / lower-priority families); each is pytest-checked
     # (tests/test_driver_contract.py ROWS_ONLY + its own unit tests)

@@ -1427,3 +1427,64 @@ def semantic_dedup_embeddings(
         .map_groups(fold, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+
+def minhash_eval_report(
+    sf_dir: str,
+    *,
+    threshold: float = 0.6,
+    num_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+) -> pa.Table:
+    """Dedup-index quality report: precision/recall of the MinHash-LSH
+    CANDIDATE stage and recall of the VERIFIED pipeline, both measured
+    against the exact (recall-complete, prefix-filtered) n-gram-Jaccard
+    pair set at ``threshold`` — the dedup counterpart of
+    ``similarity.ann_recall_report``.
+
+    The expensive work is the two distributed pipelines; the comparison
+    runs on the driver over bounded pair-id sets (both stages already cap
+    pair volume at their verify/broadcast admission).  Rows-only by
+    design: the LSH side's permutations are not SQL-expressible — the
+    invariants that ARE provable hold by construction and pytest pins
+    them: verified precision == 1e6 exactly (the verify uses the same
+    exact Jaccard), recall <= 1e6, candidate recall >= verified recall."""
+    exact = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in ngram_jaccard_pairs(
+            sf_dir, threshold=threshold, shingle_k=shingle_k
+        ).take_all()
+    }
+    cand = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in minhash_lsh_candidates(
+            sf_dir, num_perm=num_perm, n_bands=n_bands, shingle_k=shingle_k
+        ).take_all()
+    }
+    verified = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in minhash_dedup(
+            sf_dir,
+            num_perm=num_perm,
+            n_bands=n_bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+        ).take_all()
+    }
+    c_hits = len(cand & exact)
+    v_hits = len(verified & exact)
+    ppm = lambda a, b: (a * 1_000_000 // b) if b else 0
+    return pa.table(
+        {
+            "n_exact": pa.array([len(exact)], pa.int64()),
+            "n_candidates": pa.array([len(cand)], pa.int64()),
+            "n_verified": pa.array([len(verified)], pa.int64()),
+            "candidate_precision_ppm": pa.array([ppm(c_hits, len(cand))], pa.int64()),
+            "candidate_recall_ppm": pa.array([ppm(c_hits, len(exact))], pa.int64()),
+            "verified_precision_ppm": pa.array(
+                [ppm(v_hits, len(verified))], pa.int64()
+            ),
+            "verified_recall_ppm": pa.array([ppm(v_hits, len(exact))], pa.int64()),
+        }
+    )

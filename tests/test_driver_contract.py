@@ -294,6 +294,7 @@ def test_query_matches_duckdb(entrymod, name):
 
 ROWS_ONLY = [
     "ann_recall_report",
+    "minhash_eval_report",
     "dedup_bloom_incremental",
     "quality_scores",
     "lang_id",

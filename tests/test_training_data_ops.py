@@ -819,3 +819,50 @@ def test_events_funnel_ordering_semantics(ray_session, tmp_path):
     assert out.loc[1, "n_users"] == 5   # everyone has a view
     assert out.loc[2, "n_users"] == 3   # users 1, 3, 5 click after their view
     assert out.loc[3, "n_users"] == 1   # only user 1 purchases after the click
+
+
+def test_minhash_eval_report_borderline_recall(ray_session, tmp_path):
+    """Dedup-index quality report: on a borderline corpus (pair jaccard
+    ~0.54 vs threshold 0.5) the LSH candidate stage measurably misses
+    pairs (recall < 1) while verified precision is exactly 1 by
+    construction (the verify IS the exact jaccard)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.dedup import minhash_eval_report
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = []
+    for _ in range(60):
+        common = list(rng.choice(vocab, 30))
+        texts.append(" ".join(common + list(rng.choice(vocab, 12))))
+        texts.append(" ".join(common + list(rng.choice(vocab, 12))))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["web"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = minhash_eval_report(str(tmp_path), threshold=0.5).to_pandas().iloc[0]
+    assert out["n_exact"] == 60  # every planted pair qualifies exactly
+    assert out["verified_precision_ppm"] == 1_000_000
+    assert 300_000 <= out["candidate_recall_ppm"] < 1_000_000
+    assert out["candidate_recall_ppm"] >= out["verified_recall_ppm"]
+
+
+def test_minhash_eval_report_clean_corpus(ray_session):
+    """On the synthetic corpus the planted near-identical dups are caught
+    perfectly — every metric pins at 1e6 with equal set sizes."""
+    from docling_jobkit_ray.functions.dedup import minhash_eval_report
+
+    out = minhash_eval_report("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert out["n_exact"] == out["n_candidates"] == out["n_verified"] == 28
+    assert out["candidate_recall_ppm"] == out["verified_precision_ppm"] == 1_000_000
