@@ -726,6 +726,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bootstrap_ci_value"] = _bootstrap_ci_value
 
+    def _verified_heavy_hitters(sf_dir: str):
+        from docling_jobkit_ray.functions.sketches import verified_heavy_hitters
+
+        return verified_heavy_hitters(sf_dir)
+
+    q["verified_heavy_hitters"] = _verified_heavy_hitters
+
     def _events_props_extract(sf_dir: str):
         from docling_jobkit_ray.functions.jsontools import events_props_extract
 
@@ -1070,6 +1077,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.stats_tests import BOOTSTRAP_CI_VALUE_SQL
 
     sql["bootstrap_ci_value"] = BOOTSTRAP_CI_VALUE_SQL
+    from docling_jobkit_ray.functions.sketches import verified_heavy_hitters_sql
+
+    sql["verified_heavy_hitters"] = verified_heavy_hitters_sql()
     from docling_jobkit_ray.functions.jsontools import (
         EVENTS_PROPS_EXTRACT_SQL,
         EVENTS_PROPS_STATS_SQL,

@@ -732,3 +732,93 @@ def user_overlap_estimate(sf_dir: str, *, p: int = 12) -> pa.Table:
             "n_intersection": pa.array([int(round(ni))], pa.int64()),
         }
     )
+
+
+def verified_heavy_hitters(
+    sf_dir: str, *, phi_denominator: int = 50, k_counters: int = 1024
+) -> pa.Table:
+    """EXACT phi-heavy hitters (terms with count > N / ``phi_denominator``)
+    via the sketch-then-verify plan: a Misra-Gries pass proposes a
+    candidate superset (MG guarantees every true heavy hitter survives
+    when k_counters >= phi_denominator — the undercount is at most N/k),
+    then ONE counting pass with the candidate set broadcast in the UDF
+    closure measures the candidates' exact counts.  The result is exact,
+    so it hash-checks against plain SQL frequency filtering even though a
+    sketch chose what to count — the pattern that makes heavy-hitter
+    queries two cheap passes instead of a full-vocabulary exchange.
+    """
+    if k_counters < 2 * phi_denominator:
+        raise ValueError(
+            "k_counters must comfortably exceed phi_denominator for the "
+            "candidate superset guarantee (undercount <= N/k < threshold)"
+        )
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    # pass 1: MG candidates (bounded: k_counters rows on the driver)
+    mg_table = approx_top_terms(sf_dir, k_counters=k_counters, n=k_counters)
+    cand = pa.array(sorted(set(mg_table["term"].to_pylist())), pa.string())
+
+    # pass 2: exact counts of candidates + the exact total token count
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    part_schema = pa.schema([("idx", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.list_flatten(
+            pc.split_pattern_regex(lower, pattern=r"[^a-z]+")
+        )
+        words = pc.drop_null(words.filter(pc.not_equal(words, "")))
+        hit = pc.index_in(words, value_set=cand)
+        vi = hit.drop_null().to_numpy(zero_copy_only=False)
+        counts = np.bincount(vi, minlength=len(cand)).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        idx = np.concatenate([nz.astype(np.int64), [-1]])
+        ns = np.concatenate([counts[nz], [len(words)]])  # -1 = total tokens
+        return pa.table({"idx": pa.array(idx), "n": pa.array(ns)})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("idx")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: k_counters + 1 rows
+    )
+    total = 0
+    exact = np.zeros(len(cand), np.int64)
+    for r in rows:
+        if int(r["idx"]) == -1:
+            total = int(r["n"])
+        else:
+            exact[int(r["idx"])] = int(r["n"])
+    keep = exact * phi_denominator > total
+    terms = [cand[i].as_py() for i in np.flatnonzero(keep)]
+    counts = exact[keep]
+    # deterministic: count desc, term asc
+    pairs = sorted(zip(terms, counts.tolist()), key=lambda p: (-p[1], p[0]))
+    return pa.table(
+        {
+            "term": pa.array([p[0] for p in pairs], pa.string()),
+            "n": pa.array([p[1] for p in pairs], pa.int64()),
+            "share_ppm": pa.array(
+                [p[1] * 1_000_000 // total for p in pairs], pa.int64()
+            ),
+        }
+    )
+
+
+def verified_heavy_hitters_sql(phi_denominator: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks),
+c AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+SELECT c.w AS term, CAST(c.cnt AS BIGINT) AS n,
+       CAST(c.cnt * 1000000 // tot.n AS BIGINT) AS share_ppm
+FROM c, tot
+WHERE c.cnt * {phi_denominator} > tot.n
+ORDER BY n DESC, term
+"""

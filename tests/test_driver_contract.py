@@ -263,6 +263,7 @@ SQL_BACKED = [
     "top_orders_diversified",
     "revenue_mom_growth",
     "bootstrap_ci_value",
+    "verified_heavy_hitters",
 ]
 
 

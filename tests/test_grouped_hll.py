@@ -120,3 +120,54 @@ def test_user_overlap_estimate_accuracy(ray_session):
     for k, t in (("n_early", truth["e"]), ("n_late", truth["l"]), ("n_union", truth["u"]), ("n_intersection", inter)):
         rel = abs(int(got[k]) - int(t)) / max(int(t), 1)
         assert rel < 0.07, (k, got[k], t)
+
+
+def test_verified_heavy_hitters_superset_guarantee(ray_session, tmp_path):
+    """A skewed crafted corpus: the MG candidate pass must not lose any
+    true phi-heavy hitter, and the exact verify filters the rest."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.sketches import (
+        verified_heavy_hitters,
+        verified_heavy_hitters_sql,
+    )
+
+    # term 'hot' = 30% of tokens, 'warm' = 5%, long tail of singletons
+    words = ["hot"] * 300 + ["warm"] * 50 + [f"tail{i}" for i in range(650)]
+    texts = [" ".join(words[i::10]) for i in range(10)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 10),
+                "source": pa.array(["web"] * 10),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = verified_heavy_hitters(str(tmp_path), phi_denominator=50).to_pandas()
+    assert list(out["term"])[:2] == ["hot", "warm"]
+    assert out.iloc[0]["n"] == 300 and out.iloc[1]["n"] == 50
+    assert not out["term"].str.startswith("tail").any()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(verified_heavy_hitters_sql(50)).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_verified_heavy_hitters_param_guard():
+    import pytest
+
+    from docling_jobkit_ray.functions.sketches import verified_heavy_hitters
+
+    with pytest.raises(ValueError):
+        verified_heavy_hitters("/root/testdata/sf0.001", phi_denominator=50, k_counters=60)
