@@ -136,7 +136,14 @@ def test_verified_heavy_hitters_superset_guarantee(ray_session, tmp_path):
     )
 
     # term 'hot' = 30% of tokens, 'warm' = 5%, long tail of singletons
-    words = ["hot"] * 300 + ["warm"] * 50 + [f"tail{i}" for i in range(650)]
+    def b26(i):  # distinct ALPHABETIC tail words ([a-z]+ tokenization)
+        s = ""
+        for _ in range(4):
+            s += chr(97 + i % 26)
+            i //= 26
+        return "tail" + s
+
+    words = ["hot"] * 300 + ["warm"] * 50 + [b26(i) for i in range(650)]
     texts = [" ".join(words[i::10]) for i in range(10)]
     pq.write_table(
         pa.table(
