@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_uniques",
         "top_orders_diversified",
         "revenue_mom_growth",
+        "events_cusum_alarm",
         "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",
@@ -852,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_uniques",
         "top_orders_diversified",
         "revenue_mom_growth",
+        "events_cusum_alarm",
         "scd2_customer_status",
         "user_activity_setops",
         "events_cube_type_dow",

@@ -1343,3 +1343,110 @@ BEHAVIOR_QUERIES.update(
         "events_hourly_uniques": (events_hourly_uniques, EVENTS_HOURLY_UNIQUES_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# sequential change detection: integer-exact CUSUM over hourly volume
+# ---------------------------------------------------------------------------
+
+def events_cusum_alarm(sf_dir: str) -> pa.Table:
+    """One-sided CUSUM over the hourly event-count series: S_t =
+    max(0, S_{t-1} + (x_t - mean - slack)) accumulated over OBSERVED
+    hours in order with the standard 10% drift allowance (slack = mean/10
+    keeps an in-control reflected walk pinned near 0 instead of wandering
+    up), alarming when the cumulative excess tops 2x the hourly mean — the
+    sequential change-point monitor an ingest pipeline runs on its own
+    volume.  Kept exact-integer by scaling through by 10k (k = hour
+    count): S'_t = max(0, S'_{t-1} + 10*k*x_t - 11*total), alarm iff
+    S'_t > 20 * total (Python big ints here, HUGEINT in the oracle).
+
+    Scale shape: the distributed work is the hourly fold (per-batch
+    partials, one exchange); the recurrence is inherently sequential and
+    runs on the driver over the bounded hour series."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    part_schema = pa.schema([("hour_us", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        hour = pc.multiply(
+            pc.divide(
+                pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(_HOUR_US, pa.int64()),
+            ),
+            pa.scalar(_HOUR_US, pa.int64()),
+        )
+        return (
+            pa.table({"hour_us": hour})
+            .group_by("hour_us")
+            .aggregate([([], "count_all")])
+            .rename_columns(["hour_us", "n"])
+        )
+
+    rows = sorted(
+        (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("hour_us")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()  # bounded by the observation span in hours
+        ),
+        key=lambda r: r["hour_us"],
+    )
+    k = len(rows)
+    total = sum(int(r["n"]) for r in rows)
+    out = {"hour_ts": [], "n_events": [], "s_scaled": [], "alarm": []}
+    s = 0
+    for r in rows:
+        n = int(r["n"])
+        s = max(0, s + 10 * k * n - 11 * total)
+        out["hour_ts"].append(int(r["hour_us"]))
+        out["n_events"].append(n)
+        out["s_scaled"].append(s)
+        out["alarm"].append(1 if s > 20 * total else 0)
+    return pa.table(
+        {
+            "hour_ts": pc.cast(
+                pa.array(out["hour_ts"], pa.int64()), pa.timestamp("us")
+            ),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "s_scaled": pa.array(out["s_scaled"], pa.int64()),
+            "alarm": pa.array(out["alarm"], pa.int64()),
+        }
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH RECURSIVE
+h AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n) AS s, count(*) AS k FROM h),
+seq AS (SELECT hour_ts, n, row_number() OVER (ORDER BY hour_ts) AS rn FROM h),
+rec(rn, hour_ts, n, s_scaled) AS (
+  SELECT rn, hour_ts, n,
+         greatest(CAST(0 AS HUGEINT),
+                  CAST(10 AS HUGEINT) * n * tot.k - 11 * tot.s)
+  FROM seq, tot WHERE rn = 1
+  UNION ALL
+  SELECT seq.rn, seq.hour_ts, seq.n,
+         greatest(CAST(0 AS HUGEINT),
+                  rec.s_scaled + CAST(10 AS HUGEINT) * seq.n * tot.k - 11 * tot.s)
+  FROM rec JOIN seq ON seq.rn = rec.rn + 1, tot
+)
+SELECT hour_ts, CAST(n AS BIGINT) AS n_events,
+       CAST(s_scaled AS BIGINT) AS s_scaled,
+       CAST(CAST(s_scaled > 20 * tot.s AS INTEGER) AS BIGINT) AS alarm
+FROM rec, tot
+ORDER BY hour_ts
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_cusum_alarm": (events_cusum_alarm, EVENTS_CUSUM_SQL),
+    }
+)

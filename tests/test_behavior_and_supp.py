@@ -728,3 +728,26 @@ def test_events_hourly_uniques_exact_distinct(ray_session, tmp_path):
     out = events_hourly_uniques(str(tmp_path)).to_pandas()
     assert list(out["n_users"]) == [2, 1]
     assert list(out["n_events"]) == [3, 1]
+
+
+def test_events_cusum_detects_planted_shift(ray_session, tmp_path):
+    """In-control first half (1 event/hour), 4x burst second half: no
+    alarms before the shift, alarms accumulate after it."""
+    from docling_jobkit_ray.pipelines.behavior import events_cusum_alarm
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for h in range(48):
+        per = 1 if h < 24 else 4
+        for j in range(per):
+            rows.append((eid, 1, base + pd.Timedelta(hours=h, minutes=j), "a"))
+            eid += 1
+    _write(tmp_path, "events", _events_table(rows))
+    out = events_cusum_alarm(str(tmp_path)).to_pandas()
+    assert len(out) == 48
+    first_alarm = out[out["alarm"] == 1].index.min()
+    assert first_alarm >= 24, "alarm before the planted shift"
+    assert out["alarm"].iloc[30:].all(), "burst half should stay in alarm"
+    # CUSUM resets: the statistic is 0 throughout the in-control half
+    assert (out["s_scaled"].iloc[:24] == 0).all()

@@ -264,6 +264,7 @@ SQL_BACKED = [
     "revenue_mom_growth",
     "bootstrap_ci_value",
     "verified_heavy_hitters",
+    "events_cusum_alarm",
 ]
 
 
