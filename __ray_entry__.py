@@ -452,6 +452,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pagerank_part_supplier"] = _pagerank_part_supplier
 
+    def _part_triangle_counts(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import part_triangle_counts
+
+        return part_triangle_counts(sf_dir)
+
+    q["part_triangle_counts"] = _part_triangle_counts
+
     def _fuzzy_prefix_pairs(sf_dir: str):
         from docling_jobkit_ray.functions.fuzzy import fuzzy_prefix_pairs
 
@@ -1060,6 +1067,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.graph import pagerank_part_supplier_sql
 
     sql["pagerank_part_supplier"] = pagerank_part_supplier_sql()
+    from docling_jobkit_ray.functions.graph import part_triangle_counts_sql
+
+    sql["part_triangle_counts"] = part_triangle_counts_sql()
     from docling_jobkit_ray.functions.fuzzy import FUZZY_PREFIX_PAIRS_SQL
 
     sql["fuzzy_prefix_pairs"] = FUZZY_PREFIX_PAIRS_SQL

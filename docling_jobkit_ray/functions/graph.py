@@ -1075,3 +1075,238 @@ SELECT CASE WHEN v % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
 FROM bfs GROUP BY v
 ORDER BY node_type, key
 """
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (the third classic graph kernel, after components,
+# PageRank and BFS): exact per-vertex triangle participation counts over
+# the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+_TRI_PAIR_SCHEMA = pa.schema(
+    [("okey", pa.int64()), ("part", pa.int64()), ("bucket", pa.int64())]
+)
+_TRI_WEDGE_SCHEMA = pa.schema(
+    [("qkey", pa.int64()), ("b", pa.int64()), ("bucket", pa.int64())]
+)
+
+
+def part_triangle_counts(
+    sf_dir: str, *, min_qty: int = 35, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Exact per-part triangle counts over the co-purchase graph: an
+    undirected edge joins two DISTINCT parts that appear in the same order
+    (both lineitems with ``l_quantity >= min_qty`` — the thinning predicate
+    that keeps the graph sparse; co-occurrence graphs saturate without
+    one).  A part's count is the number of triangles it participates in —
+    the local clustering signal used to find tightly-bundled product
+    groups, and on a webtext link graph, mirror farms.
+
+    The classic compact-forward shape, expressed as bucketed exchanges
+    (bucket counts derived from the lineitem footer row count):
+
+    1. ORDER-bucketed exchange: lineitems of one order meet in one bucket;
+       a vectorized self-merge emits candidate edges ``u < v`` (local
+       dedup only — the same pair can arise from many orders in many
+       buckets).
+    2. Global edge DISTINCT: int64-keyed ``groupby(edge).aggregate([])``
+       (u*2^32+v — single combined key, never a two-key groupby).
+    3. CENTER-bucketed wedge emission: each edge lands at both endpoints
+       (lower endpoint tagged "above", upper tagged "below"); per center
+       vertex b, below x above cross-product emits wedges a < b < c with
+       query key a*2^32+c.
+    4. Membership co-shuffle: wedges and edges ride ONE tagged-union
+       exchange keyed by the (a,c) pair key; a wedge whose closing edge
+       is present in its bucket is a triangle (``pc.is_in`` per bucket —
+       no join materializes).  Per-bucket partial (part, n) counts fold
+       the three corners immediately, so triangle rows never cross again.
+    5. Bounded ``groupby(partkey).sum`` finishes.
+
+    No stage materializes the graph on the driver; every intermediate is
+    proportional to edges + wedges, and wedge volume is bounded by the
+    thinned degree distribution (sum over centers of below*above).
+
+    Reference parity: the reference has no graph engine; this documents
+    the Ray-Data-native triangle-count shape (SURVEY.md graph family,
+    alongside connected_components / pagerank / bfs_hops).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..scale import bucket_count, estimate_rows
+    from ..sources.pages import read_table
+
+    est = estimate_rows(sf_dir, "lineitem")
+    n_b = n_buckets or bucket_count(est)
+    mask = pa.scalar(n_b - 1, pa.int64())
+    qty = pa.scalar(float(min_qty))
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _TRI_PAIR_SCHEMA.empty_table()
+        keep = pc.greater_equal(batch["l_quantity"], qty)
+        t = batch.filter(keep)
+        # local (order, part) distinct before the exchange (duplicate
+        # lineitems of one part collapse; global dedup is at edge level)
+        t = (
+            pa.table({"okey": t["l_orderkey"], "part": t["l_partkey"]})
+            .group_by(["okey", "part"])
+            .aggregate([])
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["okey"], mask))
+
+    def edge_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.table({"edge": pa.array([], pa.int64())})
+        group = group.select(_TRI_PAIR_SCHEMA.names).cast(_TRI_PAIR_SCHEMA)
+        df = group.select(["okey", "part"]).to_pandas()
+        m = df.merge(df, on="okey")
+        m = m[m["part_x"] < m["part_y"]]
+        edge = (m["part_x"].to_numpy() << 32) + m["part_y"].to_numpy()
+        return pa.table({"edge": pa.array(np.unique(edge), pa.int64())})
+
+    edges = (
+        li.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(edge_bucket, batch_format="pyarrow")
+        .groupby("edge")
+        .aggregate(Count(alias_name="_n"))
+        # edges feed BOTH the wedge and the member side below — pin the
+        # distinct result so branching does not re-run the exchange
+        # (CLAUDE.md: branching re-executes the shared parent)
+        .materialize()
+    )
+
+    def wedge_emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _TRI_WEDGE_SCHEMA.empty_table()
+        e = pc.cast(batch["edge"], pa.int64())
+        u = pc.divide(e, 2**32)  # nonnegative: floor == trunc
+        v = pc.subtract(e, pc.multiply(u, 2**32))
+        # qkey < 0 marks endpoint roles pre-wedge: row at center v sees
+        # neighbor u below it (-1), row at center u sees v above (-2)
+        center = pa.concat_arrays(
+            [pc.cast(v, pa.int64()).combine_chunks(),
+             pc.cast(u, pa.int64()).combine_chunks()]
+        )
+        other = pa.concat_arrays(
+            [pc.cast(u, pa.int64()).combine_chunks(),
+             pc.cast(v, pa.int64()).combine_chunks()]
+        )
+        side = pa.concat_arrays(
+            [pa.array([0] * len(batch), pa.int64()),
+             pa.array([1] * len(batch), pa.int64())]
+        )
+        return pa.table(
+            {
+                "qkey": other,
+                "b": pc.add(pc.multiply(center, 2), side),  # center*2 + side
+                "bucket": pc.bit_wise_and(center, mask),
+            }
+        )
+
+    def wedge_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _TRI_WEDGE_SCHEMA.empty_table()
+        group = group.select(_TRI_WEDGE_SCHEMA.names).cast(_TRI_WEDGE_SCHEMA)
+        df = pd.DataFrame(
+            {
+                "center": group["b"].to_numpy(zero_copy_only=False) >> 1,
+                "side": group["b"].to_numpy(zero_copy_only=False) & 1,
+                "other": group["qkey"].to_numpy(zero_copy_only=False),
+            }
+        )
+        below = df[df["side"] == 0][["center", "other"]]
+        above = df[df["side"] == 1][["center", "other"]]
+        w = below.merge(above, on="center")  # a < center < c by key order
+        qkey = (w["other_x"].to_numpy() << 32) + w["other_y"].to_numpy()
+        return pa.table(
+            {
+                "qkey": pa.array(qkey, pa.int64()),
+                "b": pa.array(w["center"].to_numpy(), pa.int64()),
+                "bucket": pa.array(qkey & (n_b - 1), pa.int64()),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(wedge_emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(wedge_bucket, batch_format="pyarrow")
+    )
+
+    def member_emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _TRI_WEDGE_SCHEMA.empty_table()
+        e = pc.cast(batch["edge"], pa.int64())
+        return pa.table(
+            {
+                "qkey": e,
+                "b": pa.array([-1] * len(batch), pa.int64()),
+                "bucket": pc.bit_wise_and(e, mask),
+            }
+        )
+
+    members = edges.map_batches(
+        member_emit, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def close_bucket(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("partkey", pa.int64()), ("n", pa.int64())])
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(_TRI_WEDGE_SCHEMA.names).cast(_TRI_WEDGE_SCHEMA)
+        is_mem = pc.equal(group["b"], pa.scalar(-1, pa.int64()))
+        mem = pc.filter(group["qkey"], is_mem).combine_chunks()
+        w = group.filter(pc.invert(is_mem))
+        if w.num_rows == 0 or len(mem) == 0:
+            return out_schema.empty_table()
+        tri = w.filter(pc.is_in(w["qkey"], value_set=mem))
+        if tri.num_rows == 0:
+            return out_schema.empty_table()
+        a = pc.divide(tri["qkey"], 2**32)
+        c = pc.subtract(tri["qkey"], pc.multiply(a, 2**32))
+        parts = pa.concat_arrays(
+            [pc.cast(a, pa.int64()).combine_chunks(),
+             pc.cast(tri["b"], pa.int64()).combine_chunks(),
+             pc.cast(c, pa.int64()).combine_chunks()]
+        )
+        partial = (
+            pa.table(
+                {"partkey": parts, "n": pa.array([1] * len(parts), pa.int64())}
+            )
+            .group_by("partkey")
+            .aggregate([("n", "sum")])
+        )
+        return partial.rename_columns(["partkey", "n"])
+
+    return (
+        wedges.union(members)
+        .groupby("bucket")
+        .map_groups(close_bucket, batch_format="pyarrow")
+        .groupby("partkey")
+        .aggregate(Sum(on="n", alias_name="n_triangles"))
+        .sort("partkey")
+    )
+
+
+def part_triangle_counts_sql(min_qty: int = 35) -> str:
+    return f"""
+WITH f AS (SELECT l_orderkey, l_partkey FROM lineitem
+           WHERE l_quantity >= {min_qty}),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM f a JOIN f b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT partkey, count(*) AS n_triangles
+FROM (SELECT a AS partkey FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY partkey
+ORDER BY partkey
+"""
