@@ -1450,3 +1450,192 @@ BEHAVIOR_QUERIES.update(
         "events_cusum_alarm": (events_cusum_alarm, EVENTS_CUSUM_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution (linear model, exact integer credit split)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # clicks within 7 days before
+
+_ATTR_UNION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("ts_us", pa.int64()),
+        ("event_id", pa.int64()),
+        ("role", pa.int64()),
+        ("cents", pa.int64()),
+        ("bucket", pa.int64()),
+    ]
+)
+
+
+def events_attribution(
+    sf_dir: str, *, n_buckets: int | None = None, window_us: int = _ATTR_WINDOW_US
+) -> ray.data.Dataset:
+    """Linear multi-touch attribution: every purchase's value is split in
+    EXACT integer cents across the user's clicks in the ``window_us``
+    before it (inclusive of ties) — base share ``cents // k`` per click
+    plus one remainder cent to each of the ``cents % k`` EARLIEST clicks
+    (ordered by ts then event_id, the deterministic tiebreak).  Output is
+    one row per credited click with the number of purchases it touched and
+    its total credit — the marketing-attribution shape (and the revenue
+    analogue of the funnel family).
+
+    Plan shape: ONE user-bucketed tagged-union exchange (clicks and
+    purchases ride together; purchase cents quantize per row BEFORE the
+    shuffle).  Inside a bucket, clicks sort once on a dense-user combined
+    integer key and each purchase's window becomes two vectorized
+    ``np.searchsorted`` probes; the (click, purchase) pairs materialize
+    only as numpy index arithmetic (segment expansion), never as a joined
+    table, and fold to per-click totals before leaving the bucket.  A
+    click's purchases all share its user, hence its bucket — per-click
+    totals are complete locally and the finishing sort is the only other
+    all-to-all.
+    """
+    rel = _rel()
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _ATTR_UNION_SCHEMA.empty_table()
+        role = pc.case_when(
+            pc.make_struct(
+                pc.equal(batch["event_type"], pa.scalar("click")),
+                pc.equal(batch["event_type"], pa.scalar("purchase")),
+            ),
+            pa.scalar(0, pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+                ),
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "role": role,
+                "cents": cents,
+            }
+        ).filter(pc.is_valid(role))
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], mask))
+
+    out_schema = pa.schema(
+        [
+            ("click_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("n_purchases", pa.int64()),
+            ("credit_cents", pa.int64()),
+        ]
+    )
+
+    def attribute_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(_ATTR_UNION_SCHEMA.names).cast(_ATTR_UNION_SCHEMA)
+        role = group["role"].to_numpy(zero_copy_only=False)
+        user = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        cents_all = group["cents"].to_numpy(zero_copy_only=False)
+        is_c = role == 0
+        is_p = role == 1
+        if not is_c.any() or not is_p.any():
+            return out_schema.empty_table()
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0 + window_us + 2
+        users, inv = np.unique(user, return_inverse=True)
+        if len(users) * span >= np.iinfo(np.int64).max // 2:
+            raise ValueError(
+                "attribution bucket too wide for the combined key — "
+                "raise n_buckets"
+            )
+        key = inv * span + (ts - t0) + window_us + 1
+        ck, c_eid, c_user = key[is_c], eid[is_c], user[is_c]
+        # clicks sort by (combined key, event_id): window slices come out
+        # in exactly the (ts, event_id) order the remainder rule needs
+        order = np.lexsort((c_eid, ck))
+        ck, c_eid, c_user = ck[order], c_eid[order], c_user[order]
+        pk, p_cents = key[is_p], cents_all[is_p]
+        lo = np.searchsorted(ck, pk - window_us, side="left")
+        hi = np.searchsorted(ck, pk, side="right")
+        k = (hi - lo).astype(np.int64)
+        touched = k > 0
+        lo, k, p_cents = lo[touched], k[touched], p_cents[touched]
+        if len(k) == 0:
+            return out_schema.empty_table()
+        total = int(k.sum())
+        offsets = np.cumsum(k) - k
+        within = np.arange(total, dtype=np.int64) - np.repeat(offsets, k)
+        idx = np.repeat(lo, k) + within
+        credit = np.repeat(p_cents // k, k) + (within < np.repeat(p_cents % k, k))
+        per_click = (
+            pd.DataFrame(
+                {
+                    "click_id": c_eid[idx],
+                    "user_id": c_user[idx],
+                    "credit": credit,
+                }
+            )
+            .groupby(["click_id", "user_id"], sort=False)
+            .agg(n_purchases=("credit", "size"), credit_cents=("credit", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "click_id": pa.array(per_click["click_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(per_click["user_id"].to_numpy(), pa.int64()),
+                "n_purchases": pa.array(
+                    per_click["n_purchases"].to_numpy(), pa.int64()
+                ),
+                "credit_cents": pa.array(
+                    per_click["credit_cents"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(attribute_bucket, batch_format="pyarrow")
+        .sort("click_id")
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+pair AS (
+  SELECT c.event_id AS click_id, c.user_id,
+         p.cents,
+         count(*) OVER (PARTITION BY p.event_id) AS k,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts, c.event_id) AS r
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND {_ATTR_WINDOW_US}
+)
+SELECT click_id, user_id,
+       count(*) AS n_purchases,
+       CAST(sum(cents // k + CASE WHEN r <= cents % k THEN 1 ELSE 0 END)
+            AS BIGINT) AS credit_cents
+FROM pair
+GROUP BY click_id, user_id
+ORDER BY click_id
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_attribution": (events_attribution, EVENTS_ATTRIBUTION_SQL),
+    }
+)

@@ -236,6 +236,7 @@ SQL_BACKED = [
     "classifier_calibration_bins",
     "pagerank_part_supplier",
     "part_triangle_counts",
+    "events_attribution",
     # round-5: grouped robust stats (median / trimmed sum / MAD, exact cents)
     "orders_robust_stats",
     "orders_outliers_mad",
