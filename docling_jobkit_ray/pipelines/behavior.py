@@ -1639,3 +1639,192 @@ BEHAVIOR_QUERIES.update(
         "events_attribution": (events_attribution, EVENTS_ATTRIBUTION_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate (time to first big purchase)
+# ---------------------------------------------------------------------------
+
+_KM_VALUE_THR = 100.0  # "big purchase" — picked for a real censored mix
+_KM_SENTINEL = 1 << 62
+_HOUR_US_KM = 3600 * 1_000_000
+
+
+def user_survival_km(sf_dir: str) -> pa.Table:
+    """Kaplan-Meier survival curve for time-to-first-BIG-purchase: per
+    user, the duration in whole hours from their first event to their
+    first purchase with ``value >= 100`` (the event), censored at their
+    last observed event if they never make one — the survival-analysis
+    family (churn/conversion curves) next to cohort_retention.
+
+    The estimator stays cross-engine hash-exact by the repo's
+    quantized-log rule: each step's factor ``ln((n_i - d_i) / n_i)`` is
+    quantized ONCE to an int64 at the 1e-6 grid, and the survival curve is
+    the exact-integer running sum of those steps (the product form would
+    be a float whose accumulation order differs between engines).
+
+    Plan shape: per-batch partial (user, min-any-ts, max-any-ts,
+    min-qualifying-purchase-ts) folds with the missing-purchase side
+    carried as a +inf SENTINEL so every column is non-null int64 through
+    the shuffle; one int-keyed groupby finishes the per-user triple; a
+    second bounded groupby folds the duration histogram to K <= span-hours
+    rows, and ONLY those K rows reach the driver for the suffix-sum risk
+    sets and the cumulative quantized log (the score_drift_ks
+    driver-finish pattern).  Terminal steps with ``n_at_risk == d`` (the
+    survival-hits-zero plunge, only ever the last row) are excluded on
+    both engines so the log stays finite.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    thr = pa.scalar(_KM_VALUE_THR)
+
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type", "value"]
+    )
+
+    part_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("t0", pa.int64()),
+            ("tl", pa.int64()),
+            ("tp", pa.int64()),
+        ]
+    )
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        big = pc.and_(
+            pc.equal(batch["event_type"], pa.scalar("purchase")),
+            pc.greater_equal(batch["value"], thr),
+        )
+        tp = pc.if_else(big, ts, pa.scalar(_KM_SENTINEL, pa.int64()))
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "t0": ts,
+                "tl": ts,
+                "tp": tp,
+            }
+        )
+        folded = t.group_by("user_id").aggregate(
+            [("t0", "min"), ("tl", "max"), ("tp", "min")]
+        )
+        return folded.rename_columns(["user_id", "t0", "tl", "tp"])
+
+    per_user = (
+        ds.map_batches(per_user_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Min(on="t0", alias_name="t0"),
+            Max(on="tl", alias_name="tl"),
+            Min(on="tp", alias_name="tp"),
+        )
+    )
+
+    hist_schema = pa.schema(
+        [("t_hours", pa.int64()), ("d", pa.int64()), ("c", pa.int64())]
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return hist_schema.empty_table()
+        observed = pc.not_equal(batch["tp"], pa.scalar(_KM_SENTINEL, pa.int64()))
+        end = pc.if_else(observed, batch["tp"], batch["tl"])
+        t_hours = pc.divide(
+            pc.subtract(end, batch["t0"]), pa.scalar(_HOUR_US_KM, pa.int64())
+        )  # nonnegative: floor == trunc
+        t = pa.table(
+            {
+                "t_hours": pc.cast(t_hours, pa.int64()),
+                "d": pc.cast(observed, pa.int64()),
+                "c": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        folded = t.group_by("t_hours").aggregate([("d", "sum"), ("c", "sum")])
+        return folded.rename_columns(["t_hours", "d", "c"])
+
+    hist = (
+        per_user.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("t_hours")
+        .aggregate(Sum(on="d", alias_name="d"), Sum(on="c", alias_name="c"))
+        .sort("t_hours")
+    )
+
+    # driver finish over K <= span-hours rows (bounded at any corpus size)
+    rows = _collect_km(hist)
+    return rows
+
+
+def _collect_km(hist: ray.data.Dataset) -> pa.Table:
+    import math
+
+    t = hist.take_all()  # K <= span-hours rows — bounded at any corpus size
+    t_hours = np.array([r["t_hours"] for r in t], np.int64)
+    d = np.array([r["d"] for r in t], np.int64)
+    c = np.array([r["c"] for r in t], np.int64)
+    order = np.argsort(t_hours)
+    t_hours, d, c = t_hours[order], d[order], c[order]
+    n_at_risk = np.cumsum(c[::-1])[::-1]
+    out_t, out_n, out_d, out_cum = [], [], [], []
+    cum = 0
+    for i in range(len(t_hours)):
+        if d[i] == 0 or n_at_risk[i] == d[i]:
+            continue
+        step = int(
+            np.round(
+                math.log((int(n_at_risk[i]) - int(d[i])) / int(n_at_risk[i]))
+                * 1_000_000
+            )
+        )
+        cum += step
+        out_t.append(int(t_hours[i]))
+        out_n.append(int(n_at_risk[i]))
+        out_d.append(int(d[i]))
+        out_cum.append(cum)
+    return pa.table(
+        {
+            "t_hours": pa.array(out_t, pa.int64()),
+            "n_at_risk": pa.array(out_n, pa.int64()),
+            "n_events": pa.array(out_d, pa.int64()),
+            "cum_log_q": pa.array(out_cum, pa.int64()),
+        }
+    )
+
+
+USER_SURVIVAL_KM_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS t0,
+         max(epoch_us(ts)) AS tl,
+         min(CASE WHEN event_type = 'purchase' AND value >= {_KM_VALUE_THR}
+                  THEN epoch_us(ts) END) AS tp
+  FROM events GROUP BY user_id),
+lif AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // {_HOUR_US_KM}
+              ELSE (tl - t0) // {_HOUR_US_KM} END AS t_hours,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM u),
+hist AS (
+  SELECT t_hours, CAST(sum(observed) AS BIGINT) AS d, count(*) AS c
+  FROM lif GROUP BY t_hours),
+ev AS (
+  SELECT t_hours, d,
+         CAST(sum(c) OVER (ORDER BY t_hours DESC) AS BIGINT) AS n_at_risk
+  FROM hist)
+SELECT t_hours, n_at_risk, d AS n_events,
+       CAST(sum(CAST(round(ln((n_at_risk - d) * 1.0 / n_at_risk) * 1000000)
+                     AS BIGINT))
+            OVER (ORDER BY t_hours) AS BIGINT) AS cum_log_q
+FROM ev
+WHERE d > 0 AND n_at_risk > d
+ORDER BY t_hours
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "user_survival_km": (user_survival_km, USER_SURVIVAL_KM_SQL),
+    }
+)

@@ -237,6 +237,7 @@ SQL_BACKED = [
     "pagerank_part_supplier",
     "part_triangle_counts",
     "events_attribution",
+    "user_survival_km",
     # round-5: grouped robust stats (median / trimmed sum / MAD, exact cents)
     "orders_robust_stats",
     "orders_outliers_mad",
