@@ -459,6 +459,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["part_triangle_counts"] = _part_triangle_counts
 
+    def _orders_pruned_revenue(sf_dir: str):
+        from docling_jobkit_ray.functions.zonemap import orders_pruned_revenue
+
+        return orders_pruned_revenue(sf_dir)
+
+    q["orders_pruned_revenue"] = _orders_pruned_revenue
+
     def _fuzzy_prefix_pairs(sf_dir: str):
         from docling_jobkit_ray.functions.fuzzy import fuzzy_prefix_pairs
 
@@ -1070,6 +1077,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.graph import part_triangle_counts_sql
 
     sql["part_triangle_counts"] = part_triangle_counts_sql()
+    from docling_jobkit_ray.functions.zonemap import orders_pruned_revenue_sql
+
+    sql["orders_pruned_revenue"] = orders_pruned_revenue_sql()
     from docling_jobkit_ray.functions.fuzzy import FUZZY_PREFIX_PAIRS_SQL
 
     sql["fuzzy_prefix_pairs"] = FUZZY_PREFIX_PAIRS_SQL

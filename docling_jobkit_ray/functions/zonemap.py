@@ -1,0 +1,278 @@
+"""Zone-map data skipping: a partitioned layout whose per-partition
+min/max statistics let a predicate scan PRUNE files before reading them.
+
+The missing piece between the statistics catalog (``stats_catalog`` —
+per-column sketches for the whole table) and the physical layouts
+(``training`` shards, Z-order keys): a layout writer that records
+per-PARTITION zone maps at commit time, and a reader that consults them to
+read only the partitions a range predicate can touch.  At 100 TB this is
+the difference between an 80-partition scan and a 2-partition scan for a
+one-year window — the same footer-pruning contract ``read_parquet``'s
+row-group filters give WITHIN a file, lifted to the partition level where
+the object-store read is actually saved.
+
+Layout protocol (shared with training/ingest/matview artifacts):
+``<out>.staging-<pid>`` -> partitioned parquet + ``_zonemaps.json`` +
+``_SUCCESS`` (carrying the input fingerprint) -> atomic rename.  A
+regenerated input at the same path invalidates the cache via the
+fingerprint, never silently reuses stale partitions.
+
+Reference parity: the reference streams documents through object-store
+connectors with no layout layer; this documents the Ray-Data-native
+data-skipping shape (SURVEY.md layout/artifact family).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_YEAR_US = None  # years are calendar-derived, not fixed-width — use pc.year
+
+
+def _fingerprint(path: str) -> str:
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    rows = pq.ParquetFile(path).metadata.num_rows
+    return f"{rows}:{st.st_size}:{st.st_mtime_ns}"
+
+
+def write_orders_year_layout(sf_dir: str, out_dir: str) -> str:
+    """Write the orders table partitioned by order YEAR with a
+    ``_zonemaps.json`` recording each partition's (min, max) of
+    ``o_orderdate`` (exact int64 us) and ``o_totalprice`` cents.
+
+    Idempotent: a committed layout whose ``_SUCCESS`` fingerprint matches
+    the current input is returned as-is (the resumable-output contract);
+    a stale one is rebuilt.
+    """
+    src = os.path.join(sf_dir, "orders.parquet")
+    fp = _fingerprint(src)
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == fp:
+                return out_dir
+        shutil.rmtree(out_dir)
+
+    staging = f"{out_dir}.staging-{os.getpid()}"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+
+    ds = ray.data.read_parquet(src)
+
+    def add_year(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return batch
+        year = pc.year(batch["o_orderdate"])
+        return batch.append_column("o_year", pc.cast(year, pa.int64()))
+
+    with_year = ds.map_batches(
+        add_year, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # feeds BOTH the write and the zone-map aggregate
+
+    with_year.write_parquet(staging, partition_cols=["o_year"])
+
+    # per-partition zone maps: one bounded groupby (K = #years rows)
+    def zone_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("o_year", pa.int64()),
+                    ("date_min", pa.int64()),
+                    ("date_max", pa.int64()),
+                    ("cents_min", pa.int64()),
+                    ("cents_max", pa.int64()),
+                ]
+            ).empty_table()
+        date_us = pc.cast(
+            pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "o_year": batch["o_year"],
+                "date_min": date_us,
+                "date_max": date_us,
+                "cents_min": cents,
+                "cents_max": cents,
+            }
+        )
+        folded = t.group_by("o_year").aggregate(
+            [
+                ("date_min", "min"),
+                ("date_max", "max"),
+                ("cents_min", "min"),
+                ("cents_max", "max"),
+            ]
+        )
+        return folded.rename_columns(
+            ["o_year", "date_min", "date_max", "cents_min", "cents_max"]
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    zones = (
+        with_year.map_batches(zone_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Min(on="date_min", alias_name="date_min"),
+            Max(on="date_max", alias_name="date_max"),
+            Min(on="cents_min", alias_name="cents_min"),
+            Max(on="cents_max", alias_name="cents_max"),
+        )
+        .take_all()  # K = #distinct years — bounded at any row count
+    )
+    with open(os.path.join(staging, "_zonemaps.json"), "w") as f:
+        json.dump(sorted(zones, key=lambda z: z["o_year"]), f, indent=1)
+    with open(os.path.join(staging, "_SUCCESS"), "w") as f:
+        f.write(fp)
+    os.rename(staging, out_dir)
+    return out_dir
+
+
+def pruned_orders_scan(
+    layout_dir: str, lo_us: int, hi_us: int
+) -> tuple[ray.data.Dataset, int, int]:
+    """Range scan ``lo_us <= o_orderdate < hi_us`` over a year layout,
+    reading ONLY the partitions whose zone map intersects the predicate.
+
+    Returns ``(dataset, partitions_read, partitions_total)`` so callers
+    (and tests) can observe that pruning actually skipped I/O.  A residual
+    vectorized filter handles partition-straddling boundaries; pruning is
+    advisory for I/O, never for correctness.
+    """
+    with open(os.path.join(layout_dir, "_zonemaps.json")) as f:
+        zones = json.load(f)
+    keep = [
+        z for z in zones if z["date_max"] >= lo_us and z["date_min"] < hi_us
+    ]
+    # a path LIST must name files, not hive directories — expand each
+    # surviving partition to its parquet members
+    import glob as _glob
+
+    paths = [
+        f
+        for z in keep
+        for f in sorted(
+            _glob.glob(
+                os.path.join(layout_dir, f"o_year={z['o_year']}", "*.parquet")
+            )
+        )
+    ]
+    if not paths:
+        return (
+            ray.data.from_arrow(
+                pa.schema([("o_orderkey", pa.int64())]).empty_table()
+            ),
+            0,
+            len(zones),
+        )
+    ds = ray.data.read_parquet(paths)
+
+    lo = pa.scalar(lo_us, pa.int64())
+    hi = pa.scalar(hi_us, pa.int64())
+
+    def residual(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return batch
+        d = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        return batch.filter(
+            pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        )
+
+    return (
+        ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True),
+        len(keep),
+        len(zones),
+    )
+
+
+_PRUNE_LO = "1997-03-01"
+_PRUNE_HI = "1998-03-01"
+
+
+def _date_us(s: str) -> int:
+    return pc.strptime(s, format="%Y-%m-%d", unit="us").cast(pa.int64()).as_py()
+
+
+def orders_pruned_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue by priority over a one-year window, scanned through the
+    zone-mapped year layout: builds (or reuses) the layout under /tmp
+    keyed by the input fingerprint, prunes to the 2 of ~7 year partitions
+    the window can touch, then aggregates in exact int64 cents."""
+    from ray.data.aggregate import Count, Sum
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    layout = os.path.join("/tmp", f"djr_zonemap_{base}_orders_year")
+    write_orders_year_layout(sf_dir, layout)
+    ds, _read, _total = pruned_orders_scan(
+        layout, _date_us(_PRUNE_LO), _date_us(_PRUNE_HI)
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("o_orderpriority", pa.string()), ("cents", pa.int64())]
+            ).empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "cents": cents}
+        )
+
+    agg = (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum(on="cents", alias_name="cents"),
+        )
+        .sort("o_orderpriority")
+    )
+
+    def descale(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("o_orderpriority", pa.string()),
+                    ("n_orders", pa.int64()),
+                    ("revenue", pa.float64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_orders": pc.cast(batch["n_orders"], pa.int64()),
+                "revenue": pc.divide(
+                    pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    return agg.map_batches(descale, batch_format="pyarrow")
+
+
+def orders_pruned_revenue_sql() -> str:
+    return f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
+  AND o_orderdate < TIMESTAMP '{_PRUNE_HI}'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

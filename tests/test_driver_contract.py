@@ -238,6 +238,7 @@ SQL_BACKED = [
     "part_triangle_counts",
     "events_attribution",
     "user_survival_km",
+    "orders_pruned_revenue",
     # round-5: grouped robust stats (median / trimmed sum / MAD, exact cents)
     "orders_robust_stats",
     "orders_outliers_mad",
