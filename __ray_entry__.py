@@ -466,6 +466,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_pruned_revenue"] = _orders_pruned_revenue
 
+    def _phrase_search(sf_dir: str):
+        from docling_jobkit_ray.functions.index import phrase_search
+
+        return phrase_search(sf_dir)
+
+    q["phrase_search"] = _phrase_search
+
+    def _basket_association_rules(sf_dir: str):
+        from docling_jobkit_ray.functions.basket import basket_association_rules
+
+        return basket_association_rules(sf_dir)
+
+    q["basket_association_rules"] = _basket_association_rules
+
+    def _k_anonymity_report(sf_dir: str):
+        from docling_jobkit_ray.functions.quality_checks import k_anonymity_report
+
+        return k_anonymity_report(sf_dir)
+
+    q["k_anonymity_report"] = _k_anonymity_report
+
     def _fuzzy_prefix_pairs(sf_dir: str):
         from docling_jobkit_ray.functions.fuzzy import fuzzy_prefix_pairs
 
@@ -1080,6 +1101,15 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.zonemap import orders_pruned_revenue_sql
 
     sql["orders_pruned_revenue"] = orders_pruned_revenue_sql()
+    from docling_jobkit_ray.functions.index import phrase_search_sql
+
+    sql["phrase_search"] = phrase_search_sql()
+    from docling_jobkit_ray.functions.basket import basket_association_rules_sql
+
+    sql["basket_association_rules"] = basket_association_rules_sql()
+    from docling_jobkit_ray.functions.quality_checks import k_anonymity_report_sql
+
+    sql["k_anonymity_report"] = k_anonymity_report_sql()
     from docling_jobkit_ray.functions.fuzzy import FUZZY_PREFIX_PAIRS_SQL
 
     sql["fuzzy_prefix_pairs"] = FUZZY_PREFIX_PAIRS_SQL

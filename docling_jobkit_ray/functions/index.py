@@ -570,3 +570,77 @@ FROM contrib GROUP BY doc_id
 ORDER BY score_e6 DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search (exact adjacency, no index required)
+# ---------------------------------------------------------------------------
+
+_PHRASE_DEFAULT = ("table", "hash")
+
+
+def phrase_search(
+    sf_dir: str, *, phrase: tuple[str, str] = _PHRASE_DEFAULT
+) -> ray.data.Dataset:
+    """Exact two-word phrase search: per document, the number of positions
+    where ``phrase[0]`` is immediately followed by ``phrase[1]`` in the
+    ASCII ``[a-z]+`` token stream (the repo's SQL-portable tokenizer
+    contract) — the positional upgrade of the boolean-OR ``search_corpus``
+    family.
+
+    A document's tokens live in its own row, so adjacency is BATCH-LOCAL:
+    this is a pure vectorized map (no exchange at any scale).  The kernel
+    never materializes a Python string: tokens stay in Arrow, the match is
+    a shifted AND over the flattened non-empty token mask
+    (``is_t1[i] & is_t2[i+1] & same_doc``), and counts land per doc with
+    one ``np.bincount``.
+    """
+    from ..sources.pages import read_table
+
+    t1, t2 = phrase
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_matches", pa.int64())])
+
+    def match(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words).combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        is_a = pc.equal(flat, t1).to_numpy(zero_copy_only=False)[nonempty]
+        is_b = pc.equal(flat, t2).to_numpy(zero_copy_only=False)[nonempty]
+        d = doc_idx[nonempty]
+        if len(d) < 2:
+            return out_schema.empty_table()
+        hit = is_a[:-1] & is_b[1:] & (d[:-1] == d[1:])
+        counts = np.bincount(d[:-1][hit], minlength=len(lens)).astype(np.int64)
+        keep = counts > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64())
+                .to_numpy(zero_copy_only=False)[keep],
+                "n_matches": counts[keep],
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+def phrase_search_sql(phrase: tuple[str, str] = _PHRASE_DEFAULT) -> str:
+    t1, t2 = phrase
+    return f"""
+WITH words AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+               FROM documents),
+adj AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+        FROM words, unnest(range(1, len(w))) AS t(i))
+SELECT doc_id, count(*) AS n_matches
+FROM adj WHERE a = '{t1}' AND b = '{t2}'
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -254,3 +254,104 @@ SELECT * FROM (
 )
 ORDER BY check_name
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy-risk surface of the quality family)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_LEN_BUCKET = 256
+
+
+def k_anonymity_report(
+    sf_dir: str, *, k: int = _KANON_K, len_bucket: int = _KANON_LEN_BUCKET
+) -> ray.data.Dataset:
+    """Quasi-identifier equivalence classes smaller than ``k``: documents
+    grouped by (lang, source, n_chars // 256) — the release-audit question
+    "which attribute combinations are rare enough to re-identify?".  One
+    row per at-risk class with its exact size, ordered by the identifiers.
+
+    Plan shape: per-batch partial counts collapse every batch to at most
+    one row per equivalence class BEFORE the exchange, so the string-keyed
+    groupby (hazardous at high key cardinality, CLAUDE.md) only ever
+    shuffles ``blocks x |classes|`` partial rows — the class domain is the
+    product of small attribute domains, not the corpus.  A vectorized
+    ``size < k`` filter finishes.
+    """
+    from ray.data.aggregate import Sum
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("len_bucket", pa.int64()),
+            ("class_size", pa.int64()),
+        ]
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("len_bucket", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ).empty_table()
+        lb = pc.divide(
+            pc.cast(batch["n_chars"], pa.int64()),
+            pa.scalar(len_bucket, pa.int64()),
+        )  # nonnegative: floor == trunc
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "len_bucket": pc.cast(lb, pa.int64()),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        folded = t.group_by(["lang", "source", "len_bucket"]).aggregate(
+            [("n", "sum")]
+        )
+        return folded.rename_columns(["lang", "source", "len_bucket", "n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        t = batch.filter(
+            pc.less(pc.cast(batch["n"], pa.int64()), pa.scalar(k, pa.int64()))
+        )
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "source": t["source"],
+                "len_bucket": pc.cast(t["len_bucket"], pa.int64()),
+                "class_size": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source", "len_bucket"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["lang", "source", "len_bucket"])
+    )
+
+
+def k_anonymity_report_sql(
+    k: int = _KANON_K, len_bucket: int = _KANON_LEN_BUCKET
+) -> str:
+    return f"""
+SELECT lang, source,
+       n_chars // {len_bucket} AS len_bucket,
+       count(*) AS class_size
+FROM documents
+GROUP BY lang, source, len_bucket
+HAVING count(*) < {k}
+ORDER BY lang, source, len_bucket
+"""

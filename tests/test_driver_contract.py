@@ -239,6 +239,9 @@ SQL_BACKED = [
     "events_attribution",
     "user_survival_km",
     "orders_pruned_revenue",
+    "phrase_search",
+    "basket_association_rules",
+    "k_anonymity_report",
     # round-5: grouped robust stats (median / trimmed sum / MAD, exact cents)
     "orders_robust_stats",
     "orders_outliers_mad",
