@@ -267,10 +267,14 @@ _KANON_LEN_BUCKET = 256
 def k_anonymity_report(
     sf_dir: str, *, k: int = _KANON_K, len_bucket: int = _KANON_LEN_BUCKET
 ) -> ray.data.Dataset:
-    """Quasi-identifier equivalence classes smaller than ``k``: documents
-    grouped by (lang, source, n_chars // 256) — the release-audit question
-    "which attribute combinations are rare enough to re-identify?".  One
-    row per at-risk class with its exact size, ordered by the identifiers.
+    """k-anonymity audit over quasi-identifiers: documents grouped by
+    (lang, source, n_chars // 256) — the release-audit question "which
+    attribute combinations are rare enough to re-identify?".  One row per
+    equivalence class with its exact size and an ``at_risk = size < k``
+    flag (reporting every class, not just violators, keeps the result
+    non-vacuous at any corpus scale — a 10x corpus legitimately clears a
+    fixed k, and an all-filtered Dataset would surface as zero blocks
+    with no schema).
 
     Plan shape: per-batch partial counts collapse every batch to at most
     one row per equivalence class BEFORE the exchange, so the string-keyed
@@ -287,6 +291,7 @@ def k_anonymity_report(
             ("source", pa.string()),
             ("len_bucket", pa.int64()),
             ("class_size", pa.int64()),
+            ("at_risk", pa.int64()),
         ]
     )
 
@@ -322,17 +327,26 @@ def k_anonymity_report(
     def finish(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or batch.num_columns == 0:
             return out_schema.empty_table()
-        t = batch.filter(
-            pc.less(pc.cast(batch["n"], pa.int64()), pa.scalar(k, pa.int64()))
-        )
+        size = pc.cast(batch["n"], pa.int64())
         return pa.table(
             {
-                "lang": t["lang"],
-                "source": t["source"],
-                "len_bucket": pc.cast(t["len_bucket"], pa.int64()),
-                "class_size": pc.cast(t["n"], pa.int64()),
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "len_bucket": pc.cast(batch["len_bucket"], pa.int64()),
+                "class_size": size,
+                "at_risk": pc.cast(
+                    pc.less(size, pa.scalar(k, pa.int64())), pa.int64()
+                ),
             }
         )
+
+    def pin_schema(batch: pa.Table) -> pa.Table:
+        # a legitimately-empty result (every class >= k) can come out of
+        # the sort as column-less blocks (CLAUDE.md empty-block hazard) —
+        # re-pin the declared schema so consumers always see the columns
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        return batch.select(out_schema.names).cast(out_schema)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -340,6 +354,7 @@ def k_anonymity_report(
         .aggregate(Sum(on="n", alias_name="n"))
         .map_batches(finish, batch_format="pyarrow")
         .sort(["lang", "source", "len_bucket"])
+        .map_batches(pin_schema, batch_format="pyarrow")
     )
 
 
@@ -349,9 +364,9 @@ def k_anonymity_report_sql(
     return f"""
 SELECT lang, source,
        n_chars // {len_bucket} AS len_bucket,
-       count(*) AS class_size
+       count(*) AS class_size,
+       CAST(count(*) < {k} AS BIGINT) AS at_risk
 FROM documents
 GROUP BY lang, source, len_bucket
-HAVING count(*) < {k}
 ORDER BY lang, source, len_bucket
 """
