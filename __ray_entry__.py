@@ -601,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kwic_concordance"] = webtext.kwic_concordance
     q["balanced_eval_sample"] = webtext.balanced_eval_sample
     q["length_percentile_rank"] = webtext.length_percentile_rank
+    q["quantile_normalize_lengths"] = webtext.quantile_normalize_lengths
     q["lang_balanced_sample"] = webtext.lang_balanced_sample
     q["epoch_shuffle_order"] = webtext.epoch_shuffle_order
 
@@ -998,6 +999,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["balanced_eval_sample"] = balanced_eval_sample_sql()
     sql["length_percentile_rank"] = LENGTH_PERCENTILE_RANK_SQL
+    from docling_jobkit_ray.functions.webtext import QUANTILE_NORMALIZE_LENGTHS_SQL
+
+    sql["quantile_normalize_lengths"] = QUANTILE_NORMALIZE_LENGTHS_SQL
     sql["lang_balanced_sample"] = LANG_BALANCED_SAMPLE_SQL
     from docling_jobkit_ray.functions.webtext import (
         CURATED_CORPUS_SQL,

@@ -3895,3 +3895,135 @@ SELECT CAST(tot.nr AS BIGINT) AS n_ref,
        CAST(best.v AS BIGINT) AS threshold_e6
 FROM tot, best
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-group quantile normalization (map each group's distribution onto
+# the global one)
+# ---------------------------------------------------------------------------
+
+def quantile_normalize_lengths(sf_dir: str) -> ray.data.Dataset:
+    """Quantile normalization of document length ACROSS languages: each
+    document maps to the GLOBAL length at the same (floored integer)
+    percentile its length holds within its own language — the batch-effect
+    removal step (quantile normalization) a mixed-language corpus needs
+    before length-based curation thresholds can be shared across
+    languages.
+
+    Exact-integer semantics: within-group percentile is
+    ``(rank-1) * 100 // max(n_g - 1, 1)`` with min-rank ties; the global
+    target is the lower order statistic at index ``p * (N-1) // 100`` of
+    the global length multiset — both pure integer expressions, identical
+    in DuckDB.
+
+    Plan shape: the ``length_percentile_rank`` histogram pattern — ONE
+    bounded (lang x value-domain) count fold; the within-group cumulative
+    ranks AND the 101 global percentile values both derive from that same
+    histogram on the driver (bounded rows), broadcast into a pure
+    vectorized second pass.  No groupby(lang) ever sees a whole language.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("lang", pa.string()), ("n_chars", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        return (
+            batch.select(["lang", "n_chars"])
+            .group_by(["lang", "n_chars"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n_chars", "n"])
+        )
+
+    hist = (
+        ds.map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: |langs| x |value domain| rows
+        .sort_values(["lang", "n_chars"])
+        .reset_index(drop=True)
+    )
+    grp = hist.groupby("lang")["n"]
+    smaller = (grp.cumsum() - hist["n"]).to_numpy(dtype=np.int64)
+    group_n = grp.transform("sum").to_numpy(dtype=np.int64)
+    langs = hist["lang"].to_numpy()
+    lang_codes = pd.unique(langs)
+    code_of = {l: i for i, l in enumerate(lang_codes)}
+    stride = np.int64(1) << 32
+    keys = np.array(
+        [code_of[l] for l in langs], dtype=np.int64
+    ) * stride + hist["n_chars"].to_numpy(dtype=np.int64)
+    lang_arr = pa.array(list(lang_codes), pa.string())
+    pct_of_key = smaller * 100 // np.maximum(group_n - 1, 1)
+
+    # global order statistics at the 101 integer percentiles, from the
+    # SAME histogram folded over languages
+    gvc = (
+        hist.groupby("n_chars", sort=True)["n"].sum().reset_index()
+    )
+    gvals = gvc["n_chars"].to_numpy(dtype=np.int64)
+    gcum = gvc["n"].cumsum().to_numpy(dtype=np.int64)
+    n_total = int(gcum[-1]) if len(gcum) else 0
+    p_idx = np.arange(101, dtype=np.int64) * max(n_total - 1, 0) // 100
+    norm_of_pct = gvals[np.searchsorted(gcum, p_idx + 1)]
+
+    def normalize_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("lang", pa.string()),
+                    ("n_chars", pa.int64()),
+                    ("pct_floor", pa.int64()),
+                    ("norm_chars", pa.int64()),
+                ]
+            ).empty_table()
+        code = pc.index_in(batch["lang"], value_set=lang_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = np.asarray(
+            batch["n_chars"].combine_chunks()
+            if isinstance(batch["n_chars"], pa.ChunkedArray)
+            else batch["n_chars"],
+            dtype=np.int64,
+        )
+        idx = np.searchsorted(keys, code * stride + v)
+        pct = pct_of_key[idx]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+                "n_chars": pa.array(v),
+                "pct_floor": pa.array(pct, pa.int64()),
+                "norm_chars": pa.array(norm_of_pct[pct], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        normalize_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+QUANTILE_NORMALIZE_LENGTHS_SQL = """
+WITH ranks AS (
+  SELECT doc_id, lang, n_chars,
+         CAST((rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1) * 100
+              // greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
+              AS BIGINT) AS pct_floor
+  FROM documents),
+g AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM documents),
+tv AS (SELECT DISTINCT pct_floor,
+              pct_floor * ((SELECT max(n) FROM g) - 1) // 100 AS ti
+       FROM ranks),
+tv2 AS (SELECT tv.pct_floor, g.n_chars AS norm_chars
+        FROM tv JOIN g ON g.rn = tv.ti)
+SELECT r.doc_id, r.lang, CAST(r.n_chars AS BIGINT) AS n_chars, r.pct_floor,
+       CAST(t.norm_chars AS BIGINT) AS norm_chars
+FROM ranks r JOIN tv2 t USING (pct_floor)
+ORDER BY r.doc_id
+"""

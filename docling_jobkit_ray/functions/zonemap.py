@@ -178,7 +178,19 @@ def pruned_orders_scan(
             0,
             len(zones),
         )
-    ds = ray.data.read_parquet(paths)
+    # second pruning layer: the same predicate pushes into the parquet
+    # scan as an Arrow dataset expression, so row groups whose footer
+    # min/max miss the window never decompress (partition zone maps prune
+    # whole files; this prunes within the files that survive)
+    import pyarrow.dataset as pads
+
+    lo_ts = pa.scalar(lo_us, pa.timestamp("us"))
+    hi_ts = pa.scalar(hi_us, pa.timestamp("us"))
+    ds = ray.data.read_parquet(
+        paths,
+        filter=(pads.field("o_orderdate") >= lo_ts)
+        & (pads.field("o_orderdate") < hi_ts),
+    )
 
     lo = pa.scalar(lo_us, pa.int64())
     hi = pa.scalar(hi_us, pa.int64())

@@ -4252,3 +4252,163 @@ RELATIONAL_QUERIES["orders_outliers_mad"] = (
     orders_outliers_mad,
     ORDERS_OUTLIERS_MAD_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# CDC table diff (the read-side complement of orders_merge_upsert)
+# ---------------------------------------------------------------------------
+
+_CDC_INSERT_OFF = 1_000_000_000_000
+
+
+def orders_cdc_diff(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Row-level diff between two table versions — the reconciliation /
+    audit read that MERGE-writing systems pair with ``orders_merge_upsert``:
+    which keys were added, removed, or changed, with both sides' values.
+
+    Version B derives deterministically from base A inside the SAME scan
+    (one pass builds both sides): keys ``% 7 == 3`` deleted, keys
+    ``% 5 == 0`` repriced +1000.00, and keys ``% 11 == 1`` re-inserted at
+    ``key + 10^12`` (past the key domain at any tier).  Absent sides carry a ``-1``
+    cents sentinel rather than NULL so every column stays non-null int64
+    through the shuffle and the comparison (the nullable-int64 pandas
+    coercion hazard, CLAUDE.md).
+
+    Plan shape: ONE tagged-union key-bucketed co-shuffle; per bucket both
+    sides' keys are unique by construction, so the diff is two
+    ``np.searchsorted`` probes and three vectorized masks — no join
+    materializes, unchanged rows never leave the bucket.
+    """
+    import numpy as np
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_b = n_buckets or bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=32)
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    union_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("k", pa.int64()),
+            ("cents", pa.int64()),
+            ("src", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("change", pa.string()),
+            ("base_cents", pa.int64()),
+            ("new_cents", pa.int64()),
+        ]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.empty_table()
+        k = pc.cast(batch["o_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        # side A: the base rows
+        ka, ca = k, cents
+        # side B: delete % 7 == 3, reprice % 5 == 0, insert % 11 == 1 high
+        keep = k % 7 != 3
+        kb = k[keep]
+        cb = np.where(kb % 5 == 0, cents[keep] + 100_000, cents[keep])
+        ins = k % 11 == 1
+        kb = np.concatenate([kb, k[ins] + _CDC_INSERT_OFF])
+        cb = np.concatenate([cb, cents[ins]])
+        keys = np.concatenate([ka, kb])
+        vals = np.concatenate([ca, cb])
+        src = np.concatenate(
+            [np.zeros(len(ka), np.int64), np.ones(len(kb), np.int64)]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_b, pa.int64()),
+                "k": pa.array(keys, pa.int64()),
+                "cents": pa.array(vals, pa.int64()),
+                "src": pa.array(src, pa.int64()),
+            }
+        )
+
+    def diff_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(union_schema.names).cast(union_schema)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        c = group["cents"].to_numpy(zero_copy_only=False)
+        src = group["src"].to_numpy(zero_copy_only=False)
+        a_mask = src == 0
+        ka, ca = k[a_mask], c[a_mask]
+        kb, cb = k[~a_mask], c[~a_mask]
+        oa, ob = np.argsort(ka), np.argsort(kb)
+        ka, ca, kb, cb = ka[oa], ca[oa], kb[ob], cb[ob]
+        # A side classification
+        pos = np.searchsorted(kb, ka)
+        in_b = (pos < len(kb)) & (kb[np.minimum(pos, len(kb) - 1)] == ka) if len(kb) else np.zeros(len(ka), bool)
+        removed = ~in_b
+        changed = in_b & (cb[np.minimum(pos, max(len(kb) - 1, 0))] != ca) if len(kb) else np.zeros(len(ka), bool)
+        # B-only keys = added
+        pos_a = np.searchsorted(ka, kb)
+        in_a = (pos_a < len(ka)) & (ka[np.minimum(pos_a, len(ka) - 1)] == kb) if len(ka) else np.zeros(len(kb), bool)
+        added = ~in_a
+        out_k = np.concatenate([ka[removed], ka[changed], kb[added]])
+        out_change = np.concatenate(
+            [
+                np.full(removed.sum(), "removed"),
+                np.full(changed.sum(), "changed"),
+                np.full(added.sum(), "added"),
+            ]
+        )
+        out_base = np.concatenate(
+            [ca[removed], ca[changed], np.full(added.sum(), -1, np.int64)]
+        )
+        new_for_changed = (
+            cb[np.minimum(pos, len(kb) - 1)][changed] if len(kb) else np.array([], np.int64)
+        )
+        out_new = np.concatenate(
+            [np.full(removed.sum(), -1, np.int64), new_for_changed, cb[added]]
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(out_k, pa.int64()),
+                "change": pa.array(out_change.astype(str), pa.string()),
+                "base_cents": pa.array(out_base, pa.int64()),
+                "new_cents": pa.array(out_new, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(diff_bucket, batch_format="pyarrow")
+        .sort("o_orderkey")
+    )
+
+
+ORDERS_CDC_DIFF_SQL = f"""
+WITH a AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+b AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN cents + 100000 ELSE cents END AS cents
+  FROM a WHERE k % 7 <> 3
+  UNION ALL
+  SELECT k + {_CDC_INSERT_OFF}, cents FROM a WHERE k % 11 = 1
+)
+SELECT coalesce(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       coalesce(a.cents, -1) AS base_cents,
+       coalesce(b.cents, -1) AS new_cents
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents
+ORDER BY o_orderkey
+"""
+
+RELATIONAL_QUERIES["orders_cdc_diff"] = (orders_cdc_diff, ORDERS_CDC_DIFF_SQL)

@@ -242,6 +242,8 @@ SQL_BACKED = [
     "phrase_search",
     "basket_association_rules",
     "k_anonymity_report",
+    "orders_cdc_diff",
+    "quantile_normalize_lengths",
     # round-5: grouped robust stats (median / trimmed sum / MAD, exact cents)
     "orders_robust_stats",
     "orders_outliers_mad",
