@@ -836,6 +836,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["incremental_hourly_view"] = _incremental_hourly_view
 
+    def _hourly_view_after_cdc(sf_dir: str):
+        from docling_jobkit_ray.functions.matview import hourly_view_after_cdc
+
+        return hourly_view_after_cdc(sf_dir)
+
+    q["hourly_view_after_cdc"] = _hourly_view_after_cdc
+
     def _dup_cluster_size_histogram(sf_dir: str):
         from docling_jobkit_ray.functions.graph import dup_cluster_size_histogram
 
@@ -1076,6 +1083,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.matview import INCREMENTAL_HOURLY_VIEW_SQL
 
     sql["incremental_hourly_view"] = INCREMENTAL_HOURLY_VIEW_SQL
+    from docling_jobkit_ray.functions.matview import HOURLY_VIEW_AFTER_CDC_SQL
+
+    sql["hourly_view_after_cdc"] = HOURLY_VIEW_AFTER_CDC_SQL
     from docling_jobkit_ray.functions.textstats import lang_stopword_profile_sql
 
     sql["lang_stopword_profile"] = lang_stopword_profile_sql()

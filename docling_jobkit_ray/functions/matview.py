@@ -268,3 +268,169 @@ FROM new LEFT JOIN old ON new.hour = old.hour AND new.event_type = old.event_typ
 WHERE coalesce(old.n, 0) <> new.n OR coalesce(old.c, 0) <> new.c
 ORDER BY new.hour, new.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC refresh with retractions (deletes maintain the view, not just appends)
+# ---------------------------------------------------------------------------
+
+def signed_hourly_event_counts(cdc: ray.data.Dataset) -> ray.data.Dataset:
+    """Partial aggregate of a CDC batch carrying an ``op`` column
+    (+1 insert / -1 delete): counts and cents fold SIGNED, so a delete
+    retracts exactly what the original insert contributed."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _VIEW_SCHEMA.empty_table()
+        op = pc.cast(batch["op"], pa.int64())
+        hour = pc.divide(
+            pc.cast(batch["ts"], pa.int64()), pa.scalar(3_600_000_000, pa.int64())
+        )
+        cents = pc.multiply(
+            pc.cast(
+                pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+            ),
+            op,
+        )
+        return (
+            pa.table(
+                {
+                    "hour": hour,
+                    "event_type": batch["event_type"],
+                    "n": op,
+                    "value_cents": cents,
+                }
+            )
+            .group_by(["hour", "event_type"])
+            .aggregate([("n", "sum"), ("value_cents", "sum")])
+            .rename_columns(["hour", "event_type", "n", "value_cents"])
+        )
+
+    return (
+        cdc.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+def refresh_view_cdc(view_dir: str, cdc: ray.data.Dataset) -> str:
+    """Maintain the view from a CDC batch WITH deletes: fold signed
+    partials into the live artifact and DROP cells retracted to zero —
+    a cell whose every contributing row was deleted must disappear, or
+    the view diverges from a full recompute (COUNT/SUM are
+    self-maintainable under retraction only with the zero-row cleanup).
+    Commits v{N+1} through the shared staged protocol."""
+    from ray.data.aggregate import Sum
+
+    vs = _versions(view_dir)
+    if not vs:
+        raise FileNotFoundError(f"no committed view version under {view_dir}")
+    live = current_view(view_dir)
+    merged = (
+        live.union(signed_hourly_event_counts(cdc))
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+    def drop_zero(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _VIEW_SCHEMA.empty_table()
+        return batch.select(_VIEW_SCHEMA.names).cast(_VIEW_SCHEMA).filter(
+            pc.not_equal(pc.cast(batch["n"], pa.int64()), pa.scalar(0, pa.int64()))
+        )
+
+    cleaned = merged.map_batches(drop_zero, batch_format="pyarrow")
+    return _commit(cleaned, view_dir, vs[-1] + 1, {"op": "refresh_cdc", "prev": vs[-1]})
+
+
+def hourly_view_after_cdc(sf_dir: str) -> pa.Table:
+    """Driver-checkable end-to-end retraction: initialize the view over
+    the FULL events table, apply a CDC batch that deletes event_id % 7 == 3
+    and inserts shifted repriced copies of event_id % 11 == 1 (+3 h,
+    +50.00), and return the maintained artifact — which must equal the
+    plain aggregate over the mutated table (the retraction oracle)."""
+    import tempfile
+
+    from ..sources.pages import read_table
+
+    base = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    # build the CDC batch with plain vectorized selections
+    full = read_table(
+        sf_dir, "events", columns=["ts", "event_type", "value", "event_id"]
+    )
+
+    def make_cdc(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("ts", pa.timestamp("us")),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("op", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return schema.empty_table()
+        eid = pc.cast(batch["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        dmask = pa.array(eid % 7 == 3)
+        imask = pa.array(eid % 11 == 1)
+        dels = batch.filter(dmask)
+        ins = batch.filter(imask)
+        three_h = pa.scalar(3 * 3_600_000_000, pa.int64())
+        return pa.table(
+            {
+                "ts": pa.concat_arrays(
+                    [
+                        pc.cast(dels["ts"], pa.timestamp("us")).combine_chunks(),
+                        pc.cast(
+                            pc.add(pc.cast(pc.cast(ins["ts"], pa.timestamp("us")), pa.int64()), three_h),
+                            pa.timestamp("us"),
+                        ).combine_chunks(),
+                    ]
+                ),
+                "event_type": pa.concat_arrays(
+                    [dels["event_type"].combine_chunks(), ins["event_type"].combine_chunks()]
+                ),
+                "value": pa.concat_arrays(
+                    [
+                        pc.cast(dels["value"], pa.float64()).combine_chunks(),
+                        pc.add(pc.cast(ins["value"], pa.float64()), pa.scalar(50.0)).combine_chunks(),
+                    ]
+                ),
+                "op": pa.concat_arrays(
+                    [
+                        pa.array([-1] * dels.num_rows, pa.int64()),
+                        pa.array([1] * ins.num_rows, pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    cdc = full.map_batches(make_cdc, batch_format="pyarrow", zero_copy_batch=True)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        view_dir = os.path.join(tmp, "view")
+        init_view(base, view_dir)
+        refresh_view_cdc(view_dir, cdc)
+        out = current_view(view_dir).to_pandas()  # view-sized: (hours x types)
+    out = out.sort_values(["hour", "event_type"], ignore_index=True)
+    return pa.Table.from_pandas(out, schema=_VIEW_SCHEMA, preserve_index=False)
+
+
+HOURLY_VIEW_AFTER_CDC_SQL = """
+WITH mutated AS (
+  SELECT ts, event_type, value FROM events WHERE event_id % 7 <> 3
+  UNION ALL
+  SELECT ts + INTERVAL 3 HOUR AS ts, event_type, value + 50.0 AS value
+  FROM events WHERE event_id % 11 = 1
+)
+SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM mutated
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""

@@ -1828,3 +1828,126 @@ BEHAVIOR_QUERIES.update(
         "user_survival_km": (user_survival_km, USER_SURVIVAL_KM_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# grouped entropy (behavioral diversity scoring)
+# ---------------------------------------------------------------------------
+
+def user_event_entropy(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity score (one number per user: 0 for a single-action
+    bot, ln(k) for a uniform explorer), and the grouped-entropy shape the
+    corpus-side quality family (repetition, rarity) does not cover.
+
+    Hash-exact via the repo's quantized-log rule applied PER (user, type)
+    COUNT: ``q(c) = round((c * ln c) * 1e6)`` quantizes once per count row,
+    per-user sums stay exact integers, and
+    ``H_q = round(ln(n_u) * 1e6) - sum(q) // n_u`` (floor division —
+    everything nonnegative).
+
+    Plan shape: per-batch (user, type) partial counts, ONE user-bucketed
+    exchange, per-bucket pyarrow re-fold to exact global counts, then a
+    vectorized bincount finish per user.  Types never broadcast; the
+    exchange carries (user, type, partial-count) triples only.
+    """
+    rel = _rel()
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    part_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("bucket", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_types", pa.int64()),
+            ("entropy_q", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = (
+            pa.table(
+                {
+                    "user_id": pc.cast(batch["user_id"], pa.int64()),
+                    "event_type": batch["event_type"],
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], mask))
+
+    def entropy_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(part_schema.names).cast(part_schema)
+        folded = (
+            group.select(["user_id", "event_type", "n"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("n", "sum")])
+        )
+        user = folded["user_id"].to_numpy(zero_copy_only=False)
+        c = folded["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # mirror the oracle's expression shape exactly: (c * ln(c)) * 1e6
+        q = np.round((c * np.log(c)) * 1_000_000.0).astype(np.int64)
+        uids, inv = np.unique(user, return_inverse=True)
+        # int64 accumulation (bincount's float64 weights path would lose
+        # exactness once per-user sums pass 2^53)
+        n_u = np.zeros(len(uids), np.int64)
+        s_u = np.zeros(len(uids), np.int64)
+        np.add.at(n_u, inv, c)
+        np.add.at(s_u, inv, q)
+        k_u = np.bincount(inv).astype(np.int64)
+        h = np.round(np.log(n_u) * 1_000_000.0).astype(np.int64) - s_u // n_u
+        return pa.table(
+            {
+                "user_id": pa.array(uids, pa.int64()),
+                "n_events": pa.array(n_u, pa.int64()),
+                "n_types": pa.array(k_u, pa.int64()),
+                "entropy_q": pa.array(h, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(entropy_bucket, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+USER_EVENT_ENTROPY_SQL = """
+WITH ct AS (SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type),
+u AS (SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CAST(round((c * ln(c)) * 1000000) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM ct GROUP BY user_id)
+SELECT user_id, n_events, n_types,
+       CAST(round(ln(n_events) * 1000000) AS BIGINT) - s // n_events
+         AS entropy_q
+FROM u
+ORDER BY user_id
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "user_event_entropy": (user_event_entropy, USER_EVENT_ENTROPY_SQL),
+    }
+)

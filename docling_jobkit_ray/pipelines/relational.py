@@ -4412,3 +4412,132 @@ ORDER BY o_orderkey
 """
 
 RELATIONAL_QUERIES["orders_cdc_diff"] = (orders_cdc_diff, ORDERS_CDC_DIFF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# repeat-purchase intervals with an EXACT grouped median (med2 trick)
+# ---------------------------------------------------------------------------
+
+def customer_reorder_intervals(
+    sf_dir: str, *, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Per-customer repeat-purchase profile: number of orders and the
+    EXACT median gap in days between consecutive orders — the
+    LAG-then-grouped-order-statistic combo (RFM's missing cadence axis).
+
+    The median of an even-sized group is conventionally the float mean of
+    the two middle values, which reintroduces the cross-engine float
+    hazard; instead the output is ``med2 = 2 x median`` as an exact
+    integer — the sum of the two middle order statistics (the SAME middle
+    element twice for odd groups), expressed identically in the oracle as
+    two rank-picked window sums.  Gaps come from the per-customer sorted
+    DATE multiset, so tie order between same-day orders cannot affect
+    them.
+
+    Plan shape: ONE customer-bucketed exchange; per bucket a single
+    lexsort yields both the consecutive-date gaps and, after a second
+    in-bucket lexsort of (customer, gap), every customer's middle indices
+    by pure segment arithmetic.  Customers with one order have no gap and
+    are excluded on both engines.
+    """
+    import numpy as np
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_b = n_buckets or bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=32)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    union_schema = pa.schema(
+        [("cust", pa.int64()), ("date_us", pa.int64()), ("bucket", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("med2_gap_days", pa.int64()),
+        ]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.empty_table()
+        cust = pc.cast(batch["o_custkey"], pa.int64())
+        t = pa.table(
+            {
+                "cust": cust,
+                "date_us": pc.cast(
+                    pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["cust"], mask))
+
+    day_us = 86_400_000_000
+
+    def median_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(union_schema.names).cast(union_schema)
+        cust = group["cust"].to_numpy(zero_copy_only=False)
+        date = group["date_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((date, cust))
+        cust, date = cust[order], date[order]
+        same = np.zeros(len(cust), bool)
+        same[1:] = cust[1:] == cust[:-1]
+        gaps = (date - np.roll(date, 1)) // day_us
+        g_cust, g = cust[same], gaps[same]
+        if len(g) == 0:
+            return out_schema.empty_table()
+        o2 = np.lexsort((g, g_cust))
+        g_cust, g = g_cust[o2], g[o2]
+        uids, starts, counts = np.unique(
+            g_cust, return_index=True, return_counts=True
+        )
+        # two middle 1-based ranks: (m+1)//2 and m//2 + 1 (equal when odd)
+        lo = starts + (counts + 1) // 2 - 1
+        hi = starts + counts // 2
+        return pa.table(
+            {
+                "o_custkey": pa.array(uids, pa.int64()),
+                "n_orders": pa.array(counts + 1, pa.int64()),
+                "med2_gap_days": pa.array(g[lo] + g[hi], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(median_bucket, batch_format="pyarrow")
+        .sort("o_custkey")
+    )
+
+
+CUSTOMER_REORDER_INTERVALS_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         (epoch_us(o_orderdate)
+          - epoch_us(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate)))
+           // 86400000000 AS gap
+  FROM orders),
+gg AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL),
+r AS (SELECT o_custkey, gap,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS m
+      FROM gg)
+SELECT o_custkey,
+       CAST(max(m) + 1 AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN rn = (m + 1) // 2 THEN gap ELSE 0 END)
+            + sum(CASE WHEN rn = m // 2 + 1 THEN gap ELSE 0 END)
+            AS BIGINT) AS med2_gap_days
+FROM r
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+RELATIONAL_QUERIES["customer_reorder_intervals"] = (
+    customer_reorder_intervals,
+    CUSTOMER_REORDER_INTERVALS_SQL,
+)

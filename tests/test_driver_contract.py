@@ -244,6 +244,9 @@ SQL_BACKED = [
     "k_anonymity_report",
     "orders_cdc_diff",
     "quantile_normalize_lengths",
+    "user_event_entropy",
+    "customer_reorder_intervals",
+    "hourly_view_after_cdc",
     # round-5: grouped robust stats (median / trimmed sum / MAD, exact cents)
     "orders_robust_stats",
     "orders_outliers_mad",

@@ -124,3 +124,94 @@ def test_view_version_diff_and_time_travel(ray_session, tmp_path):
     assert d.loc["c", "n_old"] == 0 and d.loc["c", "n_new"] == 1
     with pytest.raises(FileNotFoundError):
         read_view_version(view_dir, 9)
+
+
+def test_cdc_refresh_retracts_to_zero(ray_session, tmp_path):
+    """Deleting EVERY event of one (hour, type) cell must remove the cell
+    from the maintained view entirely (not leave an n=0 row), and the
+    result must equal a full recompute over the surviving rows."""
+    import ray.data
+
+    from docling_jobkit_ray.functions.matview import (
+        current_view,
+        hourly_event_counts,
+        init_view,
+        refresh_view_cdc,
+    )
+    from docling_jobkit_ray.sources.pages import read_table
+
+    sf = "/root/testdata/sf0.001"
+    base = read_table(sf, "events", columns=["ts", "event_type", "value"])
+    view_dir = str(tmp_path / "view")
+    init_view(base, view_dir)
+
+    # pick the first cell of the live view and delete all its rows
+    live = current_view(view_dir).to_pandas().sort_values(["hour", "event_type"])
+    hour0 = int(live.iloc[0]["hour"])
+    type0 = str(live.iloc[0]["event_type"])
+
+    def killers(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("ts", pa.timestamp("us")),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("op", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return schema.empty_table()
+        hour = pc.divide(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(3_600_000_000, pa.int64()),
+        )
+        m = pc.and_(
+            pc.equal(hour, pa.scalar(hour0, pa.int64())),
+            pc.equal(batch["event_type"], pa.scalar(type0)),
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "ts": pc.cast(t["ts"], pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "value": pc.cast(t["value"], pa.float64()),
+                "op": pa.array([-1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    cdc = base.map_batches(killers, batch_format="pyarrow", zero_copy_batch=True)
+    refresh_view_cdc(view_dir, cdc)
+
+    after = current_view(view_dir).to_pandas()
+    assert not (
+        (after["hour"] == hour0) & (after["event_type"] == type0)
+    ).any(), "retracted-to-zero cell must disappear"
+    assert (after["n"] > 0).all()
+
+    # equals a full recompute over the surviving rows
+    def survivors(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return batch
+        hour = pc.divide(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(3_600_000_000, pa.int64()),
+        )
+        keep = pc.invert(
+            pc.and_(
+                pc.equal(hour, pa.scalar(hour0, pa.int64())),
+                pc.equal(batch["event_type"], pa.scalar(type0)),
+            )
+        )
+        return batch.filter(keep)
+
+    expect = (
+        hourly_event_counts(
+            base.map_batches(survivors, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .to_pandas()
+        .sort_values(["hour", "event_type"], ignore_index=True)
+    )
+    after = after.sort_values(["hour", "event_type"], ignore_index=True)
+    pa_after = pa.Table.from_pandas(after, preserve_index=False)
+    pa_expect = pa.Table.from_pandas(expect, preserve_index=False)
+    assert pa_after.equals(pa_expect)
