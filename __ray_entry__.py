@@ -466,6 +466,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_pruned_revenue"] = _orders_pruned_revenue
 
+    def _orders_zorder_box_revenue(sf_dir: str):
+        from docling_jobkit_ray.functions.zonemap import orders_zorder_box_revenue
+
+        return orders_zorder_box_revenue(sf_dir)
+
+    q["orders_zorder_box_revenue"] = _orders_zorder_box_revenue
+
     def _phrase_search(sf_dir: str):
         from docling_jobkit_ray.functions.index import phrase_search
 
@@ -1115,6 +1122,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.zonemap import orders_pruned_revenue_sql
 
     sql["orders_pruned_revenue"] = orders_pruned_revenue_sql()
+    from docling_jobkit_ray.functions.zonemap import orders_zorder_box_revenue_sql
+
+    sql["orders_zorder_box_revenue"] = orders_zorder_box_revenue_sql()
     from docling_jobkit_ray.functions.index import phrase_search_sql
 
     sql["phrase_search"] = phrase_search_sql()

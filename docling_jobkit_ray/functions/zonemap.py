@@ -288,3 +288,311 @@ WHERE o_orderdate >= TIMESTAMP '{_PRUNE_LO}'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order tile layout: 2-D data skipping from ONE clustering
+# ---------------------------------------------------------------------------
+
+_ZT_BITS = 2  # 2 bits per dimension -> a 4x4 tile grid (16 partitions)
+
+
+def _dim_minmax(sf_dir: str) -> tuple[int, int, int, int]:
+    """Bounded pass: (cust_min, cust_max, hour_min, hour_max) of orders."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"]
+    )
+    cust = pc.cast(t["o_custkey"], pa.int64())
+    hour = pc.divide(
+        pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+        pa.scalar(3_600_000_000, pa.int64()),
+    )
+    return (
+        pc.min(cust).as_py(),
+        pc.max(cust).as_py(),
+        pc.min(hour).as_py(),
+        pc.max(hour).as_py(),
+    )
+
+
+def write_orders_zorder_layout(sf_dir: str, out_dir: str) -> str:
+    """Write orders partitioned into a 4x4 Morton TILE grid over
+    (custkey, order-hour), both dimensions range-NORMALIZED to the grid
+    (raw-bit interleaving is a trap: at small key domains the customer's
+    high bits are constant and the 'Z-order' degenerates to a time sort).
+    ``_zonemaps.json`` records each tile's min/max in BOTH dimensions, so
+    a 2-D box predicate prunes tiles that neither a customer-sorted nor a
+    date-sorted layout could skip simultaneously — the
+    OPTIMIZE ZORDER BY layout contract, downstream of the
+    ``orders_zorder_keys`` key generator.
+
+    Same staged/_SUCCESS/fingerprint commit protocol as the year layout.
+    """
+    src = os.path.join(sf_dir, "orders.parquet")
+    fp = _fingerprint(src)
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == fp:
+                return out_dir
+        shutil.rmtree(out_dir)
+
+    staging = f"{out_dir}.staging-{os.getpid()}"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+
+    c_lo, c_hi, h_lo, h_hi = _dim_minmax(sf_dir)
+    grid = 1 << _ZT_BITS
+    c_span = c_hi - c_lo + 1
+    h_span = h_hi - h_lo + 1
+
+    ds = ray.data.read_parquet(src)
+
+    def add_tile(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return batch
+        import numpy as np
+
+        cust = pc.cast(batch["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (
+            pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        cq = (cust - c_lo) * grid // c_span
+        hq = (hour - h_lo) * grid // h_span
+        tile = np.zeros(len(cq), np.int64)
+        for i in range(_ZT_BITS):
+            tile |= ((cq >> i) & 1) << (2 * i)
+            tile |= ((hq >> i) & 1) << (2 * i + 1)
+        return batch.append_column("ztile", pa.array(tile, pa.int64()))
+
+    with_tile = ds.map_batches(
+        add_tile, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # feeds BOTH the write and the zone-map aggregate
+
+    with_tile.write_parquet(staging, partition_cols=["ztile"])
+
+    def zone_partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("ztile", pa.int64()),
+                ("cust_min", pa.int64()),
+                ("cust_max", pa.int64()),
+                ("hour_min", pa.int64()),
+                ("hour_max", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return schema.empty_table()
+        cust = pc.cast(batch["o_custkey"], pa.int64())
+        hour = pc.divide(
+            pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(3_600_000_000, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "ztile": batch["ztile"],
+                "cust_min": cust,
+                "cust_max": cust,
+                "hour_min": hour,
+                "hour_max": hour,
+            }
+        )
+        folded = t.group_by("ztile").aggregate(
+            [
+                ("cust_min", "min"),
+                ("cust_max", "max"),
+                ("hour_min", "min"),
+                ("hour_max", "max"),
+            ]
+        )
+        return folded.rename_columns(
+            ["ztile", "cust_min", "cust_max", "hour_min", "hour_max"]
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    zones = (
+        with_tile.map_batches(zone_partial, batch_format="pyarrow")
+        .groupby("ztile")
+        .aggregate(
+            Min(on="cust_min", alias_name="cust_min"),
+            Max(on="cust_max", alias_name="cust_max"),
+            Min(on="hour_min", alias_name="hour_min"),
+            Max(on="hour_max", alias_name="hour_max"),
+        )
+        .take_all()  # <= 16 tile rows
+    )
+    with open(os.path.join(staging, "_zonemaps.json"), "w") as f:
+        json.dump(sorted(zones, key=lambda z: z["ztile"]), f, indent=1)
+    with open(os.path.join(staging, "_SUCCESS"), "w") as f:
+        f.write(fp)
+    os.rename(staging, out_dir)
+    return out_dir
+
+
+def zorder_pruned_scan(
+    layout_dir: str,
+    cust_lo: int,
+    cust_hi: int,
+    hour_lo: int,
+    hour_hi: int,
+) -> tuple[ray.data.Dataset, int, int]:
+    """2-D box scan ``cust in [cust_lo, cust_hi) x hour in [hour_lo,
+    hour_hi)`` over the tile layout, reading only tiles whose zone map
+    intersects the box in BOTH dimensions; residual vectorized filter for
+    exactness.  Returns (dataset, tiles_read, tiles_total)."""
+    import glob as _glob
+
+    with open(os.path.join(layout_dir, "_zonemaps.json")) as f:
+        zones = json.load(f)
+    keep = [
+        z
+        for z in zones
+        if z["cust_max"] >= cust_lo
+        and z["cust_min"] < cust_hi
+        and z["hour_max"] >= hour_lo
+        and z["hour_min"] < hour_hi
+    ]
+    paths = [
+        f
+        for z in keep
+        for f in sorted(
+            _glob.glob(os.path.join(layout_dir, f"ztile={z['ztile']}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return (
+            ray.data.from_arrow(
+                pa.schema([("o_orderkey", pa.int64())]).empty_table()
+            ),
+            0,
+            len(zones),
+        )
+    ds = ray.data.read_parquet(paths)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return batch
+        cust = pc.cast(batch["o_custkey"], pa.int64())
+        hour = pc.divide(
+            pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(3_600_000_000, pa.int64()),
+        )
+        return batch.filter(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(cust, pa.scalar(cust_lo, pa.int64())),
+                    pc.less(cust, pa.scalar(cust_hi, pa.int64())),
+                ),
+                pc.and_(
+                    pc.greater_equal(hour, pa.scalar(hour_lo, pa.int64())),
+                    pc.less(hour, pa.scalar(hour_hi, pa.int64())),
+                ),
+            )
+        )
+
+    return (
+        ds.map_batches(residual, batch_format="pyarrow", zero_copy_batch=True),
+        len(keep),
+        len(zones),
+    )
+
+
+def orders_zorder_box_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue by priority inside a 2-D box (second customer quartile x
+    second time quartile), scanned through the Z-order tile layout —
+    the query shape that justifies the layout: both halves of the
+    predicate prune at once.  The box derives from the SAME min/max
+    normalization the layout used, so the oracle states it in absolute
+    terms."""
+    from ray.data.aggregate import Count, Sum
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    layout = os.path.join("/tmp", f"djr_zorder_{base}_orders")
+    write_orders_zorder_layout(sf_dir, layout)
+    c_lo, c_hi, h_lo, h_hi = _dim_minmax(sf_dir)
+    grid = 1 << _ZT_BITS
+    c_span = c_hi - c_lo + 1
+    h_span = h_hi - h_lo + 1
+    box = (
+        c_lo + c_span * 1 // grid,
+        c_lo + c_span * 2 // grid,
+        h_lo + h_span * 1 // grid,
+        h_lo + h_span * 2 // grid,
+    )
+    ds, _read, _total = zorder_pruned_scan(layout, *box)
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("o_orderpriority", pa.string()), ("cents", pa.int64())]
+            ).empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "cents": cents}
+        )
+
+    agg = (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum(on="cents", alias_name="cents"),
+        )
+        .sort("o_orderpriority")
+    )
+
+    def descale(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("o_orderpriority", pa.string()),
+                    ("n_orders", pa.int64()),
+                    ("revenue", pa.float64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_orders": pc.cast(batch["n_orders"], pa.int64()),
+                "revenue": pc.divide(
+                    pc.cast(batch["cents"], pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    return agg.map_batches(descale, batch_format="pyarrow")
+
+
+def orders_zorder_box_revenue_sql() -> str:
+    grid = 1 << _ZT_BITS
+    return f"""
+WITH mm AS (
+  SELECT min(o_custkey) AS c_lo, max(o_custkey) AS c_hi,
+         min(epoch_us(o_orderdate) // 3600000000) AS h_lo,
+         max(epoch_us(o_orderdate) // 3600000000) AS h_hi
+  FROM orders),
+box AS (
+  SELECT c_lo + (c_hi - c_lo + 1) * 1 // {grid} AS b0,
+         c_lo + (c_hi - c_lo + 1) * 2 // {grid} AS b1,
+         h_lo + (h_hi - h_lo + 1) * 1 // {grid} AS b2,
+         h_lo + (h_hi - h_lo + 1) * 2 // {grid} AS b3
+  FROM mm)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders, box
+WHERE o_custkey >= box.b0 AND o_custkey < box.b1
+  AND epoch_us(o_orderdate) // 3600000000 >= box.b2
+  AND epoch_us(o_orderdate) // 3600000000 < box.b3
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -1951,3 +1951,189 @@ BEHAVIOR_QUERIES.update(
         "user_event_entropy": (user_event_entropy, USER_EVENT_ENTROPY_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# expanding-window distinct (growth curve) + per-key quota enforcement
+# ---------------------------------------------------------------------------
+
+_DAY_US_B = 86_400_000_000
+_HOUR_US_CUM = 3_600_000_000
+
+
+def cumulative_unique_users(sf_dir: str) -> pa.Table:
+    """Hourly growth curve: new users per hour (first-ever appearance)
+    and the running cumulative distinct-user count — the expanding-window
+    COUNT(DISTINCT) that windowed ``events_hourly_uniques`` does not
+    cover.  Exact, because a running distinct IS the running sum of
+    first appearances: one per-user min-hour fold, one bounded hour
+    histogram, and a driver cumsum over <= span-hours rows.  (Hour
+    granularity: the dense synthetic corpus onboards every user within
+    a day or two, so a daily curve would be a near-single-row result.)
+    """
+    from ray.data.aggregate import Min, Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("hour", pa.int64())]
+            ).empty_table()
+        hour_col = pc.divide(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(_HOUR_US_CUM, pa.int64()),
+        )
+        t = pa.table(
+            {"user_id": pc.cast(batch["user_id"], pa.int64()), "hour": hour_col}
+        )
+        folded = t.group_by("user_id").aggregate([("hour", "min")])
+        return folded.rename_columns(["user_id", "hour"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("hour", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        t = pa.table(
+            {
+                "hour": pc.cast(batch["hour"], pa.int64()),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return t.group_by("hour").aggregate([("n", "sum")]).rename_columns(["hour", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min(on="hour", alias_name="hour"))
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()  # <= span-hours rows — bounded at any corpus size
+    )
+    hours = np.array([r["hour"] for r in hist], np.int64)
+    n = np.array([r["n"] for r in hist], np.int64)
+    order = np.argsort(hours)
+    hours, n = hours[order], n[order]
+    return pa.table(
+        {
+            "hour": pa.array(hours, pa.int64()),
+            "new_users": pa.array(n, pa.int64()),
+            "cum_users": pa.array(np.cumsum(n), pa.int64()),
+        }
+    )
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = f"""
+WITH f AS (SELECT user_id, min(epoch_us(ts) // {_HOUR_US_CUM}) AS hour
+           FROM events GROUP BY user_id)
+SELECT hour, count(*) AS new_users,
+       CAST(sum(count(*)) OVER (ORDER BY hour) AS BIGINT) AS cum_users
+FROM f GROUP BY hour ORDER BY hour
+"""
+
+
+def events_quota_filter(
+    sf_dir: str, *, quota: int = 3, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Per-key quota enforcement: keep only the FIRST ``quota`` events per
+    (user, day), ordered by (ts, event_id) — the ingestion rate-cap /
+    spam-throttle shape (a per-key windowed top-k that keeps rows, unlike
+    ``events_debounced`` which suppresses by time gap).
+
+    ONE user-bucketed exchange; per bucket a single lexsort over
+    (user, day, ts, event_id) and a vectorized segment cumcount — no
+    per-key Python call.  Output keeps the rank so consumers can see the
+    quota position.
+    """
+    rel = _rel()
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    union_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("bucket", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("day", pa.int64()),
+            ("rn", pa.int64()),
+        ]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.empty_table()
+        t = pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], mask))
+
+    def quota_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(union_schema.names).cast(union_schema)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        user = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US_B
+        order = np.lexsort((eid, ts, day, user))
+        user, day, ts, eid = user[order], day[order], ts[order], eid[order]
+        seg = np.ones(len(user), bool)
+        seg[1:] = (user[1:] != user[:-1]) | (day[1:] != day[:-1])
+        starts = np.flatnonzero(seg)
+        rn = np.arange(len(user), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(user)))
+        ) + 1
+        keep = rn <= quota
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "user_id": pa.array(user[keep], pa.int64()),
+                "day": pa.array(day[keep], pa.int64()),
+                "rn": pa.array(rn[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(quota_bucket, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_QUOTA_FILTER_SQL = f"""
+WITH r AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) // {_DAY_US_B} AS day,
+         row_number() OVER (PARTITION BY user_id, epoch_us(ts) // {_DAY_US_B}
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_id, user_id, day, rn
+FROM r WHERE rn <= 3
+ORDER BY event_id
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "cumulative_unique_users": (cumulative_unique_users, CUMULATIVE_UNIQUE_USERS_SQL),
+        "events_quota_filter": (events_quota_filter, EVENTS_QUOTA_FILTER_SQL),
+    }
+)

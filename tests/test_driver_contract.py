@@ -247,6 +247,9 @@ SQL_BACKED = [
     "user_event_entropy",
     "customer_reorder_intervals",
     "hourly_view_after_cdc",
+    "orders_zorder_box_revenue",
+    "cumulative_unique_users",
+    "events_quota_filter",
     # round-5: grouped robust stats (median / trimmed sum / MAD, exact cents)
     "orders_robust_stats",
     "orders_outliers_mad",

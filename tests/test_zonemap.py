@@ -79,3 +79,49 @@ def test_fingerprint_invalidates_stale_layout(ray_session, tmp_path):
         f.write("0:0:0")
     write_orders_year_layout(SF_DIR, out)
     assert open(marker).read() == committed
+
+
+def test_zorder_layout_prunes_both_dimensions(ray_session, tmp_path):
+    """The 2-D box must prune tiles by BOTH dimensions: strictly fewer
+    tiles than a one-dimensional (date-only) predicate would leave, and
+    exact results regardless."""
+    import shutil
+
+    from docling_jobkit_ray.functions.zonemap import (
+        _ZT_BITS,
+        _dim_minmax,
+        write_orders_zorder_layout,
+        zorder_pruned_scan,
+    )
+
+    out = str(tmp_path / "zorder")
+    write_orders_zorder_layout(SF_DIR, out)
+    c_lo, c_hi, h_lo, h_hi = _dim_minmax(SF_DIR)
+    grid = 1 << _ZT_BITS
+    cs, hs = c_hi - c_lo + 1, h_hi - h_lo + 1
+    box = (
+        c_lo + cs // grid,
+        c_lo + cs * 2 // grid,
+        h_lo + hs // grid,
+        h_lo + hs * 2 // grid,
+    )
+    ds, nread, ntotal = zorder_pruned_scan(out, *box)
+    assert nread < ntotal
+    # a date-only predicate (full customer range) prunes strictly less
+    _, nread_1d, _ = zorder_pruned_scan(out, c_lo, c_hi + 1, box[2], box[3])
+    assert nread < nread_1d, "2-D box must beat the 1-D predicate"
+
+    # exactness against a direct filtered read
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "orders.parquet"))
+    cust = pc.cast(t["o_custkey"], "int64")
+    hour = pc.divide(
+        pc.cast(pc.cast(t["o_orderdate"], "timestamp[us]"), "int64"), 3_600_000_000
+    )
+    m = pc.and_(
+        pc.and_(pc.greater_equal(cust, box[0]), pc.less(cust, box[1])),
+        pc.and_(pc.greater_equal(hour, box[2]), pc.less(hour, box[3])),
+    )
+    assert ds.count() == t.filter(m).num_rows
