@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via orders_price_deciles)
         "orders_robust_stats",
         "orders_outliers_mad",
+        # round-5 continuation: sliding distinct (windows family holds its
+        # cap slots via hourly_window/sessionize)
+        "rolling_active_users",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -916,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_zorder_keys",
         "orders_robust_stats",
         "orders_outliers_mad",
+        "rolling_active_users",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

@@ -2137,3 +2137,137 @@ BEHAVIOR_QUERIES.update(
         "events_quota_filter": (events_quota_filter, EVENTS_QUOTA_FILTER_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window exact distinct: 7-day rolling active users
+# ---------------------------------------------------------------------------
+#
+# For every day that has at least one event, the EXACT number of distinct
+# users active in the trailing 7-day window [day-6, day].  The naive plan
+# (a range self-join day x (user,day) then COUNT DISTINCT — what the oracle
+# runs) shuffles every pair 7x; this plan never joins:
+#
+# - batch-local distinct (user, day) pairs, then ONE user-bucketed exchange
+#   (a user's active days meet in one bucket);
+# - per bucket, vectorized interval union per user: an active day d makes
+#   the user "window-active" on days [d, d+6]; consecutive active days
+#   <= 6 apart merge into one interval — emit (+1 at start, -1 at end+1)
+#   boundary deltas.  A user with any number of events contributes at most
+#   2 deltas per activity burst, so the exchange output is tiny;
+# - the day spine (days with >= 1 event) rides the SAME fold on a disjoint
+#   key (day*2+1 vs day*2 for deltas) — one groupby-sum carries both;
+# - the driver finishes from K <= 2*(span-days) rows: prefix-sum the deltas
+#   and read the running value at each spine day (bounded at any corpus
+#   size — days are days).
+
+_RAU_WINDOW_DAYS = 7
+
+_RAU_DELTA_SCHEMA = pa.schema([("key", pa.int64()), ("n", pa.int64())])
+_RAU_PAIR_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("day", pa.int64()), ("bucket", pa.int64())]
+)
+
+
+def rolling_active_users(
+    sf_dir: str, *, window_days: int = _RAU_WINDOW_DAYS, n_buckets: int | None = None
+) -> pa.Table:
+    """(day, active_users_7d): exact trailing-``window_days`` distinct-user
+    count for every day with at least one event, ordered by day (int64
+    epoch-days — exact on both engines, no timestamp-unit pinning)."""
+    from ray.data.aggregate import Sum
+
+    rel = _rel()
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+    w = window_days
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _RAU_PAIR_SCHEMA.empty_table()
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()), pa.scalar(_DAY_US_B, pa.int64()))
+        t = (
+            pa.table({"user_id": batch["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], mask))
+
+    def delta_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _RAU_DELTA_SCHEMA.empty_table()
+        group = group.select(_RAU_PAIR_SCHEMA.names).cast(_RAU_PAIR_SCHEMA)
+        df = group.select(["user_id", "day"]).to_pandas().drop_duplicates()
+        user = df["user_id"].to_numpy()
+        day = df["day"].to_numpy()
+        order = np.lexsort((day, user))
+        user, day = user[order], day[order]
+        # interval union per user: a new covered interval starts on a new
+        # user or a gap > w-1 days (<= w-1 means the [d, d+w-1] covers join)
+        new_run = np.ones(len(user), bool)
+        if len(user) > 1:
+            new_run[1:] = (user[1:] != user[:-1]) | (day[1:] - day[:-1] > w - 1)
+        starts = day[new_run]
+        # the run's end is the last active day before the next start (or the
+        # final row); exclusive boundary = end_day + w
+        end_idx = np.nonzero(new_run)[0] - 1
+        ends_excl = np.concatenate([day[end_idx[1:]], day[-1:]]) + w
+        # spine: distinct days in this bucket (deduped again in the fold)
+        spine = np.unique(day)
+        keys = np.concatenate([starts * 2, ends_excl * 2, spine * 2 + 1])
+        ns = np.concatenate(
+            [
+                np.ones(len(starts), np.int64),
+                -np.ones(len(ends_excl), np.int64),
+                np.ones(len(spine), np.int64),
+            ]
+        )
+        return pa.table({"key": pa.array(keys, pa.int64()), "n": pa.array(ns, pa.int64())})
+
+    folded = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(delta_bucket, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+
+    rows = folded.take_all()  # K <= 3 * span-days rows — bounded at any size
+    keys = np.array([r["key"] for r in rows], np.int64)
+    ns = np.array([r["n"] for r in rows], np.int64)
+    is_delta = (keys & 1) == 0
+    d_days = keys[is_delta] >> 1
+    d_ns = ns[is_delta]
+    order = np.argsort(d_days)
+    d_days, d_ns = d_days[order], d_ns[order]
+    running = np.cumsum(d_ns)
+    spine = np.sort(keys[~is_delta] >> 1)
+    # running coverage count at each spine day: last delta boundary <= day
+    pos = np.searchsorted(d_days, spine, side="right") - 1
+    active = np.where(pos >= 0, running[np.maximum(pos, 0)], 0)
+    return pa.table(
+        {
+            "day": pa.array(spine, pa.int64()),
+            "active_users_7d": pa.array(active, pa.int64()),
+        }
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT epoch_us(ts) // {_DAY_US_B} AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT days.d AS day, count(DISTINCT p.user_id) AS active_users_7d
+FROM days JOIN pairs p ON p.d BETWEEN days.d - {_RAU_WINDOW_DAYS - 1} AND days.d
+GROUP BY days.d
+ORDER BY day
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
+    }
+)

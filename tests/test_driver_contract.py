@@ -280,6 +280,7 @@ SQL_BACKED = [
     "bootstrap_ci_value",
     "verified_heavy_hitters",
     "events_cusum_alarm",
+    "rolling_active_users",
 ]
 
 
