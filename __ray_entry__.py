@@ -490,6 +490,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["basket_association_rules"] = _basket_association_rules
 
+    def _coordinated_sample_join(sf_dir: str):
+        from docling_jobkit_ray.pipelines.joins import coordinated_sample_join
+
+        return coordinated_sample_join(sf_dir)
+
+    q["coordinated_sample_join"] = _coordinated_sample_join
+
     def _k_anonymity_report(sf_dir: str):
         from docling_jobkit_ray.functions.quality_checks import k_anonymity_report
 
@@ -1135,6 +1142,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.basket import basket_association_rules_sql
 
     sql["basket_association_rules"] = basket_association_rules_sql()
+    from docling_jobkit_ray.pipelines.joins import COORDINATED_SAMPLE_JOIN_SQL
+
+    sql["coordinated_sample_join"] = COORDINATED_SAMPLE_JOIN_SQL
     from docling_jobkit_ray.functions.quality_checks import k_anonymity_report_sql
 
     sql["k_anonymity_report"] = k_anonymity_report_sql()

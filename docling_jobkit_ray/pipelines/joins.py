@@ -211,3 +211,192 @@ def bloom_prefiltered_join(
         num_buckets=num_buckets,
         est_rows=est_rows,
     )
+
+
+# ---------------------------------------------------------------------------
+# coordinated (join-preserving) sampling
+# ---------------------------------------------------------------------------
+#
+# Sample BOTH sides of a join with the SAME deterministic hash rule on the
+# join key, so the join of the samples IS the sample of the join — the
+# estimator property that lets a 100 TB pipeline develop and validate on a
+# 10% slice without ever materializing the full join (Vitter/AQUA-style
+# coordinated sampling).  The keep rule is the repo's full-period Lehmer
+# hash (see webtext.py: small multipliers degenerate to keeping a key
+# PREFIX), exact int64 on both engines at any key magnitude.
+
+_CSJ_M = 2147483647  # 2^31 - 1
+_CSJ_A = 630360016  # full-period Fishman-Moore multiplier
+_CSJ_THR = _CSJ_M // 10  # 10% of the key domain
+
+_CSJ_UNION_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("role", pa.int64()),
+        ("okey", pa.int64()),
+        ("prio", pa.string()),
+        ("n_items", pa.int64()),
+        ("cents", pa.int64()),
+    ]
+)
+_CSJ_PART_SCHEMA = pa.schema(
+    [
+        ("o_orderpriority", pa.string()),
+        ("n_orders", pa.int64()),
+        ("n_items", pa.int64()),
+        ("revenue_c4", pa.int64()),
+    ]
+)
+
+
+def _csj_keep(keys):
+    import numpy as np
+
+    return ((keys % _CSJ_M) * _CSJ_A) % _CSJ_M < _CSJ_THR
+
+
+def coordinated_sample_join(sf_dir: str, *, n_buckets: int | None = None):
+    """Revenue per order priority over a coordinated 10% sample of
+    orders JOIN lineitem: both tables keep an orderkey iff
+    ``((k % m) * a) % m < m // 10`` — the same rule, so every sampled
+    lineitem finds its order and the join is complete by construction.
+
+    Plan shape (the q3 rule: fold the pre-join aggregation into the SAME
+    bucket shuffle): per-batch rule filter on each side, per-batch lineitem
+    partial aggregation per orderkey, ONE orderkey-bucketed tagged-union
+    exchange, per-bucket vectorized searchsorted join + per-priority
+    partials, then a dimension-bounded final groupby (5 priorities)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+    from ..sources.pages import read_table
+
+    n_b = n_buckets or bucket_count(estimate_rows(sf_dir, "lineitem"))
+    mask = np.int64(n_b - 1)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _CSJ_UNION_SCHEMA.empty_table()
+        okey = batch["o_orderkey"].to_numpy()
+        sel = _csj_keep(okey)
+        okey = okey[sel]
+        prio = batch["o_orderpriority"].to_numpy(zero_copy_only=False)[sel]
+        z = np.zeros(len(okey), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(okey & mask, pa.int64()),
+                "role": pa.array(z, pa.int64()),
+                "okey": pa.array(okey, pa.int64()),
+                "prio": pa.array(prio, pa.string()),
+                "n_items": pa.array(z, pa.int64()),
+                "cents": pa.array(z, pa.int64()),
+            }
+        )
+
+    def item_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _CSJ_UNION_SCHEMA.empty_table()
+        okey = batch["l_orderkey"].to_numpy()
+        sel = _csj_keep(okey)
+        okey = okey[sel]
+        # quantize price and discount SEPARATELY (each is a 2-dp decimal, so
+        # *100 is never near a .5 boundary); the product is an exact int in
+        # 1e-4 currency units — never round a 4-dp float (half-to-even vs
+        # half-away diverges cross-engine)
+        price_c = np.round(batch["l_extendedprice"].to_numpy()[sel] * 100.0).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy()[sel] * 100.0).astype(np.int64)
+        cents = price_c * (100 - disc_c)
+        uk, inv = np.unique(okey, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        c = np.zeros(len(uk), np.int64)
+        np.add.at(c, inv, cents)
+        return pa.table(
+            {
+                "bucket": pa.array(uk & mask, pa.int64()),
+                "role": pa.array(np.ones(len(uk), np.int64), pa.int64()),
+                "okey": pa.array(uk, pa.int64()),
+                "prio": pa.array([""] * len(uk), pa.string()),
+                "n_items": pa.array(n, pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _CSJ_PART_SCHEMA.empty_table()
+        group = group.select(_CSJ_UNION_SCHEMA.names).cast(_CSJ_UNION_SCHEMA)
+        role = group["role"].to_numpy()
+        okey = group["okey"].to_numpy()
+        o_sel = role == 0
+        ok_o = okey[o_sel]
+        prio_o = group["prio"].to_numpy(zero_copy_only=False)[o_sel]
+        order_o = np.argsort(ok_o, kind="stable")
+        ok_o, prio_o = ok_o[order_o], prio_o[order_o]
+        ok_i = okey[~o_sel]
+        n_i = group["n_items"].to_numpy()[~o_sel]
+        c_i = group["cents"].to_numpy()[~o_sel]
+        if len(ok_o) == 0 or len(ok_i) == 0:
+            return _CSJ_PART_SCHEMA.empty_table()
+        idx = np.searchsorted(ok_o, ok_i)
+        idx_c = np.minimum(idx, len(ok_o) - 1)
+        match = ok_o[idx_c] == ok_i
+        hit = idx_c[match]
+        prios, inv = np.unique(prio_o[hit], return_inverse=True)
+        items = np.zeros(len(prios), np.int64)
+        cents = np.zeros(len(prios), np.int64)
+        np.add.at(items, inv, n_i[match])
+        np.add.at(cents, inv, c_i[match])
+        # n_orders: distinct matched order rows per priority
+        uhit = np.unique(hit)
+        upr, uinv = np.unique(prio_o[uhit], return_inverse=True)
+        n_ord = np.bincount(uinv, minlength=len(prios)).astype(np.int64)
+        assert list(upr) == list(prios) or len(uhit) == 0
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(prios, pa.string()),
+                "n_orders": pa.array(n_ord, pa.int64()),
+                "n_items": pa.array(items, pa.int64()),
+                "revenue_c4": pa.array(cents, pa.int64()),
+            }
+        )
+
+    tagged = orders.map_batches(
+        order_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li.map_batches(item_partial, batch_format="pyarrow", zero_copy_batch=True))
+    return (
+        tagged.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum(on="n_orders", alias_name="n_orders"),
+            Sum(on="n_items", alias_name="n_items"),
+            Sum(on="revenue_c4", alias_name="revenue_c4"),
+        )
+        .sort("o_orderpriority")
+    )
+
+
+COORDINATED_SAMPLE_JOIN_SQL = f"""
+WITH so AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE ((o_orderkey % {_CSJ_M}) * {_CSJ_A}) % {_CSJ_M} < {_CSJ_THR}),
+sl AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE ((l_orderkey % {_CSJ_M}) * {_CSJ_A}) % {_CSJ_M} < {_CSJ_THR})
+SELECT o_orderpriority,
+       count(DISTINCT so.o_orderkey) AS n_orders,
+       count(*) AS n_items,
+       CAST(sum(cents) AS BIGINT) AS revenue_c4
+FROM so JOIN sl ON sl.l_orderkey = so.o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

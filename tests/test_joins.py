@@ -214,3 +214,44 @@ def test_bloom_prefilter_prunes_before_shuffle(ray_session):
             right_schema=pa.schema([("l_orderkey", pa.int64())]),
             join_type="left outer",
         )
+
+
+def test_coordinated_sample_join_commutes(ray_session):
+    """Join-of-samples == sample-of-join: filtering the FULL join by the
+    same orderkey rule gives the identical aggregate — the estimator
+    property coordinated sampling exists for."""
+    import duckdb
+    import pandas as pd
+
+    from docling_jobkit_ray.pipelines.joins import (
+        _CSJ_A,
+        _CSJ_M,
+        _CSJ_THR,
+        coordinated_sample_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = coordinated_sample_join(sf).to_pandas()
+    assert len(got) > 0  # non-vacuous at driver scale
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = con.execute(
+        f"""
+        SELECT o_orderpriority,
+               count(DISTINCT o_orderkey) AS n_orders,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_c4
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE ((o_orderkey % {_CSJ_M}) * {_CSJ_A}) % {_CSJ_M} < {_CSJ_THR}
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"n_orders": "int64", "n_items": "int64", "revenue_c4": "int64"}),
+    )
