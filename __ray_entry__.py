@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 continuation: sliding distinct (windows family holds its
         # cap slots via hourly_window/sessionize)
         "rolling_active_users",
+        # round-5 continuation: concentration metrics (aggregate family
+        # holds its cap slot via q1/revenue_by_nation)
+        "revenue_gini_by_nation",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -927,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_robust_stats",
         "orders_outliers_mad",
         "rolling_active_users",
+        "revenue_gini_by_nation",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

@@ -4541,3 +4541,152 @@ RELATIONAL_QUERIES["customer_reorder_intervals"] = (
     customer_reorder_intervals,
     CUSTOMER_REORDER_INTERVALS_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# inequality / concentration metrics (Gini + HHI per nation)
+# ---------------------------------------------------------------------------
+
+def revenue_gini_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Revenue-concentration report per nation: the Gini coefficient and a
+    Herfindahl-Hirschman index over per-customer revenue — the inequality
+    metrics a corpus curator runs on source/domain contribution shares
+    ("is 1% of domains 90% of the tokens?"), expressed on the TPC-H side
+    of the testdata so the result is SQL-checkable.
+
+    Exactness contract (cross-engine hash-equal):
+    - per-customer revenue folds in int64 CENTS (per-row quantize, exact
+      integer sum);
+    - Gini uses the sorted-rank identity
+      ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` with x ascending
+      and i = row_number; equal values make the rank-weighted sum
+      permutation-invariant, so ties cost nothing.  Emitted as ppm by
+      integer floor division (round() is cross-engine hazardous).
+    - HHI quantizes each customer's share to ppm FIRST
+      (``share = cents*1e6 // S``), then sums the squares and floor-divides
+      once — every intermediate is an exact integer in both engines (the
+      quantize-per-row trick from the DSIR family).
+
+    Plan shape: one custkey exchange folds per-customer cents (per-batch
+    Arrow partials first); the customer->nation hop is the composed
+    broadcast lookup (revenue_by_nation's pattern — at real scale this
+    dimension hop becomes a bucketed join, see pipelines/joins.py); the
+    nation groupby has 25 groups, each a slim int64 vector, so the
+    rank-weighted sums run vectorized per group.  The two big sums use
+    Python-int (object) accumulation: rank*cents and share^2 exceed int64
+    once a nation holds ~1e6 heavy customers, and numpy overflow is
+    SILENT (CLAUDE.md bincount hazard).
+    """
+    from ray.data.aggregate import Sum
+
+    cust = _broadcast_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _broadcast_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation_of_cust = pc.take(
+        nation["n_name"].combine_chunks(),
+        pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"].combine_chunks()),
+    )
+    nation_of = _lookup(cust["c_custkey"], nation_of_cust)
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        t = pa.table({"custkey": batch["o_custkey"], "cents": cents})
+        return t.group_by("custkey").aggregate([("cents", "sum")]).rename_columns(
+            ["custkey", "cents"]
+        )
+
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("nation", pa.string()), ("cents", pa.int64())]
+            ).empty_table()
+        return pa.table({"nation": nation_of(batch["custkey"]), "cents": batch["cents"]})
+
+    _GINI_SCHEMA = pa.schema(
+        [
+            ("nation", pa.string()),
+            ("n_customers", pa.int64()),
+            ("total_revenue", pa.float64()),
+            ("gini_ppm", pa.int64()),
+            ("hhi_ppm", pa.int64()),
+        ]
+    )
+
+    def per_nation(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _GINI_SCHEMA.empty_table()
+        group = group.select(["nation", "cents"]).cast(
+            pa.schema([("nation", pa.string()), ("cents", pa.int64())])
+        )
+        x = np.sort(group["cents"].to_numpy(zero_copy_only=False))
+        n = int(len(x))
+        s = int(x.sum(dtype=np.int64) if n < 1 << 20 else sum(map(int, x)))
+        xo = x.astype(object)
+        rs = int((np.arange(1, n + 1, dtype=object) * xo).sum())
+        shares = x * 1_000_000 // s  # each < 1e6: int64-safe per row
+        hhi_num = int((shares.astype(object) * shares.astype(object)).sum())
+        gini = (2 * rs - (n + 1) * s) * 1_000_000 // (n * s)
+        return pa.table(
+            {
+                "nation": [group["nation"][0].as_py()],
+                "n_customers": pa.array([n], pa.int64()),
+                "total_revenue": pa.array([s / 100.0], pa.float64()),
+                "gini_ppm": pa.array([gini], pa.int64()),
+                "hhi_ppm": pa.array([hhi_num // 1_000_000], pa.int64()),
+            }
+        )
+
+    return (
+        per_cust.map_batches(add_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nation")
+        .map_groups(per_nation, batch_format="pyarrow")
+        .sort("nation")
+    )
+
+
+REVENUE_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+tagged AS (
+  SELECT n.n_name AS nation, r.cents,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY r.cents, r.o_custkey) AS rn,
+         sum(r.cents) OVER (PARTITION BY n.n_name) AS s
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+agg AS (
+  SELECT nation,
+         count(*) AS n_customers,
+         max(s) AS s,
+         sum(CAST(rn AS HUGEINT) * cents) AS rs,
+         sum((CAST(cents AS HUGEINT) * 1000000 // s)
+             * (CAST(cents AS HUGEINT) * 1000000 // s)) AS hhi_num
+  FROM tagged GROUP BY nation)
+SELECT nation,
+       n_customers,
+       CAST(s AS BIGINT) / 100.0 AS total_revenue,
+       CAST((2 * rs - (CAST(n_customers AS HUGEINT) + 1) * s) * 1000000
+            // (CAST(n_customers AS HUGEINT) * s) AS BIGINT) AS gini_ppm,
+       CAST(hhi_num // 1000000 AS BIGINT) AS hhi_ppm
+FROM agg
+ORDER BY nation
+"""
+
+RELATIONAL_QUERIES["revenue_gini_by_nation"] = (
+    revenue_gini_by_nation,
+    REVENUE_GINI_SQL,
+)

@@ -281,6 +281,7 @@ SQL_BACKED = [
     "verified_heavy_hitters",
     "events_cusum_alarm",
     "rolling_active_users",
+    "revenue_gini_by_nation",
     "coordinated_sample_join",
 ]
 
