@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 continuation: concentration metrics (aggregate family
         # holds its cap slot via q1/revenue_by_nation)
         "revenue_gini_by_nation",
+        # round-5 continuation: interval sweep-line (sessionize holds the
+        # windows-family cap slot)
+        "sessions_peak_concurrency",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -931,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_outliers_mad",
         "rolling_active_users",
         "revenue_gini_by_nation",
+        "sessions_peak_concurrency",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

@@ -2271,3 +2271,164 @@ BEHAVIOR_QUERIES.update(
         "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# interval sweep-line: peak concurrent sessions per hour
+# ---------------------------------------------------------------------------
+
+_HOUR_US_PC = 3600 * 1_000_000
+
+
+def sessions_peak_concurrency(
+    sf_dir: str, *, gap_minutes: int = 30, n_buckets: int | None = None
+) -> pa.Table:
+    """Peak number of concurrent user sessions per hour — the interval
+    sweep-line operator (load curves, capacity planning): sessionize events
+    per user (30-min gap rule, identical to events_sessionize), treat each
+    session as the half-open interval ``[start, end + 1us)``, and report,
+    for every hour that contains a session boundary, the maximum
+    concurrency reached during that hour.
+
+    Semantics contract (what makes the sweep cross-engine deterministic):
+    concurrency is evaluated at DISTINCT microseconds after all boundary
+    deltas at that microsecond apply (simultaneous start+end at one us is
+    a net zero) — intra-tie orderings never exist on either engine.  An
+    hour's peak also includes the carry-in concurrency at the hour start
+    (a drop at the first boundary cannot hide the plateau before it).
+
+    Plan shape: the user-bucketed sessionize exchange emits two delta rows
+    per session (+1 at start, -1 at end+1us); an hour-keyed exchange folds
+    each hour to THREE ints (net delta, max within-hour prefix, hour) via
+    one vectorized reduceat pass; only those K hour rows reach the driver,
+    which finishes with the exclusive prefix over hours (the
+    score_drift_ks / cusum driver-finish pattern — K is bounded by the
+    time span, not the data).  Peak_h = base_h + max(0, max_prefix_h).
+
+    Oracle: the proven sessionize CTE -> delta UNION -> RANGE-framed
+    running sum over distinct boundary microseconds -> per-hour max and
+    max_by(c, t) last value -> lag carry-in.
+    """
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+    add_bucket = rel._user_bucket_adder(rel._user_buckets(sf_dir, n_buckets))
+
+    delta_schema = pa.schema(
+        [("t", pa.int64()), ("d", pa.int64()), ("hour", pa.int64())]
+    )
+
+    def sessions_to_deltas(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        prev_ts = g.groupby("user_id")["ts"].shift()
+        new_session = ((g["ts"] - prev_ts) > gap).astype("int64")
+        sid = new_session.groupby(g["user_id"]).cumsum()
+        sess = (
+            g.assign(session_id=sid)
+            .groupby(["user_id", "session_id"], sort=False)
+            .agg(s=("ts", "min"), e=("ts", "max"))
+            .reset_index()
+        )
+        s_us = sess["s"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        e_us = sess["e"].to_numpy(dtype="datetime64[us]").astype(np.int64) + 1
+        t = np.concatenate([s_us, e_us])
+        d = np.concatenate(
+            [np.ones(len(s_us), np.int64), -np.ones(len(e_us), np.int64)]
+        )
+        return pa.table(
+            {"t": t, "d": d, "hour": t // _HOUR_US_PC}, schema=delta_schema
+        )
+
+    hour_schema = pa.schema(
+        [("hour", pa.int64()), ("net", pa.int64()), ("max_pref", pa.int64())]
+    )
+
+    def per_hour(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return hour_schema.empty_table()
+        group = group.select(delta_schema.names).cast(delta_schema)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        d = group["d"].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        t, d = t[order], d[order]
+        ut, idx = np.unique(t, return_index=True)
+        sums = np.add.reduceat(d, idx)
+        pref = np.cumsum(sums)
+        return pa.table(
+            {
+                "hour": pa.array([int(group["hour"][0].as_py())], pa.int64()),
+                "net": pa.array([int(pref[-1])], pa.int64()),
+                "max_pref": pa.array([int(pref.max())], pa.int64()),
+            }
+        )
+
+    hours = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sessions_to_deltas, batch_format="pandas")
+        .groupby("hour")
+        .map_groups(per_hour, batch_format="pyarrow")
+    )
+
+    # driver finish over K hour rows (K ~ time span in hours)
+    rows = hours.take_all()
+    rows.sort(key=lambda r: r["hour"])
+    h = np.array([r["hour"] for r in rows], np.int64)
+    net = np.array([r["net"] for r in rows], np.int64)
+    maxp = np.array([r["max_pref"] for r in rows], np.int64)
+    base = np.concatenate([[0], np.cumsum(net)[:-1]])
+    peak = base + np.maximum(0, maxp)
+    return pa.table(
+        {
+            "hour_ts": pa.array(h * _HOUR_US_PC, pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "peak_sessions": pa.array(peak, pa.int64()),
+        }
+    )
+
+
+SESSIONS_PEAK_CONCURRENCY_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                RANGE UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM numbered GROUP BY user_id, session_id
+), deltas AS (
+  SELECT epoch_us(s) AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT epoch_us(e) + 1 AS t, -1 AS d FROM sessions
+), pts AS (
+  SELECT t, sum(d) AS dd FROM deltas GROUP BY t
+), run AS (
+  SELECT t, t // 3600000000 AS hour,
+         CAST(sum(dd) OVER (ORDER BY t RANGE UNBOUNDED PRECEDING) AS BIGINT)
+           AS c
+  FROM pts
+), hourly AS (
+  SELECT hour, max(c) AS peak_points, max_by(c, t) AS last_c
+  FROM run GROUP BY hour
+)
+SELECT make_timestamp(hour * 3600000000) AS hour_ts,
+       CAST(greatest(coalesce(lag(last_c) OVER (ORDER BY hour), 0),
+                     peak_points) AS BIGINT) AS peak_sessions
+FROM hourly
+ORDER BY hour_ts
+"""
+
+BEHAVIOR_QUERIES.update(
+    {
+        "sessions_peak_concurrency": (
+            sessions_peak_concurrency,
+            SESSIONS_PEAK_CONCURRENCY_SQL,
+        ),
+    }
+)

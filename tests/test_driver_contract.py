@@ -282,6 +282,7 @@ SQL_BACKED = [
     "events_cusum_alarm",
     "rolling_active_users",
     "revenue_gini_by_nation",
+    "sessions_peak_concurrency",
     "coordinated_sample_join",
 ]
 

@@ -1,0 +1,120 @@
+"""Crafted-input semantics for the round-5 continuation analytics ops:
+revenue concentration (Gini/HHI) and the interval sweep-line peak
+concurrency.  SQL-oracle parity runs in test_driver_contract.py; here the
+exact-integer arithmetic is pinned on hand-built tables.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def _write_dims(tmp_path, nations):
+    _write(
+        tmp_path,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(len(nations)), pa.int64()),
+                "n_name": pa.array(nations),
+                "n_regionkey": pa.array([0] * len(nations), pa.int64()),
+            }
+        ),
+    )
+
+
+def test_revenue_gini_exact_values(ray_session, tmp_path):
+    """One skewed nation, one perfectly equal nation: hand-computed Gini
+    ppm and quantized-share HHI ppm."""
+    from docling_jobkit_ray.pipelines.relational import revenue_gini_by_nation
+
+    _write_dims(tmp_path, ["ALPHA", "BETA"])
+    # customers 1-3 in ALPHA (revenues 100, 100, 200), 4-5 in BETA (50, 50)
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "c_nationkey": pa.array([0, 0, 0, 1, 1], pa.int64()),
+            }
+        ),
+    )
+    # one order per customer except cust 3 (two orders of 100 summing 200)
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(6), pa.int64()),
+                "o_custkey": pa.array([1, 2, 3, 3, 4, 5], pa.int64()),
+                "o_totalprice": pa.array([100.0, 100.0, 100.0, 100.0, 50.0, 50.0]),
+            }
+        ),
+    )
+    out = (
+        revenue_gini_by_nation(str(tmp_path))
+        .to_pandas()
+        .set_index("nation")
+    )
+    # ALPHA: x = [10000, 10000, 20000] cents, n=3, s=40000
+    #   rs = 1*10000 + 2*10000 + 3*20000 = 90000
+    #   gini = (180000 - 4*40000) * 1e6 // 120000 = 166666
+    #   shares ppm = [250000, 250000, 500000]
+    #   hhi = (2*250000^2 + 500000^2) // 1e6 = 375000
+    assert out.loc["ALPHA", "n_customers"] == 3
+    assert out.loc["ALPHA", "total_revenue"] == 400.0
+    assert out.loc["ALPHA", "gini_ppm"] == 166666
+    assert out.loc["ALPHA", "hhi_ppm"] == 375000
+    # BETA: equal split -> gini 0, hhi = 2*500000^2 // 1e6 = 500000
+    assert out.loc["BETA", "gini_ppm"] == 0
+    assert out.loc["BETA", "hhi_ppm"] == 500000
+
+
+def test_peak_concurrency_sweep_and_carry(ray_session, tmp_path):
+    """Overlapping sessions peak at 2; a session spanning an hour boundary
+    carries its concurrency into the next hour even though that hour's
+    only boundary is a drop."""
+    from docling_jobkit_ray.pipelines.behavior import sessions_peak_concurrency
+
+    base = pd.Timestamp("2024-03-01")
+
+    def at(h, m):
+        return base + pd.Timedelta(hours=h, minutes=m)
+
+    rows = [
+        # user 1: one session [10:00, 10:10]
+        (1, at(10, 0)),
+        (1, at(10, 10)),
+        # user 2: point session at 10:05 (overlaps user 1 -> concurrency 2)
+        (2, at(10, 5)),
+        # user 3: point session at 11:30
+        (3, at(11, 30)),
+        # user 4: session [12:50, 13:10] spanning the hour boundary
+        (4, at(12, 50)),
+        (4, at(13, 10)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "events", t)
+    out = sessions_peak_concurrency(str(tmp_path), n_buckets=4).to_pandas()
+    got = {
+        ts.hour: int(p)
+        for ts, p in zip(out["hour_ts"], out["peak_sessions"])
+    }
+    # hour 13 holds only the -1 boundary: peak is the carried-in 1
+    assert got == {10: 2, 11: 1, 12: 1, 13: 1}
