@@ -468,6 +468,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["part_triangle_counts"] = _part_triangle_counts
 
+    def _part_clustering_coeff(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import part_clustering_coeff
+
+        return part_clustering_coeff(sf_dir)
+
+    q["part_clustering_coeff"] = _part_clustering_coeff
+
     def _orders_pruned_revenue(sf_dir: str):
         from docling_jobkit_ray.functions.zonemap import orders_pruned_revenue
 
@@ -1138,6 +1145,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.graph import part_triangle_counts_sql
 
     sql["part_triangle_counts"] = part_triangle_counts_sql()
+    from docling_jobkit_ray.functions.graph import part_clustering_coeff_sql
+
+    sql["part_clustering_coeff"] = part_clustering_coeff_sql()
     from docling_jobkit_ray.functions.zonemap import orders_pruned_revenue_sql
 
     sql["orders_pruned_revenue"] = orders_pruned_revenue_sql()

@@ -1130,13 +1130,29 @@ def part_triangle_counts(
     the Ray-Data-native triangle-count shape (SURVEY.md graph family,
     alongside connected_components / pagerank / bfs_hops).
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from ..scale import bucket_count, estimate_rows
-    from ..sources.pages import read_table
 
     est = estimate_rows(sf_dir, "lineitem")
     n_b = n_buckets or bucket_count(est)
+    edges = _tri_edges_ds(sf_dir, min_qty, n_b)
+    return (
+        _tri_partials_ds(edges, n_b)
+        .groupby("partkey")
+        .aggregate(Sum(on="n", alias_name="n_triangles"))
+        .sort("partkey")
+    )
+
+
+def _tri_edges_ds(sf_dir: str, min_qty: int, n_b: int) -> ray.data.Dataset:
+    """Distinct co-purchase edges ``u < v`` packed as ``u*2^32 + v``
+    (column ``edge``), materialized once — the wedge and member sides both
+    branch from it (CLAUDE.md: branching re-executes the shared parent)."""
+    from ray.data.aggregate import Count
+
+    from ..sources.pages import read_table
+
     mask = pa.scalar(n_b - 1, pa.int64())
     qty = pa.scalar(float(min_qty))
 
@@ -1168,17 +1184,22 @@ def part_triangle_counts(
         edge = (m["part_x"].to_numpy() << 32) + m["part_y"].to_numpy()
         return pa.table({"edge": pa.array(np.unique(edge), pa.int64())})
 
-    edges = (
+    return (
         li.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(edge_bucket, batch_format="pyarrow")
         .groupby("edge")
         .aggregate(Count(alias_name="_n"))
-        # edges feed BOTH the wedge and the member side below — pin the
-        # distinct result so branching does not re-run the exchange
-        # (CLAUDE.md: branching re-executes the shared parent)
         .materialize()
     )
+
+
+def _tri_partials_ds(edges: ray.data.Dataset, n_b: int) -> ray.data.Dataset:
+    """Per-bucket ``(partkey, n)`` triangle-corner partials from the
+    distinct edge set: compact-forward wedge emission + the membership
+    co-shuffle that closes wedges without a join (steps 3-4 of the
+    part_triangle_counts plan)."""
+    mask = pa.scalar(n_b - 1, pa.int64())
 
     def wedge_emit(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or batch.num_columns == 0:
@@ -1286,10 +1307,153 @@ def part_triangle_counts(
         wedges.union(members)
         .groupby("bucket")
         .map_groups(close_bucket, batch_format="pyarrow")
-        .groupby("partkey")
-        .aggregate(Sum(on="n", alias_name="n_triangles"))
-        .sort("partkey")
     )
+
+
+def part_clustering_coeff(
+    sf_dir: str, *, min_qty: int = 35, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Local clustering coefficient per part over the co-purchase graph:
+    ``cc(v) = 2*T(v) / (deg(v) * (deg(v) - 1))`` for every node with
+    degree >= 2, emitted as ppm by integer floor division — the
+    community-tightness signal next to the raw triangle counts (a node in
+    a clique scores 1e6; a pure hub scores 0).
+
+    Same exchanges as part_triangle_counts plus one: the distinct edge
+    set additionally emits per-endpoint degree partials, and BOTH partial
+    streams (triangle corners tagged ``deg=0``, degrees tagged ``n=0``)
+    fold through ONE ``groupby(partkey)`` — a tagged union instead of a
+    partkey join, so the all-to-all count stays at the triangle plan + 0
+    (the edge set is already materialized).  Nodes with degree >= 2 and
+    no triangles keep cc = 0 rows (never filter-to-empty: an all-filtered
+    Dataset loses its schema).
+
+    Exactness: T <= deg*(deg-1)/2 so ``2*T*1e6`` stays int64 up to
+    deg ~ 3e6 — beyond any thinned co-purchase degree; floor division is
+    identical in numpy and DuckDB ``//`` for nonnegative ints.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+
+    est = estimate_rows(sf_dir, "lineitem")
+    n_b = n_buckets or bucket_count(est)
+    edges = _tri_edges_ds(sf_dir, min_qty, n_b)
+
+    tri_schema = pa.schema(
+        [("partkey", pa.int64()), ("n", pa.int64()), ("deg", pa.int64())]
+    )
+
+    def tri_tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return tri_schema.empty_table()
+        return pa.table(
+            {
+                "partkey": batch["partkey"],
+                "n": batch["n"],
+                "deg": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return tri_schema.empty_table()
+        e = pc.cast(batch["edge"], pa.int64())
+        u = pc.divide(e, 2**32)
+        v = pc.subtract(e, pc.multiply(u, 2**32))
+        nodes = pa.concat_arrays(
+            [pc.cast(u, pa.int64()).combine_chunks(),
+             pc.cast(v, pa.int64()).combine_chunks()]
+        )
+        part = (
+            pa.table(
+                {"partkey": nodes, "deg": pa.array([1] * len(nodes), pa.int64())}
+            )
+            .group_by("partkey")
+            .aggregate([("deg", "sum")])
+            .rename_columns(["partkey", "deg"])
+        )
+        return pa.table(
+            {
+                "partkey": part["partkey"],
+                "n": pa.array(np.zeros(part.num_rows, np.int64), pa.int64()),
+                "deg": part["deg"],
+            }
+        )
+
+    both = (
+        _tri_partials_ds(edges, n_b)
+        .map_batches(tri_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    )
+
+    out = both.groupby("partkey").aggregate(
+        Sum(on="n", alias_name="n_triangles"),
+        Sum(on="deg", alias_name="degree"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("partkey", pa.int64()),
+                ("degree", pa.int64()),
+                ("n_triangles", pa.int64()),
+                ("cc_ppm", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        batch = batch.filter(
+            pc.greater_equal(batch["degree"], pa.scalar(2, pa.int64()))
+        )
+        d = batch["degree"]
+        cc = pc.divide(
+            pc.multiply(batch["n_triangles"], pa.scalar(2_000_000, pa.int64())),
+            pc.multiply(d, pc.subtract(d, pa.scalar(1, pa.int64()))),
+        )
+        return pa.table(
+            {
+                "partkey": batch["partkey"],
+                "degree": d,
+                "n_triangles": batch["n_triangles"],
+                "cc_ppm": pc.cast(cc, pa.int64()),
+            }
+        )
+
+    return out.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("partkey")
+
+
+def part_clustering_coeff_sql(min_qty: int = 35) -> str:
+    return f"""
+WITH f AS (SELECT l_orderkey, l_partkey FROM lineitem
+           WHERE l_quantity >= {min_qty}),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM f a JOIN f b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (SELECT partkey, count(*) AS degree
+        FROM (SELECT u AS partkey FROM e UNION ALL SELECT v FROM e)
+        GROUP BY partkey),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tcnt AS (SELECT partkey, count(*) AS n_triangles
+         FROM (SELECT a AS partkey FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         GROUP BY partkey)
+SELECT d.partkey, d.degree,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       (2 * coalesce(t.n_triangles, 0) * 1000000)
+         // (d.degree * (d.degree - 1)) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t USING (partkey)
+WHERE d.degree >= 2
+ORDER BY d.partkey
+"""
 
 
 def part_triangle_counts_sql(min_qty: int = 35) -> str:

@@ -283,6 +283,7 @@ SQL_BACKED = [
     "rolling_active_users",
     "revenue_gini_by_nation",
     "sessions_peak_concurrency",
+    "part_clustering_coeff",
     "coordinated_sample_join",
 ]
 

@@ -118,3 +118,34 @@ def test_peak_concurrency_sweep_and_carry(ray_session, tmp_path):
     }
     # hour 13 holds only the -1 boundary: peak is the carried-in 1
     assert got == {10: 2, 11: 1, 12: 1, 13: 1}
+
+
+def test_clustering_coeff_clique_vs_hub(ray_session, tmp_path):
+    """Triangle corners in a 3-clique score 1e6; the clique node that also
+    hubs two dangling spokes scores 2/(4*3); degree-1 spokes are excluded."""
+    from docling_jobkit_ray.functions.graph import part_clustering_coeff
+
+    # order 1 buys parts 1,2,3 (a 3-clique); orders 2 and 3 attach spokes
+    # 4 and 5 to part 3
+    ok = [1, 1, 1, 2, 2, 3, 3]
+    pk = [1, 2, 3, 3, 4, 3, 5]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+            "l_quantity": pa.array([40.0] * len(ok)),
+        }
+    )
+    _write(tmp_path, "lineitem", t)
+    out = (
+        part_clustering_coeff(str(tmp_path), n_buckets=4)
+        .to_pandas()
+        .set_index("partkey")
+    )
+    assert set(out.index) == {1, 2, 3}
+    assert out.loc[1, "cc_ppm"] == 1_000_000 and out.loc[1, "degree"] == 2
+    assert out.loc[2, "cc_ppm"] == 1_000_000
+    # node 3: degree 4, one triangle -> 2*1e6 // 12
+    assert out.loc[3, "degree"] == 4
+    assert out.loc[3, "n_triangles"] == 1
+    assert out.loc[3, "cc_ppm"] == 166_666
