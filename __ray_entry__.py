@@ -226,6 +226,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 continuation: interval sweep-line (sessionize holds the
         # windows-family cap slot)
         "sessions_peak_concurrency",
+        # round-5 continuation: running-record window, seasonal median/MAD
+        # anomalies, Theil-Sen robust trend
+        "record_orders",
+        "hourly_seasonal_anomalies",
+        "events_hourly_theilsen",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -942,6 +947,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users",
         "revenue_gini_by_nation",
         "sessions_peak_concurrency",
+        "record_orders",
+        "hourly_seasonal_anomalies",
+        "events_hourly_theilsen",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     return q

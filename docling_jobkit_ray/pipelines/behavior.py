@@ -2432,3 +2432,235 @@ BEHAVIOR_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# seasonal anomaly detection: hour-of-day median/MAD residuals
+# ---------------------------------------------------------------------------
+
+def hourly_seasonal_anomalies(sf_dir: str) -> ray.data.Dataset:
+    """Seasonality-aware anomaly flags over the hourly event-volume series:
+    each hour's count is compared to the MEDIAN count of its hour-of-day
+    (the seasonal baseline a flat z-score/CUSUM misses — 3am traffic should
+    not be judged against the 3pm mean), and flagged when the deviation
+    exceeds 1.5x the hour-of-day MAD.
+
+    Everything stays exact-integer by the doubled-order-statistic trick
+    (customer_reorder_intervals): ``med2 = x[(m-1)//2] + x[m//2]`` is twice
+    the median, ``dev2 = |2*n - med2|`` is twice the deviation, ``madq`` is
+    med2 over dev2 (4x the MAD), and the flag rule ``2*dev2 > 3*madq`` is
+    |n - med| > 1.5*MAD with every side an integer — no float ever forms,
+    so the verdict is hash-exact cross-engine (ties included).
+
+    Plan: per-batch Arrow hour-count partials -> one bounded
+    ``groupby(hour)`` -> 24 hour-of-day groups, each a K/24-row vector
+    (K = span hours, not data size), flagged in one numpy pass.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("hour", pa.int64()), ("n", pa.int64())]).empty_table()
+        us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(_HOUR_US_PC, pa.int64()))
+        t = pa.table({"hour": hour, "n": pa.array(np.ones(len(us), np.int64))})
+        return (
+            t.group_by("hour").aggregate([("n", "sum")]).rename_columns(["hour", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+
+    def add_hod(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("hour", pa.int64()), ("n", pa.int64()), ("hod", pa.int64())]
+            ).empty_table()
+        hod = pc.subtract(
+            batch["hour"],
+            pc.multiply(
+                pc.divide(batch["hour"], pa.scalar(24, pa.int64())),
+                pa.scalar(24, pa.int64()),
+            ),
+        )
+        return pa.table({"hour": batch["hour"], "n": batch["n"], "hod": hod})
+
+    out_schema = pa.schema(
+        [
+            ("hour_ts", pa.timestamp("us")),
+            ("hod", pa.int64()),
+            ("n_events", pa.int64()),
+            ("med2", pa.int64()),
+            ("dev2", pa.int64()),
+            ("anomaly", pa.int64()),
+        ]
+    )
+
+    def per_hod(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(["hour", "n", "hod"]).cast(
+            pa.schema([("hour", pa.int64()), ("n", pa.int64()), ("hod", pa.int64())])
+        )
+        hour = group["hour"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        m = len(n)
+        x = np.sort(n)
+        med2 = int(x[(m - 1) // 2]) + int(x[m // 2])
+        dev2 = np.abs(2 * n - med2)
+        y = np.sort(dev2)
+        madq = int(y[(m - 1) // 2]) + int(y[m // 2])
+        anomaly = (2 * dev2 > 3 * madq).astype(np.int64)
+        return pa.table(
+            {
+                "hour_ts": pa.array(hour * _HOUR_US_PC, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "hod": group["hod"],
+                "n_events": group["n"],
+                "med2": pa.array(np.full(m, med2, np.int64)),
+                "dev2": pa.array(dev2.astype(np.int64)),
+                "anomaly": pa.array(anomaly),
+            }
+        )
+
+    return (
+        counts.map_batches(add_hod, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hod")
+        .map_groups(per_hod, batch_format="pyarrow")
+        .sort("hour_ts")
+    )
+
+
+HOURLY_SEASONAL_ANOMALIES_SQL = """
+WITH c AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+  FROM events GROUP BY hour),
+h AS (SELECT hour, hour % 24 AS hod, n FROM c),
+r AS (SELECT hour, hod, n,
+             row_number() OVER (PARTITION BY hod ORDER BY n, hour) AS rn,
+             count(*) OVER (PARTITION BY hod) AS m
+      FROM h),
+m2 AS (SELECT hod,
+              CAST(sum(CASE WHEN rn = (m + 1) // 2 THEN n ELSE 0 END)
+                   + sum(CASE WHEN rn = m // 2 + 1 THEN n ELSE 0 END)
+                   AS BIGINT) AS med2
+       FROM r GROUP BY hod),
+d AS (SELECT h.hour, h.hod, h.n, m2.med2,
+             abs(2 * h.n - m2.med2) AS dev2
+      FROM h JOIN m2 ON m2.hod = h.hod),
+r2 AS (SELECT hour, hod, n, med2, dev2,
+              row_number() OVER (PARTITION BY hod ORDER BY dev2, hour) AS rn,
+              count(*) OVER (PARTITION BY hod) AS m
+       FROM d),
+mad AS (SELECT hod,
+               CAST(sum(CASE WHEN rn = (m + 1) // 2 THEN dev2 ELSE 0 END)
+                    + sum(CASE WHEN rn = m // 2 + 1 THEN dev2 ELSE 0 END)
+                    AS BIGINT) AS madq
+        FROM r2 GROUP BY hod)
+SELECT make_timestamp(d.hour * 3600000000) AS hour_ts,
+       d.hod,
+       d.n AS n_events,
+       d.med2,
+       d.dev2,
+       CASE WHEN 2 * d.dev2 > 3 * mad.madq THEN 1 ELSE 0 END AS anomaly
+FROM d JOIN mad ON mad.hod = d.hod
+ORDER BY hour_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over the hourly series
+# ---------------------------------------------------------------------------
+
+def events_hourly_theilsen(sf_dir: str) -> pa.Table:
+    """Theil-Sen robust trend of hourly event volume: the median of all
+    pairwise slopes ``(y_j - y_i) / (x_j - x_i)`` over the hourly-count
+    series — the outlier-proof counterpart to events_hourly_ols (a single
+    traffic spike moves the OLS slope but not this one).
+
+    Exactness: each pair's slope quantizes ONCE to ppm/hour by
+    integer TRUNCATING division (numerators can be negative — DuckDB ``//``
+    truncates toward zero while numpy floors, so the kernel mirrors
+    truncation, the _trunc_div rule); the estimate is the exact med2 (sum
+    of the two middle order statistics) over those ints.  The hourly
+    aggregation is the distributed part; the pairwise finish runs on the
+    K collected hour rows (K = time span in hours — the cusum/KS
+    driver-finish pattern; K^2 is ~4e6 at a 2000-hour span, trivial for
+    one numpy broadcast, and replication tiers multiply counts, not K).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("hour", pa.int64()), ("n", pa.int64())]).empty_table()
+        us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(_HOUR_US_PC, pa.int64()))
+        t = pa.table({"hour": hour, "n": pa.array(np.ones(len(us), np.int64))})
+        return (
+            t.group_by("hour").aggregate([("n", "sum")]).rename_columns(["hour", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+    rows = counts.take_all()
+    rows.sort(key=lambda r: r["hour"])
+    x = np.array([r["hour"] for r in rows], np.int64)
+    y = np.array([r["n"] for r in rows], np.int64)
+    k = len(x)
+    iu, ju = np.triu_indices(k, 1)
+    xd = x[ju] - x[iu]
+    yd = (y[ju] - y[iu]) * 1_000_000
+    s = np.sign(yd) * (np.abs(yd) // xd)  # truncating division (DuckDB //)
+    s = np.sort(s)
+    m = len(s)
+    slope2 = int(s[(m - 1) // 2]) + int(s[m // 2])
+    return pa.table(
+        {
+            "n_hours": pa.array([k], pa.int64()),
+            "n_pairs": pa.array([m], pa.int64()),
+            "slope2_ppm": pa.array([slope2], pa.int64()),
+        }
+    )
+
+
+EVENTS_HOURLY_THEILSEN_SQL = """
+WITH c AS (
+  SELECT epoch_us(ts) // 3600000000 AS x, count(*) AS y
+  FROM events GROUP BY x),
+p AS (
+  SELECT (b.y - a.y) * 1000000 // (b.x - a.x) AS s
+  FROM c a JOIN c b ON b.x > a.x),
+r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn,
+             count(*) OVER () AS m
+      FROM p)
+SELECT (SELECT count(*) FROM c) AS n_hours,
+       CAST(max(m) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN rn = (m + 1) // 2 THEN s ELSE 0 END)
+            + sum(CASE WHEN rn = m // 2 + 1 THEN s ELSE 0 END)
+            AS BIGINT) AS slope2_ppm
+FROM r
+"""
+
+BEHAVIOR_QUERIES.update(
+    {
+        "hourly_seasonal_anomalies": (
+            hourly_seasonal_anomalies,
+            HOURLY_SEASONAL_ANOMALIES_SQL,
+        ),
+        "events_hourly_theilsen": (
+            events_hourly_theilsen,
+            EVENTS_HOURLY_THEILSEN_SQL,
+        ),
+    }
+)

@@ -4690,3 +4690,96 @@ RELATIONAL_QUERIES["revenue_gini_by_nation"] = (
     revenue_gini_by_nation,
     REVENUE_GINI_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# running-record window: record-breaking orders per customer
+# ---------------------------------------------------------------------------
+
+def record_orders(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Record-breaking orders per customer: how many of a customer's
+    orders strictly exceeded every EARLIER order's total (ordered by
+    o_orderdate, o_orderkey — the unique key makes the ROWS frame
+    deterministic under date ties).  The running-extreme window shape
+    (cummax + strict-record flag) the window family did not yet cover;
+    the first order is always a record.
+
+    Exactness: totals compare in int64 cents (per-row quantize); the
+    record flag is a pure integer comparison, so the per-customer record
+    count is hash-exact.  Plan: custkey-bucketed exchange (bucket count
+    from the orders footer row count), one vectorized pandas pass per
+    bucket — sort, per-customer shifted cummax, flag-sum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..scale import bucket_count, estimate_rows
+
+    if n_buckets is None:
+        n_buckets = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=64)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "cents": cents,
+                "bucket": pc.bit_wise_and(batch["o_custkey"], mask),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).reset_index(
+            drop=True
+        )
+        prev_max = g.groupby("o_custkey")["cents"].transform(
+            lambda s: s.cummax().shift()
+        )
+        is_record = prev_max.isna() | (g["cents"] > prev_max)
+        out = (
+            g.assign(rec=is_record.astype("int64"))
+            .groupby("o_custkey", sort=True)
+            .agg(n_orders=("rec", "size"), n_records=("rec", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(out["o_custkey"].to_numpy(np.int64), pa.int64()),
+                "n_orders": pa.array(out["n_orders"].to_numpy(np.int64), pa.int64()),
+                "n_records": pa.array(out["n_records"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("o_custkey")
+    )
+
+
+RECORD_ORDERS_SQL = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         max(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM orders)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN prev_max IS NULL OR cents > prev_max
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+FROM r GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+RELATIONAL_QUERIES["record_orders"] = (record_orders, RECORD_ORDERS_SQL)

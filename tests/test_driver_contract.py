@@ -284,6 +284,9 @@ SQL_BACKED = [
     "revenue_gini_by_nation",
     "sessions_peak_concurrency",
     "part_clustering_coeff",
+    "record_orders",
+    "hourly_seasonal_anomalies",
+    "events_hourly_theilsen",
     "coordinated_sample_join",
 ]
 

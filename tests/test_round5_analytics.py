@@ -149,3 +149,97 @@ def test_clustering_coeff_clique_vs_hub(ray_session, tmp_path):
     assert out.loc[3, "degree"] == 4
     assert out.loc[3, "n_triangles"] == 1
     assert out.loc[3, "cc_ppm"] == 166_666
+
+
+def test_record_orders_running_records(ray_session, tmp_path):
+    """First order is always a record; equal-to-max is NOT a record;
+    date ties break by orderkey."""
+    from docling_jobkit_ray.pipelines.relational import record_orders
+
+    d = pd.Timestamp("2024-01-01")
+    # cust 1: 100 (rec), 50, 100 (equal max -> no), 150 (rec) => 2 records
+    # cust 2: same-date orders 3 then 4 by orderkey: 100 (rec), 200 (rec)
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 10, 11], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [d, d + pd.Timedelta(days=1), d + pd.Timedelta(days=2),
+                 d + pd.Timedelta(days=3), d, d],
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([100.0, 50.0, 100.0, 150.0, 100.0, 200.0]),
+        }
+    )
+    _write(tmp_path, "orders", t)
+    out = record_orders(str(tmp_path), n_buckets=4).to_pandas().set_index("o_custkey")
+    assert out.loc[1, "n_orders"] == 4 and out.loc[1, "n_records"] == 2
+    assert out.loc[2, "n_orders"] == 2 and out.loc[2, "n_records"] == 2
+
+
+def test_seasonal_anomaly_flags_only_spiked_hod(ray_session, tmp_path):
+    """A spike at one 03:00 flags against the 03:00 baseline; the same
+    count at a different hour-of-day with a high baseline does not flag."""
+    from docling_jobkit_ray.pipelines.behavior import hourly_seasonal_anomalies
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    eid = 0
+
+    def burst(day, hour, k):
+        nonlocal eid
+        for i in range(k):
+            rows.append((eid, base + pd.Timedelta(days=day, hours=hour, seconds=i)))
+            eid += 1
+
+    # hod 3 baseline: 2,2,2 across three days, then a 12-spike on day 3
+    for day in range(3):
+        burst(day, 3, 2)
+    burst(3, 3, 12)
+    # hod 9: counts 12,12,12,12 -> no anomaly even though 12 is large
+    for day in range(4):
+        burst(day, 9, 12)
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "events", t)
+    out = hourly_seasonal_anomalies(str(tmp_path)).to_pandas()
+    flagged = out[out["anomaly"] == 1]
+    assert len(flagged) == 1
+    assert flagged.iloc[0]["hod"] == 3 and flagged.iloc[0]["n_events"] == 12
+
+
+def test_theilsen_ignores_single_spike(ray_session, tmp_path):
+    """Hourly counts 1,2,3,4,100: OLS would chase the spike; the pairwise-
+    slope median stays at ~1/hour (slope2 = 2 middle slopes of 1e6 each)."""
+    from docling_jobkit_ray.pipelines.behavior import events_hourly_theilsen
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    eid = 0
+    for h, k in enumerate([1, 2, 3, 4, 100]):
+        for i in range(k):
+            rows.append((eid, base + pd.Timedelta(hours=h, seconds=i)))
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    _write(tmp_path, "events", t)
+    out = events_hourly_theilsen(str(tmp_path)).to_pandas().iloc[0]
+    assert out["n_hours"] == 5 and out["n_pairs"] == 10
+    # sorted pair slopes (ppm): 1e6 x6 then 24e6, 32.3e6, 48e6, 96e6 -> med2 = 2e6
+    assert out["slope2_ppm"] == 2_000_000
