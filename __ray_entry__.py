@@ -952,6 +952,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_theilsen",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
+    q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
+    q["vocab_growth_curve"] = textstats.vocab_growth_curve
+    q["vocab_coverage_curve"] = textstats.vocab_coverage_curve
     return q
 
 
@@ -1218,6 +1221,15 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.index import bm25_search_sql
 
     sql["bm25_search"] = bm25_search_sql(["table", "spark", "window"], k=20)
+    from docling_jobkit_ray.functions.textstats import (
+        VOCAB_COVERAGE_CURVE_SQL,
+        VOCAB_GROWTH_CURVE_SQL,
+        WEIGHTED_MEDIAN_DOCLEN_SQL,
+    )
+
+    sql["weighted_median_doclen_by_lang"] = WEIGHTED_MEDIAN_DOCLEN_SQL
+    sql["vocab_growth_curve"] = VOCAB_GROWTH_CURVE_SQL
+    sql["vocab_coverage_curve"] = VOCAB_COVERAGE_CURVE_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

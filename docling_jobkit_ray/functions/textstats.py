@@ -745,3 +745,315 @@ SELECT tot.n AS n_docs, agree.a AS n_agree,
                   * 1000000) AS BIGINT) AS kappa_e6
 FROM tot, agree, pe
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted median (length-biased) document length per lang
+# ---------------------------------------------------------------------------
+
+def weighted_median_doclen_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Length-WEIGHTED median document length per lang: the length of the
+    document containing the median CHARACTER of the corpus — under a
+    skewed length distribution this sits far above the per-doc median and
+    is the number that matters for token-budget planning ("half the
+    training tokens come from docs longer than X").
+
+    Rule (exact, cross-engine): sort docs by (n_chars, doc_id); the
+    weighted median is the n_chars of the first row whose doubled
+    cumulative weight reaches the total (``2*cw >= tw``) with weight =
+    n_chars.  The engine never sorts rows: lengths are a bounded integer
+    domain, so per-batch (lang, n_chars) -> (count, weight) partials fold
+    into a per-lang HISTOGRAM (the length_percentile_rank /
+    doc_length_percentiles pattern) and the cumulative walk happens on
+    distinct lengths — crossing the threshold mid-length-class picks that
+    class's length, exactly what the row-level rule picks.
+    """
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    part_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_chars", pa.int64()),
+            ("n", pa.int64()),
+            ("w", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = (
+            pa.table({"lang": batch["lang"], "n_chars": batch["n_chars"]})
+            .group_by(["lang", "n_chars"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n_chars", "n"])
+        )
+        return t.append_column("w", pc.multiply(t["n_chars"], t["n"]))
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("total_chars", pa.int64()),
+            ("wmedian_chars", pa.int64()),
+        ]
+    )
+
+    def per_lang(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(part_schema.names).cast(part_schema)
+        import pandas as pd
+
+        df = (
+            group.to_pandas()
+            .groupby("n_chars", sort=True)
+            .agg(n=("n", "sum"), w=("w", "sum"))
+            .reset_index()
+        )
+        cw = df["w"].cumsum()
+        tw = int(cw.iloc[-1])
+        pick = df["n_chars"][(2 * cw) >= tw].iloc[0]
+        return pa.table(
+            {
+                "lang": [group["lang"][0].as_py()],
+                "n_docs": pa.array([int(df["n"].sum())], pa.int64()),
+                "total_chars": pa.array([tw], pa.int64()),
+                "wmedian_chars": pa.array([int(pick)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pyarrow")
+        .sort("lang")
+    )
+
+
+WEIGHTED_MEDIAN_DOCLEN_SQL = """
+WITH w AS (
+  SELECT lang, n_chars, doc_id,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(n_chars) OVER (PARTITION BY lang) AS tw
+  FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(max(tw) AS BIGINT) AS total_chars,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN n_chars END) AS BIGINT)
+         AS wmedian_chars
+FROM w GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps' law) and Zipf coverage ladder
+# ---------------------------------------------------------------------------
+
+_VG_BUCKET_DOCS = 100
+
+
+def _word_explode(batch: pa.Table) -> tuple[pa.Array, pa.Array]:
+    """Vectorized ``[a-z]+`` token explosion: returns (word, parent doc_id)
+    flat arrays with empty-string splits dropped — the corpus-wide ASCII
+    token contract shared with top_terms/doc_frequency so DuckDB's
+    regexp_extract_all counts the identical tokens."""
+    lower = pc.utf8_lower(batch["text"])
+    words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    flat = words.flatten()
+    parent = pc.list_parent_indices(words)
+    ids = pc.take(batch["doc_id"].combine_chunks(), parent)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    return pc.filter(flat, keep), pc.filter(ids, keep)
+
+
+def vocab_growth_curve(sf_dir: str) -> pa.Table:
+    """Heaps'-law vocabulary growth: cumulative distinct ``[a-z]+`` word
+    count after every block of 100 documents in doc_id order — the
+    diminishing-returns curve that says whether the next crawl slice still
+    buys new vocabulary.
+
+    Distributed as first-appearance folding (the cumulative_unique_users
+    rule lifted to words): per-batch (word, min doc_id) partials -> one
+    word-keyed exchange keeps the global min -> each word counts once, in
+    the bucket of its FIRST document; the cumulative sum over the K =
+    n_docs/100 bucket rows is the driver finish.  The shuffle carries one
+    row per distinct word per batch, never per token.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("word", pa.string()), ("fd", pa.int64())]
+            ).empty_table()
+        word, ids = _word_explode(batch)
+        return (
+            pa.table({"word": word, "fd": ids})
+            .group_by("word")
+            .aggregate([("fd", "min")])
+            .rename_columns(["word", "fd"])
+        )
+
+    first = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Min("fd", alias_name="fd"))
+    )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("bucket", pa.int64()), ("new_words", pa.int64())]
+            ).empty_table()
+        b = pc.divide(batch["fd"], pa.scalar(_VG_BUCKET_DOCS, pa.int64()))
+        return (
+            pa.table({"bucket": b})
+            .group_by("bucket")
+            .aggregate([([], "count_all")])
+            .rename_columns(["bucket", "new_words"])
+        )
+
+    rows = (
+        first.map_batches(bucket_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum(on="new_words", alias_name="new_words"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["bucket"])
+    b = np.array([r["bucket"] for r in rows], np.int64)
+    nw = np.array([r["new_words"] for r in rows], np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(b, pa.int64()),
+            "new_words": pa.array(nw, pa.int64()),
+            "cum_vocab": pa.array(np.cumsum(nw), pa.int64()),
+        }
+    )
+
+
+VOCAB_GROWTH_CURVE_SQL = f"""
+WITH fw AS (
+  SELECT word, min(doc_id) AS fd FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  GROUP BY word),
+b AS (SELECT fd // {_VG_BUCKET_DOCS} AS bucket, count(*) AS new_words
+      FROM fw GROUP BY bucket)
+SELECT bucket, new_words,
+       CAST(sum(new_words) OVER (ORDER BY bucket
+                                 RANGE UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab
+FROM b ORDER BY bucket
+"""
+
+_VC_LADDER = (100, 1_000, 10_000, 100_000)
+
+
+def vocab_coverage_curve(sf_dir: str) -> pa.Table:
+    """Zipf coverage ladder: what fraction of all corpus tokens (ppm) the
+    top-k most frequent words cover, for k in {100, 1k, 10k, 100k} — the
+    vocabulary-size planning number for tokenizer fitting (bpe.py).
+
+    No global sort of the vocabulary happens anywhere: word counts fold
+    through the standard combiner exchange, then collapse to the
+    COUNT-OF-COUNTS histogram (frequency f -> how many words, how many
+    tokens), which is tiny (distinct frequencies ~ sqrt(corpus tokens));
+    the ladder walk runs on that histogram with Python-int arithmetic.
+    Words sharing a frequency are interchangeable, so "top-k" is exact
+    without naming which words: a partially-consumed frequency class
+    contributes ``(k - words_above) * f`` tokens — the same arithmetic the
+    oracle does with two window cumsums.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("word", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        word, _ids = _word_explode(batch)
+        return (
+            pa.table({"word": word})
+            .group_by("word")
+            .aggregate([([], "count_all")])
+            .rename_columns(["word", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum(on="n", alias_name="f"))
+    )
+
+    def cc_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("f", pa.int64()), ("w", pa.int64())]
+            ).empty_table()
+        return (
+            pa.table({"f": batch["f"]})
+            .group_by("f")
+            .aggregate([([], "count_all")])
+            .rename_columns(["f", "w"])
+        )
+
+    hist = (
+        counts.map_batches(cc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("f")
+        .aggregate(Sum(on="w", alias_name="w"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: -r["f"])
+    ks, cov = [], []
+    total_t = sum(int(r["f"]) * int(r["w"]) for r in hist)
+    total_v = sum(int(r["w"]) for r in hist)
+    for k in _VC_LADDER:
+        if k >= total_v:
+            ks.append(k)
+            cov.append(1_000_000 if total_t else 0)
+            continue
+        cw = ct = 0
+        for r in hist:
+            f, w = int(r["f"]), int(r["w"])
+            if cw + w >= k:
+                ks.append(k)
+                cov.append((ct + (k - cw) * f) * 1_000_000 // total_t)
+                break
+            cw += w
+            ct += f * w
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "coverage_ppm": pa.array(cov, pa.int64()),
+        }
+    )
+
+
+VOCAB_COVERAGE_CURVE_SQL = f"""
+WITH wc AS (
+  SELECT word, count(*) AS f FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  GROUP BY word),
+cc AS (SELECT f, count(*) AS w, f * count(*) AS t FROM wc GROUP BY f),
+o AS (SELECT f, w, t,
+             sum(w) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(t) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS ct
+      FROM cc),
+tot AS (SELECT sum(t) AS T, sum(w) AS V FROM cc),
+ks(k) AS (VALUES (100), (1000), (10000), (100000))
+SELECT ks.k,
+       CAST(CASE WHEN ks.k >= tot.V THEN 1000000
+            ELSE (o.ct - o.t + (ks.k - (o.cw - o.w)) * o.f) * 1000000 // tot.T
+            END AS BIGINT) AS coverage_ppm
+FROM ks CROSS JOIN tot
+LEFT JOIN o ON o.cw - o.w < ks.k AND ks.k <= o.cw
+ORDER BY ks.k
+"""

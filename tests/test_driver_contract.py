@@ -288,6 +288,9 @@ SQL_BACKED = [
     "hourly_seasonal_anomalies",
     "events_hourly_theilsen",
     "coordinated_sample_join",
+    "weighted_median_doclen_by_lang",
+    "vocab_growth_curve",
+    "vocab_coverage_curve",
 ]
 
 
