@@ -955,6 +955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
     q["vocab_growth_curve"] = textstats.vocab_growth_curve
     q["vocab_coverage_curve"] = textstats.vocab_coverage_curve
+    q["lexical_diversity_by_lang"] = textstats.lexical_diversity_by_lang
+    q["hapax_rate_by_lang"] = textstats.hapax_rate_by_lang
     return q
 
 
@@ -1222,6 +1224,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_search"] = bm25_search_sql(["table", "spark", "window"], k=20)
     from docling_jobkit_ray.functions.textstats import (
+        HAPAX_RATE_SQL,
+        LEXICAL_DIVERSITY_SQL,
         VOCAB_COVERAGE_CURVE_SQL,
         VOCAB_GROWTH_CURVE_SQL,
         WEIGHTED_MEDIAN_DOCLEN_SQL,
@@ -1230,6 +1234,8 @@ def oracle_sql() -> dict[str, str]:
     sql["weighted_median_doclen_by_lang"] = WEIGHTED_MEDIAN_DOCLEN_SQL
     sql["vocab_growth_curve"] = VOCAB_GROWTH_CURVE_SQL
     sql["vocab_coverage_curve"] = VOCAB_COVERAGE_CURVE_SQL
+    sql["lexical_diversity_by_lang"] = LEXICAL_DIVERSITY_SQL
+    sql["hapax_rate_by_lang"] = HAPAX_RATE_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1057,3 +1057,279 @@ FROM ks CROSS JOIN tot
 LEFT JOIN o ON o.cw - o.w < ks.k AND ks.k <= o.cw
 ORDER BY ks.k
 """
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity (type-token ratio) per lang — fully batch-local
+# ---------------------------------------------------------------------------
+
+
+def lexical_diversity_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-lang mean type-token ratio (distinct words / total words, ppm,
+    per-doc then averaged) — the lexical-diversity curation signal that
+    separates template/boilerplate pages (low TTR) from natural prose.
+
+    Every per-doc statistic is BATCH-LOCAL (a document never spans
+    batches): one vectorized ``[a-z]+`` explode, one in-memory Arrow
+    group_by for (doc, word) tfs, one for per-doc totals — then only the
+    tiny (lang, n_docs, sum_ttr) partials ride the lang groupby.  Integer
+    contract: ttr_ppm = distinct*1e6 // total per doc (floor division,
+    positive), avg = sum // n — exact cross-engine.  Zero-token docs
+    produce no explode rows in either engine and drop out identically.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    part_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("sum_ttr", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        words = (
+            words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        )
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = pc.filter(flat, keep)
+        parent = pc.filter(parent, keep)
+        if len(flat) == 0:
+            return part_schema.empty_table()
+        tf = (
+            pa.table({"i": parent, "word": flat})
+            .group_by(["i", "word"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["i", "word", "tf"])
+        )
+        per_doc = (
+            pa.table({"i": tf["i"], "tf": tf["tf"]})
+            .group_by("i")
+            .aggregate([([], "count_all"), ("tf", "sum")])
+            .rename_columns(["i", "distinct_w", "total_w"])
+        )
+        lang = pc.take(batch["lang"].combine_chunks(), per_doc["i"])
+        ttr = pc.divide(
+            pc.multiply(
+                pc.cast(per_doc["distinct_w"], pa.int64()),
+                pa.scalar(1_000_000, pa.int64()),
+            ),
+            pc.cast(per_doc["total_w"], pa.int64()),
+        )
+        agg = (
+            pa.table(
+                {
+                    "lang": lang,
+                    "n_tokens": pc.cast(per_doc["total_w"], pa.int64()),
+                    "sum_ttr": ttr,
+                }
+            )
+            .group_by("lang")
+            .aggregate([([], "count_all"), ("n_tokens", "sum"), ("sum_ttr", "sum")])
+            .rename_columns(["lang", "n_docs", "n_tokens", "sum_ttr"])
+        )
+        return agg.select(part_schema.names).cast(part_schema)
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("avg_ttr_ppm", pa.int64()),
+        ]
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(part_schema.names).cast(part_schema)
+        n = int(pc.sum(group["n_docs"]).as_py())
+        return pa.table(
+            {
+                "lang": [group["lang"][0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "n_tokens": pa.array(
+                    [int(pc.sum(group["n_tokens"]).as_py())], pa.int64()
+                ),
+                "avg_ttr_ppm": pa.array(
+                    [int(pc.sum(group["sum_ttr"]).as_py()) // n], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort("lang")
+    )
+
+
+LEXICAL_DIVERSITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+d AS (
+  SELECT doc_id, lang,
+         count(DISTINCT word) * 1000000 // count(*) AS ttr_ppm,
+         count(*) AS total_w
+  FROM tok GROUP BY doc_id, lang)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(total_w) AS BIGINT) AS n_tokens,
+       CAST(sum(ttr_ppm) // count(*) AS BIGINT) AS avg_ttr_ppm
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# hapax legomena rate per lang — one word-bucketed exchange
+# ---------------------------------------------------------------------------
+
+
+def hapax_rate_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-lang hapax-legomena profile: how much of each language's
+    vocabulary occurs exactly once in the corpus (typo/OCR-noise and
+    tokenizer-pressure signal — a high hapax share means BPE merges are
+    being spent on junk).
+
+    Exact global (lang, word) counts without a string-keyed Ray groupby
+    (CLAUDE.md: string keys sort through the shuffle; two-key is
+    pathological): per-batch Arrow partials -> hash(word) int BUCKET
+    exchange (bucket count derived from input size) -> in-bucket Arrow
+    group_by folds the global counts -> tiny (lang, vocab, hapax, tokens)
+    partials per bucket -> one final lang fold.  hapax_ppm =
+    hapax*1e6 // vocab, exact int.
+    """
+    import pandas as pd
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "documents") * 60, min_buckets=64)
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    pair_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("lang", pa.string()),
+            ("word", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        words = (
+            words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        )
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = pc.filter(flat, keep)
+        parent = pc.filter(parent, keep)
+        if len(flat) == 0:
+            return pair_schema.empty_table()
+        lang = pc.take(batch["lang"].combine_chunks(), parent)
+        t = (
+            pa.table({"lang": lang, "word": flat})
+            .group_by(["lang", "word"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "word", "n"])
+        )
+        h = pd.util.hash_array(t["word"].to_numpy(zero_copy_only=False))
+        b = pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        return pa.table(
+            {"bucket": b, "lang": t["lang"], "word": t["word"], "n": t["n"]}
+        ).cast(pair_schema)
+
+    fold_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("vocab", pa.int64()),
+            ("hapax", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return fold_schema.empty_table()
+        group = group.select(pair_schema.names).cast(pair_schema)
+        tot = (
+            pa.table({"lang": group["lang"], "word": group["word"], "n": group["n"]})
+            .group_by(["lang", "word"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "word", "n"])
+        )
+        ones = pc.cast(pc.equal(tot["n"], pa.scalar(1, pa.int64())), pa.int64())
+        out = (
+            pa.table({"lang": tot["lang"], "one": ones, "n": tot["n"]})
+            .group_by("lang")
+            .aggregate([([], "count_all"), ("one", "sum"), ("n", "sum")])
+            .rename_columns(["lang", "vocab", "hapax", "n_tokens"])
+        )
+        return out.select(fold_schema.names).cast(fold_schema)
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("vocab", pa.int64()),
+            ("hapax", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("hapax_ppm", pa.int64()),
+        ]
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(fold_schema.names).cast(fold_schema)
+        vocab = int(pc.sum(group["vocab"]).as_py())
+        hapax = int(pc.sum(group["hapax"]).as_py())
+        return pa.table(
+            {
+                "lang": [group["lang"][0].as_py()],
+                "vocab": pa.array([vocab], pa.int64()),
+                "hapax": pa.array([hapax], pa.int64()),
+                "n_tokens": pa.array(
+                    [int(pc.sum(group["n_tokens"]).as_py())], pa.int64()
+                ),
+                "hapax_ppm": pa.array([hapax * 1_000_000 // vocab], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort("lang")
+    )
+
+
+HAPAX_RATE_SQL = """
+WITH wc AS (
+  SELECT lang, word, count(*) AS n FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  GROUP BY lang, word)
+SELECT lang,
+       count(*) AS vocab,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS hapax_ppm
+FROM wc GROUP BY lang ORDER BY lang
+"""

@@ -291,6 +291,8 @@ SQL_BACKED = [
     "weighted_median_doclen_by_lang",
     "vocab_growth_curve",
     "vocab_coverage_curve",
+    "lexical_diversity_by_lang",
+    "hapax_rate_by_lang",
 ]
 
 
