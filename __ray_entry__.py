@@ -231,6 +231,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_orders",
         "hourly_seasonal_anomalies",
         "events_hourly_theilsen",
+        # round-5 warehouse shapes (warehouse.py): join/agg + windows
+        # families already hold their cap slots
+        "lineitem_status_pit",
+        "revenue_time_rollup",
+        "events_time_weighted_value",
+        "orders_content_checksum",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -950,6 +956,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_orders",
         "hourly_seasonal_anomalies",
         "events_hourly_theilsen",
+        "lineitem_status_pit",
+        "revenue_time_rollup",
+        "events_time_weighted_value",
+        "orders_content_checksum",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang

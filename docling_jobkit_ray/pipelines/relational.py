@@ -3430,6 +3430,10 @@ from .behavior import BEHAVIOR_QUERIES  # noqa: E402
 
 RELATIONAL_QUERIES.update(BEHAVIOR_QUERIES)
 
+from .warehouse import WAREHOUSE_QUERIES  # noqa: E402
+
+RELATIONAL_QUERIES.update(WAREHOUSE_QUERIES)
+
 
 # ---------------------------------------------------------------------------
 # RFM customer segmentation (multi-metric global-quantile bucketize)

@@ -1,0 +1,707 @@
+"""Warehouse-maintenance and temporal-dimension shapes over the TPC-H-ish
+tables — four operators a lakehouse engine runs that the relational /
+behavior surface does not yet cover:
+
+- ``lineitem_status_pit``       : SCD2 point-in-time dimension join — each
+  lineitem (a fact at ``l_shipdate``) attached to the customer-status
+  version valid WHEN IT SHIPPED.  Ship dates lag order dates by months, so
+  ~63% of items ship under a different status version than they were
+  ordered under (measured at sf0.001) — the join is genuinely temporal.
+- ``revenue_time_rollup``       : multi-grain time rollup (day/month/year)
+  off ONE day-grain partial exchange — GROUPING SETS on the time axis
+  (the dimension-axis ROLLUP lives in ``revenue_rollup``).
+- ``events_time_weighted_value``: per-user time-weighted average of
+  ``value`` (each event's value held until the user's next event) — the
+  TWAP / time-in-state integral, LEAD-duration weighting.
+- ``orders_content_checksum``   : order-invariant per-group content
+  checksum (mod-p polynomial row hash + commutative mod-p sum) — the
+  cross-engine migration audit: two engines holding the same rows produce
+  the same checksum regardless of partitioning or row order.  This is how
+  you verify a 100 TB copy without sorting either side.
+
+Exactness contract: money rides as int64 cents (1e-4 units for
+price*(1-discount)); durations as whole int64 seconds (microsecond floor
+division — NOT round()); checksums entirely in mod-p int64 arithmetic
+(p = 2^31 - 1, products bounded < 2^63); the only floats are final
+divisions of exact integers, mirrored op-for-op in the oracle SQL.
+
+Reference parity: the reference (docling-jobkit) has no warehouse surface;
+these document the Ray-Data-native shapes of standard lakehouse queries
+(SURVEY.md §2.6/§2.7 extensions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import read_table
+
+_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime): the mod-p checksum domain
+_US_PER_DAY = 86_400_000_000
+
+
+def _rel():
+    """Lazy accessor for relational.py helpers (relational.py imports this
+    module at its tail — see tpch_supp._rel for the worker-side rationale)."""
+    from . import relational
+
+    return relational
+
+
+def _cents(col) -> pa.ChunkedArray:
+    """Exact int64 cents of a currency double column (same kernel as
+    tpch_supp._cents; duplicated 2-liner to avoid a module-level
+    cross-import that workers would re-resolve)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def _order_buckets(sf_dir: str, *, min_buckets: int = 64) -> int:
+    from ..scale import bucket_count, estimate_rows
+
+    return bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=min_buckets)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join: fact at ship date -> status version then valid
+# ---------------------------------------------------------------------------
+
+
+def lineitem_status_pit(sf_dir: str) -> ray.data.Dataset:
+    """Revenue / quantity / item counts grouped by the customer's order
+    status AS OF EACH ITEM'S SHIP DATE — the SCD2 point-in-time dimension
+    join (Kimball's "type 2 lookup"), the temporal-join shape every
+    warehouse needs once a dimension is versioned.
+
+    Plan: TWO bucketed exchanges, both key-hash bounded.
+      1. orderkey bucket: lineitem partials (pre-aggregated to
+         (orderkey, ship_day) with item counts / qty cents / revenue 1e-4
+         units) join the (orderkey -> custkey) map — the FK resolve.
+      2. custkey bucket: the resolved facts co-shuffle with the raw orders
+         rows (tagged union, ONE all-to-all); each bucket derives the SCD2
+         runs with vectorized pandas shifts (same gaps-and-islands kernel
+         as ``scd2_customer_status``), dedups same-day run starts to the
+         LATEST version (an interval [d, d) is empty — an event at d
+         belongs to the later run), and lands every fact in its interval
+         with ONE ``pandas.merge_asof(by=custkey)``.
+    Per-bucket partial sums fold through a 3-row final groupby; no driver
+    materialization is data-proportional.
+    """
+    n_buckets = _order_buckets(sf_dir)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    # ---- exchange 1: resolve o_custkey onto lineitem facts ----
+    ex1 = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("ship_us", pa.int64()),
+            ("n_items", pa.int64()),
+            ("qty_c", pa.int64()),
+            ("rev_c4", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return ex1.empty_table()
+        t = pa.table(
+            {
+                "key": batch["l_orderkey"],
+                "ship_us": pc.cast(
+                    pc.cast(batch["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "qty_c": _cents(batch["l_quantity"]),
+                "rev_c4": pc.multiply(
+                    _cents(batch["l_extendedprice"]),
+                    pc.subtract(
+                        pa.scalar(100, pa.int64()), _cents(batch["l_discount"])
+                    ),
+                ),
+            }
+        )
+        g = (
+            t.group_by(["key", "ship_us"])
+            .aggregate([("qty_c", "sum"), ("rev_c4", "sum"), ("key", "count")])
+            .rename_columns(["key", "ship_us", "qty_c", "rev_c4", "n_items"])
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "ship_us": g["ship_us"],
+                "n_items": g["n_items"],
+                "qty_c": g["qty_c"],
+                "rev_c4": g["rev_c4"],
+                "o_custkey": pa.nulls(n, pa.int64()),
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(g["key"], mask),
+            }
+        )
+
+    def ord_map(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return ex1.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_orderkey"],
+                "ship_us": pa.nulls(n, pa.int64()),
+                "n_items": pa.nulls(n, pa.int64()),
+                "qty_c": pa.nulls(n, pa.int64()),
+                "rev_c4": pa.nulls(n, pa.int64()),
+                "o_custkey": batch["o_custkey"],
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["o_orderkey"], mask),
+            }
+        )
+
+    # exchange-2 tagged union: resolved facts (side=1) + raw dim rows (side=0)
+    ex2 = pa.schema(
+        [
+            ("cust", pa.int64()),
+            ("ship_us", pa.int64()),
+            ("n_items", pa.int64()),
+            ("qty_c", pa.int64()),
+            ("rev_c4", pa.int64()),
+            ("date_us", pa.int64()),
+            ("status", pa.string()),
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return ex2.empty_table()
+        group = group.select(ex1.names).cast(ex1)
+        facts = group.filter(pc.equal(group["side"], 0)).select(
+            ["key", "ship_us", "n_items", "qty_c", "rev_c4"]
+        )
+        omap = group.filter(pc.equal(group["side"], 1)).select(["key", "o_custkey"])
+        if facts.num_rows == 0 or omap.num_rows == 0:
+            return ex2.empty_table()
+        j = facts.join(omap, keys=["key"], join_type="inner")
+        n = j.num_rows
+        return pa.table(
+            {
+                "cust": j["o_custkey"],
+                "ship_us": j["ship_us"],
+                "n_items": j["n_items"],
+                "qty_c": j["qty_c"],
+                "rev_c4": j["rev_c4"],
+                "date_us": pa.nulls(n, pa.int64()),
+                "status": pa.nulls(n, pa.string()),
+                "okey": pa.nulls(n, pa.int64()),
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(j["o_custkey"], mask),
+            }
+        )
+
+    def dim_side(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return ex2.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "cust": batch["o_custkey"],
+                "ship_us": pa.nulls(n, pa.int64()),
+                "n_items": pa.nulls(n, pa.int64()),
+                "qty_c": pa.nulls(n, pa.int64()),
+                "rev_c4": pa.nulls(n, pa.int64()),
+                "date_us": pc.cast(
+                    pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "status": batch["o_orderstatus"],
+                "okey": batch["o_orderkey"],
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["o_custkey"], mask),
+            }
+        )
+
+    part_schema = pa.schema(
+        [
+            ("status_at_ship", pa.string()),
+            ("n_items", pa.int64()),
+            ("qty_c", pa.int64()),
+            ("rev_c4", pa.int64()),
+        ]
+    )
+
+    def pit_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return part_schema.empty_table()
+        group = group.select(ex2.names).cast(ex2)
+        dim = group.filter(pc.equal(group["side"], 0))
+        facts = group.filter(pc.equal(group["side"], 1))
+        if dim.num_rows == 0 or facts.num_rows == 0:
+            return part_schema.empty_table()
+        d = (
+            dim.select(["cust", "date_us", "status", "okey"])
+            .to_pandas()
+            .sort_values(["cust", "date_us", "okey"], kind="stable")
+            .reset_index(drop=True)
+        )
+        new_cust = d["cust"].ne(d["cust"].shift())
+        brk = new_cust | d["status"].ne(d["status"].shift())
+        d["gid"] = brk.cumsum()
+        runs = (
+            d.groupby("gid", as_index=False)
+            .agg(cust=("cust", "first"), status=("status", "first"), from_us=("date_us", "first"))
+            .sort_values("gid", kind="stable")
+        )
+        # same-day run starts: [d, d) is empty -> the LATER version wins
+        runs = runs.drop_duplicates(["cust", "from_us"], keep="last")
+        f = (
+            facts.select(["cust", "ship_us", "n_items", "qty_c", "rev_c4"])
+            .to_pandas()
+            .sort_values("ship_us", kind="stable")
+        )
+        m = pd.merge_asof(
+            f,
+            runs[["cust", "from_us", "status"]].sort_values("from_us", kind="stable"),
+            left_on="ship_us",
+            right_on="from_us",
+            by="cust",
+            direction="backward",
+        ).dropna(subset=["status"])
+        agg = m.groupby("status", as_index=False).agg(
+            n_items=("n_items", "sum"), qty_c=("qty_c", "sum"), rev_c4=("rev_c4", "sum")
+        )
+        return pa.table(
+            {
+                "status_at_ship": pa.array(agg["status"], pa.string()),
+                "n_items": pa.array(agg["n_items"].to_numpy(np.int64), pa.int64()),
+                "qty_c": pa.array(agg["qty_c"].to_numpy(np.int64), pa.int64()),
+                "rev_c4": pa.array(agg["rev_c4"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status_at_ship": batch["status_at_ship"],
+                "n_items": batch["n_items"],
+                "sum_qty": pc.divide(
+                    pc.cast(batch["qty_c"], pa.float64()), pa.scalar(100.0)
+                ),
+                "revenue": pc.divide(
+                    pc.cast(batch["rev_c4"], pa.float64()), pa.scalar(10000.0)
+                ),
+            }
+        )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    omap = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        ord_map, batch_format="pyarrow", zero_copy_batch=True
+    )
+    facts = (
+        li.union(omap)
+        .groupby("bucket")
+        .map_groups(resolve_bucket, batch_format="pyarrow")
+    )
+    dim = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey"]
+    ).map_batches(dim_side, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        facts.union(dim)
+        .groupby("bucket")
+        .map_groups(pit_bucket, batch_format="pyarrow")
+        .groupby("status_at_ship")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("rev_c4", alias_name="rev_c4"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("status_at_ship")
+    )
+
+
+LINEITEM_STATUS_PIT_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+              THEN 1 ELSE 0 END AS brk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT *, sum(brk) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM seq
+),
+dim0 AS (
+  SELECT o_custkey, run_id, min(o_orderstatus) AS status,
+         min(o_orderdate) AS valid_from
+  FROM runs GROUP BY o_custkey, run_id
+),
+dim AS (
+  SELECT * FROM dim0
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, valid_from
+                             ORDER BY run_id DESC) = 1
+),
+fact AS (
+  SELECT o_custkey, l_shipdate,
+         CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_c4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT d.status AS status_at_ship,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(f.qty_c) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(sum(f.rev_c4) AS BIGINT) / 10000.0 AS revenue
+FROM fact f
+ASOF JOIN dim d ON f.o_custkey = d.o_custkey AND f.l_shipdate >= d.valid_from
+GROUP BY status_at_ship
+ORDER BY status_at_ship
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-grain time rollup (GROUPING SETS on the time axis)
+# ---------------------------------------------------------------------------
+
+
+def revenue_time_rollup(sf_dir: str) -> pa.Table:
+    """Order counts and revenue at THREE time grains (day / month / year)
+    from ONE day-grain exchange: per-batch partials pre-aggregate to the
+    day, a single groupby folds them, and the month/year grains derive
+    from the day rows on the driver — the day-grain result is bounded by
+    the CALENDAR domain (~2.4k distinct days for a 7-year corpus at any
+    scale factor), not by the data, so the driver finish is safe at 100x.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("day_us", pa.int64()), ("cents", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        day_us = pc.multiply(
+            pc.divide(date_us, pa.scalar(_US_PER_DAY, pa.int64())),
+            pa.scalar(_US_PER_DAY, pa.int64()),
+        )
+        t = pa.table({"day_us": day_us, "cents": _cents(batch["o_totalprice"])})
+        return (
+            t.group_by("day_us")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+            .rename_columns(["day_us", "cents", "n"])
+        )
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_us")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .take_all()
+    )  # bounded by the calendar domain, not the row count
+    df = pd.DataFrame(days).sort_values("day_us").reset_index(drop=True)
+    day_ts = df["day_us"].to_numpy(np.int64).astype("datetime64[us]")
+    frames = []
+    for grain, trunc in (("day", "D"), ("month", "M"), ("year", "Y")):
+        start = day_ts.astype(f"datetime64[{trunc}]").astype("datetime64[us]")
+        g = (
+            pd.DataFrame(
+                {
+                    "period_start": start.astype(np.int64),
+                    "n_orders": df["n"].to_numpy(np.int64),
+                    "cents": df["cents"].to_numpy(np.int64),
+                }
+            )
+            .groupby("period_start", as_index=False)
+            .sum()
+        )
+        g.insert(0, "grain", grain)
+        frames.append(g)
+    out = pd.concat(frames, ignore_index=True).sort_values(
+        ["grain", "period_start"], kind="stable"
+    )
+    return pa.table(
+        {
+            "grain": pa.array(out["grain"], pa.string()),
+            "period_start": pc.cast(
+                pa.array(out["period_start"].to_numpy(np.int64), pa.int64()),
+                pa.timestamp("us"),
+            ),
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64), pa.int64()),
+            "revenue": pa.array(
+                out["cents"].to_numpy(np.int64).astype(np.float64) / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+REVENUE_TIME_ROLLUP_SQL = """
+WITH g AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         date_trunc('month', o_orderdate) AS m,
+         date_trunc('year', o_orderdate) AS y,
+         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CASE WHEN GROUPING(d) = 0 THEN 'day'
+            WHEN GROUPING(m) = 0 THEN 'month'
+            ELSE 'year' END AS grain,
+       CAST(coalesce(d, m, y) AS TIMESTAMP) AS period_start,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
+FROM g GROUP BY GROUPING SETS ((d), (m), (y))
+ORDER BY grain, period_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user time-weighted average value (TWAP / time-in-state integral)
+# ---------------------------------------------------------------------------
+
+
+def events_time_weighted_value(
+    sf_dir: str, *, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Per-user TIME-WEIGHTED average of ``value``: each event's value
+    holds until the user's next event, weighted by that duration in whole
+    seconds — the TWAP / time-in-state integral (how metric systems
+    average a gauge, vs the row-weighted mean in events_user_stats).
+
+    Exactness: value quantized to int64 cents per row; durations are
+    exact int64 seconds (us floor-div, positive); the weighted sum is an
+    int64*int64 product sum.  The ONLY float is the final
+    num/den/100.0 — two IEEE ops in the same order in both engines.
+    Users never span buckets, so the per-bucket fold emits final rows
+    directly (no second exchange)."""
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    add_bucket = rel._user_bucket_adder(rel._user_buckets(sf_dir, n_buckets))
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_intervals", pa.int64()),
+            ("total_dur_s", pa.int64()),
+            ("twav", pa.float64()),
+        ]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("ts_us", pa.int64()),
+                    ("event_id", pa.int64()),
+                    ("cents", pa.int64()),
+                    ("bucket", pa.int64()),
+                ]
+            ).empty_table()
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+                "event_id": batch["event_id"],
+                "cents": _cents(batch["value"]),
+            }
+        )
+        return add_bucket(t)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        user = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        same = np.r_[user[:-1] == user[1:], False]
+        dur_s = np.zeros(len(g), dtype=np.int64)
+        dur_s[same] = (ts[1:][same[:-1]] - ts[:-1][same[:-1]]) // 1_000_000
+        d = pd.DataFrame(
+            {
+                "user_id": user[same],
+                "dur_s": dur_s[same],
+                "num": cents[same] * dur_s[same],
+            }
+        )
+        agg = d.groupby("user_id", as_index=False).agg(
+            n_intervals=("dur_s", "size"),
+            total_dur_s=("dur_s", "sum"),
+            num=("num", "sum"),
+        )
+        agg = agg[agg["total_dur_s"] > 0]
+        twav = (
+            agg["num"].to_numpy(np.int64).astype(np.float64)
+            / agg["total_dur_s"].to_numpy(np.int64).astype(np.float64)
+            / 100.0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].astype("int64"),
+                "n_intervals": agg["n_intervals"].astype("int64"),
+                "total_dur_s": agg["total_dur_s"].astype("int64"),
+                "twav": twav,
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(
+            lambda b: b.select(out_schema.names).cast(out_schema)
+            if b.num_rows
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        .sort("user_id")
+    )
+
+
+EVENTS_TWAV_SQL = """
+WITH seq AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          - epoch_us(ts)) // 1000000 AS dur_s
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+         CAST(sum(cents * dur_s) AS BIGINT) AS num
+  FROM seq WHERE dur_s IS NOT NULL
+  GROUP BY user_id HAVING sum(dur_s) > 0
+)
+SELECT user_id, n_intervals, total_dur_s,
+       CAST(num AS DOUBLE) / CAST(total_dur_s AS DOUBLE) / 100.0 AS twav
+FROM agg ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# order-invariant content checksum (cross-engine migration audit)
+# ---------------------------------------------------------------------------
+
+_CK_A1 = 1_103_515_245
+_CK_A2 = 69_069
+_CK_A3 = 1_013_904_223
+_CK_A4 = 214_013
+_CK_MIX = 630_360_016
+_CK_C = 999_979
+
+
+def orders_content_checksum(sf_dir: str) -> ray.data.Dataset:
+    """Per-status row count + ORDER-INVARIANT content checksum over the
+    orders table: each row hashes to a mod-p polynomial of its key columns
+    (p = 2^31 - 1), and the group checksum is the commutative mod-p SUM of
+    row hashes — identical no matter how either engine partitions or
+    orders the rows.  This is the audit a migration runs to prove two
+    copies of a 100 TB table hold the same content without sorting
+    either side.
+
+    Overflow discipline (both engines): every per-row term is bounded by
+    (p-1) * A_i with sum(A_i) < 2^32, so the pre-mod polynomial stays
+    under 2^63; per-batch partial sums of already-reduced hashes (< p)
+    stay exact through the final int64 fold; congruence makes
+    mod-per-batch-then-sum equal sum-then-mod."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema(
+        [("o_orderstatus", pa.string()), ("rh_sum", pa.int64()), ("n_rows", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        okey = batch["o_orderkey"].to_numpy().astype(np.int64)
+        ck = batch["o_custkey"].to_numpy().astype(np.int64)
+        cents = _cents(batch["o_totalprice"]).to_numpy().astype(np.int64)
+        date_us = pc.cast(
+            pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        day = date_us // _US_PER_DAY
+        inner = (
+            (okey % _P) * _CK_A1
+            + (ck % _P) * _CK_A2
+            + (cents % _P) * _CK_A3
+            + (day % _P) * _CK_A4
+        )
+        rh = ((inner % _P) * _CK_MIX + _CK_C) % _P
+        t = pa.table(
+            {"o_orderstatus": batch["o_orderstatus"], "rh": pa.array(rh, pa.int64())}
+        )
+        g = (
+            t.group_by("o_orderstatus")
+            .aggregate([("rh", "sum"), ("rh", "count")])
+            .rename_columns(["o_orderstatus", "rh_sum", "n_rows"])
+        )
+        # reduce the partial mod p so downstream sums of partials stay exact
+        return g.set_column(1, "rh_sum", pa.array(g["rh_sum"].to_numpy() % _P, pa.int64()))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "n_rows": batch["n_rows"],
+                "checksum": pa.array(
+                    batch["rh_sum"].to_numpy() % _P, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        read_table(
+            sf_dir,
+            "orders",
+            columns=[
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderstatus",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("rh_sum", alias_name="rh_sum"), Sum("n_rows", alias_name="n_rows"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("o_orderstatus")
+    )
+
+
+ORDERS_CONTENT_CHECKSUM_SQL = f"""
+WITH h AS (
+  SELECT o_orderstatus,
+         ((((o_orderkey % {_P}) * {_CK_A1}
+            + (o_custkey % {_P}) * {_CK_A2}
+            + (CAST(round(o_totalprice*100) AS BIGINT) % {_P}) * {_CK_A3}
+            + ((epoch_us(o_orderdate) // {_US_PER_DAY}) % {_P}) * {_CK_A4}
+           ) % {_P}) * {_CK_MIX} + {_CK_C}) % {_P} AS rh
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(rh) AS HUGEINT) % {_P} AS BIGINT) AS checksum
+FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+WAREHOUSE_QUERIES = {
+    "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
+    "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
+    "events_time_weighted_value": (events_time_weighted_value, EVENTS_TWAV_SQL),
+    "orders_content_checksum": (orders_content_checksum, ORDERS_CONTENT_CHECKSUM_SQL),
+}

@@ -293,6 +293,10 @@ SQL_BACKED = [
     "vocab_coverage_curve",
     "lexical_diversity_by_lang",
     "hapax_rate_by_lang",
+    "lineitem_status_pit",
+    "revenue_time_rollup",
+    "events_time_weighted_value",
+    "orders_content_checksum",
 ]
 
 
