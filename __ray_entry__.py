@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_time_rollup",
         "events_time_weighted_value",
         "orders_content_checksum",
+        "benford_digit_audit",
+        "orders_checksum_diff",
+        "events_ohlc_daily",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -960,6 +963,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_time_rollup",
         "events_time_weighted_value",
         "orders_content_checksum",
+        "benford_digit_audit",
+        "orders_checksum_diff",
+        "events_ohlc_daily",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang

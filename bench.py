@@ -369,6 +369,14 @@ def run_bench() -> dict:
             "classifier_threshold_calibration",
             _round4_op("webtext", "classifier_threshold_calibration"),
         ),
+        (
+            "lineitem_status_pit",
+            lambda sf: __import__("__ray_entry__").queries()["lineitem_status_pit"](sf),
+        ),
+        (
+            "orders_content_checksum",
+            lambda sf: __import__("__ray_entry__").queries()["orders_content_checksum"](sf),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

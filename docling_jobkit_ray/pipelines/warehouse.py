@@ -699,9 +699,388 @@ FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (statistical data-quality / fraud screen)
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6) — the Benford expectation, embedded as exact
+# integer ppm constants so BOTH engines compare against identical literals
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_digit_audit(sf_dir: str) -> ray.data.Dataset:
+    """First-significant-digit distribution of order totals vs the Benford
+    expectation — the statistical audit screens run on financial columns.
+
+    The leading digit is derived in EXACT integer arithmetic: cents > 0 is
+    floor-divided by 10 until one digit remains (18 vectorized halvings
+    bound any int64) — never float log10, whose boundary values
+    (log10(1000) = 2.9999...) misclassify.  The oracle takes the first
+    character of the integer's decimal string — a different exact route to
+    the same digit.  Shares are floor-divided ppm (round() is the
+    documented cross-engine hazard)."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("digit", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        d = _cents(batch["o_totalprice"]).to_numpy().astype(np.int64)
+        for _ in range(18):  # int64 max has 19 digits
+            d = np.where(d >= 10, d // 10, d)
+        t = pa.table({"digit": pa.array(d, pa.int64())})
+        g = (
+            t.group_by("digit")
+            .aggregate([("digit", "count")])
+            .rename_columns(["digit", "n"])
+        )
+        return g
+
+    digits = pa.array(sorted(_BENFORD_PPM), pa.int64())
+    benford = pa.array([_BENFORD_PPM[k] for k in sorted(_BENFORD_PPM)], pa.int64())
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = int(pc.sum(t["n"]).as_py())
+        n = t["n"].to_numpy().astype(np.int64)
+        share = n * 1_000_000 // total
+        exp = (
+            pc.take(benford, pc.index_in(t["digit"], value_set=digits))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "digit": t["digit"],
+                "n": t["n"],
+                "share_ppm": pa.array(share, pa.int64()),
+                "benford_ppm": pa.array(exp, pa.int64()),
+                "dev_ppm": pa.array(np.abs(share - exp), pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "orders", columns=["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        # the share needs the GLOBAL total: coalesce the <=9 digit rows into
+        # ONE block first (map->map fusion hands finish one upstream block
+        # per task — the documented no-coalesce pitfall — so without the
+        # repartition each digit would normalize by its own count)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+        .sort("digit")
+    )
+
+
+BENFORD_DIGIT_AUDIT_SQL = f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit
+),
+benford(digit, benford_ppm) AS (
+  VALUES {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))}
+)
+SELECT counts.digit, counts.n,
+       CAST(counts.n * 1000000 // (SELECT sum(n) FROM counts) AS BIGINT)
+         AS share_ppm,
+       CAST(benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(counts.n * 1000000 // (SELECT sum(n) FROM counts)
+                - benford_ppm) AS BIGINT) AS dev_ppm
+FROM counts JOIN benford USING (digit)
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# checksum segment diff (the rsync-style locator over two table versions)
+# ---------------------------------------------------------------------------
+
+_CDC_INSERT_OFF = 1_000_000_000_000  # same past-the-domain key offset as
+# relational.orders_cdc_diff (duplicated constant: no module-level
+# cross-import, see _cents)
+_DIFF_NB = 256  # fixed segment grid: the locator's output granularity is a
+# protocol constant (like an rsync block size), NOT scale-derived — the
+# output is <= 256 rows at any data size and each segment's checksum folds
+# from per-batch partials, so no segment ever materializes its rows.
+
+
+def orders_checksum_diff(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Locate WHERE two table versions differ without shipping rows: both
+    sides fold to (segment, mod-p checksum, count) and only segments whose
+    checksums disagree are reported — the rsync / segment-tree protocol a
+    replication system runs before fetching data, and the locator read
+    that pairs with ``orders_cdc_diff`` (which ships the differing rows).
+
+    Version B derives from base A in the same scan with SPARSE mutations
+    (delete ``k%97==5``, reprice ``k%101==7``, insert ``k%103==11`` at
+    ``k+10^12``) so most of the 256 segments genuinely match — the audit
+    proves equality for them from the checksums alone."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    part_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("rh_a", pa.int64()),
+            ("n_a", pa.int64()),
+            ("rh_b", pa.int64()),
+            ("n_b", pa.int64()),
+        ]
+    )
+
+    def _rh(k: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        inner = (k % _P) * _CK_A1 + (cents % _P) * _CK_A3
+        return ((inner % _P) * _CK_MIX + _CK_C) % _P
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        k = pc.cast(batch["o_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(batch["o_totalprice"]).to_numpy().astype(np.int64)
+        # side A = base; side B = delete / reprice / insert
+        keep = k % 97 != 5
+        kb = k[keep]
+        cb = np.where(kb % 101 == 7, cents[keep] + 100_000, cents[keep])
+        ins = k % 103 == 11
+        kb = np.concatenate([kb, k[ins] + _CDC_INSERT_OFF])
+        cb = np.concatenate([cb, cents[ins]])
+
+        def fold(keys: np.ndarray, vals: np.ndarray) -> pd.DataFrame:
+            df = pd.DataFrame({"bucket": keys % _DIFF_NB, "rh": _rh(keys, vals)})
+            g = df.groupby("bucket", as_index=False).agg(rh=("rh", "sum"), n=("rh", "size"))
+            g["rh"] %= _P
+            return g
+
+        a, b = fold(k, cents), fold(kb, cb)
+        m = a.merge(b, on="bucket", how="outer", suffixes=("_a", "_b")).fillna(0)
+        return pa.table(
+            {
+                "bucket": pa.array(m["bucket"].to_numpy(np.int64), pa.int64()),
+                "rh_a": pa.array(m["rh_a"].to_numpy(np.int64), pa.int64()),
+                "n_a": pa.array(m["n_a"].to_numpy(np.int64), pa.int64()),
+                "rh_b": pa.array(m["rh_b"].to_numpy(np.int64), pa.int64()),
+                "n_b": pa.array(m["n_b"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n_base", pa.int64()),
+            ("n_new", pa.int64()),
+            ("checksum_base", pa.int64()),
+            ("checksum_new", pa.int64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        ca = batch["rh_a"].to_numpy() % _P
+        cb = batch["rh_b"].to_numpy() % _P
+        na = batch["n_a"].to_numpy()
+        nb = batch["n_b"].to_numpy()
+        differ = (ca != cb) | (na != nb)
+        return pa.table(
+            {
+                "bucket": batch["bucket"].filter(pa.array(differ)),
+                "n_base": pa.array(na[differ], pa.int64()),
+                "n_new": pa.array(nb[differ], pa.int64()),
+                "checksum_base": pa.array(ca[differ], pa.int64()),
+                "checksum_new": pa.array(cb[differ], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(
+            Sum("rh_a", alias_name="rh_a"),
+            Sum("n_a", alias_name="n_a"),
+            Sum("rh_b", alias_name="rh_b"),
+            Sum("n_b", alias_name="n_b"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("bucket")
+    )
+
+
+_CK_EXPR = (
+    f"((((k % {_P}) * {_CK_A1} + (cents % {_P}) * {_CK_A3}) % {_P})"
+    f" * {_CK_MIX} + {_CK_C}) % {_P}"
+)
+
+ORDERS_CHECKSUM_DIFF_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT) AS cents
+  FROM orders
+),
+newv AS (
+  SELECT k, CASE WHEN k % 101 = 7 THEN cents + 100000 ELSE cents END AS cents
+  FROM base WHERE k % 97 != 5
+  UNION ALL
+  SELECT k + {_CDC_INSERT_OFF} AS k, cents FROM base WHERE k % 103 = 11
+),
+ha AS (
+  SELECT k % {_DIFF_NB} AS bucket,
+         CAST(CAST(sum({_CK_EXPR}) AS HUGEINT) % {_P} AS BIGINT) AS checksum_base,
+         CAST(count(*) AS BIGINT) AS n_base
+  FROM base GROUP BY bucket
+),
+hb AS (
+  SELECT k % {_DIFF_NB} AS bucket,
+         CAST(CAST(sum({_CK_EXPR}) AS HUGEINT) % {_P} AS BIGINT) AS checksum_new,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM newv GROUP BY bucket
+)
+SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+       coalesce(n_base, 0) AS n_base,
+       coalesce(n_new, 0) AS n_new,
+       coalesce(checksum_base, 0) AS checksum_base,
+       coalesce(checksum_new, 0) AS checksum_new
+FROM ha FULL JOIN hb ON ha.bucket = hb.bucket
+WHERE checksum_base IS DISTINCT FROM checksum_new
+   OR n_base IS DISTINCT FROM n_new
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily OHLC resample (arg-extreme fold: first/last by time + min/max)
+# ---------------------------------------------------------------------------
+
+
+def events_ohlc_daily(sf_dir: str) -> ray.data.Dataset:
+    """Daily OHLC (open / high / low / close) of the event value — the
+    time-series resample every metrics/finance stack runs: per day, the
+    value of the FIRST event, the extremes, and the value of the LAST
+    event, ordered by (ts, event_id) so timestamp ties are deterministic.
+
+    Plan: per-batch partials carry ONE candidate row per (batch, day) for
+    each arg-extreme — (first_key, open) and (last_key, close) — plus the
+    plain min/max/count; the per-day fold picks the lexicographic
+    min/max of the candidate keys.  Arg-extremes are associative, so the
+    fold sees n_blocks rows per day, never the day's events; day
+    cardinality is calendar-bounded, so the final groupby is tiny."""
+    part_schema = pa.schema(
+        [
+            ("day_us", pa.int64()),
+            ("first_ts", pa.int64()),
+            ("first_eid", pa.int64()),
+            ("open_c", pa.int64()),
+            ("last_ts", pa.int64()),
+            ("last_eid", pa.int64()),
+            ("close_c", pa.int64()),
+            ("lo_c", pa.int64()),
+            ("hi_c", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        cents = _cents(batch["value"]).to_numpy().astype(np.int64)
+        day = ts // _US_PER_DAY * _US_PER_DAY
+        df = pd.DataFrame({"day_us": day, "ts": ts, "eid": eid, "c": cents})
+        df = df.sort_values(["day_us", "ts", "eid"], kind="stable")
+        g = df.groupby("day_us", as_index=False).agg(
+            first_ts=("ts", "first"),
+            first_eid=("eid", "first"),
+            open_c=("c", "first"),
+            last_ts=("ts", "last"),
+            last_eid=("eid", "last"),
+            close_c=("c", "last"),
+            lo_c=("c", "min"),
+            hi_c=("c", "max"),
+            n=("c", "size"),
+        )
+        return pa.Table.from_pandas(g, schema=part_schema, preserve_index=False)
+
+    out_schema = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("open", pa.float64()),
+            ("high", pa.float64()),
+            ("low", pa.float64()),
+            ("close", pa.float64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(part_schema.names).cast(part_schema)
+        g = group.to_pandas()
+        g = g.sort_values(["first_ts", "first_eid"], kind="stable")
+        day = int(g["day_us"].iloc[0])
+        open_c = int(g["open_c"].iloc[0])
+        g2 = g.sort_values(["last_ts", "last_eid"], kind="stable")
+        close_c = int(g2["close_c"].iloc[-1])
+        return pa.table(
+            {
+                "day": pc.cast(pa.array([day], pa.int64()), pa.timestamp("us")),
+                "open": pa.array([open_c / 100.0], pa.float64()),
+                "high": pa.array([int(g["hi_c"].max()) / 100.0], pa.float64()),
+                "low": pa.array([int(g["lo_c"].min()) / 100.0], pa.float64()),
+                "close": pa.array([close_c / 100.0], pa.float64()),
+                "n_events": pa.array([int(g["n"].sum())], pa.int64()),
+            }
+        )
+
+    rel = _rel()
+    return (
+        read_table(sf_dir, "events", columns=["ts", "event_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_us")
+        .map_groups(fold, batch_format="pyarrow")
+        .map_batches(rel._pin_timestamp_us(["day"]), batch_format="pyarrow")
+        .sort("day")
+    )
+
+
+EVENTS_OHLC_DAILY_SQL = """
+WITH e AS (
+  SELECT date_trunc('day', ts) AS day, ts, event_id,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT day, cents,
+         row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC)
+           AS rn_d
+  FROM e
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) / 100.0 AS open,
+       CAST(max(cents) AS BIGINT) / 100.0 AS high,
+       CAST(min(cents) AS BIGINT) / 100.0 AS low,
+       CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) / 100.0 AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY day ORDER BY day
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
     "events_time_weighted_value": (events_time_weighted_value, EVENTS_TWAV_SQL),
     "orders_content_checksum": (orders_content_checksum, ORDERS_CONTENT_CHECKSUM_SQL),
+    "benford_digit_audit": (benford_digit_audit, BENFORD_DIGIT_AUDIT_SQL),
+    "orders_checksum_diff": (orders_checksum_diff, ORDERS_CHECKSUM_DIFF_SQL),
+    "events_ohlc_daily": (events_ohlc_daily, EVENTS_OHLC_DAILY_SQL),
 }

@@ -297,6 +297,9 @@ SQL_BACKED = [
     "revenue_time_rollup",
     "events_time_weighted_value",
     "orders_content_checksum",
+    "benford_digit_audit",
+    "orders_checksum_diff",
+    "events_ohlc_daily",
 ]
 
 
