@@ -733,6 +733,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["minhash_index_probe"] = _minhash_index_probe
 
+    def _bitmap_index_dir(sf_dir: str) -> str:
+        # build once per (process, sf_dir): the artifact is deterministic
+        import tempfile
+
+        from docling_jobkit_ray.functions.bitmap import build_bitmap_index
+        from docling_jobkit_ray.sources.pages import read_table
+
+        key = f"_bitmap::{sf_dir}"
+        if key not in _CORPUS_CACHE:
+            tmp = tempfile.mkdtemp(prefix="djr_bitmap_")
+            build_bitmap_index(
+                read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"]),
+                tmp,
+            )
+            _CORPUS_CACHE[key] = tmp
+        return _CORPUS_CACHE[key]
+
+    def _bitmap_doc_query(sf_dir: str):
+        # conjunctive predicate answered from the bitmaps alone (the base
+        # table is never read at query time): (de OR fr) AND NOT src7
+        from docling_jobkit_ray.functions.bitmap import bitmap_query_keys
+
+        out = bitmap_query_keys(
+            _bitmap_index_dir(sf_dir),
+            require=[["lang=de", "lang=fr"]],
+            exclude=["source=src7"],
+        )
+        return out.map_batches(
+            lambda b: b.rename_columns(["doc_id"]), batch_format="pyarrow"
+        )
+
+    q["bitmap_doc_query"] = _bitmap_doc_query
+
+    def _bitmap_index_stats(sf_dir: str):
+        # artifact-vs-corpus pin: per-attr popcounts over the index must
+        # equal the base table's group counts (SQL side reads the table)
+        from docling_jobkit_ray.functions.bitmap import bitmap_index_stats
+
+        return bitmap_index_stats(_bitmap_index_dir(sf_dir))
+
+    q["bitmap_index_stats"] = _bitmap_index_stats
+
     def _ivf_index_probe(sf_dir: str):
         # persisted IVF vector index (the semantic member of the
         # bloom/minhash/ivf incremental-index triad): build over the
@@ -1252,6 +1294,19 @@ def oracle_sql() -> dict[str, str]:
     sql["vocab_coverage_curve"] = VOCAB_COVERAGE_CURVE_SQL
     sql["lexical_diversity_by_lang"] = LEXICAL_DIVERSITY_SQL
     sql["hapax_rate_by_lang"] = HAPAX_RATE_SQL
+    # bitmap index: the query is answered from the artifact alone; the SQL
+    # side scans the base table — parity pins index content == corpus
+    sql["bitmap_doc_query"] = (
+        "SELECT doc_id FROM documents "
+        "WHERE lang IN ('de', 'fr') AND source != 'src7' ORDER BY doc_id"
+    )
+    sql["bitmap_index_stats"] = (
+        "SELECT attr, CAST(n_keys AS BIGINT) AS n_keys FROM ("
+        "SELECT 'lang=' || lang AS attr, count(*) AS n_keys FROM documents GROUP BY lang "
+        "UNION ALL "
+        "SELECT 'source=' || source AS attr, count(*) AS n_keys FROM documents GROUP BY source"
+        ") ORDER BY attr"
+    )
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1,0 +1,264 @@
+"""Distributed bitmap index over low-cardinality columns.
+
+The classic warehouse bitmap index (Oracle/Druid-style): for every
+``column=value`` attribute, a bitmap over the key domain with bit ``k`` set
+iff key ``k`` has that attribute.  Conjunctive / disjunctive / negated
+predicates are answered by word-wise ``AND`` / ``OR`` / ``AND NOT`` over
+the bitmaps — no scan of the base table.
+
+Layout: bitmaps are chunked into 64-bit WORDS (``word = key // 64``,
+``bit = key % 64``) and the artifact is hive-partitioned by
+``bucket = word % n_buckets`` — an attribute's bitmap never materializes
+in one place, and a query touches only the attr rows its predicate names
+(column-filter pushdown on ``attr``).  Word rows are ~n_keys/64 per attr
+(a 10^10-key corpus is ~1.2 GB per attribute before partitioning), and the
+per-bucket query algebra is vectorized int64 bit-ops.
+
+This completes the index family alongside the sharded Bloom (exact dedup),
+the minhash-LSH band index (near-dup), the IVF cell index (vectors), the
+inverted index (terms) and the zonemap (ranges).
+
+Reference parity: the reference (docling-jobkit) has no index layer; the
+artifact protocol (staged write + ``_meta.json``) follows this repo's
+minhash_index/vector_index conventions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+_WORD = 64
+
+
+def _or_fold(attr: np.ndarray, word: np.ndarray, bits: np.ndarray):
+    """Vectorized OR-fold of (attr, word) duplicate rows: lexsort +
+    ``np.bitwise_or.reduceat`` — never a Python call per group."""
+    order = np.lexsort((word, attr))
+    attr, word, bits = attr[order], word[order], bits[order]
+    new = np.r_[True, (attr[1:] != attr[:-1]) | (word[1:] != word[:-1])]
+    starts = np.flatnonzero(new)
+    return attr[starts], word[starts], np.bitwise_or.reduceat(bits, starts)
+
+
+def build_bitmap_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    key: str = "doc_id",
+    columns: tuple[str, ...] = ("lang", "source"),
+    n_buckets: int = 64,
+) -> dict:
+    """Build the bitmap index artifact: one row per (attr, word) with the
+    OR of all set bits, hive-partitioned by ``word % n_buckets``.
+
+    Per-batch partials OR locally (at most one row per (attr, word) leaves
+    a batch), ONE word-bucketed exchange folds them, and the artifact is
+    written per bucket — the build is a pre-aggregated all-to-all over
+    rows 64x smaller than the input keys."""
+    part_schema = pa.schema(
+        [
+            ("attr", pa.string()),
+            ("word", pa.int64()),
+            ("bits", pa.int64()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        k = pc.cast(batch[key], pa.int64()).to_numpy(zero_copy_only=False)
+        word = k // _WORD
+        bit = (np.int64(1) << (k % _WORD)).astype(np.int64)
+        frames = []
+        for col in columns:
+            vals = batch[col].to_pandas().astype(str)
+            attrs = (col + "=" + vals).to_numpy()
+            frames.append((attrs, word, bit))
+        attr = np.concatenate([f[0] for f in frames])
+        w = np.concatenate([f[1] for f in frames])
+        b = np.concatenate([f[2] for f in frames])
+        # local category codes keep the lexsort on ints
+        codes, uniq = pd.factorize(attr)
+        a_c, w_c, b_c = _or_fold(codes.astype(np.int64), w, b)
+        return pa.table(
+            {
+                "attr": pa.array(uniq.take(a_c), pa.string()),
+                "word": pa.array(w_c, pa.int64()),
+                "bits": pa.array(b_c, pa.int64()),
+                "bucket": pa.array(w_c % n_buckets, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("attr", pa.string()), ("word", pa.int64()), ("bits", pa.int64())]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(part_schema.names).cast(part_schema)
+        attr = group["attr"].to_pandas().to_numpy()
+        codes, uniq = pd.factorize(attr)
+        a_c, w_c, b_c = _or_fold(
+            codes.astype(np.int64),
+            group["word"].to_numpy(zero_copy_only=False),
+            group["bits"].to_numpy(zero_copy_only=False),
+        )
+        t = pa.table(
+            {
+                "attr": pa.array(uniq.take(a_c), pa.string()),
+                "word": pa.array(w_c, pa.int64()),
+                "bits": pa.array(b_c, pa.int64()),
+            }
+        )
+        bucket = int(group["bucket"][0].as_py())
+        os.makedirs(f"{out_dir}/bucket={bucket}", exist_ok=True)
+        pq.write_table(t, f"{out_dir}/bucket={bucket}/part.parquet")
+        return pa.table(
+            {
+                "attr": t["attr"],
+                "word": t["word"],
+                "bits": t["bits"],
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    built = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    n_rows = built.count()  # drives the build; rows == index size
+    meta = {"key": key, "columns": list(columns), "n_buckets": n_buckets, "n_rows": n_rows}
+    with open(f"{out_dir}/_meta.json", "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _read_index(index_dir: str, attrs: list[str]) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(index_dir)
+    wanted = pa.array(attrs, pa.string())
+    return ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["attr"], value_set=wanted))
+        if b.num_rows
+        else b,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def bitmap_query_keys(
+    index_dir: str,
+    *,
+    require: list[list[str]],
+    exclude: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Answer ``AND(OR(require group 1), OR(group 2), ...) AND NOT any
+    exclude`` from the bitmaps alone — the base table is never read.
+
+    Only the named attrs' rows leave storage; each bucket's algebra is a
+    word-aligned pandas pivot + int64 bit-ops; set bits decode to keys via
+    ``np.unpackbits`` on the word array."""
+    exclude = exclude or []
+    attrs = sorted({a for g in require for a in g} | set(exclude))
+    if not require or not attrs:
+        raise ValueError("bitmap_query_keys needs at least one require group")
+
+    out_schema = pa.schema([("key", pa.int64())])
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame({"key": pd.Series([], dtype="int64")})
+        pv = group.pivot_table(
+            index="word", columns="attr", values="bits", aggfunc="first"
+        )
+        words = pv.index.to_numpy(np.int64)
+
+        def col(a: str) -> np.ndarray:
+            if a in pv.columns:
+                return pv[a].fillna(0).to_numpy(np.int64)
+            return np.zeros(len(pv), np.int64)
+
+        acc = None
+        for gattrs in require:
+            g = np.zeros(len(pv), np.int64)
+            for a in gattrs:
+                g |= col(a)
+            acc = g if acc is None else (acc & g)
+        for a in exclude:
+            acc &= ~col(a)
+        nz = acc != 0
+        words, acc = words[nz], acc[nz]
+        if not len(words):
+            return pd.DataFrame({"key": pd.Series([], dtype="int64")})
+        u8 = acc.astype("<u8").view(np.uint8).reshape(-1, 8)
+        bits = np.unpackbits(u8, axis=1, bitorder="little")  # (n_words, 64)
+        w_idx, b_idx = np.nonzero(bits)
+        return pd.DataFrame({"key": words[w_idx] * _WORD + b_idx})
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        # re-derive the bucket column (hive partition may or may not be
+        # materialized as a column depending on the reader)
+        if "bucket" in b.column_names:
+            return b
+        meta = json.load(open(f"{index_dir}/_meta.json"))
+        return b.append_column(
+            "bucket",
+            pa.array(
+                b["word"].to_numpy(zero_copy_only=False) % meta["n_buckets"],
+                pa.int64(),
+            ),
+        )
+
+    return (
+        _read_index(index_dir, attrs)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(
+            lambda b: b.select(["key"]).cast(out_schema)
+            if b.num_rows
+            else out_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        .sort("key")
+    )
+
+
+def bitmap_index_stats(index_dir: str) -> ray.data.Dataset:
+    """Per-attr popcount over the artifact: the number of keys each bitmap
+    holds — checkable against the base table in SQL, pinning artifact
+    content == corpus content (same discipline as search_postings)."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("attr", pa.string()), ("n_keys", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        bits = batch["bits"].to_numpy(zero_copy_only=False)
+        u8 = bits.astype("<u8").view(np.uint8).reshape(-1, 8)
+        pop = np.unpackbits(u8, axis=1, bitorder="little").sum(axis=1).astype(np.int64)
+        t = pa.table({"attr": batch["attr"], "n_keys": pa.array(pop, pa.int64())})
+        return (
+            t.group_by("attr")
+            .aggregate([("n_keys", "sum")])
+            .rename_columns(["attr", "n_keys"])
+        )
+
+    return (
+        ray.data.read_parquet(index_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("attr")
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
+        .sort("attr")
+    )

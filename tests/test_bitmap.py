@@ -1,0 +1,97 @@
+"""Bitmap index: build/query parity vs brute force, negation semantics,
+bucket-count invariance, artifact popcounts."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    from docling_jobkit_ray.sources.pages import read_table
+
+    return read_table(SF, "documents", columns=["doc_id", "lang", "source"])
+
+
+def _brute(require, exclude):
+    df = _docs().to_pandas()
+    attrs = {f"lang={r.lang}": None for r in df.itertuples()}  # noqa: F841
+
+    def has(row, a):
+        col, val = a.split("=", 1)
+        return str(getattr(row, col)) == val
+
+    keep = []
+    for row in df.itertuples():
+        ok = all(any(has(row, a) for a in g) for g in require)
+        ok = ok and not any(has(row, a) for a in exclude)
+        if ok:
+            keep.append(row.doc_id)
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("n_buckets", [4, 64])
+def test_query_matches_brute_force(ray_session, n_buckets):
+    from docling_jobkit_ray.functions.bitmap import (
+        bitmap_query_keys,
+        build_bitmap_index,
+    )
+
+    require = [["lang=de", "lang=fr"], ["source=src1", "source=src2", "source=src3"]]
+    exclude = ["source=src2"]
+    with tempfile.TemporaryDirectory() as tmp:
+        meta = build_bitmap_index(_docs(), tmp, n_buckets=n_buckets)
+        assert meta["n_buckets"] == n_buckets and meta["n_rows"] > 0
+        got = bitmap_query_keys(tmp, require=require, exclude=exclude).to_pandas()
+    want = _brute(require, exclude)
+    assert got["key"].tolist() == want
+    assert len(want) > 0  # predicate must be non-vacuous
+
+
+def test_unknown_attr_is_empty_or_ignored(ray_session):
+    from docling_jobkit_ray.functions.bitmap import (
+        bitmap_query_keys,
+        build_bitmap_index,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        build_bitmap_index(_docs(), tmp, n_buckets=8)
+        # requiring a nonexistent attr yields the empty set, not an error
+        got = bitmap_query_keys(tmp, require=[["lang=xx"]]).to_pandas()
+        assert len(got) == 0
+        # excluding a nonexistent attr is a no-op
+        a = bitmap_query_keys(tmp, require=[["lang=de"]]).to_pandas()
+        b = bitmap_query_keys(
+            tmp, require=[["lang=de"]], exclude=["source=nope"]
+        ).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_empty_require_raises(ray_session):
+    from docling_jobkit_ray.functions.bitmap import bitmap_query_keys
+
+    with pytest.raises(ValueError):
+        bitmap_query_keys("/nonexistent", require=[])
+
+
+def test_stats_popcounts_match_table(ray_session):
+    from docling_jobkit_ray.functions.bitmap import (
+        bitmap_index_stats,
+        build_bitmap_index,
+    )
+
+    df = _docs().to_pandas()
+    with tempfile.TemporaryDirectory() as tmp:
+        build_bitmap_index(_docs(), tmp, n_buckets=8)
+        got = bitmap_index_stats(tmp).to_pandas().set_index("attr")["n_keys"]
+    for lang, n in df["lang"].value_counts().items():
+        assert got[f"lang={lang}"] == n
+    for src, n in df["source"].value_counts().items():
+        assert got[f"source={src}"] == n
+    # every doc carries exactly one lang attr: popcounts partition the corpus
+    assert got[[a for a in got.index if a.startswith("lang=")]].sum() == len(df)

@@ -300,6 +300,8 @@ SQL_BACKED = [
     "benford_digit_audit",
     "orders_checksum_diff",
     "events_ohlc_daily",
+    "bitmap_doc_query",
+    "bitmap_index_stats",
 ]
 
 
