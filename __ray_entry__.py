@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digit_audit",
         "orders_checksum_diff",
         "events_ohlc_daily",
+        "events_encoding_stats",
+        "join_cardinality_estimate",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1008,6 +1010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digit_audit",
         "orders_checksum_diff",
         "events_ohlc_daily",
+        "events_encoding_stats",
+        "join_cardinality_estimate",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang

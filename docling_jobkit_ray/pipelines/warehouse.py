@@ -1075,6 +1075,322 @@ FROM w GROUP BY day ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# columnar encoding stats (storage-engine introspection: dict/RLE advisor)
+# ---------------------------------------------------------------------------
+
+
+def events_encoding_stats(sf_dir: str) -> pa.Table:
+    """Per-column encoding statistics over the events table: row count,
+    exact distinct count, and the exact RUN count in event_id order — the
+    numbers a columnar writer uses to pick dictionary vs RLE vs plain
+    encoding (n_runs << n favors RLE; n_distinct << n favors dictionary).
+
+    Distinct counts ride ONE (col, value)-pair exchange for the int
+    columns (value domain-bounded: cents and user ids) and a tiny string
+    groupby for event_type.  Run counts fold from per-block boundary
+    partials: each block reports (first/last event_id, first/last value,
+    runs inside), the driver stitches the <= n_blocks partials in
+    event_id order and subtracts boundary merges — the blocks of a
+    row-sorted parquet file are disjoint event_id ranges (asserted), so
+    the stitch is exact without a sort exchange."""
+    from ray.data.aggregate import Count
+
+    cols = ["event_type", "user_id", "cents"]
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "user_id", "value"])
+
+    # ---- distinct counts: ints through one pair exchange, strings tiny ----
+    pair_schema = pa.schema([("col_id", pa.int64()), ("val", pa.int64())])
+
+    def int_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        uid = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        cents = np.unique(_cents(batch["value"]).to_numpy())
+        return pa.table(
+            {
+                "col_id": pa.array(
+                    np.r_[np.full(len(uid), 1), np.full(len(cents), 2)], pa.int64()
+                ),
+                "val": pa.array(np.r_[uid, cents], pa.int64()),
+            }
+        )
+
+    def _pair_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk",
+            pc.add(
+                pc.multiply(b["col_id"], pa.scalar(1 << 48, pa.int64())), b["val"]
+            ),
+        )
+
+    pair_counts = (
+        ds.map_batches(int_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_pair_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "col_id": pc.divide(b["pk"], pa.scalar(1 << 48, pa.int64())),
+                    "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                }
+            )
+            if b.num_rows
+            else pa.schema([("col_id", pa.int64()), ("one", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        )
+        .groupby("col_id")
+        .sum("one")
+        .to_pandas()
+    )  # <= 2 rows
+    nd_int = dict(zip(pair_counts["col_id"], pair_counts["sum(one)"]))
+    nd_type = (
+        ds.map_batches(
+            lambda b: pa.table({"event_type": b["event_type"]})
+            .group_by("event_type")
+            .aggregate([]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("event_type")
+        .count()
+        .count()
+    )  # distinct-of-distinct: the count of distinct type strings
+
+    # ---- run counts: per-block boundary partials, driver stitch ----
+    part_schema = pa.schema(
+        [
+            ("first_eid", pa.int64()),
+            ("last_eid", pa.int64()),
+            ("n", pa.int64()),
+            *[(f"runs_{c}", pa.int64()) for c in cols],
+            *[(f"first_{c}", pa.string()) for c in cols],
+            *[(f"last_{c}", pa.string()) for c in cols],
+        ]
+    )
+
+    def run_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        order = np.argsort(eid, kind="stable")
+        vals = {
+            "event_type": batch["event_type"].to_pandas().to_numpy()[order],
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False)[order],
+            "cents": _cents(batch["value"]).to_numpy()[order],
+        }
+        row = {
+            "first_eid": [int(eid[order][0])],
+            "last_eid": [int(eid[order][-1])],
+            "n": [len(eid)],
+        }
+        for c in cols:
+            v = vals[c]
+            row[f"runs_{c}"] = [int(1 + np.count_nonzero(v[1:] != v[:-1]))]
+            row[f"first_{c}"] = [str(v[0])]
+            row[f"last_{c}"] = [str(v[-1])]
+        return pa.Table.from_pydict(row, schema=part_schema)
+
+    parts = (
+        ds.map_batches(run_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("first_eid")
+        .reset_index(drop=True)
+    )  # one row per block — bounded by block count, not rows
+    # blocks of a row-sorted file are disjoint event_id ranges
+    assert (
+        parts["first_eid"].iloc[1:].to_numpy() > parts["last_eid"].iloc[:-1].to_numpy()
+    ).all(), "events blocks overlap in event_id: runs need range-partitioned input"
+    n_total = int(parts["n"].sum())
+    out = {"column": [], "n": [], "n_distinct": [], "n_runs": []}
+    nd = {
+        "event_type": int(nd_type),
+        "user_id": int(nd_int.get(1, 0)),
+        "cents": int(nd_int.get(2, 0)),
+    }
+    for c in cols:
+        runs = int(parts[f"runs_{c}"].sum())
+        merges = int(
+            (
+                parts[f"first_{c}"].iloc[1:].to_numpy()
+                == parts[f"last_{c}"].iloc[:-1].to_numpy()
+            ).sum()
+        )
+        out["column"].append(c)
+        out["n"].append(n_total)
+        out["n_distinct"].append(nd[c])
+        out["n_runs"].append(runs - merges)
+    return pa.table(
+        {
+            "column": pa.array(out["column"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+            "n_runs": pa.array(out["n_runs"], pa.int64()),
+        }
+    ).sort_by("column")
+
+
+EVENTS_ENCODING_STATS_SQL = """
+WITH o AS (
+  SELECT event_id, event_type, user_id,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+),
+flags AS (
+  SELECT CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS f_type,
+         CASE WHEN user_id IS DISTINCT FROM lag(user_id) OVER w
+              THEN 1 ELSE 0 END AS f_user,
+         CASE WHEN cents IS DISTINCT FROM lag(cents) OVER w
+              THEN 1 ELSE 0 END AS f_cents
+  FROM o WINDOW w AS (ORDER BY event_id)
+)
+SELECT 'cents' AS "column", CAST((SELECT count(*) FROM o) AS BIGINT) AS n,
+       CAST((SELECT count(DISTINCT cents) FROM o) AS BIGINT) AS n_distinct,
+       CAST(sum(f_cents) AS BIGINT) AS n_runs FROM flags
+UNION ALL
+SELECT 'event_type', CAST((SELECT count(*) FROM o) AS BIGINT),
+       CAST((SELECT count(DISTINCT event_type) FROM o) AS BIGINT),
+       CAST(sum(f_type) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'user_id', CAST((SELECT count(*) FROM o) AS BIGINT),
+       CAST((SELECT count(DISTINCT user_id) FROM o) AS BIGINT),
+       CAST(sum(f_user) AS BIGINT) FROM flags
+ORDER BY "column"
+"""
+
+
+# ---------------------------------------------------------------------------
+# join cardinality estimation audit (optimizer statistics quality)
+# ---------------------------------------------------------------------------
+
+_JCE_NB = 64  # histogram granularity: a protocol constant like _DIFF_NB
+
+
+def join_cardinality_estimate(sf_dir: str) -> ray.data.Dataset:
+    """Optimizer-statistics audit: per key-histogram bucket, the ESTIMATED
+    join cardinality of ``events.user_id = orders.o_custkey`` (product of
+    the bucket counts — what an optimizer computes from two histograms)
+    next to the EXACT cardinality (sum over keys of count products).  The
+    ratio is the estimation error a planner would eat at that bucket
+    granularity — the statistics-quality report behind join reordering.
+
+    Both sides fold to (bucket, key, count) partials in their scans; ONE
+    bucketed exchange computes both numbers per bucket (the exact number
+    needs the per-key alignment, done with a vectorized merge inside the
+    bucket).  Output is <= 64 rows at any scale."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("key", pa.int64()),
+            ("n_e", pa.int64()),
+            ("n_o", pa.int64()),
+        ]
+    )
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = pa.table({"key": pc.cast(batch["user_id"], pa.int64())})
+        g = t.group_by("key").aggregate([("key", "count")]).rename_columns(["key", "n_e"])
+        n = g.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(g["key"].to_numpy() % _JCE_NB, pa.int64()),
+                "key": g["key"],
+                "n_e": g["n_e"],
+                "n_o": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = pa.table({"key": pc.cast(batch["o_custkey"], pa.int64())})
+        g = t.group_by("key").aggregate([("key", "count")]).rename_columns(["key", "n_o"])
+        n = g.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(g["key"].to_numpy() % _JCE_NB, pa.int64()),
+                "key": g["key"],
+                "n_e": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "n_o": g["n_o"],
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("est_rows", pa.int64()),
+            ("actual_rows", pa.int64()),
+        ]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(part_schema.names).cast(part_schema)
+        df = (
+            group.to_pandas()
+            .groupby("key", as_index=False)
+            .agg(n_e=("n_e", "sum"), n_o=("n_o", "sum"))
+        )
+        ne, no = int(df["n_e"].sum()), int(df["n_o"].sum())
+        actual = int((df["n_e"].to_numpy(np.int64) * df["n_o"].to_numpy(np.int64)).sum())
+        b = int(group["bucket"][0].as_py())
+        return pa.table(
+            {
+                "bucket": pa.array([b], pa.int64()),
+                "n_events": pa.array([ne], pa.int64()),
+                "n_orders": pa.array([no], pa.int64()),
+                "est_rows": pa.array([ne * no], pa.int64()),
+                "actual_rows": pa.array([actual], pa.int64()),
+            }
+        )
+
+    ev = read_table(sf_dir, "events", columns=["user_id"]).map_batches(
+        ev_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        ord_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        ev.union(orders)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("bucket")
+    )
+
+
+JOIN_CARDINALITY_ESTIMATE_SQL = f"""
+WITH e AS (
+  SELECT user_id % {_JCE_NB} AS bucket, user_id AS key, count(*) AS n_e
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT o_custkey % {_JCE_NB} AS bucket, o_custkey AS key, count(*) AS n_o
+  FROM orders GROUP BY 1, 2
+),
+k AS (
+  SELECT coalesce(e.bucket, o.bucket) AS bucket,
+         coalesce(e.n_e, 0) AS n_e, coalesce(o.n_o, 0) AS n_o
+  FROM e FULL JOIN o ON e.bucket = o.bucket AND e.key = o.key
+)
+SELECT bucket,
+       CAST(sum(n_e) AS BIGINT) AS n_events,
+       CAST(sum(n_o) AS BIGINT) AS n_orders,
+       CAST(sum(n_e) * sum(n_o) AS BIGINT) AS est_rows,
+       CAST(sum(n_e * n_o) AS BIGINT) AS actual_rows
+FROM k GROUP BY bucket ORDER BY bucket
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -1083,4 +1399,6 @@ WAREHOUSE_QUERIES = {
     "benford_digit_audit": (benford_digit_audit, BENFORD_DIGIT_AUDIT_SQL),
     "orders_checksum_diff": (orders_checksum_diff, ORDERS_CHECKSUM_DIFF_SQL),
     "events_ohlc_daily": (events_ohlc_daily, EVENTS_OHLC_DAILY_SQL),
+    "events_encoding_stats": (events_encoding_stats, EVENTS_ENCODING_STATS_SQL),
+    "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARDINALITY_ESTIMATE_SQL),
 }

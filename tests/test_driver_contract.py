@@ -302,6 +302,8 @@ SQL_BACKED = [
     "events_ohlc_daily",
     "bitmap_doc_query",
     "bitmap_index_stats",
+    "events_encoding_stats",
+    "join_cardinality_estimate",
 ]
 
 
