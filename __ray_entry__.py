@@ -777,6 +777,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bitmap_index_stats"] = _bitmap_index_stats
 
+    def _extract_elements(sf_dir: str):
+        # structured-elements fan-out over the extraction corpus: one row
+        # per table/heading/paragraph element; slice==text invariant pinned
+        # in tests/test_extract_elements.py
+        from docling_jobkit_ray.pipelines.extract import extract_pipeline, successes
+        from docling_jobkit_ray.stages.export import elements_pipeline
+
+        out = elements_pipeline(successes(extract_pipeline(_corpus_for(sf_dir))))
+        return out.sort(["url", "element_index"])
+
+    q["extract_elements"] = _extract_elements
+
     def _ivf_index_probe(sf_dir: str):
         # persisted IVF vector index (the semantic member of the
         # bloom/minhash/ivf incremental-index triad): build over the

@@ -141,6 +141,63 @@ def doc_stats(batch: pa.Table) -> pa.Table:
     )
 
 
+def explode_elements(batch: pa.Table) -> pa.Table:
+    """Fan each extracted document out to ONE ROW PER ELEMENT — the
+    structured-elements dataset a document-AI user queries ("give me every
+    table in the corpus", "all headings under 40 chars"): url, element
+    index, kind, char offsets, and the element's text slice.
+
+    The slice comes from the SAME (text, spans) pair the exports render
+    from, so ``element_text == text[start:end]`` holds by construction
+    (pinned in tests).  Reference parity: the reference exports whole
+    documents per target (``targets/*``); element granularity is the
+    fan-out Ray Data adds for free via this flat map."""
+    urls = batch.column("url").to_pylist()
+    texts = batch.column("text").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    out_url: list[str] = []
+    out_idx: list[int] = []
+    out_kind: list[str] = []
+    out_start: list[int] = []
+    out_end: list[int] = []
+    out_text: list[str] = []
+    for u, t, sp in zip(urls, texts, spans):
+        for i, s in enumerate(sp or []):
+            out_url.append(u)
+            out_idx.append(i)
+            out_kind.append(s["kind"])
+            out_start.append(s["start"])
+            out_end.append(s["end"])
+            out_text.append((t or "")[s["start"] : s["end"]])
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "element_index": pa.array(out_idx, pa.int64()),
+            "kind": pa.array(out_kind, pa.string()),
+            "start": pa.array(out_start, pa.int64()),
+            "end": pa.array(out_end, pa.int64()),
+            "element_text": pa.array(out_text, pa.string()),
+        }
+    )
+
+
+def elements_pipeline(extracted: ray.data.Dataset, *, kinds: list[str] | None = None) -> ray.data.Dataset:
+    """Corpus-wide element dataset (optionally filtered to some kinds —
+    the filter runs AFTER the explode inside the same fused task, so only
+    requested elements ever become blocks)."""
+    out = extracted.map_batches(
+        explode_elements, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if kinds:
+        wanted = pa.array(kinds, pa.string())
+        out = out.map_batches(
+            lambda b: b.filter(pc.is_in(b["kind"], value_set=wanted)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return out
+
+
 def export_pipeline(extracted: ray.data.Dataset) -> ray.data.Dataset:
     return extracted.map_batches(
         export_projections, batch_format="pyarrow", zero_copy_batch=True

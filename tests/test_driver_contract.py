@@ -383,6 +383,7 @@ ROWS_ONLY = [
     "table_stats_events",
     "user_overlap_estimate",
     "extract_ab_compare",
+    "extract_elements",
 ]
 
 
