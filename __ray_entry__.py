@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc_daily",
         "events_encoding_stats",
         "join_cardinality_estimate",
+        "order_ship_latency_quantiles",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -789,6 +790,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["extract_elements"] = _extract_elements
 
+    def _rag_ingest_search(sf_dir: str):
+        # THE reference user story end-to-end (docling-jobkit feeds vector
+        # stores): extract -> chunk -> embed -> persisted IVF index ->
+        # nearest-chunk search.  Self-retrieval (each probe chunk's own
+        # embedding must return itself at rank 1) is pinned in
+        # tests/test_rag_pipeline.py; the driver row checks schema +
+        # determinism.
+        import tempfile
+        import zlib
+
+        import numpy as np
+        import pyarrow as _pa
+
+        from docling_jobkit_ray.functions.embed import TextEmbedder
+        from docling_jobkit_ray.functions.vector_index import (
+            build_ivf_index,
+            probe_ivf_index,
+        )
+        from docling_jobkit_ray.pipelines.extract import extract_pipeline, successes
+        from docling_jobkit_ray.stages.chunking import chunk_pipeline
+
+        def add_id(b: "_pa.Table") -> "_pa.Table":
+            urls = b["url"].to_pylist()
+            idx = b["chunk_index"].to_numpy(zero_copy_only=False).astype("int64")
+            crc = np.array([zlib.crc32(u.encode()) for u in urls], dtype=np.int64)
+            return b.append_column(
+                "vec_id", _pa.array((crc << 20) | idx, _pa.int64())
+            )
+
+        chunks = chunk_pipeline(
+            successes(extract_pipeline(_corpus_for(sf_dir)))
+        ).map_batches(add_id, batch_format="pyarrow", zero_copy_batch=True)
+        vecs = chunks.map_batches(
+            TextEmbedder(id_col="vec_id", text_col="text"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        qdf = vecs.limit(8).to_pandas().sort_values("vec_id")
+        queries_m = np.vstack(qdf["embedding"].to_numpy()).astype(np.float32)
+        with tempfile.TemporaryDirectory() as tmp:
+            build_ivf_index(vecs, tmp, n_cells=8)
+            out = probe_ivf_index(
+                tmp,
+                queries_m,
+                qdf["vec_id"].astype("int64").tolist(),
+                k=3,
+                n_probe=4,
+            ).to_pandas()
+        return out[["query_id", "rank", "vec_id"]]
+
+    q["rag_ingest_search"] = _rag_ingest_search
+
     def _ivf_index_probe(sf_dir: str):
         # persisted IVF vector index (the semantic member of the
         # bloom/minhash/ivf incremental-index triad): build over the
@@ -1024,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc_daily",
         "events_encoding_stats",
         "join_cardinality_estimate",
+        "order_ship_latency_quantiles",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
@@ -1031,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["vocab_coverage_curve"] = textstats.vocab_coverage_curve
     q["lexical_diversity_by_lang"] = textstats.lexical_diversity_by_lang
     q["hapax_rate_by_lang"] = textstats.hapax_rate_by_lang
+    q["prefix_autocomplete_top"] = textstats.prefix_autocomplete_top
     return q
 
 
@@ -1310,6 +1365,9 @@ def oracle_sql() -> dict[str, str]:
     sql["vocab_coverage_curve"] = VOCAB_COVERAGE_CURVE_SQL
     sql["lexical_diversity_by_lang"] = LEXICAL_DIVERSITY_SQL
     sql["hapax_rate_by_lang"] = HAPAX_RATE_SQL
+    from docling_jobkit_ray.functions.textstats import PREFIX_AUTOCOMPLETE_SQL
+
+    sql["prefix_autocomplete_top"] = PREFIX_AUTOCOMPLETE_SQL
     # bitmap index: the query is answered from the artifact alone; the SQL
     # side scans the base table — parity pins index content == corpus
     sql["bitmap_doc_query"] = (

@@ -1333,3 +1333,119 @@ SELECT lang,
             AS BIGINT) AS hapax_ppm
 FROM wc GROUP BY lang ORDER BY lang
 """
+
+
+def prefix_autocomplete_top(sf_dir: str, *, prefix_len: int = 3, k: int = 3) -> ray.data.Dataset:
+    """Autocomplete artifact: for every ``prefix_len``-char word prefix,
+    the top-``k`` corpus words by global frequency (count-desc, word-asc
+    tiebreak) — the completion table a search box serves.
+
+    One prefix-hash-bucketed exchange: per-batch (prefix, word, n) Arrow
+    partials, bucket = hash(prefix) so EVERY occurrence of a prefix's
+    words co-locates; the in-bucket fold sums global counts, ranks within
+    each prefix with one vectorized lexsort + segment cumcount, and only
+    the top-k survive the bucket — the completion table is vocabulary-
+    bounded, never token-bounded.  Tokenization is the corpus [a-z]+
+    lowercase contract (same as top_terms); words shorter than
+    ``prefix_len`` are not completable and are excluded."""
+    import pandas as pd
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "documents") * 60, min_buckets=64)
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    pair_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("prefix", pa.string()),
+            ("word", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = words.flatten()
+        flat = pc.filter(flat, pc.greater_equal(pc.utf8_length(flat), prefix_len))
+        if len(flat) == 0:
+            return pair_schema.empty_table()
+        t = (
+            pa.table({"word": flat})
+            .group_by("word")
+            .aggregate([([], "count_all")])
+            .rename_columns(["word", "n"])
+        )
+        prefix = pc.utf8_slice_codeunits(t["word"], 0, prefix_len)
+        h = pd.util.hash_array(prefix.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+                "prefix": prefix,
+                "word": t["word"],
+                "n": t["n"],
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("prefix", pa.string()),
+            ("rank", pa.int64()),
+            ("word", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(pair_schema.names).cast(pair_schema)
+        tot = (
+            pa.table({"prefix": group["prefix"], "word": group["word"], "n": group["n"]})
+            .group_by(["prefix", "word"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["prefix", "word", "n"])
+        )
+        df = tot.to_pandas().sort_values(
+            ["prefix", "n", "word"], ascending=[True, False, True], kind="stable"
+        )
+        df["rank"] = df.groupby("prefix", sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table(
+            {
+                "prefix": pa.array(df["prefix"], pa.string()),
+                "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+                "word": pa.array(df["word"], pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .sort(["prefix", "rank"])
+    )
+
+
+PREFIX_AUTOCOMPLETE_SQL = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+),
+c AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM w
+  WHERE length(word) >= 3 GROUP BY word
+),
+r AS (
+  SELECT substr(word, 1, 3) AS prefix, word, n,
+         row_number() OVER (PARTITION BY substr(word, 1, 3)
+                            ORDER BY n DESC, word) AS rank
+  FROM c
+)
+SELECT prefix, CAST(rank AS BIGINT) AS rank, word, n
+FROM r WHERE rank <= 3 ORDER BY prefix, rank
+"""

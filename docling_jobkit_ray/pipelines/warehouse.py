@@ -1391,6 +1391,153 @@ FROM k GROUP BY bucket ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# order-to-ship latency quantiles (grouped percentiles over a join)
+# ---------------------------------------------------------------------------
+
+
+def order_ship_latency_quantiles(sf_dir: str) -> pa.Table:
+    """Fulfillment-latency profile: exact p25/p50/p90 of DAYS between order
+    date and line-item ship date, per order priority — the operational SLA
+    metric, and the grouped-percentile shape applied to a DERIVED measure
+    that only exists after a join.
+
+    Plan: ONE orderkey-bucketed tagged co-shuffle joins lineitem ship dates
+    to order (date, priority) and immediately folds to a (priority,
+    latency_day) HISTOGRAM partial inside the bucket — latency has a tiny
+    value domain (whole days, bounded by the business cycle), so the
+    histogram path applies (same design as doc_length_percentiles_by_lang)
+    and the driver walks one cumulative histogram per priority class.
+    Latency is an exact integer: microsecond difference floor-divided by
+    a day (round() is the documented cross-engine hazard)."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = _order_buckets(sf_dir)
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("ship_us", pa.int64()),
+            ("date_us", pa.int64()),
+            ("grp", pa.string()),
+            ("side", pa.int8()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["l_orderkey"],
+                "ship_us": pc.cast(
+                    pc.cast(batch["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "date_us": pa.nulls(n, pa.int64()),
+                "grp": pa.nulls(n, pa.string()),
+                "side": pa.array([0] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["l_orderkey"], mask),
+            }
+        )
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_orderkey"],
+                "ship_us": pa.nulls(n, pa.int64()),
+                "date_us": pc.cast(
+                    pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "grp": batch["o_orderpriority"],
+                "side": pa.array([1] * n, pa.int8()),
+                "bucket": pc.bit_wise_and(batch["o_orderkey"], mask),
+            }
+        )
+
+    hist_schema = pa.schema(
+        [("grp", pa.string()), ("lat_days", pa.int64()), ("n", pa.int64())]
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return hist_schema.empty_table()
+        group = group.select(union_schema.names).cast(union_schema)
+        li = group.filter(pc.equal(group["side"], 0)).select(["key", "ship_us"])
+        orders = group.filter(pc.equal(group["side"], 1)).select(
+            ["key", "date_us", "grp"]
+        )
+        if li.num_rows == 0 or orders.num_rows == 0:
+            return hist_schema.empty_table()
+        j = li.join(orders, keys=["key"], join_type="inner")
+        lat = pc.divide(
+            pc.subtract(j["ship_us"], j["date_us"]),
+            pa.scalar(_US_PER_DAY, pa.int64()),
+        )
+        return (
+            pa.table({"grp": j["grp"], "lat_days": lat})
+            .group_by(["grp", "lat_days"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["grp", "lat_days", "n"])
+        )
+
+    import math
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        li_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(ord_side, batch_format="pyarrow", zero_copy_batch=True)
+    hist = (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .groupby(["grp", "lat_days"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["grp", "lat_days"])
+        .to_pandas()  # one row per (priority, distinct whole-day latency)
+    )
+    rows = []
+    for grp, g in hist.groupby("grp", sort=True):
+        total = int(g["n"].sum())
+        cum = g["n"].cumsum()
+        row = {"grp": grp, "n_items": total}
+        for q, name in ((0.25, "p25_days"), (0.5, "p50_days"), (0.9, "p90_days")):
+            rank = math.ceil(q * total)
+            row[name] = int(g["lat_days"][(cum >= rank).idxmax()])
+        rows.append(row)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r["grp"] for r in rows], pa.string()),
+            "n_items": pa.array([r["n_items"] for r in rows], pa.int64()),
+            "p25_days": pa.array([r["p25_days"] for r in rows], pa.int64()),
+            "p50_days": pa.array([r["p50_days"] for r in rows], pa.int64()),
+            "p90_days": pa.array([r["p90_days"] for r in rows], pa.int64()),
+        }
+    )
+
+
+ORDER_SHIP_LATENCY_SQL = f"""
+WITH f AS (
+  SELECT o_orderpriority,
+         (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // {_US_PER_DAY} AS lat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(quantile_disc(lat, 0.25) AS BIGINT) AS p25_days,
+       CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50_days,
+       CAST(quantile_disc(lat, 0.9) AS BIGINT) AS p90_days
+FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -1401,4 +1548,5 @@ WAREHOUSE_QUERIES = {
     "events_ohlc_daily": (events_ohlc_daily, EVENTS_OHLC_DAILY_SQL),
     "events_encoding_stats": (events_encoding_stats, EVENTS_ENCODING_STATS_SQL),
     "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARDINALITY_ESTIMATE_SQL),
+    "order_ship_latency_quantiles": (order_ship_latency_quantiles, ORDER_SHIP_LATENCY_SQL),
 }

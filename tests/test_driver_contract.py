@@ -304,6 +304,8 @@ SQL_BACKED = [
     "bitmap_index_stats",
     "events_encoding_stats",
     "join_cardinality_estimate",
+    "order_ship_latency_quantiles",
+    "prefix_autocomplete_top",
 ]
 
 
@@ -384,6 +386,7 @@ ROWS_ONLY = [
     "user_overlap_estimate",
     "extract_ab_compare",
     "extract_elements",
+    "rag_ingest_search",
 ]
 
 
