@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_encoding_stats",
         "join_cardinality_estimate",
         "order_ship_latency_quantiles",
+        "orders_seasonality_index",
+        "session_type_affinity",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1078,6 +1080,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_encoding_stats",
         "join_cardinality_estimate",
         "order_ship_latency_quantiles",
+        "orders_seasonality_index",
+        "session_type_affinity",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang

@@ -2664,3 +2664,134 @@ BEHAVIOR_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# session-basket affinity (unordered co-presence lift, vs ordered transitions)
+# ---------------------------------------------------------------------------
+
+
+def session_type_affinity(
+    sf_dir: str, *, gap_minutes: int = 30, n_buckets: int | None = None
+) -> pa.Table:
+    """Market-basket analysis over SESSIONS: for every unordered pair of
+    event types, how much more often they co-occur in one session than
+    independence predicts — lift_ppm = n_ab * N * 1e6 // (n_a * n_b).
+    The co-presence complement of events_transitions (which is ordered
+    adjacency): "users who log errors in a session also purchase in it".
+
+    Sessions derive with the SAME 30-min-gap rule as events_sessionize
+    (first tie row carries the flag); per bucket one vectorized pass gets
+    distinct (session, type) rows, a session-key self-merge emits pair
+    partials, and only |types|^2-bounded count rows leave the bucket.
+    The lift arithmetic runs in PYTHON INTS driver-side over those few
+    rows (n_ab * N * 1e6 overflows int64 at corpus scale; the oracle's
+    HUGEINT does the same math)."""
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+    add_bucket = rel._user_bucket_adder(rel._user_buckets(sf_dir, n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        prev_ts = g.groupby("user_id")["ts"].shift()
+        new_session = ((g["ts"] - prev_ts) > gap).astype("int64")
+        g["session_id"] = new_session.groupby(g["user_id"]).cumsum()
+        st = g[["user_id", "session_id", "event_type"]].drop_duplicates()
+        # dense in-bucket session key for the self-merge
+        st = st.reset_index(drop=True)
+        st["skey"] = pd.factorize(
+            st["user_id"].astype(str) + ":" + st["session_id"].astype(str)
+        )[0]
+        n_sessions = int(st["skey"].nunique())
+        marg = st.groupby("event_type", as_index=False).agg(n=("skey", "size"))
+        m = st[["skey", "event_type"]].merge(
+            st[["skey", "event_type"]], on="skey", suffixes=("_a", "_b")
+        )
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        pairs = m.groupby(["event_type_a", "event_type_b"], as_index=False).agg(
+            n=("skey", "size")
+        )
+        rows = [
+            {"kind": 0, "a": r.event_type_a, "b": r.event_type_b, "n": int(r.n)}
+            for r in pairs.itertuples()
+        ]
+        rows += [
+            {"kind": 1, "a": r.event_type, "b": "", "n": int(r.n)}
+            for r in marg.itertuples()
+        ]
+        rows.append({"kind": 2, "a": "", "b": "", "n": n_sessions})
+        return pd.DataFrame(rows, columns=["kind", "a", "b", "n"])
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # <= n_buckets * (|types|^2 + |types| + 1) tiny rows
+    )
+    agg = parts.groupby(["kind", "a", "b"], as_index=False)["n"].sum()
+    total = int(agg.loc[agg["kind"] == 2, "n"].sum())
+    marg = {
+        r.a: int(r.n) for r in agg[agg["kind"] == 1].itertuples()
+    }
+    out = {"type_a": [], "type_b": [], "n_ab": [], "n_a": [], "n_b": [], "lift_ppm": []}
+    pair_rows = agg[agg["kind"] == 0].sort_values(["a", "b"])
+    for r in pair_rows.itertuples():
+        na, nb, nab = marg[r.a], marg[r.b], int(r.n)
+        out["type_a"].append(r.a)
+        out["type_b"].append(r.b)
+        out["n_ab"].append(nab)
+        out["n_a"].append(na)
+        out["n_b"].append(nb)
+        out["lift_ppm"].append(nab * total * 1_000_000 // (na * nb))  # Python ints
+    return pa.table(
+        {
+            "type_a": pa.array(out["type_a"], pa.string()),
+            "type_b": pa.array(out["type_b"], pa.string()),
+            "n_ab": pa.array(out["n_ab"], pa.int64()),
+            "n_a": pa.array(out["n_a"], pa.int64()),
+            "n_b": pa.array(out["n_b"], pa.int64()),
+            "lift_ppm": pa.array(out["lift_ppm"], pa.int64()),
+        }
+    )
+
+
+SESSION_TYPE_AFFINITY_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, event_type,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     RANGE UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged
+),
+st AS (SELECT DISTINCT user_id, session_id, event_type FROM numbered),
+tot AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, session_id FROM st)),
+marg AS (SELECT event_type, count(*) AS n FROM st GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ma.n AS BIGINT) AS n_a,
+       CAST(mb.n AS BIGINT) AS n_b,
+       CAST(n_ab * (SELECT n FROM tot) * 1000000 // (ma.n * mb.n) AS BIGINT)
+         AS lift_ppm
+FROM pairs
+JOIN marg ma ON ma.event_type = type_a
+JOIN marg mb ON mb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+BEHAVIOR_QUERIES.update(
+    {"session_type_affinity": (session_type_affinity, SESSION_TYPE_AFFINITY_SQL)}
+)

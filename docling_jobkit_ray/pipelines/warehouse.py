@@ -1538,6 +1538,82 @@ FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# month-of-year seasonal index
+# ---------------------------------------------------------------------------
+
+
+def orders_seasonality_index(sf_dir: str) -> pa.Table:
+    """Classical seasonal index: each calendar month's revenue share vs a
+    flat year — seasonal_ppm = 12 * rev_month * 1e6 // rev_total (1e6 =
+    perfectly in-line, >1e6 = peak month).  One month-of-year groupby of
+    int64-cent partials; the 12-row finish runs in PYTHON INTS (the
+    numerator overflows int64 at corpus scale; the oracle's HUGEINT does
+    the same floor division)."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema(
+        [("month", pa.int64()), ("cents", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = pa.table(
+            {
+                "month": pc.cast(pc.month(batch["o_orderdate"]), pa.int64()),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        return (
+            t.group_by("month")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+            .rename_columns(["month", "cents", "n"])
+        )
+
+    rows = (
+        read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("month")
+    )  # <= 12 rows
+    total = int(rows["cents"].sum())
+    idx = [
+        12 * int(c) * 1_000_000 // total for c in rows["cents"]
+    ]  # Python ints: 12 * cents * 1e6 exceeds int64 at scale
+    return pa.table(
+        {
+            "month": pa.array(rows["month"].to_numpy(np.int64), pa.int64()),
+            "n_orders": pa.array(rows["n"].to_numpy(np.int64), pa.int64()),
+            "revenue": pa.array(
+                rows["cents"].to_numpy(np.int64).astype(np.float64) / 100.0,
+                pa.float64(),
+            ),
+            "seasonal_ppm": pa.array(idx, pa.int64()),
+        }
+    )
+
+
+ORDERS_SEASONALITY_SQL = """
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+  FROM orders
+),
+agg AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS c
+  FROM m GROUP BY month
+)
+SELECT month, n_orders, c / 100.0 AS revenue,
+       CAST(12 * CAST(c AS HUGEINT) * 1000000
+            // (SELECT sum(c) FROM agg) AS BIGINT) AS seasonal_ppm
+FROM agg ORDER BY month
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -1549,4 +1625,5 @@ WAREHOUSE_QUERIES = {
     "events_encoding_stats": (events_encoding_stats, EVENTS_ENCODING_STATS_SQL),
     "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARDINALITY_ESTIMATE_SQL),
     "order_ship_latency_quantiles": (order_ship_latency_quantiles, ORDER_SHIP_LATENCY_SQL),
+    "orders_seasonality_index": (orders_seasonality_index, ORDERS_SEASONALITY_SQL),
 }

@@ -306,6 +306,8 @@ SQL_BACKED = [
     "join_cardinality_estimate",
     "order_ship_latency_quantiles",
     "prefix_autocomplete_top",
+    "orders_seasonality_index",
+    "session_type_affinity",
 ]
 
 
