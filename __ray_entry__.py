@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ship_latency_quantiles",
         "orders_seasonality_index",
         "session_type_affinity",
+        "events_leadlag_xcorr",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1082,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ship_latency_quantiles",
         "orders_seasonality_index",
         "session_type_affinity",
+        "events_leadlag_xcorr",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang

@@ -55,6 +55,7 @@ def build_bitmap_index(
     key: str = "doc_id",
     columns: tuple[str, ...] = ("lang", "source"),
     n_buckets: int = 64,
+    _filename: str = "part.parquet",
 ) -> dict:
     """Build the bitmap index artifact: one row per (attr, word) with the
     OR of all set bits, hive-partitioned by ``word % n_buckets``.
@@ -122,7 +123,7 @@ def build_bitmap_index(
         )
         bucket = int(group["bucket"][0].as_py())
         os.makedirs(f"{out_dir}/bucket={bucket}", exist_ok=True)
-        pq.write_table(t, f"{out_dir}/bucket={bucket}/part.parquet")
+        pq.write_table(t, f"{out_dir}/bucket={bucket}/{_filename}")
         return pa.table(
             {
                 "attr": t["attr"],
@@ -138,8 +139,48 @@ def build_bitmap_index(
         .map_groups(fold, batch_format="pyarrow")
     )
     n_rows = built.count()  # drives the build; rows == index size
-    meta = {"key": key, "columns": list(columns), "n_buckets": n_buckets, "n_rows": n_rows}
-    with open(f"{out_dir}/_meta.json", "w") as f:
+    meta = {
+        "key": key,
+        "columns": list(columns),
+        "n_buckets": n_buckets,
+        "n_rows": n_rows,
+        "increments": 0,
+    }
+    if _filename == "part.parquet":  # increments leave the base meta alone
+        with open(f"{out_dir}/_meta.json", "w") as f:
+            json.dump(meta, f)
+    return meta
+
+
+def append_bitmap_index(ds: ray.data.Dataset, index_dir: str) -> dict:
+    """Incrementally absorb new rows into an existing bitmap index —
+    the parameters (key column, indexed columns, bucket grid) are FROZEN
+    by ``_meta.json`` (same discipline as append_minhash_index /
+    append_ivf_index: an increment built under different params would
+    silently answer queries wrong, so a missing meta refuses).
+
+    The increment writes its own ``part-inc{N}.parquet`` per bucket —
+    readers OR duplicate (attr, word) rows across files, so the append
+    never rewrites existing data (safe alongside concurrent readers)."""
+    meta_path = f"{index_dir}/_meta.json"
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"append_bitmap_index: no _meta.json under {index_dir} — "
+            "refusing to append with unpinned parameters"
+        )
+    meta = json.load(open(meta_path))
+    inc = int(meta.get("increments", 0)) + 1
+    sub = build_bitmap_index(
+        ds,
+        index_dir,
+        key=meta["key"],
+        columns=tuple(meta["columns"]),
+        n_buckets=int(meta["n_buckets"]),
+        _filename=f"part-inc{inc}.parquet",
+    )
+    meta["increments"] = inc
+    meta["n_rows"] = int(meta["n_rows"]) + int(sub["n_rows"])
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
     return meta
 
@@ -178,6 +219,17 @@ def bitmap_query_keys(
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
             return pd.DataFrame({"key": pd.Series([], dtype="int64")})
+        # OR-fold duplicate (attr, word) rows first: increments write their
+        # own files, so a word's bits can arrive split across several rows
+        codes, uniq = pd.factorize(group["attr"].to_numpy())
+        a_c, w_c, b_c = _or_fold(
+            codes.astype(np.int64),
+            group["word"].to_numpy(np.int64),
+            group["bits"].to_numpy(np.int64),
+        )
+        group = pd.DataFrame(
+            {"attr": uniq.take(a_c), "word": w_c, "bits": b_c}
+        )
         pv = group.pivot_table(
             index="word", columns="attr", values="bits", aggfunc="first"
         )
@@ -237,27 +289,56 @@ def bitmap_query_keys(
 def bitmap_index_stats(index_dir: str) -> ray.data.Dataset:
     """Per-attr popcount over the artifact: the number of keys each bitmap
     holds — checkable against the base table in SQL, pinning artifact
-    content == corpus content (same discipline as search_postings)."""
+    content == corpus content (same discipline as search_postings).
+
+    Duplicate (attr, word) rows (increment files) must OR before the
+    popcount — a naive per-file popcount would double-count a word whose
+    bits arrive split — so the counting runs per word-bucket group."""
     from ray.data.aggregate import Sum
 
+    meta = json.load(open(f"{index_dir}/_meta.json"))
+    n_buckets = int(meta["n_buckets"])
     part_schema = pa.schema([("attr", pa.string()), ("n_keys", pa.int64())])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or batch.num_columns == 0:
-            return part_schema.empty_table()
-        bits = batch["bits"].to_numpy(zero_copy_only=False)
-        u8 = bits.astype("<u8").view(np.uint8).reshape(-1, 8)
-        pop = np.unpackbits(u8, axis=1, bitorder="little").sum(axis=1).astype(np.int64)
-        t = pa.table({"attr": batch["attr"], "n_keys": pa.array(pop, pa.int64())})
-        return (
-            t.group_by("attr")
-            .aggregate([("n_keys", "sum")])
-            .rename_columns(["attr", "n_keys"])
+    def add_bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.schema(
+                [("attr", pa.string()), ("word", pa.int64()), ("bits", pa.int64()), ("bucket", pa.int64())]
+            ).empty_table()
+        if "bucket" in b.column_names:
+            return b
+        return b.append_column(
+            "bucket",
+            pa.array(b["word"].to_numpy(zero_copy_only=False) % n_buckets, pa.int64()),
         )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {"attr": pd.Series([], dtype=object), "n_keys": pd.Series([], dtype="int64")}
+            )
+        codes, uniq = pd.factorize(group["attr"].to_numpy())
+        a_c, _w_c, b_c = _or_fold(
+            codes.astype(np.int64),
+            group["word"].to_numpy(np.int64),
+            group["bits"].to_numpy(np.int64),
+        )
+        u8 = b_c.astype("<u8").view(np.uint8).reshape(-1, 8)
+        pop = np.unpackbits(u8, axis=1, bitorder="little").sum(axis=1).astype(np.int64)
+        out = pd.DataFrame({"attr": uniq.take(a_c), "n_keys": pop})
+        return out.groupby("attr", as_index=False)["n_keys"].sum()
 
     return (
         ray.data.read_parquet(index_dir)
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .map_batches(
+            lambda b: b.select(["attr", "n_keys"]).cast(part_schema)
+            if b.num_rows
+            else part_schema.empty_table(),
+            batch_format="pyarrow",
+        )
         .groupby("attr")
         .aggregate(Sum("n_keys", alias_name="n_keys"))
         .sort("attr")

@@ -2795,3 +2795,143 @@ ORDER BY type_a, type_b
 BEHAVIOR_QUERIES.update(
     {"session_type_affinity": (session_type_affinity, SESSION_TYPE_AFFINITY_SQL)}
 )
+
+
+# ---------------------------------------------------------------------------
+# lead-lag cross-correlation (which hourly series moves first)
+# ---------------------------------------------------------------------------
+
+_XCORR_HOUR_US = 3_600_000_000
+
+
+def events_leadlag_xcorr(
+    sf_dir: str, *, type_x: str = "error", type_y: str = "purchase", max_lag: int = 3
+) -> pa.Table:
+    """Lead-lag profile between two hourly count series: for each lag k in
+    [-max_lag, +max_lag], the EXACT co-moment numerators of
+    corr(x_t, y_{t+k}) — n*Σxy - ΣxΣy and the two variance numerators —
+    over the hours where both series are defined.  Positive-k rows measure
+    "x leads y" (does the error rate predict purchases k hours later?);
+    the sign of xy_num is the direction.  Numerators stay EXACT int64
+    (counts are small ints; products bounded by hours*count^2), so no
+    float sqrt/divide ever happens — the consumer ranks lags by
+    xy_num^2 / (xx_num*yy_num) without precision loss.
+
+    Plan: ONE hourly groupby folds per-batch (hour, n_x, n_y) partials;
+    the aligned-lag products run driver-side over the CALENDAR-bounded
+    hour table (the same bound revenue_time_rollup uses)."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema(
+        [("hour_us", pa.int64()), ("n_x", pa.int64()), ("n_y", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.multiply(
+            pc.divide(ts, pa.scalar(_XCORR_HOUR_US, pa.int64())),
+            pa.scalar(_XCORR_HOUR_US, pa.int64()),
+        )
+        et = batch["event_type"]
+        t = pa.table(
+            {
+                "hour_us": hour,
+                "n_x": pc.cast(pc.equal(et, type_x), pa.int64()),
+                "n_y": pc.cast(pc.equal(et, type_y), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("hour_us")
+            .aggregate([("n_x", "sum"), ("n_y", "sum")])
+            .rename_columns(["hour_us", "n_x", "n_y"])
+        )
+
+    hours = (
+        read_table(sf_dir, "events", columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour_us")
+        .aggregate(Sum("n_x", alias_name="n_x"), Sum("n_y", alias_name="n_y"))
+        .to_pandas()
+        .sort_values("hour_us")
+        .reset_index(drop=True)
+    )  # calendar-bounded
+    # dense hour grid so lag alignment is positional (missing hours = 0)
+    h = hours["hour_us"].to_numpy(np.int64)
+    grid = np.arange(h[0], h[-1] + _XCORR_HOUR_US, _XCORR_HOUR_US, dtype=np.int64)
+    x = np.zeros(len(grid), np.int64)
+    y = np.zeros(len(grid), np.int64)
+    pos = (h - h[0]) // _XCORR_HOUR_US
+    x[pos] = hours["n_x"].to_numpy(np.int64)
+    y[pos] = hours["n_y"].to_numpy(np.int64)
+    out = {"lag": [], "n_hours": [], "xy_num": [], "xx_num": [], "yy_num": []}
+    for k in range(-max_lag, max_lag + 1):
+        if k >= 0:
+            xa, ya = x[: len(x) - k or None], y[k:]
+        else:
+            xa, ya = x[-k:], y[: len(y) + k]
+        n = int(len(xa))
+        sx, sy = int(xa.sum()), int(ya.sum())
+        sxy = int((xa * ya).sum())
+        sxx = int((xa * xa).sum())
+        syy = int((ya * ya).sum())
+        out["lag"].append(k)
+        out["n_hours"].append(n)
+        out["xy_num"].append(n * sxy - sx * sy)
+        out["xx_num"].append(n * sxx - sx * sx)
+        out["yy_num"].append(n * syy - sy * sy)
+    return pa.table(
+        {
+            "lag": pa.array(out["lag"], pa.int64()),
+            "n_hours": pa.array(out["n_hours"], pa.int64()),
+            "xy_num": pa.array(out["xy_num"], pa.int64()),
+            "xx_num": pa.array(out["xx_num"], pa.int64()),
+            "yy_num": pa.array(out["yy_num"], pa.int64()),
+        }
+    )
+
+
+def events_leadlag_xcorr_sql(
+    type_x: str = "error", type_y: str = "purchase", max_lag: int = 3
+) -> str:
+    """DuckDB oracle: densify the hour grid with generate_series, shift by
+    each lag with a positional self-join, same exact-int numerators."""
+    lags = ", ".join(str(k) for k in range(-max_lag, max_lag + 1))
+    return f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) FILTER (WHERE event_type = '{type_x}') AS BIGINT) AS n_x,
+         CAST(count(*) FILTER (WHERE event_type = '{type_y}') AS BIGINT) AS n_y
+  FROM events GROUP BY hour
+),
+grid AS (
+  SELECT unnest(generate_series(
+           (SELECT min(hour) FROM c), (SELECT max(hour) FROM c),
+           INTERVAL 1 HOUR)) AS hour
+),
+d AS (
+  SELECT g.hour,
+         CAST(row_number() OVER (ORDER BY g.hour) - 1 AS BIGINT) AS i,
+         coalesce(c.n_x, 0) AS n_x, coalesce(c.n_y, 0) AS n_y
+  FROM grid g LEFT JOIN c ON c.hour = g.hour
+),
+l(lag) AS (SELECT unnest([{lags}])),
+p AS (
+  SELECT l.lag, a.n_x AS x, b.n_y AS y
+  FROM l JOIN d a ON TRUE JOIN d b ON b.i = a.i + l.lag
+)
+SELECT lag,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS xy_num,
+       CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS xx_num,
+       CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS BIGINT) AS yy_num
+FROM p GROUP BY lag ORDER BY lag
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_leadlag_xcorr": (events_leadlag_xcorr, events_leadlag_xcorr_sql()),
+    }
+)

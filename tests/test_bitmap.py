@@ -95,3 +95,41 @@ def test_stats_popcounts_match_table(ray_session):
         assert got[f"source={src}"] == n
     # every doc carries exactly one lang attr: popcounts partition the corpus
     assert got[[a for a in got.index if a.startswith("lang=")]].sum() == len(df)
+
+
+def test_append_increment_queries_union(ray_session):
+    from docling_jobkit_ray.functions.bitmap import (
+        append_bitmap_index,
+        bitmap_index_stats,
+        bitmap_query_keys,
+        build_bitmap_index,
+    )
+    from docling_jobkit_ray.sources.pages import read_table
+
+    docs = read_table(SF, "documents", columns=["doc_id", "lang", "source"])
+    base = docs.filter(lambda r: r["doc_id"] % 2 == 0)
+    inc = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+    require = [["lang=de", "lang=fr"]]
+    with tempfile.TemporaryDirectory() as tmp:
+        meta0 = build_bitmap_index(base, tmp, n_buckets=8)
+        before = bitmap_query_keys(tmp, require=require).to_pandas()["key"].tolist()
+        meta1 = append_bitmap_index(inc, tmp)
+        assert meta1["increments"] == 1
+        assert meta1["n_rows"] >= meta0["n_rows"]
+        after = bitmap_query_keys(tmp, require=require).to_pandas()["key"].tolist()
+        stats = bitmap_index_stats(tmp).to_pandas().set_index("attr")["n_keys"]
+    full = _brute(require, [])
+    assert sorted(before) == [k for k in full if k % 2 == 0]
+    assert sorted(after) == full  # union of base + increment
+    df = docs.to_pandas()
+    for lang, n in df["lang"].value_counts().items():
+        assert stats[f"lang={lang}"] == n  # OR-fold, never double-counted
+
+
+def test_append_without_meta_refuses(ray_session, tmp_path):
+    from docling_jobkit_ray.functions.bitmap import append_bitmap_index
+    from docling_jobkit_ray.sources.pages import read_table
+
+    docs = read_table(SF, "documents", columns=["doc_id", "lang", "source"])
+    with pytest.raises(FileNotFoundError):
+        append_bitmap_index(docs, str(tmp_path / "empty"))

@@ -308,6 +308,7 @@ SQL_BACKED = [
     "prefix_autocomplete_top",
     "orders_seasonality_index",
     "session_type_affinity",
+    "events_leadlag_xcorr",
 ]
 
 
