@@ -19,7 +19,71 @@ import json
 import sys
 
 
+def query_main(argv: list[str]) -> int:
+    """``python -m docling_jobkit_ray.cli query <name> [--sf-dir D]`` —
+    run any registered pipeline from the command line (the reference's
+    CLIs only convert; this exposes the full operator surface)."""
+    p = argparse.ArgumentParser(prog="docling_jobkit_ray.cli query")
+    p.add_argument("name", nargs="?", help="queries() key; omit with --list")
+    p.add_argument("--list", action="store_true", help="list available queries")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--limit", type=int, default=10, help="rows to print")
+    p.add_argument("--out", default=None, help="write full result parquet here")
+    args = p.parse_args(argv)
+
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, ".")
+    entry = importlib.import_module("__ray_entry__")
+    q = entry.queries()
+    if args.list or not args.name:
+        sql = set(entry.oracle_sql())
+        for name in q:
+            print(f"{name}\t{'sql' if name in sql else 'rows'}")
+        return 0
+    if args.name not in q:
+        p.error(f"unknown query {args.name!r} (use --list)")
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        result = q[args.name](args.sf_dir)
+        import pyarrow as pa
+        import ray.data as rd
+
+        if isinstance(result, rd.Dataset):
+            if args.out:
+                result.write_parquet(args.out)
+                print(json.dumps({"query": args.name, "written": args.out}))
+                return 0
+            df = result.limit(args.limit).to_pandas()
+            n = None  # avoid a second full execution just for the count
+        else:
+            df = result.to_pandas() if isinstance(result, pa.Table) else result
+            n = len(df)
+            df = df.head(args.limit)
+        print(df.to_string(index=False))
+        summary = {"query": args.name, "shown": len(df)}
+        if n is not None:
+            summary["rows"] = n
+        print(json.dumps(summary))
+        return 0
+    finally:
+        if owns_ray:  # never tear down a session owned by the caller
+            ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
     p = argparse.ArgumentParser(description="Ray-Data-native extraction job")
     p.add_argument("--input", required=True, help="directory of pages parquet shards")
     p.add_argument("--output", required=True, help="output directory (checkpointed)")

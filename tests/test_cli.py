@@ -59,3 +59,23 @@ def test_cli_page_range_parse_error(small_corpus, tmp_path):
     )
     assert proc.returncode != 0
     assert "LO:HI" in proc.stderr
+
+
+def test_cli_query_list(ray_session, capsys):
+    from docling_jobkit_ray.cli import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "revenue_by_nation\tsql" in out
+    assert "extract_fused\trows" in out
+
+
+def test_cli_query_runs_pipeline(ray_session, capsys):
+    import ray
+
+    from docling_jobkit_ray.cli import main
+
+    assert main(["query", "revenue_by_nation", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert '"query": "revenue_by_nation"' in out
+    assert ray.is_initialized()  # the CLI must not tear down the caller's session
