@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_seasonality_index",
         "session_type_affinity",
         "events_leadlag_xcorr",
+        "gdpr_erasure_report",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1084,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_seasonality_index",
         "session_type_affinity",
         "events_leadlag_xcorr",
+        "gdpr_erasure_report",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
@@ -1092,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lexical_diversity_by_lang"] = textstats.lexical_diversity_by_lang
     q["hapax_rate_by_lang"] = textstats.hapax_rate_by_lang
     q["prefix_autocomplete_top"] = textstats.prefix_autocomplete_top
+    q["domain_quality_blocklist"] = webtext.domain_quality_blocklist
     return q
 
 
@@ -1374,6 +1377,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.textstats import PREFIX_AUTOCOMPLETE_SQL
 
     sql["prefix_autocomplete_top"] = PREFIX_AUTOCOMPLETE_SQL
+    from docling_jobkit_ray.functions.webtext import DOMAIN_QUALITY_BLOCKLIST_SQL
+
+    sql["domain_quality_blocklist"] = DOMAIN_QUALITY_BLOCKLIST_SQL
     # bitmap index: the query is answered from the artifact alone; the SQL
     # side scans the base table — parity pins index content == corpus
     sql["bitmap_doc_query"] = (

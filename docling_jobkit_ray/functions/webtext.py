@@ -624,43 +624,10 @@ def classifier_quality_scores(sf_dir: str) -> ray.data.Dataset:
 
     VERDICT r4 #4: the learned-filter counterpart of the heuristic
     ``gopher_quality_docs``."""
-    stops = pa.array(GOPHER_STOPWORDS, pa.string())
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        lower = pc.utf8_lower(batch["text"])
-        nw = pc.cast(
-            pc.count_substring_regex(lower, pattern="[a-z]+"), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        al = pc.cast(
-            pc.count_substring_regex(lower, pattern="[a-z]"), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        nd = pc.cast(
-            pc.count_substring_regex(batch["text"], pattern="[0-9]"), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        nu = pc.cast(
-            pc.count_substring_regex(batch["text"], pattern="[A-Z]"), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
-        flat = pc.list_flatten(words)
-        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-        hit = pc.and_(
-            pc.is_in(flat, value_set=stops), pc.not_equal(flat, "")
-        ).to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        sh = np.bincount(doc_idx, weights=hit, minlength=len(lens)).astype(np.int64)
-        # FIXED evaluation order — mirrors the SQL parenthesization exactly
-        z = QC_BIAS + QC_W_N_WORDS * nw.astype(np.float64)
-        z = z + QC_W_ALPHA * al.astype(np.float64)
-        z = z + QC_W_STOP * sh.astype(np.float64)
-        z = z + QC_W_DIGITS * nd.astype(np.float64)
-        z = z + QC_W_UPPER * nu.astype(np.float64)
-        # quantize BEFORE the verdict: engines may FMA-contract the chain
-        # (measured 1-ULP drift vs DuckDB), so the hashable output is the
-        # 1e-6-grid integer and `keep` derives from the quantized value —
-        # both sides agree whenever the true logit is >4e-16 from a grid
-        # boundary
-        ze6 = np.round(z * 1e6).astype(np.int64)
+        ze6 = _classifier_ze6(batch["text"])
         return pa.table(
             {
                 "doc_id": pc.cast(batch["doc_id"], pa.int64()),
@@ -672,6 +639,46 @@ def classifier_quality_scores(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
         "doc_id"
     )
+
+
+def _classifier_ze6(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """The classifier's per-batch kernel, shared by every consumer (scores,
+    blocklist, agreement matrix chains) so the float chain is evaluated in
+    EXACTLY one order everywhere."""
+    stops = pa.array(GOPHER_STOPWORDS, pa.string())
+    lower = pc.utf8_lower(texts)
+    nw = pc.cast(
+        pc.count_substring_regex(lower, pattern="[a-z]+"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    al = pc.cast(
+        pc.count_substring_regex(lower, pattern="[a-z]"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    nd = pc.cast(
+        pc.count_substring_regex(texts, pattern="[0-9]"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    nu = pc.cast(
+        pc.count_substring_regex(texts, pattern="[A-Z]"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+    flat = pc.list_flatten(words)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    hit = pc.and_(
+        pc.is_in(flat, value_set=stops), pc.not_equal(flat, "")
+    ).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    sh = np.bincount(doc_idx, weights=hit, minlength=len(lens)).astype(np.int64)
+    # FIXED evaluation order — mirrors the SQL parenthesization exactly
+    z = QC_BIAS + QC_W_N_WORDS * nw.astype(np.float64)
+    z = z + QC_W_ALPHA * al.astype(np.float64)
+    z = z + QC_W_STOP * sh.astype(np.float64)
+    z = z + QC_W_DIGITS * nd.astype(np.float64)
+    z = z + QC_W_UPPER * nu.astype(np.float64)
+    # quantize BEFORE the verdict: engines may FMA-contract the chain
+    # (measured 1-ULP drift vs DuckDB), so the hashable output is the
+    # 1e-6-grid integer and `keep` derives from the quantized value —
+    # both sides agree whenever the true logit is >4e-16 from a grid
+    # boundary
+    return np.round(z * 1e6).astype(np.int64)
 
 
 CLASSIFIER_QUALITY_SCORES_SQL = f"""
@@ -4027,3 +4034,95 @@ SELECT r.doc_id, r.lang, CAST(r.n_chars AS BIGINT) AS n_chars, r.pct_floor,
 FROM ranks r JOIN tv2 t USING (pct_floor)
 ORDER BY r.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist derivation (FineWeb-style source-level curation)
+# ---------------------------------------------------------------------------
+
+
+def domain_quality_blocklist(
+    sf_dir: str, *, min_docs: int = 5, avg_threshold_e6: int = -300_000
+) -> pa.Table:
+    """Source/domain-level curation: aggregate the learned classifier's
+    logits per source and flag sources whose MEAN logit falls below the
+    threshold — compared as ``sum < threshold * n`` so the verdict is an
+    exact int64 comparison, never a division — with at least
+    ``min_docs`` documents — how webtext pipelines derive domain
+    blocklists from document-level scores instead of filtering doc by doc.
+
+    One embarrassingly-parallel scoring map (the shared classifier
+    kernel) folding straight to (source, n, sum_logit_e6) partials; the
+    per-source finish is a handful of rows.  avg_logit_e6 uses TRUNCATING
+    division (DuckDB ``//`` truncates toward zero; logit sums can be
+    negative)."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.pages import read_table
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()), ("sum_logit_e6", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        ze6 = _classifier_ze6(batch["text"])
+        t = pa.table({"source": batch["source"], "z": pa.array(ze6, pa.int64())})
+        return (
+            t.group_by("source")
+            .aggregate([("z", "sum"), ("z", "count")])
+            .rename_columns(["source", "sum_logit_e6", "n_docs"])
+            .select(["source", "n_docs", "sum_logit_e6"])
+        )
+
+    agg = (
+        read_table(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_logit_e6", alias_name="sum_logit_e6"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )  # one row per source
+    n = agg["n_docs"].to_numpy(np.int64)
+    s = agg["sum_logit_e6"].to_numpy(np.int64)
+    avg = np.where(s >= 0, s // n, -((-s) // n))  # truncate toward zero
+    blocked = ((s < avg_threshold_e6 * n) & (n >= min_docs)).astype(np.int64)
+    return pa.table(
+        {
+            "source": pa.array(agg["source"], pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "sum_logit_e6": pa.array(s, pa.int64()),
+            "avg_logit_e6": pa.array(avg, pa.int64()),
+            "blocked": pa.array(blocked, pa.int64()),
+        }
+    )
+
+
+DOMAIN_QUALITY_BLOCKLIST_SQL = None  # assigned below (reuses the classifier CTE)
+
+
+def _domain_blocklist_sql(min_docs: int = 5, avg_threshold_e6: int = -300_000) -> str:
+    inner = CLASSIFIER_QUALITY_SCORES_SQL.strip().removesuffix("ORDER BY doc_id").rstrip()
+    # swap the doc_id projection for a source-level aggregate over the
+    # identical logit expression (same CTE text = same float chain)
+    return f"""
+WITH scored AS (
+  SELECT d.source, z.logit_e6
+  FROM ({inner}) z JOIN documents d USING (doc_id)
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(logit_e6) AS BIGINT) AS sum_logit_e6
+  FROM scored GROUP BY source
+)
+SELECT source, n_docs, sum_logit_e6,
+       CAST(sum_logit_e6 // n_docs AS BIGINT) AS avg_logit_e6,
+       CAST(sum_logit_e6 < {avg_threshold_e6} * n_docs
+            AND n_docs >= {min_docs} AS BIGINT) AS blocked
+FROM agg ORDER BY source
+"""
+
+
+DOMAIN_QUALITY_BLOCKLIST_SQL = _domain_blocklist_sql()

@@ -1614,6 +1614,126 @@ FROM agg ORDER BY month
 """
 
 
+# ---------------------------------------------------------------------------
+# GDPR erasure: subject purge across tables with a verifiable report
+# ---------------------------------------------------------------------------
+
+_GDPR_MOD = 13
+_GDPR_RES = 3
+
+
+def gdpr_erasure_report(sf_dir: str) -> pa.Table:
+    """Right-to-be-forgotten propagation with PROOF: purge every table
+    keyed by a deletion-subject list and report, per table, the row count
+    before, the rows removed, and the order-invariant content CHECKSUM of
+    the survivors — the artifact a compliance audit stores (re-running the
+    checksum later proves the purge held).
+
+    The subject list (here the deterministic rule ``key % 13 == 3``, in a
+    real system the explicit request list) is broadcast-small; each table
+    is ONE scan folding (n_before, n_removed, mod-p checksum partial) —
+    nothing data-proportional leaves the workers, and no table is
+    rewritten to compute the report (the purge itself composes with
+    write_parquet on the filtered datasets)."""
+    from ray.data.aggregate import Sum
+
+    specs = [
+        # (table, key column, value column for the checksum)
+        ("customer", "c_custkey", "c_acctbal"),
+        ("events", "user_id", "value"),
+        ("orders", "o_custkey", "o_orderkey"),
+    ]
+    part_schema = pa.schema(
+        [
+            ("tbl", pa.string()),
+            ("n_before", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("rh_sum", pa.int64()),
+        ]
+    )
+
+    def make_partial(tbl: str, key: str, val: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return part_schema.empty_table()
+            k = pc.cast(batch[key], pa.int64()).to_numpy(zero_copy_only=False)
+            if val in ("c_acctbal", "value"):
+                v = _cents(batch[val]).to_numpy().astype(np.int64)
+            else:
+                v = pc.cast(batch[val], pa.int64()).to_numpy(zero_copy_only=False)
+            erase = k % _GDPR_MOD == _GDPR_RES
+            keep_k, keep_v = k[~erase], v[~erase]
+            inner = (keep_k % _P) * _CK_A1 + (keep_v % _P) * _CK_A3
+            rh = ((inner % _P) * _CK_MIX + _CK_C) % _P
+            return pa.table(
+                {
+                    "tbl": pa.array([tbl], pa.string()),
+                    "n_before": pa.array([len(k)], pa.int64()),
+                    "n_removed": pa.array([int(erase.sum())], pa.int64()),
+                    "rh_sum": pa.array([int(rh.sum() % _P)], pa.int64()),
+                }
+            )
+
+        return partial
+
+    cols = {
+        "customer": ["c_custkey", "c_acctbal"],
+        "events": ["user_id", "value"],
+        "orders": ["o_custkey", "o_orderkey"],
+    }
+    parts = None
+    for tbl, key, val in specs:
+        p = read_table(sf_dir, tbl, columns=cols[tbl]).map_batches(
+            make_partial(tbl, key, val), batch_format="pyarrow", zero_copy_batch=True
+        )
+        parts = p if parts is None else parts.union(p)
+    agg = (
+        parts.groupby("tbl")
+        .aggregate(
+            Sum("n_before", alias_name="n_before"),
+            Sum("n_removed", alias_name="n_removed"),
+            Sum("rh_sum", alias_name="rh_sum"),
+        )
+        .to_pandas()
+        .sort_values("tbl")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "tbl": pa.array(agg["tbl"], pa.string()),
+            "n_before": pa.array(agg["n_before"].to_numpy(np.int64), pa.int64()),
+            "n_removed": pa.array(agg["n_removed"].to_numpy(np.int64), pa.int64()),
+            "checksum_after": pa.array(
+                agg["rh_sum"].to_numpy(np.int64) % _P, pa.int64()
+            ),
+        }
+    )
+
+
+def _gdpr_table_sql(tbl: str, key: str, val_expr: str) -> str:
+    return f"""
+SELECT '{tbl}' AS tbl,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(count(*) FILTER (WHERE {key} % {_GDPR_MOD} = {_GDPR_RES}) AS BIGINT)
+         AS n_removed,
+       CAST(CAST(coalesce(sum(
+           ((({key} % {_P}) * {_CK_A1} + ({val_expr} % {_P}) * {_CK_A3})
+            % {_P} * {_CK_MIX} + {_CK_C}) % {_P})
+           FILTER (WHERE {key} % {_GDPR_MOD} != {_GDPR_RES}), 0) AS HUGEINT)
+         % {_P} AS BIGINT) AS checksum_after
+FROM {tbl}"""
+
+
+GDPR_ERASURE_SQL = (
+    _gdpr_table_sql("customer", "c_custkey", "CAST(round(c_acctbal*100) AS BIGINT)")
+    + "\nUNION ALL"
+    + _gdpr_table_sql("events", "user_id", "CAST(round(value*100) AS BIGINT)")
+    + "\nUNION ALL"
+    + _gdpr_table_sql("orders", "o_custkey", "o_orderkey")
+    + "\nORDER BY tbl"
+)
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -1626,4 +1746,5 @@ WAREHOUSE_QUERIES = {
     "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARDINALITY_ESTIMATE_SQL),
     "order_ship_latency_quantiles": (order_ship_latency_quantiles, ORDER_SHIP_LATENCY_SQL),
     "orders_seasonality_index": (orders_seasonality_index, ORDERS_SEASONALITY_SQL),
+    "gdpr_erasure_report": (gdpr_erasure_report, GDPR_ERASURE_SQL),
 }

@@ -309,6 +309,8 @@ SQL_BACKED = [
     "orders_seasonality_index",
     "session_type_affinity",
     "events_leadlag_xcorr",
+    "gdpr_erasure_report",
+    "domain_quality_blocklist",
 ]
 
 
