@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_affinity",
         "events_leadlag_xcorr",
         "gdpr_erasure_report",
+        "events_changepoint",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1086,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_affinity",
         "events_leadlag_xcorr",
         "gdpr_erasure_report",
+        "events_changepoint",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang

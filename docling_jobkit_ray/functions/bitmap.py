@@ -343,3 +343,64 @@ def bitmap_index_stats(index_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_keys", alias_name="n_keys"))
         .sort("attr")
     )
+
+
+def compact_bitmap_index(index_dir: str) -> dict:
+    """Fold each bucket's increment files back into ONE ``part.parquet``
+    (the bitmap counterpart of ingest.compact_increments).  Safe alongside
+    concurrent readers WITHOUT a commit marker because the read algebra is
+    idempotent: readers OR-fold duplicate (attr, word) rows, so the window
+    where both the new compacted file and the old increments are visible
+    double-ORs identical bits — a no-op.  Order: write the compacted file
+    via atomic ``os.replace``, THEN unlink the absorbed files (a row is
+    never visible-missing).
+
+    Each bucket compacts in its own Ray task — the fold is the same
+    ``_or_fold`` reduceat kernel, bounded by that bucket's index rows."""
+    import glob
+
+    meta_path = f"{index_dir}/_meta.json"
+    meta = json.load(open(meta_path))
+    dirs = sorted(glob.glob(f"{index_dir}/bucket=*"))
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for d in batch["dir"].to_pylist():
+            files = sorted(glob.glob(f"{d}/part*.parquet"))
+            if len(files) <= 1:
+                out_rows.append(0)
+                continue
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            codes, uniq = pd.factorize(t["attr"].to_pandas().to_numpy())
+            a_c, w_c, b_c = _or_fold(
+                codes.astype(np.int64),
+                t["word"].to_numpy(zero_copy_only=False),
+                t["bits"].to_numpy(zero_copy_only=False),
+            )
+            folded = pa.table(
+                {
+                    "attr": pa.array(uniq.take(a_c), pa.string()),
+                    "word": pa.array(w_c, pa.int64()),
+                    "bits": pa.array(b_c, pa.int64()),
+                }
+            )
+            tmp = f"{d}/.part.parquet.tmp"
+            pq.write_table(folded, tmp)
+            os.replace(tmp, f"{d}/part.parquet")
+            for f in files:
+                if os.path.basename(f) != "part.parquet":
+                    os.unlink(f)
+            out_rows.append(len(files) - 1)
+        return pa.table({"absorbed": pa.array(out_rows, pa.int64())})
+
+    absorbed = sum(
+        r["absorbed"]
+        for r in ray.data.from_items([{"dir": d} for d in dirs])
+        .map_batches(compact_one, batch_format="pyarrow")
+        .take_all()
+    )
+    meta["increments"] = 0
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return {"buckets": len(dirs), "files_absorbed": int(absorbed), **meta}

@@ -2935,3 +2935,119 @@ BEHAVIOR_QUERIES.update(
         "events_leadlag_xcorr": (events_leadlag_xcorr, events_leadlag_xcorr_sql()),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# offline changepoint detection (binary segmentation, exact integer contrast)
+# ---------------------------------------------------------------------------
+
+
+def events_changepoint(sf_dir: str, *, top_k: int = 5) -> pa.Table:
+    """Offline changepoint scan over the hourly event-count series: for
+    every split point s the between-segment contrast |n2*S1 - n1*S2| (the
+    cross-multiplied mean difference — EXACT in int64, no division), and
+    the ``top_k`` best splits ranked (contrast desc, hour asc) — binary
+    segmentation's first step, the "when did behavior change" question.
+
+    One hourly fold (same calendar-bounded pattern as the xcorr/rollup
+    family); the split scan is two cumulative sums over the dense grid,
+    driver-side."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("hour_us", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.multiply(
+            pc.divide(ts, pa.scalar(_XCORR_HOUR_US, pa.int64())),
+            pa.scalar(_XCORR_HOUR_US, pa.int64()),
+        )
+        return (
+            pa.table({"hour_us": hour})
+            .group_by("hour_us")
+            .aggregate([([], "count_all")])
+            .rename_columns(["hour_us", "n"])
+        )
+
+    hours = (
+        read_table(sf_dir, "events", columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour_us")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("hour_us")
+        .reset_index(drop=True)
+    )
+    h = hours["hour_us"].to_numpy(np.int64)
+    grid = np.arange(h[0], h[-1] + _XCORR_HOUR_US, _XCORR_HOUR_US, dtype=np.int64)
+    y = np.zeros(len(grid), np.int64)
+    y[(h - h[0]) // _XCORR_HOUR_US] = hours["n"].to_numpy(np.int64)
+    n = len(y)
+    total = int(y.sum())
+    cum = np.cumsum(y)
+    s = np.arange(1, n, dtype=np.int64)  # split AFTER index s-1
+    s1 = cum[:-1]
+    n1, n2 = s, n - s
+    contrast = np.abs(n2 * s1 - n1 * (total - s1))
+    order = np.lexsort((grid[1:], -contrast))[:top_k]
+    return pa.table(
+        {
+            "split_hour": pc.cast(
+                pa.array(grid[1:][order], pa.int64()), pa.timestamp("us")
+            ),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            "n_left": pa.array(n1[order], pa.int64()),
+            "n_right": pa.array(n2[order], pa.int64()),
+            "sum_left": pa.array(s1[order], pa.int64()),
+            "sum_right": pa.array(total - s1[order], pa.int64()),
+            "contrast": pa.array(contrast[order], pa.int64()),
+        }
+    ).sort_by("rank")
+
+
+EVENTS_CHANGEPOINT_SQL = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY hour
+),
+grid AS (
+  SELECT unnest(generate_series(
+           (SELECT min(hour) FROM c), (SELECT max(hour) FROM c),
+           INTERVAL 1 HOUR)) AS hour
+),
+d AS (
+  SELECT g.hour, coalesce(c.n, 0) AS n,
+         CAST(row_number() OVER (ORDER BY g.hour) AS BIGINT) AS i
+  FROM grid g LEFT JOIN c ON c.hour = g.hour
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_hours, CAST(sum(n) AS BIGINT) AS total FROM d),
+splits AS (
+  SELECT d.hour AS split_hour, d.i - 1 AS n_left,
+         (SELECT n_hours FROM tot) - (d.i - 1) AS n_right,
+         CAST(sum(n) OVER (ORDER BY d.hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS sum_left
+  FROM d
+  QUALIFY d.i > 1
+),
+scored AS (
+  SELECT split_hour, n_left, n_right, sum_left,
+         (SELECT total FROM tot) - sum_left AS sum_right,
+         abs(n_right * sum_left - n_left * ((SELECT total FROM tot) - sum_left))
+           AS contrast
+  FROM splits
+)
+SELECT split_hour,
+       CAST(row_number() OVER (ORDER BY contrast DESC, split_hour) AS BIGINT)
+         AS rank,
+       n_left, n_right, sum_left, sum_right, CAST(contrast AS BIGINT) AS contrast
+FROM scored
+QUALIFY rank <= 5
+ORDER BY rank
+"""
+
+BEHAVIOR_QUERIES.update(
+    {"events_changepoint": (events_changepoint, EVENTS_CHANGEPOINT_SQL)}
+)

