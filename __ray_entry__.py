@@ -1097,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hapax_rate_by_lang"] = textstats.hapax_rate_by_lang
     q["prefix_autocomplete_top"] = textstats.prefix_autocomplete_top
     q["domain_quality_blocklist"] = webtext.domain_quality_blocklist
+    q["corpus_card"] = textstats.corpus_card
     return q
 
 
@@ -1382,6 +1383,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import DOMAIN_QUALITY_BLOCKLIST_SQL
 
     sql["domain_quality_blocklist"] = DOMAIN_QUALITY_BLOCKLIST_SQL
+    from docling_jobkit_ray.functions.textstats import CORPUS_CARD_SQL
+
+    sql["corpus_card"] = CORPUS_CARD_SQL
     # bitmap index: the query is answered from the artifact alone; the SQL
     # side scans the base table — parity pins index content == corpus
     sql["bitmap_doc_query"] = (

@@ -1449,3 +1449,127 @@ r AS (
 SELECT prefix, CAST(rank AS BIGINT) AS rank, word, n
 FROM r WHERE rank <= 3 ORDER BY prefix, rank
 """
+
+
+def corpus_card(sf_dir: str) -> pa.Table:
+    """One-call "dataset card": the headline corpus facts LLM teams publish
+    — document/token/char totals, language and source breadth, and the
+    exact-duplicate profile — as (metric, value) long-form rows, all exact
+    int64.
+
+    Plan: ONE scan folds the scalar partials (counts, token counts via the
+    corpus \\S+ contract, char totals) and the distinct-text profile rides
+    the standard (hash(text) -> count) exchange — dup_docs = n - |distinct
+    texts|, dup_ppm floor-divided.  Lang/source breadth are tiny distinct
+    folds.  Nothing data-proportional reaches the driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    scal_schema = pa.schema(
+        [("n_docs", pa.int64()), ("n_tokens", pa.int64()), ("n_chars", pa.int64())]
+    )
+
+    def scalars(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return scal_schema.empty_table()
+        toks = pc.sum(pc.count_substring_regex(batch["text"], pattern=r"\S+")).as_py()
+        chars = pc.sum(pc.utf8_length(batch["text"])).as_py()
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_tokens": pa.array([int(toks or 0)], pa.int64()),
+                "n_chars": pa.array([int(chars or 0)], pa.int64()),
+            }
+        )
+
+    sc = (
+        ds.map_batches(scalars, batch_format="pyarrow", zero_copy_batch=True)
+        .sum(["n_docs", "n_tokens", "n_chars"])
+    )
+    n_docs = int(sc["sum(n_docs)"])
+    n_tokens = int(sc["sum(n_tokens)"])
+    n_chars = int(sc["sum(n_chars)"])
+
+    # distinct texts through the standard hash exchange (pd.util.hash_array
+    # is deterministic cross-process; a 64-bit collision would undercount —
+    # the same trade dedup_exact documents)
+    n_b = bucket_count(estimate_rows(sf_dir, "documents"), min_buckets=32)
+
+    def text_hashes(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("h", pa.int64()), ("bucket", pa.int64())]).empty_table()
+        h = pd.util.hash_array(batch["text"].to_pandas().to_numpy()).astype(np.int64)
+        h = np.unique(h)
+        return pa.table(
+            {"h": pa.array(h, pa.int64()), "bucket": pa.array(h % n_b, pa.int64())}
+        )
+
+    def distinct_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(group["h"].nunique())]})
+
+    n_distinct = int(
+        ds.map_batches(text_hashes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(distinct_in_bucket, batch_format="pandas")
+        .sum("n")
+    )
+
+    def _distinct_count(col: str) -> int:
+        return int(
+            ds.map_batches(
+                lambda b, c=col: pa.table({c: b[c]}).group_by(c).aggregate([]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby(col)
+            .count()
+            .count()
+        )
+
+    n_langs = _distinct_count("lang")
+    n_sources = _distinct_count("source")
+    dup_docs = n_docs - n_distinct
+    metrics = [
+        ("dup_docs", dup_docs),
+        ("dup_ppm", dup_docs * 1_000_000 // n_docs if n_docs else 0),
+        ("n_chars", n_chars),
+        ("n_distinct_texts", n_distinct),
+        ("n_docs", n_docs),
+        ("n_langs", n_langs),
+        ("n_sources", n_sources),
+        ("n_tokens", n_tokens),
+    ]
+    return pa.table(
+        {
+            "metric": pa.array([m for m, _ in metrics], pa.string()),
+            "value": pa.array([int(v) for _, v in metrics], pa.int64()),
+        }
+    )
+
+
+CORPUS_CARD_SQL = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM documents
+)
+SELECT metric, value FROM (
+  SELECT 'dup_docs' AS metric, n_docs - n_distinct_texts AS value FROM s
+  UNION ALL SELECT 'dup_ppm', (n_docs - n_distinct_texts) * 1000000 // n_docs FROM s
+  UNION ALL SELECT 'n_chars', n_chars FROM s
+  UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM s
+  UNION ALL SELECT 'n_docs', n_docs FROM s
+  UNION ALL SELECT 'n_langs', n_langs FROM s
+  UNION ALL SELECT 'n_sources', n_sources FROM s
+  UNION ALL SELECT 'n_tokens', n_tokens FROM s
+) ORDER BY metric
+"""

@@ -312,6 +312,7 @@ SQL_BACKED = [
     "gdpr_erasure_report",
     "domain_quality_blocklist",
     "events_changepoint",
+    "corpus_card",
 ]
 
 
