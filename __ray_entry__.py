@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_leadlag_xcorr",
         "gdpr_erasure_report",
         "events_changepoint",
+        "events_max_burst",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1088,6 +1089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_leadlag_xcorr",
         "gdpr_erasure_report",
         "events_changepoint",
+        "events_max_burst",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang

@@ -3051,3 +3051,75 @@ ORDER BY rank
 BEHAVIOR_QUERIES.update(
     {"events_changepoint": (events_changepoint, EVENTS_CHANGEPOINT_SQL)}
 )
+
+
+# ---------------------------------------------------------------------------
+# value-RANGE window frame: max events in any trailing/leading time window
+# ---------------------------------------------------------------------------
+
+_BURST_WIN_US = 3_600_000_000  # 1 hour
+
+
+def events_max_burst(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Per user, the maximum number of events inside ANY [t, t+1h] window
+    anchored at an event — the rate-burst profile abuse/bot screens
+    compute, and the VALUE-RANGE window frame mechanism (RANGE BETWEEN
+    CURRENT ROW AND INTERVAL ... FOLLOWING), distinct from the row-count
+    and session-gap window forms already covered.
+
+    Tie-safe by construction: the frame is defined by VALUES, so the
+    count is searchsorted(ts, t+win, right) - searchsorted(ts, t, left) —
+    position-free under duplicate timestamps, exactly the peer-group
+    semantics of the SQL RANGE frame.  One user-bucketed exchange; inside
+    a bucket users concatenate onto a dense-uid combined key (the
+    events_band_join trick) so BOTH probes are two vectorized
+    searchsorted calls, never a per-user loop."""
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    add_bucket = rel._user_bucket_adder(rel._user_buckets(sf_dir, n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = pd.factorize(g["user_id"])[0].astype(np.int64)
+        tmin = int(ts.min()) if len(ts) else 0
+        span = int(ts.max()) - tmin + _BURST_WIN_US + 2 if len(ts) else 1
+        key = uid * span + (ts - tmin)
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        hi = np.searchsorted(key, key + _BURST_WIN_US, side="right")
+        lo = np.searchsorted(key, key, side="left")
+        burst = (hi - lo).astype(np.int64)
+        out = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy()[order], "burst": burst}
+        )
+        res = out.groupby("user_id", as_index=False).agg(
+            n_events=("burst", "size"), max_burst=("burst", "max")
+        )
+        res["user_id"] = res["user_id"].astype("int64")
+        return res
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+EVENTS_MAX_BURST_SQL = """
+WITH w AS (
+  SELECT user_id,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN CURRENT ROW AND to_microseconds(3600000000)
+              FOLLOWING) AS BIGINT) AS burst
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(burst) AS BIGINT) AS max_burst
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+BEHAVIOR_QUERIES.update(
+    {"events_max_burst": (events_max_burst, EVENTS_MAX_BURST_SQL)}
+)

@@ -313,6 +313,7 @@ SQL_BACKED = [
     "domain_quality_blocklist",
     "events_changepoint",
     "corpus_card",
+    "events_max_burst",
 ]
 
 
