@@ -1100,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["prefix_autocomplete_top"] = textstats.prefix_autocomplete_top
     q["domain_quality_blocklist"] = webtext.domain_quality_blocklist
     q["corpus_card"] = textstats.corpus_card
+    q["labeled_pair_sample"] = dedup.labeled_pair_sample
     return q
 
 
@@ -1388,6 +1389,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.textstats import CORPUS_CARD_SQL
 
     sql["corpus_card"] = CORPUS_CARD_SQL
+    from docling_jobkit_ray.functions.dedup import LABELED_PAIR_SAMPLE_SQL
+
+    sql["labeled_pair_sample"] = LABELED_PAIR_SAMPLE_SQL
     # bitmap index: the query is answered from the artifact alone; the SQL
     # side scans the base table — parity pins index content == corpus
     sql["bitmap_doc_query"] = (

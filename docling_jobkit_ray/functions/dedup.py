@@ -1488,3 +1488,182 @@ def minhash_eval_report(
             "verified_recall_ppm": pa.array([ppm(v_hits, len(exact))], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# labeled pair sampling (training data for a learned similarity model)
+# ---------------------------------------------------------------------------
+
+_LPS_M = 2_147_483_647
+_LPS_A = 630_360_016  # full-period multiplier (CLAUDE.md Lehmer rule)
+_LPS_RATE_NUM = 2  # keep ~2/13 of docs as pair anchors
+_LPS_RATE_DEN = 13
+
+
+def labeled_pair_sample(
+    sf_dir: str, *, shingle_k: int = 3, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Deterministic labeled document pairs — the training set a learned
+    similarity/dedup model consumes: pseudo-random partner pairs with the
+    EXACT word-3-gram overlap as the target (inter/union counts and
+    jaccard_ppm, all exact ints).  A binary exact-dup label would be
+    vacuous on a dup-free corpus slice; the gram-overlap target varies at
+    every scale because the synthetic docs share a common vocabulary.
+
+    Anchors keep by the full-period Lehmer rule (reshard-invariant);
+    partner = ``lehmer(a) % N`` (bounded-int modular arithmetic, identical
+    in numpy and DuckDB at any id magnitude; dense 0..N-1 doc_id contract,
+    N exact from parquet footers).  Anchor TEXTS cross the exchange once
+    (sample-bounded at ~2/13 of docs); partner texts ride their own
+    bucket.  Pairs whose gram-set union is empty are excluded (both
+    engines)."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_docs = estimate_rows(sf_dir, "documents")
+    n_b = n_buckets or bucket_count(n_docs, min_buckets=32)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    union_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("key", pa.int64()),
+            ("a", pa.int64()),
+            ("text", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return union_schema.empty_table()
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        lehmer = ((ids % _LPS_M) * _LPS_A) % _LPS_M
+        keep = lehmer % _LPS_RATE_DEN < _LPS_RATE_NUM
+        partner = lehmer[keep] % n_docs
+        partner = np.where(partner == ids[keep], (partner + 1) % n_docs, partner)
+        t_a = pa.table(
+            {
+                "bucket": pa.array(partner % n_b, pa.int64()),
+                "key": pa.array(partner, pa.int64()),
+                "a": pa.array(ids[keep], pa.int64()),
+                "text": batch["text"].filter(pa.array(keep)),
+                "side": pa.array(np.zeros(int(keep.sum()), np.int8), pa.int8()),
+            }
+        )
+        t_b = pa.table(
+            {
+                "bucket": pa.array(ids % n_b, pa.int64()),
+                "key": pa.array(ids, pa.int64()),
+                "a": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+                "text": batch["text"],
+                "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            }
+        )
+        return pa.concat_tables([t_a, t_b]).cast(union_schema)
+
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("inter_grams", pa.int64()),
+            ("union_grams", pa.int64()),
+            ("jaccard_ppm", pa.int64()),
+        ]
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(union_schema.names).cast(union_schema)
+        anchors = group.filter(pc.equal(group["side"], 0))
+        docs = group.filter(pc.equal(group["side"], 1))
+        if anchors.num_rows == 0 or docs.num_rows == 0:
+            return out_schema.empty_table()
+        # partner texts by id within the bucket (ids unique on side 1)
+        dmap = dict(
+            zip(docs["key"].to_pylist(), docs["text"].to_pylist())
+        )
+        rows = {k: [] for k in out_schema.names}
+        for a, key, ta in zip(
+            anchors["a"].to_pylist(),
+            anchors["key"].to_pylist(),
+            anchors["text"].to_pylist(),
+        ):
+            tb = dmap.get(key)
+            if tb is None:
+                continue
+            ga = set(_string_shingles(ta, shingle_k))
+            gb = set(_string_shingles(tb, shingle_k))
+            u = len(ga | gb)
+            if u == 0:
+                continue
+            i = len(ga & gb)
+            rows["doc_a"].append(a)
+            rows["doc_b"].append(key)
+            rows["inter_grams"].append(i)
+            rows["union_grams"].append(u)
+            rows["jaccard_ppm"].append(i * 1_000_000 // u)
+        return pa.Table.from_pydict(rows, schema=out_schema)
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .sort("doc_a")
+    )
+
+
+def labeled_pair_sample_sql(shingle_k: int = 3) -> str:
+    joins = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(shingle_k))
+    return f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+anchors AS (
+  SELECT doc_id AS doc_a,
+         ((doc_id % {_LPS_M}) * {_LPS_A}) % {_LPS_M} AS lehmer
+  FROM documents
+  WHERE ((doc_id % {_LPS_M}) * {_LPS_A}) % {_LPS_M} % {_LPS_RATE_DEN}
+        < {_LPS_RATE_NUM}
+),
+pairs AS (
+  SELECT doc_a,
+         CASE WHEN lehmer % n_docs = doc_a
+              THEN (lehmer % n_docs + 1) % n_docs
+              ELSE lehmer % n_docs END AS doc_b
+  FROM anchors, n
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+  FROM documents
+  WHERE doc_id IN (SELECT doc_a FROM pairs) OR doc_id IN (SELECT doc_b FROM pairs)
+),
+sh AS (
+  SELECT DISTINCT doc_id, g
+  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(w) - {shingle_k - 1}, 0)),
+                    i -> {joins})) AS u(g)
+),
+sizes AS (
+  SELECT t.doc_id, count(DISTINCT s.g) AS n
+  FROM toks t LEFT JOIN sh s USING (doc_id) GROUP BY t.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b
+    ON b.doc_id = p.doc_b AND a.g = b.g
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(coalesce(i.i, 0) AS BIGINT) AS inter_grams,
+       CAST(sa.n + sb.n - coalesce(i.i, 0) AS BIGINT) AS union_grams,
+       CAST(coalesce(i.i, 0) * 1000000 // (sa.n + sb.n - coalesce(i.i, 0))
+            AS BIGINT) AS jaccard_ppm
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+WHERE sa.n + sb.n - coalesce(i.i, 0) > 0
+ORDER BY p.doc_a
+"""
+
+
+LABELED_PAIR_SAMPLE_SQL = labeled_pair_sample_sql()

@@ -314,6 +314,7 @@ SQL_BACKED = [
     "events_changepoint",
     "corpus_card",
     "events_max_burst",
+    "labeled_pair_sample",
 ]
 
 
