@@ -377,6 +377,14 @@ def run_bench() -> dict:
             "orders_content_checksum",
             lambda sf: __import__("__ray_entry__").queries()["orders_content_checksum"](sf),
         ),
+        (
+            "corpus_card",
+            lambda sf: __import__("__ray_entry__").queries()["corpus_card"](sf),
+        ),
+        (
+            "bitmap_doc_query",  # build + conjunctive query from the artifact
+            lambda sf: __import__("__ray_entry__").queries()["bitmap_doc_query"](sf),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
