@@ -1101,6 +1101,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["domain_quality_blocklist"] = webtext.domain_quality_blocklist
     q["corpus_card"] = textstats.corpus_card
     q["labeled_pair_sample"] = dedup.labeled_pair_sample
+    q["lix_readability"] = textstats.lix_readability
+
+    def _l_diversity_report(sf_dir: str):
+        from docling_jobkit_ray.functions.quality_checks import l_diversity_report
+
+        return l_diversity_report(sf_dir)
+
+    q["l_diversity_report"] = _l_diversity_report
+    from docling_jobkit_ray.pipelines.relational import RELATIONAL_QUERIES as _RQ
+
+    q["user_churn_features"] = _RQ["user_churn_features"][0]
+    q["events_ewma"] = _RQ["events_ewma"][0]
+
+    def _rrf_hybrid_search(sf_dir: str):
+        from docling_jobkit_ray.functions.index import rrf_hybrid_search
+
+        return rrf_hybrid_search(sf_dir, ["table", "spark", "window"], k=20)
+
+    q["rrf_hybrid_search"] = _rrf_hybrid_search
     return q
 
 
@@ -1405,6 +1424,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'source=' || source AS attr, count(*) AS n_keys FROM documents GROUP BY source"
         ") ORDER BY attr"
     )
+    from docling_jobkit_ray.functions.textstats import LIX_READABILITY_SQL
+
+    sql["lix_readability"] = LIX_READABILITY_SQL
+    from docling_jobkit_ray.functions.quality_checks import l_diversity_report_sql
+
+    sql["l_diversity_report"] = l_diversity_report_sql()
+    from docling_jobkit_ray.functions.index import rrf_hybrid_search_sql
+
+    sql["rrf_hybrid_search"] = rrf_hybrid_search_sql(["table", "spark", "window"], k=20)
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -644,3 +644,77 @@ FROM adj WHERE a = '{t1}' AND b = '{t2}'
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion — hybrid retrieval over two ranking systems
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def rrf_hybrid_search(
+    sf_dir: str, terms: list[str], *, k: int = 20, k_each: int = 20
+) -> pa.Table:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    fuse the BM25 ranking and the boolean-OR ordinal ranking of the same
+    query, score(d) = sum over systems of 1/(60 + rank_d) — the standard
+    RAG trick that beats either ranker alone without score calibration.
+
+    Integer contract: each system contributes ``1000000 // (60 + rank)``
+    (floor division — round() is hazardous cross-engine), ranks are
+    1-based row_numbers over each system's own deterministic total order
+    (BM25: score DESC, doc_id; boolean: n_hits DESC, sum_df ASC, doc_id),
+    absent docs contribute rank 0 / score 0.
+
+    Scale shape: both input rankings are top-``k_each`` bounded BEFORE the
+    fusion, so the driver-side fuse touches at most ``2 * k_each`` rows at
+    any corpus size — the distributed work is entirely inside the two
+    rankers (one corpus scan each).
+    """
+    bm = bm25_search(sf_dir, terms, k=k_each).take_all()  # bounded: k_each
+    sc = search_corpus(sf_dir, terms, k=k_each).take_all()  # bounded: k_each
+
+    bm_rank = {int(r["doc_id"]): i + 1 for i, r in enumerate(bm)}
+    sc_rank = {int(r["doc_id"]): i + 1 for i, r in enumerate(sc)}
+    fused = []
+    for doc_id in set(bm_rank) | set(sc_rank):
+        rb = bm_rank.get(doc_id, 0)
+        rs = sc_rank.get(doc_id, 0)
+        score = (1_000_000 // (_RRF_K + rb) if rb else 0) + (
+            1_000_000 // (_RRF_K + rs) if rs else 0
+        )
+        fused.append((doc_id, rb, rs, score))
+    fused.sort(key=lambda t: (-t[3], t[0]))
+    fused = fused[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([t[0] for t in fused], pa.int64()),
+            "bm25_rank": pa.array([t[1] for t in fused], pa.int64()),
+            "bool_rank": pa.array([t[2] for t in fused], pa.int64()),
+            "rrf_score": pa.array([t[3] for t in fused], pa.int64()),
+        }
+    )
+
+
+def rrf_hybrid_search_sql(terms: list[str], k: int = 20, k_each: int = 20) -> str:
+    bm = bm25_search_sql(terms, k=k_each)
+    sc = search_corpus_sql(terms, k=k_each)
+    return f"""
+WITH bm AS ({bm}),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS r
+        FROM bm),
+sc AS ({sc}),
+scr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY n_hits DESC, sum_df ASC, doc_id) AS r
+        FROM sc)
+SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id,
+       CAST(COALESCE(b.r, 0) AS BIGINT) AS bm25_rank,
+       CAST(COALESCE(s.r, 0) AS BIGINT) AS bool_rank,
+       CAST(COALESCE(1000000 // ({_RRF_K} + b.r), 0)
+          + COALESCE(1000000 // ({_RRF_K} + s.r), 0) AS BIGINT) AS rrf_score
+FROM bmr b FULL OUTER JOIN scr s ON b.doc_id = s.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {k}
+"""

@@ -370,3 +370,121 @@ FROM documents
 GROUP BY lang, source, len_bucket
 ORDER BY lang, source, len_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — the sensitive-attribute sibling of k-anonymity
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+def l_diversity_report(
+    sf_dir: str, *, l_threshold: int = _LDIV_L, len_bucket: int = _KANON_LEN_BUCKET
+) -> ray.data.Dataset:
+    """l-diversity audit: for every quasi-identifier class
+    (lang, n_chars // 256), how many DISTINCT values of the sensitive
+    attribute (source) appear?  A class that k-anonymity clears can still
+    leak — if all its members share one source, membership reveals the
+    source exactly.  One row per class with its size, distinct-sensitive
+    count, and ``at_risk = distinct < l`` (every class reported, not just
+    violators — the all-filtered empty-Dataset schema hazard).
+
+    Plan shape: per-batch fold collapses to at most one row per
+    (class x source) triple BEFORE the exchange; ONE groupby sums the
+    triples; the surviving table is bounded by the attribute-domain
+    product (|langs| x |len buckets| x |sources|), never the corpus, so
+    the class-level rollup finishes on a single block via repartition(1)
+    (map->map fusion never coalesces — the exchange is required).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.pages import read_table
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("len_bucket", pa.int64()),
+            ("class_size", pa.int64()),
+            ("n_sources", pa.int64()),
+            ("at_risk", pa.int64()),
+        ]
+    )
+    part_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("len_bucket", pa.int64()),
+            ("source", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        lb = pc.divide(
+            pc.cast(batch["n_chars"], pa.int64()),
+            pa.scalar(len_bucket, pa.int64()),
+        )  # nonnegative: floor == trunc
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "len_bucket": pc.cast(lb, pa.int64()),
+                "source": batch["source"],
+            }
+        )
+        folded = (
+            t.group_by(["lang", "len_bucket", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "len_bucket", "source", "n"])
+        )
+        return folded.select(part_schema.names).cast(part_schema)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        batch = batch.select(part_schema.names).cast(part_schema)
+        rolled = (
+            batch.group_by(["lang", "len_bucket"])
+            .aggregate([("n", "sum"), ([], "count_all")])
+            .rename_columns(["lang", "len_bucket", "class_size", "n_sources"])
+        )
+        size = pc.cast(rolled["class_size"], pa.int64())
+        nsrc = pc.cast(rolled["n_sources"], pa.int64())
+        out = pa.table(
+            {
+                "lang": rolled["lang"],
+                "len_bucket": pc.cast(rolled["len_bucket"], pa.int64()),
+                "class_size": size,
+                "n_sources": nsrc,
+                "at_risk": pc.cast(
+                    pc.less(nsrc, pa.scalar(l_threshold, pa.int64())), pa.int64()
+                ),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "len_bucket", "source"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["lang", "len_bucket"])
+    )
+
+
+def l_diversity_report_sql(
+    l_threshold: int = _LDIV_L, len_bucket: int = _KANON_LEN_BUCKET
+) -> str:
+    return f"""
+SELECT lang, n_chars // {len_bucket} AS len_bucket,
+       count(*) AS class_size,
+       count(DISTINCT source) AS n_sources,
+       CAST(count(DISTINCT source) < {l_threshold} AS BIGINT) AS at_risk
+FROM documents
+GROUP BY lang, len_bucket
+ORDER BY lang, len_bucket
+"""

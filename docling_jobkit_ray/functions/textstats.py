@@ -1573,3 +1573,92 @@ SELECT metric, value FROM (
   UNION ALL SELECT 'n_tokens', n_tokens FROM s
 ) ORDER BY metric
 """
+
+
+# ---------------------------------------------------------------------------
+# LIX readability — pure map, zero shuffle
+# ---------------------------------------------------------------------------
+
+
+def lix_readability(sf_dir: str) -> ray.data.Dataset:
+    """Per-document LIX readability index (Björnsson 1968) — the
+    curation signal that separates dense legalese / OCR runs from plain
+    prose:  LIX = words/sentences + 100 * long_words/words, with
+    long = 7+ letters and sentences = maximal ``[.!?]+`` runs.
+
+    Integer contract (cross-engine exact): counts come from the same RE2
+    patterns in both engines (``pc.count_substring_regex`` ==
+    ``len(regexp_extract_all(...))`` — non-overlapping leftmost matches),
+    and the two ratio terms floor-divide in ppm:
+    ``lix_ppm = words*1e6 // max(sentences,1) + long*1e8 // words``
+    (0 for word-less docs).  Worst case ``long*1e8`` is ~1e13 per doc —
+    comfortably int64.  Pure per-row map over a column-pruned read; the
+    only ordering step is the final doc_id sort.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("n_words", pa.int64()),
+            ("n_long_words", pa.int64()),
+            ("n_sentences", pa.int64()),
+            ("lix_ppm", pa.int64()),
+        ]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        text = batch["text"]
+        words = pc.cast(
+            pc.count_substring_regex(text, pattern="[A-Za-z]+"), pa.int64()
+        )
+        longw = pc.cast(
+            pc.count_substring_regex(text, pattern="[A-Za-z]{7,}"), pa.int64()
+        )
+        sents = pc.cast(
+            pc.count_substring_regex(text, pattern="[.!?]+"), pa.int64()
+        )
+        sents1 = pc.max_element_wise(sents, pa.scalar(1, pa.int64()))
+        # guard the words==0 divide with a 1 denominator, then mask to 0
+        wsafe = pc.max_element_wise(words, pa.scalar(1, pa.int64()))
+        lix = pc.add(
+            pc.divide(pc.multiply(words, pa.scalar(1_000_000, pa.int64())), sents1),
+            pc.divide(pc.multiply(longw, pa.scalar(100_000_000, pa.int64())), wsafe),
+        )
+        lix = pc.if_else(pc.equal(words, 0), pa.scalar(0, pa.int64()), lix)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+                "n_words": words,
+                "n_long_words": longw,
+                "n_sentences": sents,
+                "lix_ppm": lix,
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+LIX_READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]{7,}')) AS n_long_words,
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sentences
+  FROM documents)
+SELECT doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_long_words AS BIGINT) AS n_long_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(CASE WHEN n_words = 0 THEN 0
+            ELSE n_words * 1000000 // greatest(n_sentences, 1)
+               + n_long_words * 100000000 // n_words END AS BIGINT) AS lix_ppm
+FROM c ORDER BY doc_id
+"""

@@ -3123,3 +3123,282 @@ FROM w GROUP BY user_id ORDER BY user_id
 BEHAVIOR_QUERIES.update(
     {"events_max_burst": (events_max_burst, EVENTS_MAX_BURST_SQL)}
 )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time churn feature snapshot — leakage-safe label construction
+# ---------------------------------------------------------------------------
+
+_CHURN_CUTOFF_US = 1_705_795_200_000_000  # 2024-01-21 00:00:00 UTC in epoch us
+_DAY_US = 86_400_000_000
+
+
+def user_churn_features(sf_dir: str) -> ray.data.Dataset:
+    """Point-in-time churn training snapshot: for every user active before
+    the cutoff T (2024-01-21), trailing-window activity FEATURES computed
+    strictly from ``ts < T`` and a LABEL computed strictly from
+    ``T <= ts < T+7d`` — the leakage-safe construction every churn model
+    needs (a feature that peeks past T poisons the model; keeping both
+    sides of T in one pass makes the boundary auditable).
+
+    Features: event counts in the trailing 7d / 14d windows, spend cents in
+    the 14d window, recency in whole hours at T.  Label:
+    ``churned = 1`` iff the user has NO event in [T, T+7d).
+
+    Everything is associative: a per-batch arrow group_by collapses each
+    batch to one partial row per user (sums + max-before-timestamp with a
+    -1 sentinel), ONE user_id groupby folds partials, and a pure map
+    finishes — no map_groups, no per-user Python call.  Cents quantize
+    per row (exact int64 sums); recency floor-divides nonnegative micros.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    T = _CHURN_CUTOFF_US
+    part_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n7", pa.int64()),
+            ("n14", pa.int64()),
+            ("cents14", pa.int64()),
+            ("max_before_us", pa.int64()),
+            ("n_after", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events_7d", pa.int64()),
+            ("n_events_14d", pa.int64()),
+            ("value_cents_14d", pa.int64()),
+            ("recency_hours", pa.int64()),
+            ("churned", pa.int64()),
+        ]
+    )
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        us = pc.cast(batch["ts"], pa.int64())
+        before = pc.less(us, pa.scalar(T, pa.int64()))
+        in7 = pc.and_(before, pc.greater_equal(us, pa.scalar(T - 7 * _DAY_US)))
+        in14 = pc.and_(before, pc.greater_equal(us, pa.scalar(T - 14 * _DAY_US)))
+        after = pc.and_(
+            pc.greater_equal(us, pa.scalar(T, pa.int64())),
+            pc.less(us, pa.scalar(T + 7 * _DAY_US)),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        zero = pa.scalar(0, pa.int64())
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "n7": pc.cast(in7, pa.int64()),
+                "n14": pc.cast(in14, pa.int64()),
+                "cents14": pc.if_else(in14, cents, zero),
+                "max_before_us": pc.if_else(before, us, pa.scalar(-1, pa.int64())),
+                "n_after": pc.cast(after, pa.int64()),
+            }
+        )
+        folded = t.group_by("user_id").aggregate(
+            [
+                ("n7", "sum"),
+                ("n14", "sum"),
+                ("cents14", "sum"),
+                ("max_before_us", "max"),
+                ("n_after", "sum"),
+            ]
+        )
+        folded = folded.rename_columns(part_schema.names)
+        return folded.cast(part_schema)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        batch = batch.select(part_schema.names).cast(part_schema)
+        batch = batch.filter(
+            pc.greater_equal(batch["max_before_us"], pa.scalar(0, pa.int64()))
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        recency = pc.divide(
+            pc.subtract(pa.scalar(T, pa.int64()), batch["max_before_us"]),
+            pa.scalar(3_600_000_000, pa.int64()),
+        )  # nonnegative: floor == trunc
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "n_events_7d": batch["n7"],
+                "n_events_14d": batch["n14"],
+                "value_cents_14d": batch["cents14"],
+                "recency_hours": recency,
+                "churned": pc.cast(
+                    pc.equal(batch["n_after"], pa.scalar(0, pa.int64())), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Sum(on="n7", alias_name="n7"),
+            Sum(on="n14", alias_name="n14"),
+            Sum(on="cents14", alias_name="cents14"),
+            Max(on="max_before_us", alias_name="max_before_us"),
+            Sum(on="n_after", alias_name="n_after"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+USER_CHURN_FEATURES_SQL = """
+WITH agg AS (
+  SELECT user_id,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-14' AND ts < TIMESTAMP '2024-01-21'
+                  THEN 1 ELSE 0 END) AS n_events_7d,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-07' AND ts < TIMESTAMP '2024-01-21'
+                  THEN 1 ELSE 0 END) AS n_events_14d,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-07' AND ts < TIMESTAMP '2024-01-21'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS value_cents_14d,
+         max(CASE WHEN ts < TIMESTAMP '2024-01-21' THEN ts END) AS last_before,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-21' AND ts < TIMESTAMP '2024-01-28'
+                  THEN 1 ELSE 0 END) AS n_after
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(n_events_7d AS BIGINT) AS n_events_7d,
+       CAST(n_events_14d AS BIGINT) AS n_events_14d,
+       CAST(value_cents_14d AS BIGINT) AS value_cents_14d,
+       CAST((epoch_us(TIMESTAMP '2024-01-21') - epoch_us(last_before))
+            // 3600000000 AS BIGINT) AS recency_hours,
+       CAST(n_after = 0 AS BIGINT) AS churned
+FROM agg WHERE last_before IS NOT NULL ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# integer EWMA — the per-key sequential-scan recurrence
+# ---------------------------------------------------------------------------
+
+
+def events_ewma(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-user exponentially-weighted moving average of event value, the
+    stream-smoothing primitive (anomaly baselines, adaptive thresholds)
+    with alpha = 1/8 kept EXACT cross-engine by integer flooring every
+    step:  s_1 = c_1;  s_i = (c_i + 7 * s_{i-1}) // 8  over events ordered
+    by (ts, event_id) — cents are nonnegative so floor == truncate in both
+    engines, and the recurrence is bit-deterministic (no float drift to
+    quantize away).
+
+    Plan shape: the recurrence is inherently sequential PER KEY — no
+    closed form survives the per-step floor — so parallelism comes from
+    the user-bucket exchange (scale-derived count): one lexsort per
+    bucket, then a per-user ufunc accumulate over Python ints (the only
+    per-row Python in the repo's hot paths, documented as the price of an
+    exact sequential scan; users per bucket bound the loop).  The oracle
+    is the equivalent recursive CTE, whose iteration depth is the max
+    per-user event count — scale-INVARIANT under real corpus growth
+    (users grow with the corpus) but multiplied by the replication factor
+    at the synthetic 10x-rows tier.
+    """
+    rel = _rel()
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("ts_us", pa.int64()),
+                    ("event_id", pa.int64()),
+                    ("cents", pa.int64()),
+                ]
+            ).empty_table()
+        uid = pc.cast(batch["user_id"], pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(uid, mask),
+                "user_id": uid,
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("cents", pa.int64()),
+            ("ewma_cents", pa.int64()),
+        ]
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        # frompyfunc objects don't pickle — build per group call (cheap
+        # next to the scan it drives)
+        _step = np.frompyfunc(lambda s, c: (c + 7 * s) // 8, 2, 1)
+        uid = np.asarray(group["user_id"], dtype=np.int64)
+        ts = np.asarray(group["ts_us"], dtype=np.int64)
+        eid = np.asarray(group["event_id"], dtype=np.int64)
+        cents = np.asarray(group["cents"], dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        ewma = np.empty(len(uid), dtype=object)
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [len(uid)]])
+        obj = cents.astype(object)
+        for a, b in zip(starts[:-1], starts[1:]):
+            ewma[a:b] = _step.accumulate(obj[a:b])
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "ewma_cents": pa.array(ewma.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .sort(["user_id", "event_id"])
+    )
+
+
+EVENTS_EWMA_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events),
+r AS (
+  SELECT user_id, event_id, cents, seq, cents AS ewma_cents
+  FROM ev WHERE seq = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.cents, e.seq,
+         (e.cents + 7 * r.ewma_cents) // 8
+  FROM ev e JOIN r ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+SELECT user_id, event_id, cents, ewma_cents
+FROM r ORDER BY user_id, event_id
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "user_churn_features": (user_churn_features, USER_CHURN_FEATURES_SQL),
+        "events_ewma": (events_ewma, EVENTS_EWMA_SQL),
+    }
+)

@@ -315,6 +315,11 @@ SQL_BACKED = [
     "corpus_card",
     "events_max_burst",
     "labeled_pair_sample",
+    "lix_readability",
+    "l_diversity_report",
+    "user_churn_features",
+    "rrf_hybrid_search",
+    "events_ewma",
 ]
 
 
