@@ -1120,6 +1120,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rrf_hybrid_search(sf_dir, ["table", "spark", "window"], k=20)
 
     q["rrf_hybrid_search"] = _rrf_hybrid_search
+
+    def _item_cooccurrence_topk(sf_dir: str):
+        from docling_jobkit_ray.functions.basket import item_cooccurrence_topk
+
+        return item_cooccurrence_topk(sf_dir)
+
+    q["item_cooccurrence_topk"] = _item_cooccurrence_topk
+    q["rake_keywords"] = webtext.rake_keywords
+
+    def _mmr_rerank_search(sf_dir: str):
+        from docling_jobkit_ray.functions.index import mmr_rerank_search
+
+        return mmr_rerank_search(sf_dir, ["table", "spark", "window"], k=10)
+
+    q["mmr_rerank_search"] = _mmr_rerank_search
     return q
 
 
@@ -1433,6 +1448,15 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.index import rrf_hybrid_search_sql
 
     sql["rrf_hybrid_search"] = rrf_hybrid_search_sql(["table", "spark", "window"], k=20)
+    from docling_jobkit_ray.functions.basket import item_cooccurrence_topk_sql
+
+    sql["item_cooccurrence_topk"] = item_cooccurrence_topk_sql()
+    from docling_jobkit_ray.functions.webtext import rake_keywords_sql
+
+    sql["rake_keywords"] = rake_keywords_sql()
+    from docling_jobkit_ray.functions.index import mmr_rerank_search_sql
+
+    sql["mmr_rerank_search"] = mmr_rerank_search_sql(["table", "spark", "window"], k=10)
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -718,3 +718,149 @@ FROM bmr b FULL OUTER JOIN scr s ON b.doc_id = s.doc_id
 ORDER BY rrf_score DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank — greedy maximal marginal relevance over top-k
+# ---------------------------------------------------------------------------
+
+_MMR_REL_W = 7
+_MMR_DIV_W = 3
+
+
+def mmr_rerank_search(
+    sf_dir: str, terms: list[str], *, k: int = 10, k_cand: int = 20
+) -> pa.Table:
+    """Diversified search results via Maximal Marginal Relevance
+    (Carbonell & Goldstein 1998): greedily pick the candidate maximizing
+    ``7 * rel - 3 * max_sim_to_already_picked`` — the re-rank every RAG
+    retriever runs so the context window isn't k copies of one page.
+
+    Exact-integer contract: rel is BM25's quantized ``score_e6``;
+    similarity between candidates is Jaccard ppm over their DISTINCT
+    word sets (``|A∩B| * 1e6 // |A∪B|`` — floor division, counts exact
+    in both engines); the MMR objective is a pure integer expression
+    with NO division (integer weights 7/3), so negative scores carry no
+    floor-vs-truncate hazard.  Ties break by doc_id.  The oracle runs
+    the identical greedy as a recursive CTE with a LATERAL argmax and a
+    list-accumulated selected set.
+
+    Scale shape: candidates are top-``k_cand`` bounded BEFORE any
+    pairwise work, so the similarity matrix is ``k_cand^2`` and the
+    driver pull is bounded by ``k_cand x per-doc distinct words`` —
+    independent of corpus size; the distributed work is the BM25 scan
+    plus one candidate-filtered tokenize pass.
+    """
+    from .dsir import _tokens
+
+    cand = bm25_search(sf_dir, terms, k=k_cand).take_all()  # bounded: k_cand
+    if not cand:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "rel_e6": pa.array([], pa.int64()),
+                "mmr_score": pa.array([], pa.int64()),
+            }
+        )
+    rel = {int(r["doc_id"]): int(r["score_e6"]) for r in cand}
+    # deterministic candidate order: (rel DESC, doc_id ASC)
+    cand_ids = sorted(rel, key=lambda d: (-rel[d], d))
+    id_set = pa.array(cand_ids, pa.int64())
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pair_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.string())])
+
+    def cand_words(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        hit = pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=id_set)
+        batch = batch.filter(hit)
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        flat, doc_idx, _ = _tokens(batch["text"].combine_chunks())
+        if len(flat) == 0:
+            return pair_schema.empty_table()
+        doc_ids = pc.cast(batch["doc_id"], pa.int64()).combine_chunks()
+        t = pa.table(
+            {"doc_id": doc_ids.take(pa.array(doc_idx, pa.int64())), "w": flat}
+        )
+        return t.group_by(["doc_id", "w"]).aggregate([])
+
+    # bounded: k_cand docs x their distinct words — corpus-size-independent
+    rows = (
+        ds.map_batches(cand_words, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    words: dict[int, set[str]] = {d: set() for d in cand_ids}
+    for r in rows:
+        words[int(r["doc_id"])].add(r["w"])
+
+    def sim_ppm(a: int, b: int) -> int:
+        ix = len(words[a] & words[b])
+        un = len(words[a] | words[b])
+        return ix * 1_000_000 // un if un else 0
+
+    picked: list[tuple[int, int, int]] = []  # (rank, doc_id, mmr)
+    sel: list[int] = []
+    remaining = list(cand_ids)
+    while remaining and len(picked) < k:
+        best = None
+        for c in remaining:
+            maxsim = max((sim_ppm(c, s) for s in sel), default=0)
+            mmr = _MMR_REL_W * rel[c] - _MMR_DIV_W * maxsim
+            if best is None or (mmr, -c) > (best[1], -best[0]):
+                best = (c, mmr)
+        picked.append((len(picked) + 1, best[0], best[1]))
+        sel.append(best[0])
+        remaining.remove(best[0])
+    return pa.table(
+        {
+            "rank": pa.array([p[0] for p in picked], pa.int64()),
+            "doc_id": pa.array([p[1] for p in picked], pa.int64()),
+            "rel_e6": pa.array([rel[p[1]] for p in picked], pa.int64()),
+            "mmr_score": pa.array([p[2] for p in picked], pa.int64()),
+        }
+    )
+
+
+def mmr_rerank_search_sql(terms: list[str], k: int = 10, k_cand: int = 20) -> str:
+    bm = bm25_search_sql(terms, k=k_cand)
+    return f"""
+WITH RECURSIVE bm AS ({bm}),
+w AS (SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM bm)),
+wc AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ix
+          FROM w x JOIN w y ON x.w = y.w AND x.doc_id <> y.doc_id
+          GROUP BY a, b),
+sim AS (SELECT a, b,
+               CAST(ix * 1000000 // (ca.nw + cb.nw - ix) AS BIGINT) AS s
+        FROM inter
+        JOIN wc ca ON ca.doc_id = inter.a
+        JOIN wc cb ON cb.doc_id = inter.b),
+seed AS (SELECT doc_id, score_e6,
+                row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rn
+         FROM bm),
+pick AS (
+  SELECT 1 AS step, doc_id, score_e6,
+         CAST({_MMR_REL_W} * score_e6 AS BIGINT) AS mmr, [doc_id] AS sel
+  FROM seed WHERE rn = 1
+  UNION ALL
+  SELECT p.step + 1, q.doc_id, q.score_e6, q.mmr, list_append(p.sel, q.doc_id)
+  FROM pick p, LATERAL (
+    SELECT r.doc_id, r.score_e6,
+           {_MMR_REL_W} * r.score_e6
+           - {_MMR_DIV_W} * COALESCE((SELECT max(s.s) FROM sim s
+                                      WHERE s.a = r.doc_id
+                                        AND list_contains(p.sel, s.b)), 0) AS mmr
+    FROM seed r WHERE NOT list_contains(p.sel, r.doc_id)
+    ORDER BY mmr DESC, r.doc_id LIMIT 1
+  ) q
+  WHERE p.step < {k}
+)
+SELECT step AS rank, doc_id, CAST(score_e6 AS BIGINT) AS rel_e6,
+       CAST(mmr AS BIGINT) AS mmr_score
+FROM pick ORDER BY rank
+"""

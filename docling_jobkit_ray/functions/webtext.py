@@ -4126,3 +4126,148 @@ FROM agg ORDER BY source
 
 
 DOMAIN_QUALITY_BLOCKLIST_SQL = _domain_blocklist_sql()
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction — document-local, fully batch-local
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = ("a", "an", "and", "for", "in", "is", "it", "of", "on", "the", "to")
+_RAKE_K = 3
+
+
+def rake_keywords(sf_dir: str, *, k: int = _RAKE_K) -> ray.data.Dataset:
+    """Per-document RAKE keyword extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free runs in the token stream; each
+    word scores deg/freq over the document's own phrases (deg = sum of
+    the lengths of the phrases its occurrences sit in); a phrase scores
+    the sum of its member-TOKEN word scores; the top-k phrases per doc
+    win by (score DESC, phrase ASC).
+
+    Integer contract: ``wscore_ppm = deg * 1e6 // freq`` floor-divides
+    once per (doc, word); phrase scores are exact integer sums of those —
+    the quantize-once discipline.  Phrase boundaries come from the token
+    stream alone (stopwords break runs; punctuation does not beyond what
+    tokenization removes), so both engines derive the identical islands
+    by running-summing the stopword flag.
+
+    Scale shape: RAKE is document-LOCAL by definition, so the whole
+    operator is one pure ``map_batches`` — per-doc stats via numpy
+    segment folds over the flat token child, phrase strings assembled
+    with one ``pc.binary_join`` over list offsets, zero exchange before
+    the final (doc_id, rank) sort.
+    """
+    from .dsir import _tokens
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("phrase", pa.string()),
+            ("score_ppm", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+    stop_arr = pa.array(list(_RAKE_STOPWORDS), pa.string())
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        flat, doc_idx, _lens = _tokens(batch["text"].combine_chunks())
+        if len(flat) == 0:
+            return out_schema.empty_table()
+        is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        pid = np.cumsum(is_stop)  # phrase island id within doc (+ const)
+        keep = ~is_stop
+        d = doc_idx[keep]
+        p = pid[keep]
+        toks = flat.filter(pa.array(keep))
+        if len(toks) == 0:
+            return out_schema.empty_table()
+        enc = pc.dictionary_encode(toks)
+        wid = np.asarray(enc.indices, dtype=np.int64)
+        n_words = len(enc.dictionary)
+        # per-(doc, word) freq and deg
+        dw = d * n_words + wid
+        uniq_dw, inv_dw, freq = np.unique(dw, return_inverse=True, return_counts=True)
+        # phrase runs are contiguous in the kept stream (ordered by doc, pos)
+        new_run = np.concatenate([[True], (d[1:] != d[:-1]) | (p[1:] != p[:-1])])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id).astype(np.int64)
+        deg = np.zeros(len(uniq_dw), np.int64)
+        np.add.at(deg, inv_dw, run_len[run_id])
+        wscore = deg * 1_000_000 // freq
+        pscore = np.zeros(len(run_len), np.int64)
+        np.add.at(pscore, run_id, wscore[inv_dw])
+        offsets = np.concatenate([[0], np.cumsum(run_len)])
+        phrases = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), toks), " "
+        )
+        run_doc = d[offsets[:-1]]
+        doc_ids = pc.cast(batch["doc_id"], pa.int64()).combine_chunks()
+        t = (
+            pa.table(
+                {
+                    "doc_id": doc_ids.take(pa.array(run_doc, pa.int64())),
+                    "phrase": phrases,
+                    "score_ppm": pa.array(pscore, pa.int64()),
+                }
+            )
+            .group_by(["doc_id", "phrase"])  # same text => same score
+            .aggregate([("score_ppm", "min")])
+            .rename_columns(["doc_id", "phrase", "score_ppm"])
+        )
+        df = t.to_pandas().sort_values(
+            ["doc_id", "score_ppm", "phrase"], ascending=[True, False, True]
+        )
+        df["rank"] = df.groupby("doc_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "phrase": pa.array(df["phrase"].tolist(), pa.string()),
+                "score_ppm": pa.array(df["score_ppm"].to_numpy(np.int64), pa.int64()),
+                "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["doc_id", "rank"])
+    )
+
+
+def rake_keywords_sql(k: int = _RAKE_K) -> str:
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr
+        FROM documents)),
+marked AS (
+  SELECT doc_id, i, w, w IN ({stops}) AS is_stop,
+         sum(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS pid
+  FROM tok),
+body AS (SELECT doc_id, i, w, pid FROM marked WHERE NOT is_stop),
+runlen AS (SELECT doc_id, pid, count(*) AS plen FROM body GROUP BY doc_id, pid),
+wsc AS (
+  SELECT b.doc_id, b.w,
+         CAST(sum(r.plen) AS BIGINT) * 1000000 // count(*) AS wscore
+  FROM body b JOIN runlen r ON r.doc_id = b.doc_id AND r.pid = b.pid
+  GROUP BY b.doc_id, b.w),
+ph AS (
+  SELECT b.doc_id, b.pid,
+         string_agg(b.w, ' ' ORDER BY b.i) AS phrase,
+         CAST(sum(ws.wscore) AS BIGINT) AS score_ppm
+  FROM body b JOIN wsc ws ON ws.doc_id = b.doc_id AND ws.w = b.w
+  GROUP BY b.doc_id, b.pid),
+ded AS (SELECT doc_id, phrase, min(score_ppm) AS score_ppm
+        FROM ph GROUP BY doc_id, phrase),
+rk AS (SELECT *, row_number() OVER
+         (PARTITION BY doc_id ORDER BY score_ppm DESC, phrase) AS rank
+       FROM ded)
+SELECT doc_id, phrase, score_ppm, rank
+FROM rk WHERE rank <= {k} ORDER BY doc_id, rank
+"""

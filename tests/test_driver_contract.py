@@ -320,6 +320,9 @@ SQL_BACKED = [
     "user_churn_features",
     "rrf_hybrid_search",
     "events_ewma",
+    "item_cooccurrence_topk",
+    "rake_keywords",
+    "mmr_rerank_search",
 ]
 
 
