@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..functions.stats_tests import _trunc_div
 from ..sources.pages import read_table
 
 _P = 2_147_483_647  # 2^31 - 1 (Mersenne prime): the mod-p checksum domain
@@ -1734,6 +1735,250 @@ GDPR_ERASURE_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# grouped OLS trend: per-customer spend slope (cents per day)
+# ---------------------------------------------------------------------------
+
+_TREND_MIN_ORDERS = 5
+
+
+def customer_spend_trend(
+    sf_dir: str, *, min_orders: int = _TREND_MIN_ORDERS
+) -> ray.data.Dataset:
+    """Per-customer ordinary-least-squares spend trend: the slope (in 1e-6
+    cents per day) of ``o_totalprice`` against the order's day index, for
+    customers with at least ``min_orders`` orders — the grouped-regression
+    shape (SQL ``regr_slope(y, x) ... GROUP BY key``) that segments
+    growing vs declining accounts.
+
+    Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    exact int64 partials per batch (x = whole days since epoch, y = cents),
+    folded through ONE groupby-sum exchange; the closed-form slope
+    ``(nΣxy − ΣxΣy)·1e6 / (nΣx² − Σx²)`` is finished per customer in
+    PYTHON INTS (the numerator·1e6 overflows int64; oracle mirrors in
+    HUGEINT — same discipline as the seasonality index).  The division
+    truncates toward zero in BOTH engines (DuckDB ``//`` truncates;
+    ``_trunc_div`` mirrors it for negative slopes).  Customers whose
+    orders all share one day (zero variance) are excluded exactly as the
+    oracle's ``den > 0`` predicate excludes them.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("sxy", pa.int64()),
+            ("sxx", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        x = (date_us.to_numpy(zero_copy_only=False) // _US_PER_DAY).astype(np.int64)
+        y = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "one": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "sx": pa.array(x, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "sxy": pa.array(x * y, pa.int64()),
+                "sxx": pa.array(x * x, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("custkey")
+            .aggregate(
+                [("one", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxy", "sum"), ("sxx", "sum")]
+            )
+            .rename_columns(part_schema.names)
+        )
+
+    out_schema = pa.schema(
+        [("custkey", pa.int64()), ("n_orders", pa.int64()), ("slope_e6", pa.int64())]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        n = pc.cast(batch["sum(n)"], pa.int64()).to_pylist()
+        sx = pc.cast(batch["sum(sx)"], pa.int64()).to_pylist()
+        sy = pc.cast(batch["sum(sy)"], pa.int64()).to_pylist()
+        sxy = pc.cast(batch["sum(sxy)"], pa.int64()).to_pylist()
+        sxx = pc.cast(batch["sum(sxx)"], pa.int64()).to_pylist()
+        ck = pc.cast(batch["custkey"], pa.int64()).to_pylist()
+        keys, ns, slopes = [], [], []
+        for c, ni, xs, ys, xys, xxs in zip(ck, n, sx, sy, sxy, sxx):
+            if ni < min_orders:
+                continue
+            num = ni * xys - xs * ys  # Python ints: overflow-free
+            den = ni * xxs - xs * xs
+            if den <= 0:
+                continue
+            keys.append(c)
+            ns.append(ni)
+            slopes.append(_trunc_div(num * 1_000_000, den))
+        return pa.table(
+            {
+                "custkey": pa.array(keys, pa.int64()),
+                "n_orders": pa.array(ns, pa.int64()),
+                "slope_e6": pa.array(slopes, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(
+            Sum(on="n", alias_name="sum(n)"),
+            Sum(on="sx", alias_name="sum(sx)"),
+            Sum(on="sy", alias_name="sum(sy)"),
+            Sum(on="sxy", alias_name="sum(sxy)"),
+            Sum(on="sxx", alias_name="sum(sxx)"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("custkey")
+    )
+
+
+CUSTOMER_SPEND_TREND_SQL = f"""
+WITH p AS (
+  SELECT o_custkey,
+         count(*) AS n,
+         sum(epoch_us(o_orderdate) // {_US_PER_DAY}) AS sx,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sy,
+         sum((epoch_us(o_orderdate) // {_US_PER_DAY})
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxy,
+         sum((epoch_us(o_orderdate) // {_US_PER_DAY})
+             * (epoch_us(o_orderdate) // {_US_PER_DAY})) AS sxx
+  FROM orders GROUP BY o_custkey
+  HAVING count(*) >= {_TREND_MIN_ORDERS}),
+q AS (
+  SELECT o_custkey AS custkey, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+  FROM p)
+SELECT custkey, CAST(n AS BIGINT) AS n_orders,
+       CAST(num * 1000000 // den AS BIGINT) AS slope_e6
+FROM q WHERE den > 0 ORDER BY custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# m-estimate target encoding: supplier nation -> smoothed mean revenue
+# ---------------------------------------------------------------------------
+
+_TENC_M = 10
+
+
+def nation_target_encoding(sf_dir: str, *, m: int = _TENC_M) -> pa.Table:
+    """m-estimate target encoding of the supplier-nation categorical:
+    each nation encodes as the smoothed mean lineitem revenue
+    ``(S_g + m·μ) / (n_g + m)`` where μ is the global mean — the
+    leakage-safe categorical feature a downstream demand model consumes
+    (Micci-Barreca 2001).
+
+    Exactness: revenue rides as int64 1e-4 units (price × (1 − disc)
+    cents×cents); the smoothed mean is the exact rational
+    ``(S_g·N + m·S) / ((n_g + m)·N)`` quantized ONCE per nation by
+    floor division to ppm of a 1e-4 unit (all terms positive → floor =
+    truncate in both engines).  ``S_g·N·1e6`` overflows int64, so the
+    25-row finish runs in PYTHON INTS; the oracle mirrors in HUGEINT.
+
+    Scale shape: the supplier→nation map is a broadcast dim (closure
+    capture, shipped once per stage); lineitem collapses to per-nation
+    partials inside every batch, so the exchange carries ≤|nations| rows
+    per block; the finish is driver-side on ≤25 rows.
+    """
+    from ray.data.aggregate import Sum
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()
+    skeys = np.array([r["s_suppkey"] for r in sup], np.int64)
+    snat = np.array([r["s_nationkey"] for r in sup], np.int64)
+    order = np.argsort(skeys)
+    skeys, snat = skeys[order], snat[order]
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    part_schema = pa.schema(
+        [("nationkey", pa.int64()), ("rev", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        sk = pc.cast(batch["l_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        nat = snat[np.searchsorted(skeys, sk)]
+        rev = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False) * (
+            100 - _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "nationkey": pa.array(nat, pa.int64()),
+                "rev": pa.array(rev, pa.int64()),
+                "n": pa.array(np.ones(len(nat), np.int64), pa.int64()),
+            }
+        )
+        return (
+            t.group_by("nationkey")
+            .aggregate([("rev", "sum"), ("n", "sum")])
+            .rename_columns(part_schema.names)
+        )
+
+    rows = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nationkey")
+        .aggregate(Sum(on="rev", alias_name="rev"), Sum(on="n", alias_name="n"))
+        .take_all()  # bounded: one row per nation
+    )
+    total_s = sum(int(r["rev"]) for r in rows)
+    total_n = sum(int(r["n"]) for r in rows)
+    rows.sort(key=lambda r: int(r["nationkey"]))
+    nk, ng, sg, enc = [], [], [], []
+    for r in rows:
+        n_g, s_g = int(r["n"]), int(r["rev"])
+        nk.append(int(r["nationkey"]))
+        ng.append(n_g)
+        sg.append(s_g)
+        enc.append((s_g * total_n + m * total_s) * 1_000_000 // ((n_g + m) * total_n))
+    return pa.table(
+        {
+            "nationkey": pa.array(nk, pa.int64()),
+            "n_li": pa.array(ng, pa.int64()),
+            "sum_rev": pa.array(sg, pa.int64()),
+            "enc_ppm": pa.array(enc, pa.int64()),
+        }
+    )
+
+
+NATION_TARGET_ENCODING_SQL = f"""
+WITH li AS (
+  SELECT s.s_nationkey AS nationkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem JOIN supplier s ON s.s_suppkey = l_suppkey),
+g AS (SELECT nationkey, sum(rev) AS s_g, count(*) AS n_g
+      FROM li GROUP BY nationkey),
+tot AS (SELECT sum(s_g) AS s, sum(n_g) AS n FROM g)
+SELECT g.nationkey, CAST(g.n_g AS BIGINT) AS n_li,
+       CAST(g.s_g AS BIGINT) AS sum_rev,
+       CAST((CAST(g.s_g AS HUGEINT) * tot.n + {_TENC_M} * CAST(tot.s AS HUGEINT))
+            * 1000000 // ((g.n_g + {_TENC_M}) * CAST(tot.n AS HUGEINT)) AS BIGINT)
+         AS enc_ppm
+FROM g, tot ORDER BY g.nationkey
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -1747,4 +1992,6 @@ WAREHOUSE_QUERIES = {
     "order_ship_latency_quantiles": (order_ship_latency_quantiles, ORDER_SHIP_LATENCY_SQL),
     "orders_seasonality_index": (orders_seasonality_index, ORDERS_SEASONALITY_SQL),
     "gdpr_erasure_report": (gdpr_erasure_report, GDPR_ERASURE_SQL),
+    "customer_spend_trend": (customer_spend_trend, CUSTOMER_SPEND_TREND_SQL),
+    "nation_target_encoding": (nation_target_encoding, NATION_TARGET_ENCODING_SQL),
 }

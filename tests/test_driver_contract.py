@@ -323,6 +323,8 @@ SQL_BACKED = [
     "item_cooccurrence_topk",
     "rake_keywords",
     "mmr_rerank_search",
+    "customer_spend_trend",
+    "nation_target_encoding",
 ]
 
 
