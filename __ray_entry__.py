@@ -1135,6 +1135,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return mmr_rerank_search(sf_dir, ["table", "spark", "window"], k=10)
 
     q["mmr_rerank_search"] = _mmr_rerank_search
+
+    def _t_closeness_report(sf_dir: str):
+        from docling_jobkit_ray.functions.quality_checks import t_closeness_report
+
+        return t_closeness_report(sf_dir)
+
+    q["t_closeness_report"] = _t_closeness_report
+
+    def _kruskal_rank_means(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import kruskal_rank_means
+
+        return kruskal_rank_means(sf_dir)
+
+    q["kruskal_rank_means"] = _kruskal_rank_means
+
+    def _orders_trend_mann_kendall(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import orders_trend_mann_kendall
+
+        return orders_trend_mann_kendall(sf_dir)
+
+    q["orders_trend_mann_kendall"] = _orders_trend_mann_kendall
+    q["term_dispersion_dp"] = webtext.term_dispersion_dp
     return q
 
 
@@ -1457,6 +1479,19 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.index import mmr_rerank_search_sql
 
     sql["mmr_rerank_search"] = mmr_rerank_search_sql(["table", "spark", "window"], k=10)
+    from docling_jobkit_ray.functions.quality_checks import t_closeness_report_sql
+
+    sql["t_closeness_report"] = t_closeness_report_sql()
+    from docling_jobkit_ray.functions.stats_tests import (
+        KRUSKAL_RANK_MEANS_SQL,
+        ORDERS_TREND_MANN_KENDALL_SQL,
+    )
+
+    sql["kruskal_rank_means"] = KRUSKAL_RANK_MEANS_SQL
+    sql["orders_trend_mann_kendall"] = ORDERS_TREND_MANN_KENDALL_SQL
+    from docling_jobkit_ray.functions.webtext import TERM_DISPERSION_DP_SQL
+
+    sql["term_dispersion_dp"] = TERM_DISPERSION_DP_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

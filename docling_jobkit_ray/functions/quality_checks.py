@@ -488,3 +488,163 @@ FROM documents
 GROUP BY lang, len_bucket
 ORDER BY lang, len_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit — the distributional member of the privacy triad
+# ---------------------------------------------------------------------------
+
+_TCLOSE_T_PPM = 400_000  # classes whose EMD from the global mix exceeds 0.4
+
+
+def t_closeness_report(
+    sf_dir: str,
+    *,
+    t_ppm: int = _TCLOSE_T_PPM,
+    len_bucket: int = _KANON_LEN_BUCKET,
+) -> ray.data.Dataset:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007), completing the
+    k-anonymity / l-diversity privacy triad: for every quasi-identifier
+    class (lang, n_chars // 256), the Earth Mover's Distance between the
+    class's sensitive-attribute (source) distribution and the GLOBAL
+    source distribution.  An l-diverse class can still leak — if 95% of
+    its members share one source while the corpus is uniform, membership
+    shifts an adversary's posterior massively; t-closeness bounds that
+    shift.  For a categorical sensitive attribute under the uniform ground
+    metric, EMD = total-variation distance = 0.5 * sum_i |v_i - s_i|.
+
+    Exactness: with class counts c_i (n = sum c_i) and global counts g_i
+    (N = sum g_i), 0.5 * sum|c_i/n - g_i/N| = sum|c_i*N - g_i*n| / (2*n*N)
+    — an exact rational quantized ONCE per class by floor division to ppm
+    (all terms non-negative, so floor == truncate in both engines).
+    ``c_i*N*1e6`` overflows int64 at warehouse scale, so the bounded
+    finish runs in PYTHON INTS; the oracle mirrors in HUGEINT.  Absent
+    (class, source) combinations contribute |0 - g_i*n| — the grid join,
+    NOT the observed rows, defines the sum (same discipline as the
+    chi-square grid).
+
+    Plan shape: identical to ``l_diversity_report`` — the per-batch fold
+    collapses each batch to at most one row per (class x source) triple
+    before the exchange; the folded table is bounded by the
+    attribute-domain product, so the EMD finish runs on ONE block after
+    ``repartition(1)`` (the exchange is required: map->map fusion never
+    coalesces blocks).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.pages import read_table
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("len_bucket", pa.int64()),
+            ("class_size", pa.int64()),
+            ("emd_ppm", pa.int64()),
+            ("at_risk", pa.int64()),
+        ]
+    )
+    part_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("len_bucket", pa.int64()),
+            ("source", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        lb = pc.divide(
+            pc.cast(batch["n_chars"], pa.int64()),
+            pa.scalar(len_bucket, pa.int64()),
+        )  # nonnegative: floor == trunc
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "len_bucket": pc.cast(lb, pa.int64()),
+                "source": batch["source"],
+            }
+        )
+        folded = (
+            t.group_by(["lang", "len_bucket", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "len_bucket", "source", "n"])
+        )
+        return folded.select(part_schema.names).cast(part_schema)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        batch = batch.select(part_schema.names).cast(part_schema)
+        langs = batch["lang"].to_pylist()
+        lbs = batch["len_bucket"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        ns = batch["n"].to_pylist()
+        g_tot: dict = {}
+        cls: dict = {}
+        for l, b, s, n in zip(langs, lbs, srcs, ns):
+            g_tot[s] = g_tot.get(s, 0) + int(n)
+            cls.setdefault((l, int(b)), {})[s] = int(n)
+        n_global = sum(g_tot.values())
+        out = {"lang": [], "len_bucket": [], "class_size": [], "emd_ppm": [], "at_risk": []}
+        for (l, b) in sorted(cls):
+            counts = cls[(l, b)]
+            n_cls = sum(counts.values())
+            num = sum(
+                abs(counts.get(s, 0) * n_global - g * n_cls)
+                for s, g in g_tot.items()
+            )
+            emd = num * 1_000_000 // (2 * n_cls * n_global)
+            out["lang"].append(l)
+            out["len_bucket"].append(b)
+            out["class_size"].append(n_cls)
+            out["emd_ppm"].append(emd)
+            out["at_risk"].append(int(emd > t_ppm))
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "len_bucket": pa.array(out["len_bucket"], pa.int64()),
+                "class_size": pa.array(out["class_size"], pa.int64()),
+                "emd_ppm": pa.array(out["emd_ppm"], pa.int64()),
+                "at_risk": pa.array(out["at_risk"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "len_bucket", "source"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["lang", "len_bucket"])
+    )
+
+
+def t_closeness_report_sql(
+    t_ppm: int = _TCLOSE_T_PPM, len_bucket: int = _KANON_LEN_BUCKET
+) -> str:
+    return f"""
+WITH obs AS (
+  SELECT lang, n_chars // {len_bucket} AS len_bucket, source, count(*) AS c
+  FROM documents GROUP BY 1, 2, 3),
+g AS (SELECT source, sum(c) AS gn FROM obs GROUP BY source),
+tot AS (SELECT sum(gn) AS n FROM g),
+cls AS (SELECT lang, len_bucket, sum(c) AS nc FROM obs GROUP BY 1, 2),
+grid AS (
+  SELECT cls.lang, cls.len_bucket, cls.nc, g.gn, tot.n,
+         coalesce(obs.c, 0) AS c
+  FROM cls CROSS JOIN g CROSS JOIN tot
+  LEFT JOIN obs ON obs.lang = cls.lang AND obs.len_bucket = cls.len_bucket
+              AND obs.source = g.source)
+SELECT lang, len_bucket, CAST(nc AS BIGINT) AS class_size,
+       CAST(sum(abs(CAST(c AS HUGEINT) * n - CAST(gn AS HUGEINT) * nc))
+            * 1000000 // (2 * CAST(nc AS HUGEINT) * n) AS BIGINT) AS emd_ppm,
+       CAST(sum(abs(CAST(c AS HUGEINT) * n - CAST(gn AS HUGEINT) * nc))
+            * 1000000 // (2 * CAST(nc AS HUGEINT) * n) > {t_ppm} AS BIGINT)
+         AS at_risk
+FROM grid GROUP BY lang, len_bucket, nc, n
+ORDER BY lang, len_bucket
+"""

@@ -325,3 +325,209 @@ SELECT CAST(full_s.n_events AS BIGINT) AS n_events, full_s.mean_e6,
        (SELECT m_e6 FROM ord, nm WHERE rk = CASE WHEN nm.k > 2 THEN nm.k - 1 ELSE nm.k END) AS ci_hi_e6
 FROM full_s
 """
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank profile: pooled mean ranks of value per event type
+# ---------------------------------------------------------------------------
+
+def kruskal_rank_means(sf_dir: str) -> pa.Table:
+    """Kruskal-Wallis rank profile: for each event type, the exact pooled
+    rank-sum and mean rank of ``value`` within the GLOBAL combined sample
+    (midrank/average-rank tie handling) — the nonparametric k-group
+    location comparison (does "purchase" carry systematically larger
+    values than "click"?) that never assumes normality.
+
+    Exactness: ranks stay integer by carrying DOUBLED ranks — the average
+    rank of the tie group at value v is cum_less(v) + (cnt(v)+1)/2, so
+    2*avgrank = 2*cum_less + cnt + 1 is always an exact int64;
+    ``ranksum2`` sums n_tv * rank2(v) per type and
+    ``mean_rank_e6 = ranksum2 * 1e6 // (2 * n)`` quantizes ONCE per type
+    (all terms positive: floor == truncate).  Invariant: sum(ranksum2)
+    over types == N*(N+1) exactly.
+
+    Plan shape: the value-domain histogram pattern
+    (``quantile_normalize_lengths``) — each batch collapses to at most one
+    row per (event_type, cents) pair before the exchange, so ONE
+    groupby-sum carries |types| x |value domain| rows (bounded by the
+    price grid, not the event count); the cumulative-rank finish is a
+    numpy pass over that bounded histogram on the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("cents", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+        return (
+            t.group_by(["event_type", "cents"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "cents", "n"])
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: |types| x |distinct cents| (the value grid)
+    )
+    # global per-value counts -> doubled midranks
+    vc: dict[int, int] = {}
+    for r in hist:
+        vc[int(r["cents"])] = vc.get(int(r["cents"]), 0) + int(r["n"])
+    vals = np.array(sorted(vc), np.int64)
+    cnt = np.array([vc[v] for v in vals], np.int64)
+    cum_less = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    rank2 = 2 * cum_less + cnt + 1
+    r2_of = {int(v): int(r) for v, r in zip(vals, rank2)}
+
+    agg: dict[str, list[int]] = {}
+    for r in hist:
+        a = agg.setdefault(r["event_type"], [0, 0])
+        n = int(r["n"])
+        a[0] += n
+        a[1] += n * r2_of[int(r["cents"])]  # Python ints: overflow-free
+    out = {"event_type": [], "n_events": [], "ranksum2": [], "mean_rank_e6": []}
+    for et in sorted(agg):
+        n, rs2 = agg[et]
+        out["event_type"].append(et)
+        out["n_events"].append(n)
+        out["ranksum2"].append(rs2)
+        out["mean_rank_e6"].append(rs2 * 1_000_000 // (2 * n))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "ranksum2": pa.array(out["ranksum2"], pa.int64()),
+            "mean_rank_e6": pa.array(out["mean_rank_e6"], pa.int64()),
+        }
+    )
+
+
+KRUSKAL_RANK_MEANS_SQL = """
+WITH pts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+vc AS (SELECT c, count(*) AS cnt FROM pts GROUP BY c),
+rk AS (
+  SELECT c, 2 * (sum(cnt) OVER (ORDER BY c) - cnt) + cnt + 1 AS r2 FROM vc),
+tc AS (SELECT event_type, c, count(*) AS n FROM pts GROUP BY 1, 2)
+SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(n * r2) AS BIGINT) AS ranksum2,
+       CAST(CAST(sum(n * r2) AS HUGEINT) * 1000000 // (2 * sum(n)) AS BIGINT)
+         AS mean_rank_e6
+FROM tc JOIN rk USING (c)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on daily order revenue
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY_MK = 86_400_000_000
+
+
+def orders_trend_mann_kendall(sf_dir: str) -> pa.Table:
+    """Mann-Kendall trend test over the daily order-revenue series: the S
+    statistic (concordant-minus-discordant pair count over all day pairs),
+    Kendall's tau-a on the ppm grid, and the tie-corrected variance
+    numerator — the standard nonparametric "is revenue trending?" monitor
+    that is robust to outliers and needs no distributional assumption.
+
+    Exactness: daily revenue sums in int64 cents (per-row quantize);
+    S = sum_{i<j} sign(rev_j - rev_i) over days is a pure integer;
+    tau_ppm = S*1e6 / (k*(k-1)/2) truncates toward zero in BOTH engines
+    (DuckDB ``//`` truncates; ``_trunc_div`` mirrors it — S can be
+    negative); var18 = k(k-1)(2k+5) - sum t(t-1)(2t+5) over revenue-tie
+    groups is 18x the MK variance, kept exact instead of divided.
+
+    Plan shape: ONE bounded groupby-sum fold to the day grain (the day
+    domain is the calendar, not the row count — ~2.4k days at any scale),
+    then an O(k^2) vectorized numpy finish on the driver over those k
+    daily points (5.8M sign comparisons — microseconds).  The oracle
+    self-joins the same k-row day table, so it stays quadratic-in-DAYS,
+    not rows, and is cheap at every tier.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema([("day", pa.int64()), ("rev", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        t = pa.table(
+            {
+                "day": pc.divide(date_us, pa.scalar(_US_PER_DAY_MK, pa.int64())),
+                "rev": pc.cast(
+                    pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+        return (
+            t.group_by("day").aggregate([("rev", "sum")]).rename_columns(["day", "rev"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .take_all()  # bounded: one row per calendar day
+    )
+    rows.sort(key=lambda r: int(r["day"]))
+    rev = np.array([int(r["rev"]) for r in rows], np.int64)
+    k = len(rev)
+    diff = np.sign(rev[None, :] - rev[:, None])
+    s_stat = int(np.triu(diff, 1).sum())
+    pairs = k * (k - 1) // 2
+    tau_ppm = _trunc_div(s_stat * 1_000_000, pairs) if pairs else 0
+    _, tie_counts = np.unique(rev, return_counts=True)
+    tie_term = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tie_counts if t > 1)
+    var18 = k * (k - 1) * (2 * k + 5) - tie_term
+    return pa.table(
+        {
+            "n_days": pa.array([k], pa.int64()),
+            "s_stat": pa.array([s_stat], pa.int64()),
+            "tau_ppm": pa.array([tau_ppm], pa.int64()),
+            "var18": pa.array([var18], pa.int64()),
+        }
+    )
+
+
+ORDERS_TREND_MANN_KENDALL_SQL = f"""
+WITH d AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY_MK} AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT coalesce(sum(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1 ELSE 0 END), 0) AS s_stat
+  FROM d a JOIN d b ON b.day > a.day),
+n AS (SELECT count(*) AS k FROM d),
+t AS (
+  SELECT coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS tie
+  FROM (SELECT count(*) AS c FROM d GROUP BY rev HAVING count(*) > 1))
+SELECT n.k AS n_days, CAST(s.s_stat AS BIGINT) AS s_stat,
+       CAST(CASE WHEN n.k > 1
+                 THEN CAST(s.s_stat AS HUGEINT) * 1000000 // (n.k * (n.k - 1) // 2)
+                 ELSE 0 END AS BIGINT) AS tau_ppm,
+       CAST(n.k * (n.k - 1) * (2 * n.k + 5) - t.tie AS BIGINT) AS var18
+FROM n, s, t
+"""

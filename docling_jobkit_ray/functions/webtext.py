@@ -4271,3 +4271,141 @@ rk AS (SELECT *, row_number() OVER
 SELECT doc_id, phrase, score_ppm, rank
 FROM rk WHERE rank <= {k} ORDER BY doc_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-linguistic term dispersion (Gries' DP) across sources
+# ---------------------------------------------------------------------------
+
+_DP_TOP_K = 100
+
+
+def term_dispersion_dp(sf_dir: str, *, k: int = _DP_TOP_K) -> pa.Table:
+    """Gries' DP (deviation of proportions) dispersion of the top-k corpus
+    terms across sources: DP = 0.5 * sum_parts |v_i - s_i|, where s_i is
+    source i's share of ALL tokens and v_i is its share of the term's
+    occurrences.  A frequent term can still be a single-source artifact
+    (boilerplate, one crawl's navigation chrome) — DP near 1 flags exactly
+    that, DP near 0 means the term is spread like the corpus itself; it is
+    the standard corpus-linguistics upgrade over raw frequency when
+    choosing vocabulary or stopword lists from a multi-source crawl.
+
+    Exactness: with per-(term, source) counts f_i (F = sum f_i) and
+    source token totals t_i (T = sum t_i),
+    DP = sum|f_i*T - t_i*F| / (2*F*T) — one exact rational quantized ONCE
+    per term to ppm (all terms non-negative: floor == truncate).
+    f_i*T*1e6 overflows int64 at corpus scale, so the k-row finish runs in
+    PYTHON INTS; the oracle mirrors in HUGEINT.  Sources where the term is
+    ABSENT contribute |0 - t_i*F| — the grid, not the observed rows,
+    defines the sum (chi-square-grid discipline).
+
+    Plan shape: ONE vectorized (word, source) count exchange — the flat
+    word child + repeated source take, batch-local pre-count so the
+    shuffle carries per-batch vocabulary rows, never tokens.  The folded
+    table (|vocab| x |sources|, still distributed) is materialize()d ONCE
+    because three bounded consumers branch from it (per-word totals top-k,
+    per-source token totals, and the top-k detail rows) — branching an
+    unmaterialized Dataset re-executes the parent (CLAUDE.md).  Everything
+    the driver pulls is k- or |sources|-bounded.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    part_schema = pa.schema(
+        [("word", pa.string()), ("source", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        src = pc.take(batch["source"].combine_chunks(), pa.array(doc_idx))
+        t = pa.table({"word": flat, "source": src}).filter(
+            pc.not_equal(flat, "")
+        )
+        return (
+            t.group_by(["word", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["word", "source", "n"])
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["word", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # three bounded consumers branch below
+    )
+
+    top = (
+        folded.groupby("word")
+        .aggregate(Sum("n", alias_name="total"))
+        .sort(["total", "word"], descending=[True, False])
+        .limit(k)
+        .take_all()  # bounded: k rows
+    )
+    top_words = [r["word"] for r in top]
+    total_of = {r["word"]: int(r["total"]) for r in top}
+
+    src_rows = (
+        folded.groupby("source").aggregate(Sum("n", alias_name="t")).take_all()
+    )  # bounded: one row per source
+    t_of = {r["source"]: int(r["t"]) for r in src_rows}
+    big_t = sum(t_of.values())
+
+    word_set = pa.array(top_words, pa.string())
+
+    def keep_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        return batch.select(part_schema.names).cast(part_schema).filter(
+            pc.is_in(batch["word"], value_set=word_set)
+        )
+
+    detail = folded.map_batches(keep_top, batch_format="pyarrow").take_all()
+    # bounded: k x |sources| rows
+    f_of: dict[str, dict[str, int]] = {}
+    for r in detail:
+        f_of.setdefault(r["word"], {})[r["source"]] = int(r["n"])
+
+    out = {"word": [], "total": [], "dp_ppm": []}
+    for w in sorted(top_words, key=lambda w: (-total_of[w], w)):
+        f = f_of.get(w, {})
+        big_f = total_of[w]
+        num = sum(abs(f.get(s, 0) * big_t - t_i * big_f) for s, t_i in t_of.items())
+        out["word"].append(w)
+        out["total"].append(big_f)
+        out["dp_ppm"].append(num * 1_000_000 // (2 * big_f * big_t))
+    return pa.table(
+        {
+            "word": pa.array(out["word"], pa.string()),
+            "total": pa.array(out["total"], pa.int64()),
+            "dp_ppm": pa.array(out["dp_ppm"], pa.int64()),
+        }
+    )
+
+
+TERM_DISPERSION_DP_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+ws AS (SELECT word, source, count(*) AS f FROM tok GROUP BY 1, 2),
+wt AS (SELECT word, sum(f) AS total FROM ws GROUP BY 1),
+st AS (SELECT source, sum(f) AS t FROM ws GROUP BY 1),
+tt AS (SELECT sum(f) AS big_t FROM ws),
+top AS (SELECT word, total FROM wt ORDER BY total DESC, word LIMIT {_DP_TOP_K}),
+grid AS (
+  SELECT top.word, top.total, st.t, tt.big_t, coalesce(ws.f, 0) AS f
+  FROM top CROSS JOIN st CROSS JOIN tt
+  LEFT JOIN ws ON ws.word = top.word AND ws.source = st.source)
+SELECT word, CAST(total AS BIGINT) AS total,
+       CAST(sum(abs(CAST(f AS HUGEINT) * big_t - CAST(t AS HUGEINT) * total))
+            * 1000000 // (2 * CAST(total AS HUGEINT) * big_t) AS BIGINT)
+         AS dp_ppm
+FROM grid GROUP BY word, total, big_t
+ORDER BY total DESC, word
+"""

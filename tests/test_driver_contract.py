@@ -325,6 +325,10 @@ SQL_BACKED = [
     "mmr_rerank_search",
     "customer_spend_trend",
     "nation_target_encoding",
+    "t_closeness_report",
+    "kruskal_rank_means",
+    "orders_trend_mann_kendall",
+    "term_dispersion_dp",
 ]
 
 
