@@ -1157,6 +1157,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_trend_mann_kendall"] = _orders_trend_mann_kendall
     q["term_dispersion_dp"] = webtext.term_dispersion_dp
+
+    def _adamic_adar_part_pairs(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import adamic_adar_part_pairs
+
+        return adamic_adar_part_pairs(sf_dir)
+
+    q["adamic_adar_part_pairs"] = _adamic_adar_part_pairs
+    q["text_shape_templates"] = webtext.text_shape_templates
+    q["char_entropy_docs"] = webtext.char_entropy_docs
+
+    def _orders_runs_test(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import orders_runs_test
+
+        return orders_runs_test(sf_dir)
+
+    q["orders_runs_test"] = _orders_runs_test
     return q
 
 
@@ -1492,6 +1508,19 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import TERM_DISPERSION_DP_SQL
 
     sql["term_dispersion_dp"] = TERM_DISPERSION_DP_SQL
+    from docling_jobkit_ray.functions.graph import adamic_adar_part_pairs_sql
+
+    sql["adamic_adar_part_pairs"] = adamic_adar_part_pairs_sql()
+    from docling_jobkit_ray.functions.webtext import (
+        TEXT_SHAPE_TEMPLATES_SQL,
+        char_entropy_docs_sql,
+    )
+
+    sql["text_shape_templates"] = TEXT_SHAPE_TEMPLATES_SQL
+    sql["char_entropy_docs"] = char_entropy_docs_sql()
+    from docling_jobkit_ray.functions.stats_tests import ORDERS_RUNS_TEST_SQL
+
+    sql["orders_runs_test"] = ORDERS_RUNS_TEST_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1474,3 +1474,150 @@ FROM (SELECT a AS partkey FROM tri
 GROUP BY partkey
 ORDER BY partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the supplier-part bipartite graph
+# ---------------------------------------------------------------------------
+
+_AA_MIN_QTY = 45
+_AA_TOP_K = 100
+
+
+def adamic_adar_part_pairs(
+    sf_dir: str,
+    *,
+    min_qty: int = _AA_MIN_QTY,
+    k: int = _AA_TOP_K,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the
+    supplier-part bipartite graph: the top-k part pairs most likely to be
+    "related" because they share suppliers, where each shared supplier s
+    contributes 1/ln(deg(s)) — a rare boutique supplier carrying both
+    parts is strong evidence, a supplier that stocks everything is weak
+    evidence.  The classic common-neighbor recommender score that raw
+    co-occurrence counting (``item_cooccurrence_topk``) cannot express.
+
+    Exactness: each supplier's weight quantizes ONCE to
+    ``round(1e6 / ln(deg))`` (the quantized-log discipline — exact .5
+    after an irrational ln is measure-zero, and numpy vs DuckDB double
+    ``ln``/division agree bit-for-bit on these magnitudes); pair scores
+    are then exact int64 SUMS of quantized weights.  Degree-1 suppliers
+    emit no pairs, so ln(1)=0 never divides.
+
+    Plan shape: the basket pair-emission pattern — high-quantity lineitem
+    rows thin the bipartite graph (|edges| stays supplier-degree-bounded),
+    ONE suppkey-bucketed exchange co-locates each supplier's part list,
+    the in-bucket kernel dedups edges / computes degrees / emits
+    weight-summed pair partials vectorized, and a global int64-keyed
+    groupby-sum + top-k sort finishes.  Pairs are quadratic per SUPPLIER
+    degree, never per corpus — the same bound as triangle counting
+    (graph.py part_triangle_counts).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+    from ..sources.pages import read_table
+
+    est = estimate_rows(sf_dir, "lineitem")
+    n_b = n_buckets or bucket_count(est)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_partkey", "l_quantity"]
+    )
+
+    edge_schema = pa.schema(
+        [("s", pa.int64()), ("p", pa.int64()), ("bucket", pa.int64())]
+    )
+    pair_schema = pa.schema([("key", pa.int64()), ("w", pa.int64())])
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return edge_schema.empty_table()
+        t = batch.filter(
+            pc.greater_equal(batch["l_quantity"], pa.scalar(float(min_qty)))
+        )
+        t = (
+            pa.table(
+                {
+                    "s": pc.cast(t["l_suppkey"], pa.int64()),
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                }
+            )
+            .group_by(["s", "p"])
+            .aggregate([])
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["s"], mask))
+
+    def pair_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pair_schema.empty_table()
+        group = group.select(edge_schema.names).cast(edge_schema)
+        df = group.select(["s", "p"]).to_pandas().drop_duplicates()
+        deg = df.groupby("s")["p"].transform("size").to_numpy(np.int64)
+        df = df[deg >= 2]
+        if not len(df):
+            return pair_schema.empty_table()
+        degs = df.groupby("s")["p"].size()
+        w_of = np.round(1_000_000 / np.log(degs.to_numpy(np.float64))).astype(
+            np.int64
+        )
+        w_map = dict(zip(degs.index.to_numpy(np.int64), w_of))
+        m = df.merge(df, on="s")
+        m = m[m["p_x"] < m["p_y"]]
+        key = (m["p_x"].to_numpy(np.int64) << 32) + m["p_y"].to_numpy(np.int64)
+        w = np.array([w_map[s] for s in m["s"].to_numpy(np.int64)], np.int64)
+        order = np.argsort(key, kind="stable")
+        key, w = key[order], w[order]
+        uk, start = np.unique(key, return_index=True)
+        sums = np.add.reduceat(w, start)
+        return pa.table(
+            {"key": pa.array(uk, pa.int64()), "w": pa.array(sums, pa.int64())}
+        )
+
+    out_schema = pa.schema(
+        [("part_a", pa.int64()), ("part_b", pa.int64()), ("aa_e6", pa.int64())]
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        key = pc.cast(batch["key"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part_a": pa.array(key >> 32, pa.int64()),
+                "part_b": pa.array(key & 0xFFFFFFFF, pa.int64()),
+                "aa_e6": pc.cast(batch["w"], pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(edge_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(pair_bucket, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum(on="w", alias_name="w"))
+        .sort(["w", "key"], descending=[True, False])
+        .limit(k)
+        .map_batches(decode, batch_format="pyarrow")
+    )
+
+
+def adamic_adar_part_pairs_sql(
+    min_qty: int = _AA_MIN_QTY, k: int = _AA_TOP_K
+) -> str:
+    return f"""
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+           FROM lineitem WHERE l_quantity >= {min_qty}),
+d AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+w AS (SELECT s, CAST(round(1000000 / ln(deg)) AS BIGINT) AS w
+      FROM d WHERE deg >= 2),
+pr AS (SELECT a.p AS pa, b.p AS pb, w.w
+       FROM e a JOIN e b ON a.s = b.s AND a.p < b.p JOIN w ON w.s = a.s),
+aa AS (SELECT pa, pb, sum(w) AS aa FROM pr GROUP BY 1, 2)
+SELECT pa AS part_a, pb AS part_b, CAST(aa AS BIGINT) AS aa_e6
+FROM aa
+ORDER BY aa DESC, pa, pb LIMIT {k}
+"""

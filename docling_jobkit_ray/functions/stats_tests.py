@@ -531,3 +531,93 @@ SELECT n.k AS n_days, CAST(s.s_stat AS BIGINT) AS s_stat,
        CAST(n.k * (n.k - 1) * (2 * n.k + 5) - t.tie AS BIGINT) AS var18
 FROM n, s, t
 """
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily order revenue
+# ---------------------------------------------------------------------------
+
+def orders_runs_test(sf_dir: str) -> pa.Table:
+    """Wald-Wolfowitz runs test on the daily order-revenue series: split
+    days into above-median vs at-or-below-median, count the RUNS of
+    consecutive same-side days — too few runs means clustering/trend, too
+    many means oscillation; the classic nonparametric randomness check a
+    revenue monitor pairs with the Mann-Kendall trend statistic.
+
+    Exactness: daily revenue sums in int64 cents; the median comparison
+    uses ``med2`` = the sum of the TWO middle order statistics (the same
+    element twice when the day count is odd — the customer_reorder_
+    intervals trick), so ``2*rev > med2`` is a pure integer predicate and
+    no division ever happens; the run count is 1 + the number of sign
+    changes in day order.  Every output is an exact int64.
+
+    Plan shape: the same bounded day-grain fold as the Mann-Kendall test
+    (ONE groupby-sum to calendar days), then an O(k log k) numpy finish
+    on the driver over the k daily points.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema([("day", pa.int64()), ("rev", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        t = pa.table(
+            {
+                "day": pc.divide(date_us, pa.scalar(_US_PER_DAY_MK, pa.int64())),
+                "rev": pc.cast(
+                    pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+        return (
+            t.group_by("day").aggregate([("rev", "sum")]).rename_columns(["day", "rev"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+        .take_all()  # bounded: one row per calendar day
+    )
+    rows.sort(key=lambda r: int(r["day"]))
+    rev = np.array([int(r["rev"]) for r in rows], np.int64)
+    k = len(rev)
+    srt = np.sort(rev)
+    med2 = int(srt[(k - 1) // 2]) + int(srt[k // 2])  # same element twice when odd
+    above = (2 * rev > med2).astype(np.int64)
+    n_above = int(above.sum())
+    n_runs = 1 + int((above[1:] != above[:-1]).sum()) if k else 0
+    return pa.table(
+        {
+            "n_days": pa.array([k], pa.int64()),
+            "n_above": pa.array([n_above], pa.int64()),
+            "n_runs": pa.array([n_runs], pa.int64()),
+        }
+    )
+
+
+ORDERS_RUNS_TEST_SQL = f"""
+WITH d AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY_MK} AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+o AS (SELECT rev, row_number() OVER (ORDER BY rev) AS rk FROM d),
+n AS (SELECT count(*) AS k FROM d),
+m AS (
+  SELECT (SELECT rev FROM o, n WHERE rk = (n.k + 1) // 2)
+       + (SELECT rev FROM o, n WHERE rk = (n.k + 2) // 2) AS med2),
+s AS (
+  SELECT day, CAST(2 * rev > m.med2 AS BIGINT) AS ab FROM d, m),
+r AS (SELECT ab, lag(ab) OVER (ORDER BY day) AS prev FROM s)
+SELECT n.k AS n_days,
+       (SELECT CAST(sum(ab) AS BIGINT) FROM s) AS n_above,
+       (SELECT 1 + CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND ab <> prev
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM r) AS n_runs
+FROM n
+"""

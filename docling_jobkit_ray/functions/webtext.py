@@ -4409,3 +4409,168 @@ SELECT word, CAST(total AS BIGINT) AS total,
 FROM grid GROUP BY word, total, big_t
 ORDER BY total DESC, word
 """
+
+
+# ---------------------------------------------------------------------------
+# log-template mining: canonical text shapes (Drain-style, one-pass exact)
+# ---------------------------------------------------------------------------
+
+_SHAPE_TOP_K = 50
+
+
+def text_shape_templates(sf_dir: str, *, k: int = _SHAPE_TOP_K) -> ray.data.Dataset:
+    """Template mining over the corpus: every document canonicalizes to its
+    SHAPE — digit runs -> ``9``, letter runs -> ``w``, whitespace runs
+    collapsed — and the top-k shapes by document count come back with a
+    representative doc id.  The boilerplate/log-template discovery pass
+    (Drain, SLCT) a crawl pipeline runs to find machine-generated pages:
+    a shape carrying thousands of documents IS a template, and its
+    member docs are near-certain boilerplate.
+
+    Plan shape: the canonicalization is three vectorized RE2 passes per
+    Arrow batch (no Python strings); the exchange carries one
+    (shape, count, min_doc) partial row per distinct shape per batch —
+    template cardinality, never corpus cardinality; a global
+    groupby fold + top-k sort finishes.  Deterministic tiebreak:
+    (n_docs DESC, template ASC).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    part_schema = pa.schema(
+        [("template", pa.string()), ("n_docs", pa.int64()), ("min_doc", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        s = pc.replace_substring_regex(batch["text"], pattern="[0-9]+", replacement="9")
+        s = pc.replace_substring_regex(s, pattern="[A-Za-z]+", replacement="w")
+        s = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        )
+        t = pa.table({"template": s, "doc_id": pc.cast(batch["doc_id"], pa.int64())})
+        return (
+            t.group_by("template")
+            .aggregate([([], "count_all"), ("doc_id", "min")])
+            .rename_columns(["template", "n_docs", "min_doc"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("template")
+        .aggregate(
+            Sum(on="n_docs", alias_name="n_docs"),
+            Min(on="min_doc", alias_name="min_doc"),
+        )
+        .sort(["n_docs", "template"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TEXT_SHAPE_TEMPLATES_SQL = f"""
+WITH shp AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           text, '[0-9]+', '9', 'g'), '[A-Za-z]+', 'w', 'g'),
+           '\\s+', ' ', 'g')) AS template
+  FROM documents)
+SELECT template, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM shp GROUP BY template
+ORDER BY n_docs DESC, template LIMIT {_SHAPE_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-document character-distribution entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def char_entropy_docs(sf_dir: str) -> ray.data.Dataset:
+    """Per-document Shannon entropy of the letter distribution (a-z on the
+    lowered text, in the 1e-6-nat grid): keyboard mash, base64 blobs and
+    single-character padding all sit at entropy extremes that length or
+    word-ratio signals miss — the cheap information-theoretic quality
+    column of the webtext family.
+
+    Exactness: H = ln(n) - sum(c_i * ln(c_i)) / n over the 26 letter
+    counts.  Each ``c*ln(c)`` term quantizes ONCE to the 1e-6 grid
+    (quantized-log discipline: ln of an integer >= 2 is irrational, exact
+    .5 is measure-zero), ln(n) likewise, and the combination
+    ``(n * lnn_e6 - sum_clnc_e6) // n`` is then pure int64 arithmetic —
+    all terms non-negative, so floor == truncate in both engines.
+    Documents with no letters are excluded (n = 0), mirroring the
+    oracle's WHERE.
+
+    Plan shape: a pure map — 26 vectorized ``count_substring`` kernels
+    per batch, numpy for the quantized entropy; no exchange at all.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_letters", pa.int64()), ("entropy_e6", pa.int64())]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        counts = np.stack(
+            [
+                pc.cast(pc.count_substring(lower, pattern=ch), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                for ch in _ENTROPY_ALPHABET
+            ],
+            axis=1,
+        )  # (docs, 26)
+        n = counts.sum(axis=1)
+        safe = np.where(counts > 0, counts, 1).astype(np.float64)
+        clnc = np.round(counts * np.log(safe) * 1e6).astype(np.int64)
+        sum_clnc = clnc.sum(axis=1)
+        keep = n > 0
+        n_k = n[keep]
+        lnn_e6 = np.round(np.log(n_k.astype(np.float64)) * 1e6).astype(np.int64)
+        ent = (n_k * lnn_e6 - sum_clnc[keep]) // n_k
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "n_letters": pa.array(n_k, pa.int64()),
+                "entropy_e6": pa.array(ent, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+def char_entropy_docs_sql() -> str:
+    cnt_terms = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '{ch}')) AS c_{ch}"
+        for ch in _ENTROPY_ALPHABET
+    )
+    n_expr = " + ".join(f"c_{ch}" for ch in _ENTROPY_ALPHABET)
+    clnc_expr = " + ".join(
+        f"CASE WHEN c_{ch} > 0 THEN CAST(round(c_{ch} * ln(c_{ch}) * 1000000) AS BIGINT) ELSE 0 END"
+        for ch in _ENTROPY_ALPHABET
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {cnt_terms}
+  FROM documents),
+agg AS (
+  SELECT doc_id, {n_expr} AS n,
+         {clnc_expr} AS sum_clnc
+  FROM c)
+SELECT doc_id, CAST(n AS BIGINT) AS n_letters,
+       CAST((n * CAST(round(ln(n) * 1000000) AS BIGINT) - sum_clnc) // n
+            AS BIGINT) AS entropy_e6
+FROM agg WHERE n > 0 ORDER BY doc_id
+"""

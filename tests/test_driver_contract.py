@@ -329,6 +329,10 @@ SQL_BACKED = [
     "kruskal_rank_means",
     "orders_trend_mann_kendall",
     "term_dispersion_dp",
+    "adamic_adar_part_pairs",
+    "text_shape_templates",
+    "char_entropy_docs",
+    "orders_runs_test",
 ]
 
 
