@@ -1173,6 +1173,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return orders_runs_test(sf_dir)
 
     q["orders_runs_test"] = _orders_runs_test
+
+    def _head_dup_matrix(sf_dir: str):
+        from docling_jobkit_ray.functions.webtext import head_dup_matrix
+
+        return head_dup_matrix(sf_dir)
+
+    q["head_dup_matrix"] = _head_dup_matrix
     return q
 
 
@@ -1521,6 +1528,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.stats_tests import ORDERS_RUNS_TEST_SQL
 
     sql["orders_runs_test"] = ORDERS_RUNS_TEST_SQL
+    from docling_jobkit_ray.functions.webtext import head_dup_matrix_sql
+
+    sql["head_dup_matrix"] = head_dup_matrix_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

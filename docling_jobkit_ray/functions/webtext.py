@@ -4574,3 +4574,170 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_letters,
             AS BIGINT) AS entropy_e6
 FROM agg WHERE n > 0 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source boilerplate-head collision matrix
+# ---------------------------------------------------------------------------
+
+_HEAD_WORDS = 8
+
+
+def head_dup_matrix(
+    sf_dir: str, *, head_words: int = _HEAD_WORDS, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Cross-source duplicate-head matrix: for every (source_a, source_b)
+    pair, how many DOCUMENT PAIRS share the same head fingerprint (the
+    first ``head_words`` lowercase words) and how many distinct heads
+    contribute — the provenance diagnosis a crawl curator runs when exact
+    dedup fires: is the boilerplate WITHIN one feed or does the same
+    template leak ACROSS sources (syndication)?  Same-source cells count
+    C(c,2) unordered pairs; cross cells count c_a*c_b.
+
+    Plan shape: the head fingerprint is one vectorized pass (flat word
+    child + per-doc first-k selection by segment rank + list rebuild +
+    ``binary_join``); per-batch (head, source) counts pre-fold before ONE
+    head-hash-bucketed exchange; the in-bucket kernel self-merges the
+    per-head source counts (pairs are quadratic per head's SOURCE LIST —
+    bounded by the source domain, never the corpus) and pre-folds
+    (source_a, source_b) partials; the global fold is |sources|^2 rows.
+    Every head's rows land in one bucket, so per-bucket head counts sum
+    to exact global distinct-head counts.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+    from ..sources.pages import read_table
+
+    est = estimate_rows(sf_dir, "documents")
+    n_b = n_buckets or bucket_count(est)
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    hs_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("head", pa.string()),
+            ("source", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+    cell_schema = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n_pairs", pa.int64()),
+            ("n_heads", pa.int64()),
+        ]
+    )
+
+    def heads_of(texts) -> pa.Array:
+        lower = pc.utf8_lower(texts)
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat_f = flat.filter(pa.array(nonempty))
+        doc_f = doc_idx[nonempty]
+        # rank of each word within its doc run (runs are contiguous)
+        new_seg = np.concatenate([[True], doc_f[1:] != doc_f[:-1]]) if len(doc_f) else np.array([], bool)
+        seg_start = (
+            np.maximum.accumulate(np.where(new_seg, np.arange(len(doc_f)), 0))
+            if len(doc_f)
+            else np.array([], np.int64)
+        )
+        rank = np.arange(len(doc_f)) - seg_start
+        keep = rank < head_words
+        flat_k = flat_f.filter(pa.array(keep))
+        doc_k = doc_f[keep]
+        per_doc = np.bincount(doc_k, minlength=len(lens)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(per_doc)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_k.combine_chunks() if isinstance(flat_k, pa.ChunkedArray) else flat_k)
+        return pc.binary_join(lst, " ")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return hs_schema.empty_table()
+        heads = heads_of(batch["text"])
+        t = (
+            pa.table({"head": heads, "source": batch["source"]})
+            .group_by(["head", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["head", "source", "c"])
+        )
+        b = pd.util.hash_array(t["head"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        ) % n_b
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "head": t["head"],
+                "source": t["source"],
+                "c": pc.cast(t["c"], pa.int64()),
+            }
+        )
+
+    def cells_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return cell_schema.empty_table()
+        group = group.select(hs_schema.names).cast(hs_schema)
+        df = (
+            group.select(["head", "source", "c"])
+            .to_pandas()
+            .groupby(["head", "source"], as_index=False)["c"]
+            .sum()
+        )
+        m = df.merge(df, on="head")
+        m = m[m["source_x"] <= m["source_y"]]
+        same = m["source_x"] == m["source_y"]
+        cx = m["c_x"].to_numpy(np.int64)
+        cy = m["c_y"].to_numpy(np.int64)
+        np_pairs = np.where(same, cx * (cx - 1) // 2, cx * cy)
+        m = m.assign(n_pairs=np_pairs)
+        m = m[m["n_pairs"] > 0]
+        if not len(m):
+            return cell_schema.empty_table()
+        agg = m.groupby(["source_x", "source_y"], as_index=False).agg(
+            n_pairs=("n_pairs", "sum"), n_heads=("n_pairs", "size")
+        )
+        return pa.table(
+            {
+                "source_a": pa.array(agg["source_x"], pa.string()),
+                "source_b": pa.array(agg["source_y"], pa.string()),
+                "n_pairs": pa.array(agg["n_pairs"].to_numpy(np.int64), pa.int64()),
+                "n_heads": pa.array(agg["n_heads"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(cells_bucket, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(
+            Sum(on="n_pairs", alias_name="n_pairs"),
+            Sum(on="n_heads", alias_name="n_heads"),
+        )
+        .sort(["source_a", "source_b"])
+    )
+
+
+def head_dup_matrix_sql(head_words: int = _HEAD_WORDS) -> str:
+    return f"""
+WITH d AS (
+  SELECT source,
+         array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z]+'),
+                                    1, {head_words}), ' ') AS head
+  FROM documents),
+g AS (SELECT head, source, count(*) AS c FROM d GROUP BY 1, 2),
+p AS (
+  SELECT a.head, a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+              ELSE a.c * b.c END AS np
+  FROM g a JOIN g b ON a.head = b.head AND a.source <= b.source)
+SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_pairs,
+       count(*) AS n_heads
+FROM p WHERE np > 0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1979,6 +1979,374 @@ FROM g, tot ORDER BY g.nationkey
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto inventory classification of parts by revenue
+# ---------------------------------------------------------------------------
+
+
+def parts_abc_classification(sf_dir: str) -> pa.Table:
+    """ABC (Pareto) classification of parts by lineitem revenue: class A =
+    the head parts that together cover the first 80% of cumulative
+    revenue, B up to 95%, C the tail — the inventory-prioritization
+    rollup every warehouse planner runs, and the shape (global cumulative
+    share over a ranked dimension) the decile bucketizer cannot express.
+
+    Exactness: revenue rides as int64 1e-4 units (price x (1-disc)
+    cents x cents); parts rank by (revenue DESC, partkey ASC) — the
+    tiebreak ORDER matters because it decides which of two equal-revenue
+    parts crosses the 80% boundary first, so both engines pin it; class
+    predicates are pure integer comparisons (cum*5 <= 4*total for A,
+    cum*20 <= 19*total for B) and cum_ppm floor-divides once per part
+    (all terms positive).  ``cum * 1e6`` overflows int64 at scale, so the
+    per-part finish runs in PYTHON INTS (oracle in HUGEINT).
+
+    Plan shape: ONE partkey groupby-sum fold (per-batch Arrow partials
+    first) — the folded table is bounded by the part DIMENSION, never
+    lineitem; the ranked cumulative finish is a driver pass over those
+    dimension rows.
+    """
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    part_schema = pa.schema([("partkey", pa.int64()), ("rev", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        rev = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False) * (
+            100 - _cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "partkey": pc.cast(batch["l_partkey"], pa.int64()),
+                "rev": pa.array(rev, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("partkey").aggregate([("rev", "sum")]).rename_columns(part_schema.names)
+        )
+
+    rows = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("partkey")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+        .take_all()  # bounded: one row per part (a dimension)
+    )
+    rows.sort(key=lambda r: (-int(r["rev"]), int(r["partkey"])))
+    total = sum(int(r["rev"]) for r in rows)
+    out = {"partkey": [], "rev": [], "cum_ppm": [], "abc_class": []}
+    cum = 0
+    for r in rows:
+        cum += int(r["rev"])
+        out["partkey"].append(int(r["partkey"]))
+        out["rev"].append(int(r["rev"]))
+        out["cum_ppm"].append(cum * 1_000_000 // total)
+        out["abc_class"].append(
+            "A" if cum * 5 <= 4 * total else ("B" if cum * 20 <= 19 * total else "C")
+        )
+    return pa.table(
+        {
+            "partkey": pa.array(out["partkey"], pa.int64()),
+            "rev": pa.array(out["rev"], pa.int64()),
+            "cum_ppm": pa.array(out["cum_ppm"], pa.int64()),
+            "abc_class": pa.array(out["abc_class"], pa.string()),
+        }
+    )
+
+
+PARTS_ABC_SQL = """
+WITH p AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT partkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev) OVER () AS total
+  FROM p)
+SELECT partkey, CAST(rev AS BIGINT) AS rev,
+       CAST(CAST(cum AS HUGEINT) * 1000000 // total AS BIGINT) AS cum_ppm,
+       CASE WHEN CAST(cum AS HUGEINT) * 5 <= 4 * CAST(total AS HUGEINT) THEN 'A'
+            WHEN CAST(cum AS HUGEINT) * 20 <= 19 * CAST(total AS HUGEINT) THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c ORDER BY rev DESC, partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index of customer revenue, per nation
+# ---------------------------------------------------------------------------
+
+
+def theil_index_by_nation(sf_dir: str) -> pa.Table:
+    """Theil T inequality index of per-customer revenue within each
+    nation: T = sum_i (x_i/mu) ln(x_i/mu) / n = [sum x_i*ln(x_i)] / S -
+    ln(S/n) — the decomposable inequality measure (unlike Gini it splits
+    exactly into within/between components) a curator uses alongside
+    ``revenue_gini_by_nation``.
+
+    Exactness: per-customer cents fold first; each customer's ln(x_i)
+    quantizes ONCE to the 1e-6 grid (quantized-log discipline), so
+    sum(x_i * lnx_e6_i) is an exact integer; the nation term subtracts
+    ``round(ln(S/n)*1e6)`` — the double division S/n and its ln are
+    evaluated identically by numpy and DuckDB (one expression, one
+    round).  The big dot product overflows int64 at scale: PYTHON INTS /
+    HUGEINT.
+
+    Plan shape: custkey exchange folds per-customer cents; a pure
+    vectorized second map quantizes the logs and pre-folds per-NATION
+    partials (nationkey via the broadcast customer dim) inside every
+    batch, so the final exchange carries <=25 rows per block.
+    """
+    from ray.data.aggregate import Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()
+    ckeys = np.array([r["c_custkey"] for r in cust], np.int64)
+    cnat = np.array([r["c_nationkey"] for r in cust], np.int64)
+    order = np.argsort(ckeys)
+    ckeys, cnat = ckeys[order], cnat[order]
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    cust_schema = pa.schema([("custkey", pa.int64()), ("cents", pa.int64())])
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return cust_schema.empty_table()
+        t = pa.table(
+            {
+                "custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        return (
+            t.group_by("custkey").aggregate([("cents", "sum")]).rename_columns(cust_schema.names)
+        )
+
+    nat_schema = pa.schema(
+        [
+            ("nationkey", pa.int64()),
+            ("n", pa.int64()),
+            ("s", pa.int64()),
+            ("sxl", pa.int64()),
+        ]
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return nat_schema.empty_table()
+        ck = pc.cast(batch["custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        x = pc.cast(batch["cents"], pa.int64()).to_numpy(zero_copy_only=False)
+        nat = cnat[np.searchsorted(ckeys, ck)]
+        lnx_e6 = np.round(np.log(x.astype(np.float64)) * 1e6).astype(np.int64)
+        t = pa.table(
+            {
+                "nationkey": pa.array(nat, pa.int64()),
+                "n": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "s": pa.array(x, pa.int64()),
+                "sxl": pa.array(x * lnx_e6, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("nationkey")
+            .aggregate([("n", "sum"), ("s", "sum"), ("sxl", "sum")])
+            .rename_columns(nat_schema.names)
+        )
+
+    rows = (
+        orders.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(Sum(on="cents", alias_name="cents"))
+        .map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="s", alias_name="s"),
+            Sum(on="sxl", alias_name="sxl"),
+        )
+        .take_all()  # bounded: one row per nation
+    )
+    rows.sort(key=lambda r: int(r["nationkey"]))
+    import math
+
+    out = {"nationkey": [], "n_cust": [], "sum_cents": [], "theil_e6": []}
+    for r in rows:
+        n, s, sxl = int(r["n"]), int(r["s"]), int(r["sxl"])
+        out["nationkey"].append(int(r["nationkey"]))
+        out["n_cust"].append(n)
+        out["sum_cents"].append(s)
+        out["theil_e6"].append(sxl // s - round(math.log(s / n) * 1e6))
+    return pa.table(
+        {
+            "nationkey": pa.array(out["nationkey"], pa.int64()),
+            "n_cust": pa.array(out["n_cust"], pa.int64()),
+            "sum_cents": pa.array(out["sum_cents"], pa.int64()),
+            "theil_e6": pa.array(out["theil_e6"], pa.int64()),
+        }
+    )
+
+
+THEIL_INDEX_SQL = """
+WITH cu AS (
+  SELECT o_custkey AS custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+q AS (
+  SELECT c.c_nationkey AS nationkey, cu.x,
+         CAST(round(ln(CAST(cu.x AS DOUBLE)) * 1000000) AS BIGINT) AS lnx
+  FROM cu JOIN customer c ON c.c_custkey = cu.custkey),
+g AS (
+  SELECT nationkey, count(*) AS n, sum(x) AS s,
+         sum(CAST(x AS HUGEINT) * lnx) AS sxl
+  FROM q GROUP BY nationkey)
+SELECT nationkey, CAST(n AS BIGINT) AS n_cust, CAST(s AS BIGINT) AS sum_cents,
+       CAST(sxl // s
+            - CAST(round(ln(CAST(s AS DOUBLE) / n) * 1000000) AS BIGINT)
+            AS BIGINT) AS theil_e6
+FROM g ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer LTV cohort triangle (revenue by first-order month x age)
+# ---------------------------------------------------------------------------
+
+
+def customer_ltv_triangle(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Customer-LTV cohort triangle: revenue and order counts by (cohort
+    month = month of the customer's FIRST order) x (age in months since
+    that cohort month) — the finance-side lifetime-value matrix that the
+    event-side ``cohort_retention`` (weekly active counts) does not
+    cover.
+
+    Exactness: month index = year*12 + month (pure integer calendar
+    arithmetic, identical in DuckDB); revenue in int64 cents.
+
+    Plan shape: ONE custkey-bucketed exchange co-locates each customer's
+    orders; the in-bucket kernel computes first-month per customer with a
+    vectorized sort + segment-min and pre-folds (cohort, age) partials on
+    a combined int64 key (cohort*2^20 + age — the ONE-key rule for
+    map_groups outputs feeding Ray aggregates); the global fold is
+    bounded by the calendar grid (months x ages), never the order count.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+
+    est = estimate_rows(sf_dir, "orders")
+    n_b = n_buckets or bucket_count(est)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    row_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("custkey", pa.int64()),
+            ("m", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+    pair_schema = pa.schema([("key", pa.int64()), ("cents", pa.int64()), ("n", pa.int64())])
+    out_schema = pa.schema(
+        [
+            ("cohort_month", pa.int64()),
+            ("age_months", pa.int64()),
+            ("revenue_cents", pa.int64()),
+            ("n_orders", pa.int64()),
+        ]
+    )
+
+    def rows_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return row_schema.empty_table()
+        ts = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+        m = pc.add(
+            pc.multiply(pc.cast(pc.year(ts), pa.int64()), pa.scalar(12, pa.int64())),
+            pc.cast(pc.month(ts), pa.int64()),
+        )
+        ck = pc.cast(batch["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(ck, mask),
+                "custkey": ck,
+                "m": m,
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pair_schema.empty_table()
+        group = group.select(row_schema.names).cast(row_schema)
+        ck = np.asarray(group["custkey"], np.int64)
+        m = np.asarray(group["m"], np.int64)
+        cents = np.asarray(group["cents"], np.int64)
+        order = np.lexsort((m, ck))
+        ck, m, cents = ck[order], m[order], cents[order]
+        new_seg = np.concatenate([[True], ck[1:] != ck[:-1]])
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(len(ck)), 0))
+        cohort = m[seg_start]  # first (min) month per customer run
+        key = (cohort << 20) + (m - cohort)
+        order2 = np.argsort(key, kind="stable")
+        key, cents = key[order2], cents[order2]
+        uk, start = np.unique(key, return_index=True)
+        csum = np.add.reduceat(cents, start)
+        cnt = np.diff(np.concatenate([start, [len(key)]]))
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "cents": pa.array(csum, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        key = pc.cast(batch["key"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_month": pa.array(key >> 20, pa.int64()),
+                "age_months": pa.array(key & ((1 << 20) - 1), pa.int64()),
+                "revenue_cents": pc.cast(batch["cents"], pa.int64()),
+                "n_orders": pc.cast(batch["n"], pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(rows_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum(on="cents", alias_name="cents"), Sum(on="n", alias_name="n"))
+        .map_batches(decode, batch_format="pyarrow")
+        .sort(["cohort_month", "age_months"])
+    )
+
+
+CUSTOMER_LTV_TRIANGLE_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+f AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1)
+SELECT f.cm AS cohort_month, o.m - f.cm AS age_months,
+       CAST(sum(o.cents) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM o JOIN f USING (o_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -1994,4 +2362,7 @@ WAREHOUSE_QUERIES = {
     "gdpr_erasure_report": (gdpr_erasure_report, GDPR_ERASURE_SQL),
     "customer_spend_trend": (customer_spend_trend, CUSTOMER_SPEND_TREND_SQL),
     "nation_target_encoding": (nation_target_encoding, NATION_TARGET_ENCODING_SQL),
+    "parts_abc_classification": (parts_abc_classification, PARTS_ABC_SQL),
+    "theil_index_by_nation": (theil_index_by_nation, THEIL_INDEX_SQL),
+    "customer_ltv_triangle": (customer_ltv_triangle, CUSTOMER_LTV_TRIANGLE_SQL),
 }

@@ -333,6 +333,10 @@ SQL_BACKED = [
     "text_shape_templates",
     "char_entropy_docs",
     "orders_runs_test",
+    "parts_abc_classification",
+    "theil_index_by_nation",
+    "customer_ltv_triangle",
+    "head_dup_matrix",
 ]
 
 
