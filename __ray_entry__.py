@@ -1180,6 +1180,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return head_dup_matrix(sf_dir)
 
     q["head_dup_matrix"] = _head_dup_matrix
+
+    def _zipf_slope_fit(sf_dir: str):
+        from docling_jobkit_ray.functions.textstats import zipf_slope_fit
+
+        return zipf_slope_fit(sf_dir)
+
+    q["zipf_slope_fit"] = _zipf_slope_fit
+
+    def _events_dispersion_index(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import events_dispersion_index
+
+        return events_dispersion_index(sf_dir)
+
+    q["events_dispersion_index"] = _events_dispersion_index
+
+    def _events_hourly_entropy(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import events_hourly_entropy
+
+        return events_hourly_entropy(sf_dir)
+
+    q["events_hourly_entropy"] = _events_hourly_entropy
     return q
 
 
@@ -1531,6 +1552,16 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import head_dup_matrix_sql
 
     sql["head_dup_matrix"] = head_dup_matrix_sql()
+    from docling_jobkit_ray.functions.textstats import zipf_slope_fit_sql
+
+    sql["zipf_slope_fit"] = zipf_slope_fit_sql()
+    from docling_jobkit_ray.functions.stats_tests import (
+        EVENTS_DISPERSION_INDEX_SQL,
+        EVENTS_HOURLY_ENTROPY_SQL,
+    )
+
+    sql["events_dispersion_index"] = EVENTS_DISPERSION_INDEX_SQL
+    sql["events_hourly_entropy"] = EVENTS_HOURLY_ENTROPY_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

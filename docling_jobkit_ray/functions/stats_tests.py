@@ -621,3 +621,193 @@ SELECT n.k AS n_days,
         FROM r) AS n_runs
 FROM n
 """
+
+
+# ---------------------------------------------------------------------------
+# index of dispersion (Fano factor) of daily event counts per type
+# ---------------------------------------------------------------------------
+
+def events_dispersion_index(sf_dir: str) -> pa.Table:
+    """Index of dispersion (variance-to-mean ratio, Fano factor) of DAILY
+    event counts per event type over the global calendar span — the
+    burstiness test: a Poisson-like stream sits at ~1e6 ppm, campaign
+    spikes push far above, throttled/heartbeat traffic far below.
+
+    Exactness: with daily counts x over the n-day span (zero days
+    included — they change the mean and variance, so the span comes from
+    the GLOBAL min/max day, identical in both engines),
+    D = var/mean = (n*sum(x^2) - S^2) / ((n-1)*S), an exact rational
+    quantized once to ppm (all terms non-negative).  ``n*sum(x^2)*1e6``
+    overflows int64 at scale: PYTHON INTS / HUGEINT.
+
+    Plan shape: ONE (event_type, day) count fold — bounded by
+    |types| x calendar, never the event count; zero days never
+    materialize (they contribute 0 to both sums; only n counts them).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        day = pc.divide(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(_US_PER_DAY_MK, pa.int64()),
+        )
+        t = pa.table({"event_type": batch["event_type"], "day": day})
+        return (
+            t.group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "day", "c"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded: |types| x calendar days
+    )
+    days = [int(r["day"]) for r in rows]
+    n_days = max(days) - min(days) + 1 if days else 0
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        a = agg.setdefault(r["event_type"], [0, 0])
+        c = int(r["c"])
+        a[0] += c
+        a[1] += c * c
+    out = {"event_type": [], "n_days": [], "n_events": [], "dispersion_ppm": []}
+    for et in sorted(agg):
+        s, sxx = agg[et]
+        out["event_type"].append(et)
+        out["n_days"].append(n_days)
+        out["n_events"].append(s)
+        out["dispersion_ppm"].append(
+            (n_days * sxx - s * s) * 1_000_000 // ((n_days - 1) * s)
+            if n_days > 1 and s > 0
+            else 0
+        )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_days": pa.array(out["n_days"], pa.int64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "dispersion_ppm": pa.array(out["dispersion_ppm"], pa.int64()),
+        }
+    )
+
+
+EVENTS_DISPERSION_INDEX_SQL = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_DAY_MK} AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+span AS (SELECT max(day) - min(day) + 1 AS nd FROM b),
+g AS (
+  SELECT event_type, sum(c) AS s, sum(c * c) AS sxx FROM b GROUP BY 1)
+SELECT event_type, CAST(span.nd AS BIGINT) AS n_days,
+       CAST(g.s AS BIGINT) AS n_events,
+       CAST(CASE WHEN span.nd > 1 AND g.s > 0
+                 THEN (CAST(span.nd AS HUGEINT) * g.sxx
+                       - CAST(g.s AS HUGEINT) * g.s) * 1000000
+                      // ((span.nd - 1) * CAST(g.s AS HUGEINT))
+                 ELSE 0 END AS BIGINT) AS dispersion_ppm
+FROM g, span ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# hour-of-day entropy per event type (behavioral regularity)
+# ---------------------------------------------------------------------------
+
+def events_hourly_entropy(sf_dir: str) -> pa.Table:
+    """Shannon entropy of the hour-of-day distribution per event type (in
+    the 1e-6-nat grid) plus the peak hour: a uniform 24/7 stream sits at
+    ln(24) ~ 3.178, a cron job at 0 — the behavioral-regularity signal
+    that separates organic traffic from machine traffic.
+
+    Exactness: H = ln(n) - sum(c_h * ln(c_h)) / n over the 24 hour-bin
+    counts; each ``c*ln(c)`` and ``ln(n)`` quantizes ONCE to 1e-6
+    (quantized-log discipline), the combination is pure int64 floor
+    arithmetic.  Peak hour = the smallest hour holding the max count.
+
+    Plan shape: ONE (event_type, hour) count fold — 24 x |types| rows.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.cast(pc.hour(batch["ts"]), pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hour", "c"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded: |types| x 24
+    )
+    agg: dict[str, dict[int, int]] = {}
+    for r in rows:
+        agg.setdefault(r["event_type"], {})[int(r["hour"])] = int(r["c"])
+    out = {"event_type": [], "n_events": [], "entropy_e6": [], "peak_hour": []}
+    for et in sorted(agg):
+        cs = agg[et]
+        n = sum(cs.values())
+        sum_clnc = sum(
+            c * round(np.log(c) * 1e6) for c in cs.values() if c > 0
+        )
+        lnn_e6 = round(np.log(n) * 1e6)
+        cmax = max(cs.values())
+        peak = min(h for h, c in cs.items() if c == cmax)
+        out["event_type"].append(et)
+        out["n_events"].append(n)
+        out["entropy_e6"].append((n * lnn_e6 - sum_clnc) // n)
+        out["peak_hour"].append(peak)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "entropy_e6": pa.array(out["entropy_e6"], pa.int64()),
+            "peak_hour": pa.array(out["peak_hour"], pa.int64()),
+        }
+    )
+
+
+EVENTS_HOURLY_ENTROPY_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT event_type, sum(c) AS n,
+         sum(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS sum_clnc
+  FROM b GROUP BY 1),
+pk AS (
+  SELECT event_type, min(h) AS peak_hour
+  FROM b JOIN (SELECT event_type AS et, max(c) AS cmax FROM b GROUP BY 1) mx
+    ON b.event_type = mx.et AND b.c = mx.cmax
+  GROUP BY event_type)
+SELECT g.event_type, CAST(g.n AS BIGINT) AS n_events,
+       CAST((g.n * CAST(round(ln(g.n) * 1000000) AS BIGINT) - g.sum_clnc)
+            // g.n AS BIGINT) AS entropy_e6,
+       pk.peak_hour
+FROM g JOIN pk USING (event_type) ORDER BY g.event_type
+"""

@@ -1662,3 +1662,77 @@ SELECT doc_id, lang,
                + n_long_words * 100000000 // n_words END AS BIGINT) AS lix_ppm
 FROM c ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf law fit: log-log OLS slope over the top-k rank-frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP_K = 200
+
+
+def zipf_slope_fit(sf_dir: str, *, k: int = _ZIPF_TOP_K) -> pa.Table:
+    """Zipf's-law fit over the corpus rank-frequency curve: the OLS slope
+    and intercept of ln(frequency) against ln(rank) for the top-k terms —
+    natural language sits near slope -1; a corpus drifting toward -0.5
+    (flat: shuffled/templated text) or -2 (spiky: boilerplate domination)
+    fails the sanity check corpus curators run after big filtering
+    changes.
+
+    Exactness: ranks come from the deterministic (count DESC, word ASC)
+    order; each coordinate quantizes ONCE to the 1e-6 grid
+    (x = round(ln(rank)*1e6), y = round(ln(count)*1e6) — quantized-log
+    discipline), then the closed-form OLS runs on exact integer sums.
+    ``n*Sxy`` reaches ~4e18 at k=200: PYTHON INTS / HUGEINT.
+
+    Plan shape: the ``top_terms`` fold (per-batch vocab partials, one
+    word groupby, global top-k sort) followed by a k-row driver finish.
+    """
+    top = top_terms(sf_dir, k=k).take_all()  # bounded: k rows
+    n = len(top)
+    x = [round(np.log(r) * 1e6) for r in range(1, n + 1)]
+    y = [round(np.log(int(t["n"])) * 1e6) for t in top]
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    den = n * sxx - sx * sx
+    num_s = n * sxy - sx * sy
+    num_i = sy * sxx - sx * sxy
+    from .stats_tests import _trunc_div
+
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "slope_e6": pa.array([_trunc_div(num_s * 1_000_000, den)], pa.int64()),
+            "intercept_e6": pa.array([_trunc_div(num_i, den)], pa.int64()),
+        }
+    )
+
+
+def zipf_slope_fit_sql(k: int = _ZIPF_TOP_K) -> str:
+    return f"""
+WITH tf AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents) GROUP BY word
+  ORDER BY n DESC, word LIMIT {k}),
+rk AS (
+  SELECT row_number() OVER (ORDER BY n DESC, word) AS r, n FROM tf),
+pt AS (
+  SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+  FROM rk),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pt)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            AS BIGINT) AS slope_e6,
+       CAST((CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy)
+            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            AS BIGINT) AS intercept_e6
+FROM s
+"""

@@ -2347,6 +2347,108 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# hierarchical ratio-to-parent: nation revenue share of region and of global
+# ---------------------------------------------------------------------------
+
+
+def revenue_share_of_parent(sf_dir: str) -> pa.Table:
+    """Hierarchical share-of-parent rollup: each nation's order revenue as
+    a share of its REGION's revenue and of the GLOBAL total — the
+    two-level ratio-to-parent window (share of parent, not share of
+    report) that dashboards layer over any dimension hierarchy.
+
+    Exactness: revenue folds in int64 cents; each share is the exact
+    rational ``rev*1e6 // parent_rev`` quantized once (all positive).
+    ``rev*1e6`` overflows int64 at warehouse scale: the 25-row finish
+    runs in PYTHON INTS, the oracle in HUGEINT.
+
+    Plan shape: the customer->nation hop is a broadcast dim lookup inside
+    every batch (searchsorted over the sorted customer keys — shipped
+    once per stage via closure capture); ONE nation groupby-sum fold
+    (<=25 rows) and a driver finish with the region dim joined from the
+    broadcast nation table.
+    """
+    from ray.data.aggregate import Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()
+    ckeys = np.array([r["c_custkey"] for r in cust], np.int64)
+    cnat = np.array([r["c_nationkey"] for r in cust], np.int64)
+    order = np.argsort(ckeys)
+    ckeys, cnat = ckeys[order], cnat[order]
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).take_all()
+    region_of = {int(r["n_nationkey"]): int(r["n_regionkey"]) for r in nat}
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    part_schema = pa.schema([("nationkey", pa.int64()), ("rev", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        ck = pc.cast(batch["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "nationkey": pa.array(cnat[np.searchsorted(ckeys, ck)], pa.int64()),
+                "rev": _cents(batch["o_totalprice"]),
+            }
+        )
+        return (
+            t.group_by("nationkey").aggregate([("rev", "sum")]).rename_columns(part_schema.names)
+        )
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nationkey")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+        .take_all()  # bounded: one row per nation
+    )
+    rev_of = {int(r["nationkey"]): int(r["rev"]) for r in rows}
+    reg_rev: dict = {}
+    for nk, rev in rev_of.items():
+        rk = region_of[nk]
+        reg_rev[rk] = reg_rev.get(rk, 0) + rev
+    total = sum(rev_of.values())
+    out = {"nationkey": [], "regionkey": [], "rev_cents": [], "share_region_ppm": [], "share_global_ppm": []}
+    for nk in sorted(rev_of):
+        rev, rk = rev_of[nk], region_of[nk]
+        out["nationkey"].append(nk)
+        out["regionkey"].append(rk)
+        out["rev_cents"].append(rev)
+        out["share_region_ppm"].append(rev * 1_000_000 // reg_rev[rk])
+        out["share_global_ppm"].append(rev * 1_000_000 // total)
+    return pa.table(
+        {
+            "nationkey": pa.array(out["nationkey"], pa.int64()),
+            "regionkey": pa.array(out["regionkey"], pa.int64()),
+            "rev_cents": pa.array(out["rev_cents"], pa.int64()),
+            "share_region_ppm": pa.array(out["share_region_ppm"], pa.int64()),
+            "share_global_ppm": pa.array(out["share_global_ppm"], pa.int64()),
+        }
+    )
+
+
+REVENUE_SHARE_OF_PARENT_SQL = """
+WITH n AS (
+  SELECT c.c_nationkey AS nationkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders JOIN customer c ON c.c_custkey = o_custkey
+  GROUP BY 1),
+j AS (
+  SELECT n.nationkey, CAST(nt.n_regionkey AS BIGINT) AS regionkey, n.rev
+  FROM n JOIN nation nt ON nt.n_nationkey = n.nationkey)
+SELECT nationkey, regionkey, CAST(rev AS BIGINT) AS rev_cents,
+       CAST(CAST(rev AS HUGEINT) * 1000000
+            // sum(rev) OVER (PARTITION BY regionkey) AS BIGINT)
+         AS share_region_ppm,
+       CAST(CAST(rev AS HUGEINT) * 1000000 // sum(rev) OVER () AS BIGINT)
+         AS share_global_ppm
+FROM j ORDER BY nationkey
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -2365,4 +2467,5 @@ WAREHOUSE_QUERIES = {
     "parts_abc_classification": (parts_abc_classification, PARTS_ABC_SQL),
     "theil_index_by_nation": (theil_index_by_nation, THEIL_INDEX_SQL),
     "customer_ltv_triangle": (customer_ltv_triangle, CUSTOMER_LTV_TRIANGLE_SQL),
+    "revenue_share_of_parent": (revenue_share_of_parent, REVENUE_SHARE_OF_PARENT_SQL),
 }

@@ -337,6 +337,10 @@ SQL_BACKED = [
     "theil_index_by_nation",
     "customer_ltv_triangle",
     "head_dup_matrix",
+    "revenue_share_of_parent",
+    "zipf_slope_fit",
+    "events_dispersion_index",
+    "events_hourly_entropy",
 ]
 
 
