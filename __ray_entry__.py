@@ -249,6 +249,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gdpr_erasure_report",
         "events_changepoint",
         "events_max_burst",
+        # round-5 final-session additions: the cap was engineered and
+        # preflighted at 50/50 SQL rows — every later query goes to the
+        # tail (all stay pytest-SQL-checked at 3 scales + both sweeps)
+        "customer_spend_trend",
+        "nation_target_encoding",
+        "parts_abc_classification",
+        "theil_index_by_nation",
+        "customer_ltv_triangle",
+        "revenue_share_of_parent",
+        "user_jaccard_matrix",
+        "hourly_profile_similarity",
+        "customer_order_regularity",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1090,6 +1102,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gdpr_erasure_report",
         "events_changepoint",
         "events_max_burst",
+        "customer_spend_trend",
+        "nation_target_encoding",
+        "parts_abc_classification",
+        "theil_index_by_nation",
+        "customer_ltv_triangle",
+        "revenue_share_of_parent",
+        "user_jaccard_matrix",
+        "hourly_profile_similarity",
+        "customer_order_regularity",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
@@ -1201,6 +1222,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events_hourly_entropy(sf_dir)
 
     q["events_hourly_entropy"] = _events_hourly_entropy
+
+    def _key_skew_report(sf_dir: str):
+        from docling_jobkit_ray.functions.quality_checks import key_skew_report
+
+        return key_skew_report(sf_dir)
+
+    q["key_skew_report"] = _key_skew_report
     return q
 
 
@@ -1562,6 +1590,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["events_dispersion_index"] = EVENTS_DISPERSION_INDEX_SQL
     sql["events_hourly_entropy"] = EVENTS_HOURLY_ENTROPY_SQL
+    from docling_jobkit_ray.functions.quality_checks import key_skew_report_sql
+
+    sql["key_skew_report"] = key_skew_report_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

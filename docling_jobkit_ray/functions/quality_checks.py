@@ -648,3 +648,99 @@ SELECT lang, len_bucket, CAST(nc AS BIGINT) AS class_size,
 FROM grid GROUP BY lang, len_bucket, nc, n
 ORDER BY lang, len_bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# shuffle-key skew report (operational pre-flight for per-key exchanges)
+# ---------------------------------------------------------------------------
+
+_SKEW_BUCKETS = 64
+
+
+def key_skew_report(sf_dir: str, *, n_buckets: int = _SKEW_BUCKETS) -> pa.Table:
+    """Shuffle-key skew pre-flight: hash the orders custkey domain into
+    ``n_buckets`` partitions and report the load distribution — max,
+    min, and the max-to-mean ratio in ppm.  This is the question every
+    per-key exchange in this repo implicitly bets on ("will one bucket
+    get 10x the rows?"), surfaced as a cheap diagnostic a user runs
+    BEFORE picking a partition key for a 100 TB job.
+
+    Exactness: pure integer counting; skew_ppm = max * n_buckets * 1e6 //
+    total (exact rational, all positive).  Bucket = custkey % n_buckets
+    (modulo, not bit-and, so the expression is portable SQL).
+
+    Plan shape: ONE bounded groupby-sum fold (n_buckets rows).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.pages import read_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    part_schema = pa.schema([("bucket", pa.int64()), ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        b = pc.cast(
+            pc.bit_wise_and(
+                pc.cast(batch["o_custkey"], pa.int64()),
+                pa.scalar(n_buckets - 1, pa.int64()),
+            )
+            if (n_buckets & (n_buckets - 1)) == 0
+            else pc.subtract(
+                pc.cast(batch["o_custkey"], pa.int64()),
+                pc.multiply(
+                    pc.divide(
+                        pc.cast(batch["o_custkey"], pa.int64()),
+                        pa.scalar(n_buckets, pa.int64()),
+                    ),
+                    pa.scalar(n_buckets, pa.int64()),
+                ),
+            ),
+            pa.int64(),
+        )
+        return (
+            pa.table({"bucket": b})
+            .group_by("bucket")
+            .aggregate([([], "count_all")])
+            .rename_columns(["bucket", "c"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum(on="c", alias_name="c"))
+        .take_all()  # bounded: n_buckets rows
+    )
+    counts = {int(r["bucket"]): int(r["c"]) for r in rows}
+    total = sum(counts.values())
+    mx = max(counts.values()) if counts else 0
+    mn = min(counts.values()) if counts else 0
+    return pa.table(
+        {
+            "n_buckets": pa.array([n_buckets], pa.int64()),
+            "n_nonempty": pa.array([len(counts)], pa.int64()),
+            "total_rows": pa.array([total], pa.int64()),
+            "max_rows": pa.array([mx], pa.int64()),
+            "min_rows": pa.array([mn], pa.int64()),
+            "skew_ppm": pa.array(
+                [mx * n_buckets * 1_000_000 // total if total else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def key_skew_report_sql(n_buckets: int = _SKEW_BUCKETS) -> str:
+    return f"""
+WITH b AS (
+  SELECT o_custkey % {n_buckets} AS bucket, count(*) AS c
+  FROM orders GROUP BY 1)
+SELECT CAST({n_buckets} AS BIGINT) AS n_buckets,
+       count(*) AS n_nonempty,
+       CAST(sum(c) AS BIGINT) AS total_rows,
+       CAST(max(c) AS BIGINT) AS max_rows,
+       CAST(min(c) AS BIGINT) AS min_rows,
+       CAST(max(c) * {n_buckets} * 1000000 // sum(c) AS BIGINT) AS skew_ppm
+FROM b
+"""

@@ -3402,3 +3402,258 @@ BEHAVIOR_QUERIES.update(
         "events_ewma": (events_ewma, EVENTS_EWMA_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# pairwise user-set Jaccard matrix across event types
+# ---------------------------------------------------------------------------
+
+
+def user_jaccard_matrix(sf_dir: str, *, n_buckets: int | None = None) -> pa.Table:
+    """Pairwise Jaccard similarity of the USER SETS behind every event-type
+    pair — the audience-overlap matrix ("are clickers the same people as
+    purchasers?") that generalizes ``user_activity_setops`` from one
+    INTERSECT/EXCEPT to all pairs at once.
+
+    Exactness: the whole matrix derives from exact PRESENCE-MASK counts —
+    each user folds to one bit mask (bit i = touched type i, types
+    numbered alphabetically in both engines), mask counts are a <=2^T-row
+    fold, and every pairwise |A|, |B|, |A AND B| is a sum over mask
+    counts; jaccard_ppm floor-divides once per pair (all positive).
+
+    Plan shape: per-batch DISTINCT (user, bit) pairs -> ONE user-bucketed
+    exchange -> per-bucket per-user bit-OR + mask counting (each bucket
+    emits <=2^T partial rows) -> a <=2^T global fold -> driver pairwise
+    arithmetic.  Users never reach the driver; the type domain does.
+    """
+    from ray.data.aggregate import Sum
+
+    rel = _rel()
+    # tiny pass: the alphabetical type -> bit mapping (bounded domain)
+    tds = read_table(sf_dir, "events", columns=["event_type"])
+
+    def ty_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("event_type", pa.string())]).empty_table()
+        return batch.group_by("event_type").aggregate([])
+
+    from ray.data.aggregate import Count
+
+    types = sorted(
+        {
+            r["event_type"]
+            for r in tds.map_batches(ty_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count())  # distinct fold, bounded by the type domain
+            .take_all()
+        }
+    )
+    bit_of = {t: i for i, t in enumerate(types)}
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    bmask = pa.scalar(n_b - 1, pa.int64())
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("bit", pa.int64()), ("bucket", pa.int64())]
+    )
+    mask_schema = pa.schema([("mask", pa.int64()), ("c", pa.int64())])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        bits = pa.array(
+            [bit_of[t] for t in batch["event_type"].to_pylist()], pa.int64()
+        )
+        t = (
+            pa.table({"user_id": pc.cast(batch["user_id"], pa.int64()), "bit": bits})
+            .group_by(["user_id", "bit"])
+            .aggregate([])
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], bmask))
+
+    def mask_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return mask_schema.empty_table()
+        group = group.select(pair_schema.names).cast(pair_schema)
+        uid = np.asarray(group["user_id"], np.int64)
+        bit = np.asarray(group["bit"], np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, bit = uid[order], bit[order]
+        new_seg = np.concatenate([[True], uid[1:] != uid[:-1]])
+        seg_id = np.cumsum(new_seg) - 1
+        masks = np.zeros(seg_id[-1] + 1 if len(seg_id) else 0, np.int64)
+        np.bitwise_or.at(masks, seg_id, np.int64(1) << bit)
+        mk, mc = np.unique(masks, return_counts=True)
+        return pa.table(
+            {"mask": pa.array(mk, pa.int64()), "c": pa.array(mc.astype(np.int64), pa.int64())}
+        )
+
+    rows = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(mask_bucket, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum(on="c", alias_name="c"))
+        .take_all()  # bounded: <= 2^|types| mask rows
+    )
+    cnt = {int(r["mask"]): int(r["c"]) for r in rows}
+    out = {"type_a": [], "type_b": [], "n_a": [], "n_b": [], "n_both": [], "jaccard_ppm": []}
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            tb = types[j]
+            ba, bb = 1 << i, 1 << j
+            n_a = sum(c for m, c in cnt.items() if m & ba)
+            n_b2 = sum(c for m, c in cnt.items() if m & bb)
+            n_both = sum(c for m, c in cnt.items() if (m & ba) and (m & bb))
+            union = n_a + n_b2 - n_both
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["n_a"].append(n_a)
+            out["n_b"].append(n_b2)
+            out["n_both"].append(n_both)
+            out["jaccard_ppm"].append(n_both * 1_000_000 // union if union else 0)
+    return pa.table(
+        {
+            "type_a": pa.array(out["type_a"], pa.string()),
+            "type_b": pa.array(out["type_b"], pa.string()),
+            "n_a": pa.array(out["n_a"], pa.int64()),
+            "n_b": pa.array(out["n_b"], pa.int64()),
+            "n_both": pa.array(out["n_both"], pa.int64()),
+            "jaccard_ppm": pa.array(out["jaccard_ppm"], pa.int64()),
+        }
+    )
+
+
+USER_JACCARD_MATRIX_SQL = """
+WITH ty AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS idx
+  FROM (SELECT DISTINCT event_type FROM events)),
+um AS (
+  SELECT e.user_id, sum(DISTINCT (1::BIGINT << ty.idx)) AS mask
+  FROM events e JOIN ty USING (event_type) GROUP BY e.user_id),
+mc AS (SELECT mask, count(*) AS c FROM um GROUP BY mask),
+pr AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         ta.idx AS ia, tb.idx AS ib
+  FROM ty ta JOIN ty tb ON ta.event_type < tb.event_type),
+ag AS (
+  SELECT pr.type_a, pr.type_b,
+         sum(CASE WHEN mc.mask & (1::BIGINT << pr.ia) > 0 THEN mc.c ELSE 0 END) AS n_a,
+         sum(CASE WHEN mc.mask & (1::BIGINT << pr.ib) > 0 THEN mc.c ELSE 0 END) AS n_b,
+         sum(CASE WHEN mc.mask & (1::BIGINT << pr.ia) > 0
+                   AND mc.mask & (1::BIGINT << pr.ib) > 0 THEN mc.c ELSE 0 END) AS n_both
+  FROM pr CROSS JOIN mc GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(CASE WHEN n_a + n_b - n_both > 0
+                 THEN n_both * 1000000 // (n_a + n_b - n_both)
+                 ELSE 0 END AS BIGINT) AS jaccard_ppm
+FROM ag ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ruzicka (weighted Jaccard) similarity of hourly activity profiles
+# ---------------------------------------------------------------------------
+
+
+def hourly_profile_similarity(sf_dir: str) -> pa.Table:
+    """Ruzicka similarity (weighted Jaccard, sum-min over sum-max) between
+    the 24-hour activity profiles of every event-type pair — "do logins
+    and clicks follow the same daily rhythm?".  Unlike correlation it
+    never goes negative and weights hours by actual volume; it is the
+    histogram-similarity measure of choice for traffic shapes.
+
+    Exactness: pure integer — with hourly counts a_h, b_h:
+    sum(max) = sum(a) + sum(b) - sum(min), so only the inner-join
+    sum-of-minima and the two totals are needed; ruzicka_ppm
+    floor-divides once per pair.
+
+    Plan shape: ONE (event_type, hour) count fold (|types| x 24 rows),
+    driver pairwise arithmetic.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.cast(pc.hour(batch["ts"]), pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hour", "c"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded: |types| x 24
+    )
+    prof: dict[str, dict[int, int]] = {}
+    for r in rows:
+        prof.setdefault(r["event_type"], {})[int(r["hour"])] = int(r["c"])
+    types = sorted(prof)
+    out = {"type_a": [], "type_b": [], "sum_min": [], "sum_max": [], "ruzicka_ppm": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            a, b = prof[ta], prof[tb]
+            smin = sum(min(a[h], b[h]) for h in a.keys() & b.keys())
+            smax = sum(a.values()) + sum(b.values()) - smin
+            out["type_a"].append(ta)
+            out["type_b"].append(tb)
+            out["sum_min"].append(smin)
+            out["sum_max"].append(smax)
+            out["ruzicka_ppm"].append(smin * 1_000_000 // smax if smax else 0)
+    return pa.table(
+        {
+            "type_a": pa.array(out["type_a"], pa.string()),
+            "type_b": pa.array(out["type_b"], pa.string()),
+            "sum_min": pa.array(out["sum_min"], pa.int64()),
+            "sum_max": pa.array(out["sum_max"], pa.int64()),
+            "ruzicka_ppm": pa.array(out["ruzicka_ppm"], pa.int64()),
+        }
+    )
+
+
+HOURLY_PROFILE_SIMILARITY_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(c) AS s FROM b GROUP BY 1),
+mn AS (
+  SELECT a.event_type AS type_a, b2.event_type AS type_b,
+         sum(least(a.c, b2.c)) AS smin
+  FROM b a JOIN b b2 ON a.h = b2.h AND a.event_type < b2.event_type
+  GROUP BY 1, 2),
+pr AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         coalesce(mn.smin, 0) AS smin, ta.s + tb.s - coalesce(mn.smin, 0) AS smax
+  FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+  LEFT JOIN mn ON mn.type_a = ta.event_type AND mn.type_b = tb.event_type)
+SELECT type_a, type_b, CAST(smin AS BIGINT) AS sum_min,
+       CAST(smax AS BIGINT) AS sum_max,
+       CAST(CASE WHEN smax > 0 THEN smin * 1000000 // smax ELSE 0 END AS BIGINT)
+         AS ruzicka_ppm
+FROM pr ORDER BY type_a, type_b
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "user_jaccard_matrix": (user_jaccard_matrix, USER_JACCARD_MATRIX_SQL),
+        "hourly_profile_similarity": (hourly_profile_similarity, HOURLY_PROFILE_SIMILARITY_SQL),
+    }
+)

@@ -2449,6 +2449,138 @@ FROM j ORDER BY nationkey
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# inter-purchase regularity: CV^2 of order gaps per customer
+# ---------------------------------------------------------------------------
+
+
+def customer_order_regularity(
+    sf_dir: str, *, min_orders: int = 3, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Inter-purchase regularity segmentation: per customer (>= 3 orders),
+    the squared coefficient of variation of the day gaps between
+    consecutive orders — CV^2 ~ 0 is a metronome subscriber, ~1e6 ppm is
+    Poisson-random, far above is bursty — the regularity axis RFM misses.
+
+    Exactness: gaps come from the customer's DATE-sorted order days, so
+    the gap MULTISET is invariant under same-day tie order (ties give
+    0-gaps wherever they land); with n gaps summing to S (= last-first)
+    and sum of squares G, CV^2 = var_pop/mean^2 = (n*G - S^2)/S^2, an
+    exact rational quantized once to ppm; ``mean_gap_e3 = S*1000 // n``
+    likewise (all terms non-negative).  Customers whose orders all share
+    one day (S = 0) are excluded, mirrored by the oracle's HAVING.
+
+    Plan shape: ONE custkey-bucketed exchange co-locates each customer's
+    order days; the in-bucket kernel is one lexsort + segment diff
+    (vectorized, no Python per customer); per-customer outputs are
+    dimension-bounded.
+    """
+    from ..scale import bucket_count, estimate_rows
+
+    est = estimate_rows(sf_dir, "orders")
+    n_b = n_buckets or bucket_count(est)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    row_schema = pa.schema(
+        [("bucket", pa.int64()), ("custkey", pa.int64()), ("day", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("span_days", pa.int64()),
+            ("mean_gap_e3", pa.int64()),
+            ("cv2_ppm", pa.int64()),
+        ]
+    )
+
+    def rows_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return row_schema.empty_table()
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        ck = pc.cast(batch["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(ck, mask),
+                "custkey": ck,
+                "day": pc.divide(date_us, pa.scalar(_US_PER_DAY, pa.int64())),
+            }
+        )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(row_schema.names).cast(row_schema)
+        ck = np.asarray(group["custkey"], np.int64)
+        day = np.asarray(group["day"], np.int64)
+        order = np.lexsort((day, ck))
+        ck, day = ck[order], day[order]
+        new_seg = np.concatenate([[True], ck[1:] != ck[:-1]])
+        gaps = np.diff(day)
+        gap_ok = ~new_seg[1:]  # a diff is a gap only within one customer
+        seg_id = np.cumsum(new_seg) - 1
+        n_cust = int(seg_id[-1]) + 1 if len(seg_id) else 0
+        n_orders = np.bincount(seg_id, minlength=n_cust)
+        g = np.where(gap_ok, gaps, 0)
+        s_per = np.bincount(seg_id[1:], weights=g, minlength=n_cust).astype(np.int64)
+        gg_per = np.bincount(seg_id[1:], weights=g * g, minlength=n_cust).astype(
+            np.int64
+        )
+        keys = ck[new_seg]
+        keep = (n_orders >= min_orders) & (s_per > 0)
+        keys, n_o, s, gg = keys[keep], n_orders[keep], s_per[keep], gg_per[keep]
+        n_g = n_o - 1
+        # Python ints for the ppm numerators (n*G*1e6 overflows int64 at
+        # warehouse-scale gap magnitudes)
+        mean_e3 = [int(a) * 1000 // int(b) for a, b in zip(s, n_g)]
+        cv2 = [
+            (int(n) * int(G) - int(S) * int(S)) * 1_000_000 // (int(S) * int(S))
+            for n, G, S in zip(n_g, gg, s)
+        ]
+        return pa.table(
+            {
+                "custkey": pa.array(keys, pa.int64()),
+                "n_orders": pa.array(n_o.astype(np.int64), pa.int64()),
+                "span_days": pa.array(s, pa.int64()),
+                "mean_gap_e3": pa.array(mean_e3, pa.int64()),
+                "cv2_ppm": pa.array(cv2, pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(rows_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .sort("custkey")
+    )
+
+
+CUSTOMER_ORDER_REGULARITY_SQL = f"""
+WITH o AS (
+  SELECT o_custkey AS ck,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS day
+  FROM orders),
+g AS (
+  SELECT ck, day - lag(day) OVER (PARTITION BY ck ORDER BY day) AS gap
+  FROM o),
+a AS (
+  SELECT ck, count(*) AS n_orders, count(gap) AS n_gaps,
+         sum(gap) AS s, sum(gap * gap) AS gg
+  FROM g GROUP BY ck
+  HAVING count(*) >= 3 AND sum(gap) > 0)
+SELECT ck AS custkey, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(s AS BIGINT) AS span_days,
+       CAST(s * 1000 // n_gaps AS BIGINT) AS mean_gap_e3,
+       CAST((CAST(n_gaps AS HUGEINT) * gg - CAST(s AS HUGEINT) * s) * 1000000
+            // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_ppm
+FROM a ORDER BY custkey
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -2468,4 +2600,5 @@ WAREHOUSE_QUERIES = {
     "theil_index_by_nation": (theil_index_by_nation, THEIL_INDEX_SQL),
     "customer_ltv_triangle": (customer_ltv_triangle, CUSTOMER_LTV_TRIANGLE_SQL),
     "revenue_share_of_parent": (revenue_share_of_parent, REVENUE_SHARE_OF_PARENT_SQL),
+    "customer_order_regularity": (customer_order_regularity, CUSTOMER_ORDER_REGULARITY_SQL),
 }

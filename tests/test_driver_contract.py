@@ -341,6 +341,10 @@ SQL_BACKED = [
     "zipf_slope_fit",
     "events_dispersion_index",
     "events_hourly_entropy",
+    "user_jaccard_matrix",
+    "hourly_profile_similarity",
+    "customer_order_regularity",
+    "key_skew_report",
 ]
 
 
