@@ -261,6 +261,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_jaccard_matrix",
         "hourly_profile_similarity",
         "customer_order_regularity",
+        "customers_with_all_brands",
+        "functional_dependency_report",
+        "order_band_transitions",
+        "pps_sample_orders",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1111,6 +1115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_jaccard_matrix",
         "hourly_profile_similarity",
         "customer_order_regularity",
+        "customers_with_all_brands",
+        "functional_dependency_report",
+        "order_band_transitions",
+        "pps_sample_orders",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang

@@ -2581,6 +2581,595 @@ FROM a ORDER BY custkey
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# relational division: customers who ordered ALL of the top brands
+# ---------------------------------------------------------------------------
+
+_DIVISION_TOP_BRANDS = 5
+
+
+def customers_with_all_brands(
+    sf_dir: str, *, n_brands: int = _DIVISION_TOP_BRANDS
+) -> ray.data.Dataset:
+    """Relational DIVISION — the classic "FOR ALL" join shape none of the
+    22 TPC-H queries exercises: customers whose order history covers ALL
+    of the top-``n_brands`` brands (by distinct-order count, ties by
+    brand name).  The suppliers-who-stock-every-color query of the
+    textbooks, with a data-derived divisor set so it stays non-vacuous
+    at every corpus scale (brands are a bounded domain; per-part
+    divisors thin out as the catalog grows).
+
+    Plan shape: pass 1 folds per-brand distinct-order counts (combiner:
+    per-batch distinct (order, brand) pairs through the broadcast
+    part->brand dim) and takes the bounded top-k divisor; pass 2
+    BROADCASTS the k brands as presence bits, folds per-batch DISTINCT
+    (custkey, bit) pairs through the orders->custkey broadcast dim, ORs
+    the bits per customer through ONE custkey-bucketed exchange (Ray's
+    aggregate set has no bit-or), and keeps mask == full.  The
+    count(DISTINCT)==k trick as a bit fold — no join materializes.  At
+    100 TB the two dim hops become bucketed joins (pipelines/joins.py).
+    """
+    from ray.data.aggregate import Sum
+
+    # broadcast part -> brand dim
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).take_all()
+    pkeys = np.array([r["p_partkey"] for r in part], np.int64)
+    brands_all = sorted({r["p_brand"] for r in part})
+    brand_idx = {b: i for i, b in enumerate(brands_all)}
+    pbrand = np.array([brand_idx[r["p_brand"]] for r in part], np.int64)
+    porder = np.argsort(pkeys)
+    pkeys, pbrand = pkeys[porder], pbrand[porder]
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    bc_schema = pa.schema([("brand", pa.int64()), ("n", pa.int64())])
+
+    def brand_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return bc_schema.empty_table()
+        pk = pc.cast(batch["l_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = (
+            pa.table(
+                {
+                    "okey": pc.cast(batch["l_orderkey"], pa.int64()),
+                    "brand": pa.array(pbrand[np.searchsorted(pkeys, pk)], pa.int64()),
+                }
+            )
+            .group_by(["okey", "brand"])
+            .aggregate([])
+        )
+        return (
+            t.group_by("brand")
+            .aggregate([([], "count_all")])
+            .rename_columns(["brand", "n"])
+        )
+
+    top = (
+        li.map_batches(brand_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("brand")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()  # bounded: one row per brand (a small domain)
+    )
+    top.sort(key=lambda r: (-int(r["n"]), brands_all[int(r["brand"])]))
+    divisor_idx = np.array(
+        sorted(int(r["brand"]) for r in top[:n_brands]), np.int64
+    )
+    full_mask = (1 << len(divisor_idx)) - 1
+    bit_of_brand = np.full(len(brands_all), -1, np.int64)
+    for bit, bi in enumerate(divisor_idx):
+        bit_of_brand[bi] = bit
+
+    # broadcast order -> customer map (dim hop)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).take_all()
+    okeys = np.array([r["o_orderkey"] for r in orders], np.int64)
+    ocust = np.array([r["o_custkey"] for r in orders], np.int64)
+    oorder = np.argsort(okeys)
+    okeys, ocust = okeys[oorder], ocust[oorder]
+
+    bit_schema = pa.schema([("custkey", pa.int64()), ("bits", pa.int64())])
+    out_schema = pa.schema([("custkey", pa.int64()), ("n_brands", pa.int64())])
+
+    def bits_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return bit_schema.empty_table()
+        pk = pc.cast(batch["l_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        bit = bit_of_brand[pbrand[np.searchsorted(pkeys, pk)]]
+        hit = bit >= 0
+        if not hit.any():
+            return bit_schema.empty_table()
+        ok = pc.cast(batch["l_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)[hit]
+        cust = ocust[np.searchsorted(okeys, ok)]
+        bits = (np.int64(1) << bit[hit]).astype(np.int64)
+        t = pa.table(
+            {"custkey": pa.array(cust, pa.int64()), "bits": pa.array(bits, pa.int64())}
+        )
+        # pre-OR per customer inside the batch (combiner)
+        df = t.to_pandas().groupby("custkey", as_index=False)["bits"].agg(
+            np.bitwise_or.reduce
+        )
+        return pa.table(
+            {
+                "custkey": pa.array(df["custkey"].to_numpy(np.int64), pa.int64()),
+                "bits": pa.array(df["bits"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    # the global bit-OR needs a custkey-bucketed exchange (Ray's aggregate
+    # set has no bit-or): per-bucket numpy bitwise_or.at over customer runs
+    n_b = 64
+    bmask = pa.scalar(n_b - 1, pa.int64())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("custkey", pa.int64()), ("bits", pa.int64()), ("bucket", pa.int64())]
+            ).empty_table()
+        return batch.append_column(
+            "bucket", pc.bit_wise_and(batch["custkey"], bmask)
+        )
+
+    def or_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        ck = np.asarray(group["custkey"], np.int64)
+        bits = np.asarray(group["bits"], np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck, bits = ck[order], bits[order]
+        new_seg = np.concatenate([[True], ck[1:] != ck[:-1]])
+        seg_id = np.cumsum(new_seg) - 1
+        masks = np.zeros(seg_id[-1] + 1 if len(seg_id) else 0, np.int64)
+        np.bitwise_or.at(masks, seg_id, bits)
+        keys = ck[new_seg]
+        keep = masks == full_mask
+        return pa.table(
+            {
+                "custkey": pa.array(keys[keep], pa.int64()),
+                "n_brands": pa.array(
+                    np.full(int(keep.sum()), len(divisor_idx), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def pin_schema(batch: pa.Table) -> pa.Table:
+        # a legitimately-empty result surfaces as column-less blocks
+        # (CLAUDE.md hazard) — re-pin the declared schema
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        return batch.select(out_schema.names).cast(out_schema)
+
+    return (
+        li.map_batches(bits_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(or_bucket, batch_format="pyarrow")
+        .sort("custkey")
+        .map_batches(pin_schema, batch_format="pyarrow")
+    )
+
+
+CUSTOMERS_WITH_ALL_BRANDS_SQL = f"""
+WITH bc AS (
+  SELECT p.p_brand AS b, count(DISTINCT l.l_orderkey) AS n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1),
+top AS (SELECT b FROM bc ORDER BY n DESC, b LIMIT {_DIVISION_TOP_BRANDS}),
+hits AS (
+  SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS b
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN top t ON t.b = p.p_brand)
+SELECT custkey, count(*) AS n_brands
+FROM hits GROUP BY custkey
+HAVING count(*) = {_DIVISION_TOP_BRANDS}
+ORDER BY custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency profiling over the orders/customer columns
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = (
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderdate", "o_orderstatus"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def functional_dependency_report(sf_dir: str) -> pa.Table:
+    """Functional-dependency profiling (the schema-discovery pass of data
+    profilers like Metanome): for each candidate A -> B over the TPC-H
+    columns, does A determine B?  Reports distinct-A, distinct-(A,B) and
+    the violation count (A values mapping to >1 B) — FD holds iff
+    violations = 0.
+
+    Plan shape: per candidate, ONE pass of per-batch DISTINCT (a, b)
+    pairs folded by a single groupby (the shuffle carries per-batch
+    distinct pairs, never raw rows); the per-A rollup of the bounded
+    distinct-pair table finishes the count.  Candidates are a fixed
+    bounded list, so the loop over them is a driver loop over bounded
+    plans, not over data.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    out = {"dep": [], "n_distinct_a": [], "n_distinct_ab": [], "n_violating_a": [], "fd_holds": []}
+    for table, a_col, b_col in _FD_CANDIDATES:
+        ds = read_table(sf_dir, table, columns=[a_col, b_col])
+
+        pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+        def pairs(batch: pa.Table, a_col=a_col, b_col=b_col) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return pair_schema.empty_table()
+            return (
+                pa.table(
+                    {
+                        "a": pc.cast(batch[a_col], pa.string()),
+                        "b": pc.cast(batch[b_col], pa.string()),
+                    }
+                )
+                .group_by(["a", "b"])
+                .aggregate([])
+            )
+
+        sum_schema = pa.schema(
+            [("n_a", pa.int64()), ("n_ab", pa.int64()), ("viol", pa.int64())]
+        )
+
+        def summarize(batch: pa.Table) -> pa.Table:
+            # per-block partial over the per-A distinct-B counts, so the
+            # driver pulls one row per BLOCK, never one per distinct A
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return sum_schema.empty_table()
+            nb = pc.cast(batch["count()"], pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_a": pa.array([len(nb)], pa.int64()),
+                    "n_ab": pa.array([int(nb.sum())], pa.int64()),
+                    "viol": pa.array([int((nb > 1).sum())], pa.int64()),
+                }
+            )
+
+        parts = (
+            ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["a", "b"])
+            .aggregate(Count())
+            .groupby("a")
+            .aggregate(Count())
+            .map_batches(summarize, batch_format="pyarrow")
+            .take_all()  # bounded: one row per block
+        )
+        n_a = sum(int(r["n_a"]) for r in parts)
+        n_ab = sum(int(r["n_ab"]) for r in parts)
+        viol = sum(int(r["viol"]) for r in parts)
+        out["dep"].append(f"{table}.{a_col}->{b_col}")
+        out["n_distinct_a"].append(n_a)
+        out["n_distinct_ab"].append(n_ab)
+        out["n_violating_a"].append(viol)
+        out["fd_holds"].append(int(viol == 0))
+    order = sorted(range(len(out["dep"])), key=lambda i: out["dep"][i])
+    for k in out:
+        out[k] = [out[k][i] for i in order]  # oracle orders by dep
+    return pa.table(
+        {
+            "dep": pa.array(out["dep"], pa.string()),
+            "n_distinct_a": pa.array(out["n_distinct_a"], pa.int64()),
+            "n_distinct_ab": pa.array(out["n_distinct_ab"], pa.int64()),
+            "n_violating_a": pa.array(out["n_violating_a"], pa.int64()),
+            "fd_holds": pa.array(out["fd_holds"], pa.int64()),
+        }
+    )
+
+
+def _fd_candidate_sql(table: str, a: str, b: str) -> str:
+    return f"""
+SELECT '{table}.{a}->{b}' AS dep,
+       count(*) AS n_distinct_a,
+       CAST(sum(nb) AS BIGINT) AS n_distinct_ab,
+       CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_a,
+       CAST(CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS BIGINT)
+         AS fd_holds
+FROM (SELECT CAST({a} AS VARCHAR) AS a, count(DISTINCT CAST({b} AS VARCHAR)) AS nb
+      FROM {table} GROUP BY 1)"""
+
+
+FUNCTIONAL_DEPENDENCY_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _fd_candidate_sql(t, a, b) for t, a, b in _FD_CANDIDATES
+    )
+    + "\n) ORDER BY dep"
+)
+
+
+
+
+# ---------------------------------------------------------------------------
+# order value-band transition matrix (upgrade/downgrade flows)
+# ---------------------------------------------------------------------------
+
+_BAND_CENTS = 10_000_000  # $100k bands
+_BAND_MAX = 3
+
+
+def order_band_transitions(
+    sf_dir: str, *, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Value-band transition matrix over each customer's CONSECUTIVE
+    orders: band(order i) -> band(order i+1) counts, where band =
+    min(cents // $100k, 3) — the upgrade/downgrade flow ("do customers
+    step up after a big order?") that the Markov transition shape
+    (events_transitions) expresses for order VALUES instead of event
+    types.
+
+    Determinism: the within-customer sequence orders by
+    (o_orderdate, o_orderkey) — the unique-key tiebreak both engines pin
+    (CLAUDE.md's duplicate-timestamp hazard).
+
+    Plan shape: ONE custkey-bucketed exchange; in-bucket lexsort +
+    adjacent-pair emission on a combined int64 key (from*4 + to),
+    pre-folded per bucket; global fold is <=16 rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+
+    est = estimate_rows(sf_dir, "orders")
+    n_b = n_buckets or bucket_count(est)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    row_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("custkey", pa.int64()),
+            ("okey", pa.int64()),
+            ("day", pa.int64()),
+            ("band", pa.int64()),
+        ]
+    )
+    pair_schema = pa.schema([("key", pa.int64()), ("n", pa.int64())])
+    out_schema = pa.schema(
+        [("band_from", pa.int64()), ("band_to", pa.int64()), ("n", pa.int64())]
+    )
+
+    def rows_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return row_schema.empty_table()
+        ck = pc.cast(batch["o_custkey"], pa.int64())
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        band = np.minimum(cents // _BAND_CENTS, _BAND_MAX)
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(ck, mask),
+                "custkey": ck,
+                "okey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "day": pc.divide(date_us, pa.scalar(_US_PER_DAY, pa.int64())),
+                "band": pa.array(band, pa.int64()),
+            }
+        )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pair_schema.empty_table()
+        group = group.select(row_schema.names).cast(row_schema)
+        ck = np.asarray(group["custkey"], np.int64)
+        ok = np.asarray(group["okey"], np.int64)
+        day = np.asarray(group["day"], np.int64)
+        band = np.asarray(group["band"], np.int64)
+        order = np.lexsort((ok, day, ck))
+        ck, band = ck[order], band[order]
+        same = ck[1:] == ck[:-1]
+        key = band[:-1][same] * 4 + band[1:][same]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uk, pa.int64()), "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        key = pc.cast(batch["key"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band_from": pa.array(key // 4, pa.int64()),
+                "band_to": pa.array(key % 4, pa.int64()),
+                "n": pc.cast(batch["n"], pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(rows_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .map_batches(decode, batch_format="pyarrow")
+        .sort(["band_from", "band_to"])
+    )
+
+
+ORDER_BAND_TRANSITIONS_SQL = f"""
+WITH o AS (
+  SELECT o_custkey AS ck, o_orderkey AS okey,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         least(CAST(round(o_totalprice * 100) AS BIGINT) // {_BAND_CENTS},
+               {_BAND_MAX}) AS band
+  FROM orders),
+t AS (
+  SELECT ck, band,
+         lag(band) OVER (PARTITION BY ck ORDER BY day, okey) AS prev
+  FROM o)
+SELECT prev AS band_from, band AS band_to, count(*) AS n
+FROM t WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sample: probability-proportional-to-size order sample
+# ---------------------------------------------------------------------------
+
+_PPS_K = 500
+
+
+def pps_sample_orders(
+    sf_dir: str, *, k: int = _PPS_K, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Probability-proportional-to-size SYSTEMATIC sample of orders: lay
+    the orders end-to-end on the cumulative-cents line (in o_orderkey
+    order), drop k equally-spaced sampling points at the interval
+    midpoints, and keep every order whose cents-interval contains a
+    point (``n_hits`` counts points, so a whale order can be hit
+    multiple times — the Horvitz-Thompson weight).  The estimator family
+    (audit sampling, monetary-unit sampling in finance) the uniform
+    samplers cannot express: selection probability proportional to
+    revenue.
+
+    Exactness: target i sits at t_i = (total*(2i+1)) // (2k); the number
+    of targets below x is a closed-form integer expression guarded so
+    every floor division sees a POSITIVE numerator (Python floor ==
+    DuckDB truncate there); hits per order = cnt_lt(hi) - cnt_lt(lo) on
+    exact int64 prefix sums.
+
+    Plan shape: pass 1 folds per-RANGE-bucket cents totals (bucket =
+    orderkey // stride is MONOTONE, so bucket order == key order); the
+    driver turns <=n_buckets totals into exclusive prefix offsets and
+    broadcasts them; pass 2 is the same bucketed exchange where each
+    bucket sorts its orders, adds its offset, and applies the vectorized
+    hit-count formula.  No global sort, no driver data pull.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    # stride from the max key (footer-cheap aggregate)
+    mx = orders.aggregate(Max("o_orderkey"))["max(o_orderkey)"]
+    stride = int(mx) // n_buckets + 1
+
+    tot_schema = pa.schema([("bucket", pa.int64()), ("cents", pa.int64())])
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return tot_schema.empty_table()
+        t = pa.table(
+            {
+                "bucket": pc.divide(
+                    pc.cast(batch["o_orderkey"], pa.int64()),
+                    pa.scalar(stride, pa.int64()),
+                ),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        return (
+            t.group_by("bucket").aggregate([("cents", "sum")]).rename_columns(tot_schema.names)
+        )
+
+    tots = (
+        orders.map_batches(tot_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum(on="cents", alias_name="cents"))
+        .take_all()  # bounded: n_buckets rows
+    )
+    tots.sort(key=lambda r: int(r["bucket"]))
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in tots:
+        offsets[int(r["bucket"])] = run
+        run += int(r["cents"])
+    total = run
+    kk = k
+
+    def cnt_lt(x: np.ndarray) -> np.ndarray:
+        # number of midpoint targets strictly below x (element-wise);
+        # guarded so every floor sees a positive numerator
+        inner = ((2 * kk * x - 1) // total - 1) // 2 + 1
+        return np.where((x <= 0) | (2 * kk * x <= total), 0, np.minimum(kk, inner))
+
+    row_schema = pa.schema(
+        [("bucket", pa.int64()), ("okey", pa.int64()), ("cents", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [("orderkey", pa.int64()), ("cents", pa.int64()), ("n_hits", pa.int64())]
+    )
+
+    def rows_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return row_schema.empty_table()
+        ok = pc.cast(batch["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.divide(ok, pa.scalar(stride, pa.int64())),
+                "okey": ok,
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    def select_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(row_schema.names).cast(row_schema)
+        ok = np.asarray(group["okey"], np.int64)
+        cents = np.asarray(group["cents"], np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, cents = ok[order], cents[order]
+        off = offsets[int(group["bucket"][0].as_py())]
+        hi = off + np.cumsum(cents)
+        lo = hi - cents
+        hits = cnt_lt(hi) - cnt_lt(lo)
+        keep = hits > 0
+        return pa.table(
+            {
+                "orderkey": pa.array(ok[keep], pa.int64()),
+                "cents": pa.array(cents[keep], pa.int64()),
+                "n_hits": pa.array(hits[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(rows_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(select_bucket, batch_format="pyarrow")
+        .sort("orderkey")
+    )
+
+
+PPS_SAMPLE_ORDERS_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey AS okey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+c AS (
+  SELECT okey, cents,
+         sum(cents) OVER (ORDER BY okey ROWS UNBOUNDED PRECEDING) AS cum_hi,
+         sum(cents) OVER () AS total
+  FROM o),
+s AS (SELECT okey, cents, cum_hi - cents AS cum_lo, cum_hi, total FROM c),
+f AS (
+  SELECT okey, cents,
+         (CASE WHEN 2 * {_PPS_K} * cum_hi <= total THEN 0
+               ELSE least({_PPS_K},
+                          ((2 * {_PPS_K} * CAST(cum_hi AS HUGEINT) - 1) // total
+                           - 1) // 2 + 1) END)
+       - (CASE WHEN cum_lo <= 0 OR 2 * {_PPS_K} * cum_lo <= total THEN 0
+               ELSE least({_PPS_K},
+                          ((2 * {_PPS_K} * CAST(cum_lo AS HUGEINT) - 1) // total
+                           - 1) // 2 + 1) END) AS n_hits
+  FROM s)
+SELECT okey AS orderkey, cents, CAST(n_hits AS BIGINT) AS n_hits
+FROM f WHERE n_hits > 0 ORDER BY orderkey
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -2601,4 +3190,8 @@ WAREHOUSE_QUERIES = {
     "customer_ltv_triangle": (customer_ltv_triangle, CUSTOMER_LTV_TRIANGLE_SQL),
     "revenue_share_of_parent": (revenue_share_of_parent, REVENUE_SHARE_OF_PARENT_SQL),
     "customer_order_regularity": (customer_order_regularity, CUSTOMER_ORDER_REGULARITY_SQL),
+    "customers_with_all_brands": (customers_with_all_brands, CUSTOMERS_WITH_ALL_BRANDS_SQL),
+    "functional_dependency_report": (functional_dependency_report, FUNCTIONAL_DEPENDENCY_SQL),
+    "order_band_transitions": (order_band_transitions, ORDER_BAND_TRANSITIONS_SQL),
+    "pps_sample_orders": (pps_sample_orders, PPS_SAMPLE_ORDERS_SQL),
 }

@@ -345,6 +345,10 @@ SQL_BACKED = [
     "hourly_profile_similarity",
     "customer_order_regularity",
     "key_skew_report",
+    "customers_with_all_brands",
+    "functional_dependency_report",
+    "order_band_transitions",
+    "pps_sample_orders",
 ]
 
 
