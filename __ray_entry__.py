@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "functional_dependency_report",
         "order_band_transitions",
         "pps_sample_orders",
+        "session_entry_exit_matrix",
+        "ab_median_uplift",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1119,6 +1121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "functional_dependency_report",
         "order_band_transitions",
         "pps_sample_orders",
+        "session_entry_exit_matrix",
+        "ab_median_uplift",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
@@ -1237,6 +1241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return key_skew_report(sf_dir)
 
     q["key_skew_report"] = _key_skew_report
+    q["source_token_apportionment"] = webtext.source_token_apportionment
+    q["markup_balance_docs"] = webtext.markup_balance_docs
     return q
 
 
@@ -1601,6 +1607,13 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.quality_checks import key_skew_report_sql
 
     sql["key_skew_report"] = key_skew_report_sql()
+    from docling_jobkit_ray.functions.webtext import (
+        MARKUP_BALANCE_SQL,
+        source_token_apportionment_sql,
+    )
+
+    sql["source_token_apportionment"] = source_token_apportionment_sql()
+    sql["markup_balance_docs"] = MARKUP_BALANCE_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

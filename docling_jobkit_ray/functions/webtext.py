@@ -4741,3 +4741,175 @@ SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_pairs,
 FROM p WHERE np > 0
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder (Hamilton) token-budget apportionment across sources
+# ---------------------------------------------------------------------------
+
+_APPORTION_BUDGET = 1_000_000
+
+
+def source_token_apportionment(
+    sf_dir: str, *, budget: int = _APPORTION_BUDGET
+) -> pa.Table:
+    """Largest-remainder (Hamilton) apportionment of a fixed token budget
+    across sources, proportional to each source's token mass — the exact
+    integer allocation a mixture-training run needs when "sample 1M
+    tokens, proportionally" must sum to EXACTLY 1M (naive rounding
+    under- or over-shoots; largest-remainder is the classic fix, and its
+    Alabama-paradox quirks are why it is worth pinning in a test).
+
+    Exactness: floor share = budget*T_i // T; the leftover seats go to
+    the largest remainders budget*T_i % T, ties broken by source name —
+    every step pure integer, mirrored by the oracle's window rank.
+    ``budget*T_i`` overflows int64 at corpus scale: PYTHON INTS /
+    HUGEINT.
+
+    Plan shape: ONE per-source token-count fold (|sources| rows), driver
+    finish.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    part_schema = pa.schema([("source", pa.string()), ("t", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        nw = pc.cast(
+            pc.count_substring_regex(lower, pattern="[a-z]+"), pa.int64()
+        )
+        t = pa.table({"source": batch["source"], "t": nw})
+        return (
+            t.group_by("source").aggregate([("t", "sum")]).rename_columns(["source", "t"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("t", alias_name="t"))
+        .take_all()  # bounded: one row per source
+    )
+    toks = {r["source"]: int(r["t"]) for r in rows}
+    total = sum(toks.values())
+    floor_of = {s: budget * t // total for s, t in toks.items()}
+    rem_of = {s: budget * t % total for s, t in toks.items()}
+    leftover = budget - sum(floor_of.values())
+    topup = set(
+        sorted(toks, key=lambda s: (-rem_of[s], s))[:leftover]
+    )
+    out = {"source": [], "tokens": [], "alloc": []}
+    for s in sorted(toks):
+        out["source"].append(s)
+        out["tokens"].append(toks[s])
+        out["alloc"].append(floor_of[s] + (1 if s in topup else 0))
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "tokens": pa.array(out["tokens"], pa.int64()),
+            "alloc": pa.array(out["alloc"], pa.int64()),
+        }
+    )
+
+
+def source_token_apportionment_sql(budget: int = _APPORTION_BUDGET) -> str:
+    return f"""
+WITH s AS (
+  SELECT source, sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS t
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(t) AS total FROM s),
+f AS (
+  SELECT source, t,
+         CAST({budget} AS HUGEINT) * t // total AS fl,
+         CAST({budget} AS HUGEINT) * t % total AS rem
+  FROM s, tot),
+lk AS (SELECT CAST({budget} - sum(fl) AS BIGINT) AS leftover FROM f),
+rk AS (
+  SELECT source, t, fl,
+         row_number() OVER (ORDER BY rem DESC, source) AS r
+  FROM f)
+SELECT source, CAST(t AS BIGINT) AS tokens,
+       CAST(fl + CASE WHEN r <= lk.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rk, lk ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# markup/delimiter balance audit (extraction-damage quality signal)
+# ---------------------------------------------------------------------------
+
+
+def markup_balance_docs(sf_dir: str) -> ray.data.Dataset:
+    """Delimiter-balance audit per document: unbalanced parentheses /
+    brackets or an odd double-quote count are the cheap tell of truncated
+    or mangled extraction output (a cut-off table cell, a half-stripped
+    markup run) — the structural-damage quality column that the
+    length/word-ratio signals miss.
+
+    Plan shape: a pure map — five vectorized ``count_substring`` kernels
+    per batch, no exchange.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_paren_open", pa.int64()),
+            ("n_paren_close", pa.int64()),
+            ("n_bracket_open", pa.int64()),
+            ("n_bracket_close", pa.int64()),
+            ("n_dquote", pa.int64()),
+            ("balanced", pa.int64()),
+        ]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        po = pc.cast(pc.count_substring(batch["text"], pattern="("), pa.int64())
+        pcl = pc.cast(pc.count_substring(batch["text"], pattern=")"), pa.int64())
+        bo = pc.cast(pc.count_substring(batch["text"], pattern="["), pa.int64())
+        bc2 = pc.cast(pc.count_substring(batch["text"], pattern="]"), pa.int64())
+        dq = pc.cast(pc.count_substring(batch["text"], pattern='"'), pa.int64())
+        balanced = pc.cast(
+            pc.and_(
+                pc.and_(pc.equal(po, pcl), pc.equal(bo, bc2)),
+                pc.equal(
+                    pc.bit_wise_and(dq, pa.scalar(1, pa.int64())),
+                    pa.scalar(0, pa.int64()),
+                ),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_paren_open": po,
+                "n_paren_close": pcl,
+                "n_bracket_open": bo,
+                "n_bracket_close": bc2,
+                "n_dquote": dq,
+                "balanced": balanced,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+MARKUP_BALANCE_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\(')) AS n_paren_open,
+       len(regexp_extract_all(text, '\\)')) AS n_paren_close,
+       len(regexp_extract_all(text, '\\[')) AS n_bracket_open,
+       len(regexp_extract_all(text, '\\]')) AS n_bracket_close,
+       len(regexp_extract_all(text, '"')) AS n_dquote,
+       CAST(len(regexp_extract_all(text, '\\(')) = len(regexp_extract_all(text, '\\)'))
+            AND len(regexp_extract_all(text, '\\[')) = len(regexp_extract_all(text, '\\]'))
+            AND len(regexp_extract_all(text, '"')) % 2 = 0 AS BIGINT) AS balanced
+FROM documents ORDER BY doc_id
+"""

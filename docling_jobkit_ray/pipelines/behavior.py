@@ -3657,3 +3657,238 @@ BEHAVIOR_QUERIES.update(
         "hourly_profile_similarity": (hourly_profile_similarity, HOURLY_PROFILE_SIMILARITY_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# session entry->exit matrix (bow-tie pathing)
+# ---------------------------------------------------------------------------
+
+_ENTRY_EXIT_GAP_MIN = 30
+
+
+def session_entry_exit_matrix(
+    sf_dir: str, *, gap_minutes: int = _ENTRY_EXIT_GAP_MIN, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Session bow-tie pathing: for every session (the same 30-minute-gap
+    rule as ``events_sessionize``), which event type OPENED it and which
+    CLOSED it — the (entry, exit) count matrix product analytics reads as
+    "where do journeys start and where do they die".
+
+    Determinism: within a user the scan orders by (ts, event_id) — the
+    unique-key tiebreak (CLAUDE.md duplicate-timestamp hazard), so entry
+    and exit rows are pinned even under tied timestamps, and the oracle's
+    running-session-id window uses the same two-key ORDER.
+
+    Plan shape: ONE user-bucketed exchange; in-bucket vectorized lexsort
+    + gap flags + boundary picks (no Python per session); per-bucket
+    (entry, exit) partials pre-fold, global fold is |types|^2 rows.
+    """
+    from ray.data.aggregate import Sum
+
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    bmask = pa.scalar(n_b - 1, pa.int64())
+    gap_us = gap_minutes * 60_000_000
+
+    row_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+    cell_schema = pa.schema(
+        [("entry_type", pa.string()), ("exit_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def rows_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return row_schema.empty_table()
+        uid = pc.cast(batch["user_id"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(uid, bmask),
+                "user_id": uid,
+                "ts_us": pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return cell_schema.empty_table()
+        group = group.select(row_schema.names).cast(row_schema)
+        uid = np.asarray(group["user_id"], np.int64)
+        ts = np.asarray(group["ts_us"], np.int64)
+        eid = np.asarray(group["event_id"], np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        types = group["event_type"].take(pa.array(order))
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap_brk = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
+        start = new_user | gap_brk
+        end = np.concatenate([start[1:], [True]])
+        t = pa.table(
+            {
+                "entry_type": types.filter(pa.array(start)),
+                "exit_type": types.filter(pa.array(end)),
+            }
+        )
+        return (
+            t.group_by(["entry_type", "exit_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["entry_type", "exit_type", "n"])
+        )
+
+    return (
+        ds.map_batches(rows_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby(["entry_type", "exit_type"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .sort(["entry_type", "exit_type"])
+    )
+
+
+SESSION_ENTRY_EXIT_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_ENTRY_EXIT_GAP_MIN * 60_000_000} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e),
+b AS (
+  SELECT user_id, sid,
+         first(event_type ORDER BY ts, event_id) AS entry_type,
+         last(event_type ORDER BY ts, event_id) AS exit_type
+  FROM s GROUP BY user_id, sid)
+SELECT entry_type, exit_type, count(*) AS n
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic A/B split + exact median uplift
+# ---------------------------------------------------------------------------
+
+_AB_LEHMER_A = 630360016
+_AB_LEHMER_M = 2147483647
+
+
+def ab_median_uplift(sf_dir: str) -> pa.Table:
+    """Deterministic A/B arm assignment (full-period Lehmer hash of
+    user_id — the repo's reshard-invariant sampling rule) plus the EXACT
+    median event value per arm and the median uplift — the analysis
+    skeleton of every holdout experiment, with the median (not the mean)
+    so one whale cannot flip the read.
+
+    Exactness: arm = Lehmer(user_id) % 2; per-arm medians use
+    ``med2`` = the sum of the TWO middle order statistics (the same
+    element twice when odd — customer_reorder_intervals trick), so no
+    division ever happens; uplift_med2 = med2_b - med2_a is exact int64
+    half-cent... (med2 is in DOUBLED cents).
+
+    Plan shape: ONE (arm, cents) value-domain histogram fold (bounded by
+    the price grid x 2), driver order-statistic finish.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    part_schema = pa.schema(
+        [("arm", pa.int64()), ("cents", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        arm = (uid % _AB_LEHMER_M) * _AB_LEHMER_A % _AB_LEHMER_M % 2
+        t = pa.table(
+            {
+                "arm": pa.array(arm.astype(np.int64), pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+        return (
+            t.group_by(["arm", "cents"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["arm", "cents", "n"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["arm", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: 2 x |distinct cents| (the value grid)
+    )
+    hist: dict[int, dict[int, int]] = {0: {}, 1: {}}
+    for r in rows:
+        hist[int(r["arm"])][int(r["cents"])] = int(r["n"])
+
+    def med2_of(vc: dict[int, int]) -> tuple[int, int]:
+        vals = sorted(vc)
+        cnt = np.array([vc[v] for v in vals], np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1]) if len(cum) else 0
+        if n == 0:
+            return 0, 0
+        lo = int(np.searchsorted(cum, (n - 1) // 2 + 1))
+        hi = int(np.searchsorted(cum, n // 2 + 1))
+        return n, vals[lo] + vals[hi]
+
+    n_a, med2_a = med2_of(hist[0])
+    n_b, med2_b = med2_of(hist[1])
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "med2_a": pa.array([med2_a], pa.int64()),
+            "med2_b": pa.array([med2_b], pa.int64()),
+            "uplift_med2": pa.array([med2_b - med2_a], pa.int64()),
+        }
+    )
+
+
+AB_MEDIAN_UPLIFT_SQL = f"""
+WITH pts AS (
+  SELECT (user_id % {_AB_LEHMER_M}) * {_AB_LEHMER_A} % {_AB_LEHMER_M} % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT arm, cents,
+         row_number() OVER (PARTITION BY arm ORDER BY cents) AS rk,
+         count(*) OVER (PARTITION BY arm) AS n
+  FROM pts),
+m AS (
+  SELECT arm, max(n) AS n,
+         sum(cents) FILTER (WHERE rk = (n - 1) // 2 + 1) +
+         sum(cents) FILTER (WHERE rk = n // 2 + 1) AS med2
+  FROM r GROUP BY arm)
+SELECT (SELECT CAST(n AS BIGINT) FROM m WHERE arm = 0) AS n_a,
+       (SELECT CAST(n AS BIGINT) FROM m WHERE arm = 1) AS n_b,
+       (SELECT CAST(med2 AS BIGINT) FROM m WHERE arm = 0) AS med2_a,
+       (SELECT CAST(med2 AS BIGINT) FROM m WHERE arm = 1) AS med2_b,
+       (SELECT CAST(med2 AS BIGINT) FROM m WHERE arm = 1)
+     - (SELECT CAST(med2 AS BIGINT) FROM m WHERE arm = 0) AS uplift_med2
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "session_entry_exit_matrix": (session_entry_exit_matrix, SESSION_ENTRY_EXIT_SQL),
+        "ab_median_uplift": (ab_median_uplift, AB_MEDIAN_UPLIFT_SQL),
+    }
+)

@@ -349,6 +349,10 @@ SQL_BACKED = [
     "functional_dependency_report",
     "order_band_transitions",
     "pps_sample_orders",
+    "session_entry_exit_matrix",
+    "ab_median_uplift",
+    "source_token_apportionment",
+    "markup_balance_docs",
 ]
 
 
