@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_sample_orders",
         "session_entry_exit_matrix",
         "ab_median_uplift",
+        "revenue_lorenz_deciles",
+        "orderkey_gap_audit",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1123,6 +1125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_sample_orders",
         "session_entry_exit_matrix",
         "ab_median_uplift",
+        "revenue_lorenz_deciles",
+        "orderkey_gap_audit",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
@@ -1243,6 +1247,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["key_skew_report"] = _key_skew_report
     q["source_token_apportionment"] = webtext.source_token_apportionment
     q["markup_balance_docs"] = webtext.markup_balance_docs
+
+    def _search_ndcg_report(sf_dir: str):
+        from docling_jobkit_ray.functions.index import search_ndcg_report
+
+        return search_ndcg_report(sf_dir)
+
+    q["search_ndcg_report"] = _search_ndcg_report
+
+    def _ranking_overlap_rbo(sf_dir: str):
+        from docling_jobkit_ray.functions.index import ranking_overlap_rbo
+
+        return ranking_overlap_rbo(sf_dir)
+
+    q["ranking_overlap_rbo"] = _ranking_overlap_rbo
     return q
 
 
@@ -1614,6 +1632,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["source_token_apportionment"] = source_token_apportionment_sql()
     sql["markup_balance_docs"] = MARKUP_BALANCE_SQL
+    from docling_jobkit_ray.functions.index import (
+        ranking_overlap_rbo_sql,
+        search_ndcg_report_sql,
+    )
+
+    sql["search_ndcg_report"] = search_ndcg_report_sql()
+    sql["ranking_overlap_rbo"] = ranking_overlap_rbo_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

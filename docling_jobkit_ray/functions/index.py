@@ -864,3 +864,227 @@ SELECT step AS rank, doc_id, CAST(score_e6 AS BIGINT) AS rel_e6,
        CAST(mmr AS BIGINT) AS mmr_score
 FROM pick ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k evaluation of the BM25 ranking (graded-relevance IR metric)
+# ---------------------------------------------------------------------------
+
+_NDCG_TERMS = ("table", "spark", "window")
+_NDCG_K = 10
+# rank-discount weights computed ONCE in Python and embedded as integer
+# literals in BOTH engines — no cross-engine float ever evaluated
+_NDCG_W = [round(1e9 / np.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+
+
+def search_ndcg_report(
+    sf_dir: str, terms: list[str] | None = None, *, k: int = _NDCG_K
+) -> pa.Table:
+    """NDCG@k of the BM25 ranking against a deterministic graded-relevance
+    proxy (a document's gain = its total query-term frequency): the
+    standard IR evaluation loop — rank with the scorer, judge with the
+    labels, discount by log2(rank+1) — closed over this repo's own
+    retrieval stack so ranking-quality regressions surface as a number.
+
+    Exactness: gains are exact int64 term frequencies; the rank-discount
+    weights are PRE-COMPUTED integer literals shared by both engines (no
+    float is ever evaluated at query time); DCG/IDCG are exact integer
+    dot products and ndcg_ppm floor-divides once.
+
+    Plan shape: the BM25 pass (two bounded folds, see bm25_search) gives
+    the top-k ranking; ONE per-doc gains fold (pruned to gain>0 docs)
+    gives DCG's gains by broadcast lookup and IDCG's ideal head by a
+    bounded top-k sort.
+    """
+    from ray.data.aggregate import Sum
+
+    want = sorted({t.lower() for t in (terms or list(_NDCG_TERMS))})
+    want_arr = pa.array(want, pa.string())
+    ranked = bm25_search(sf_dir, want, k=k).take_all()  # bounded: k rows
+    ranked_ids = [int(r["doc_id"]) for r in ranked]
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    gain_schema = pa.schema([("doc_id", pa.int64()), ("gain", pa.int64())])
+
+    def gains(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return gain_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        hit = pc.is_in(flat, value_set=want_arr).to_numpy(zero_copy_only=False)
+        g = np.bincount(doc_idx, weights=hit, minlength=len(lens)).astype(np.int64)
+        keep = g > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "gain": pa.array(g[keep], pa.int64()),
+            }
+        )
+
+    gain_rows = (
+        ds.map_batches(gains, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum(on="gain", alias_name="gain"))
+        .sort(["gain", "doc_id"], descending=[True, False])
+        .limit(max(k, len(ranked_ids)) + k)  # ideal head + lookup margin
+        .take_all()
+    )
+    # NOTE: the top-(2k) bounded pull covers the ideal head; gains for the
+    # BM25-ranked docs are re-derived exactly below via a filtered fold
+    gain_of_top = {int(r["doc_id"]): int(r["gain"]) for r in gain_rows}
+
+    # gains for ranked docs not inside the ideal head: one pruned fold
+    missing = [d for d in ranked_ids if d not in gain_of_top]
+    if missing:
+        miss_arr = pa.array(missing, pa.int64())
+
+        def only_missing(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return gain_schema.empty_table()
+            return batch.filter(pc.is_in(batch["doc_id"], value_set=miss_arr))
+
+        more = (
+            ds.map_batches(gains, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(only_missing, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum(on="gain", alias_name="gain"))
+            .take_all()
+        )
+        gain_of_top.update({int(r["doc_id"]): int(r["gain"]) for r in more})
+
+    dcg = sum(
+        gain_of_top.get(d, 0) * _NDCG_W[i] for i, d in enumerate(ranked_ids[:k])
+    )
+    ideal = sorted(
+        gain_of_top.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:k]
+    idcg = sum(g * _NDCG_W[i] for i, (_, g) in enumerate(ideal))
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "dcg_q": pa.array([dcg], pa.int64()),
+            "idcg_q": pa.array([idcg], pa.int64()),
+            "ndcg_ppm": pa.array([dcg * 1_000_000 // idcg if idcg else 0], pa.int64()),
+        }
+    )
+
+
+def search_ndcg_report_sql(terms: list[str] | None = None, k: int = _NDCG_K) -> str:
+    want = sorted({t.lower() for t in (terms or list(_NDCG_TERMS))})
+    lits = ", ".join(f"'{t}'" for t in want)
+    w_rows = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W[:k]))
+    bm25 = bm25_search_sql(want, k=k).strip().rstrip()
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS r
+  FROM ({bm25})
+),
+wts(r, w) AS (VALUES {w_rows}),
+g AS (
+  SELECT doc_id, count(*) AS gain FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents) WHERE w IN ({lits}) GROUP BY doc_id),
+dcg AS (
+  SELECT coalesce(sum(coalesce(g.gain, 0) * wts.w), 0) AS v
+  FROM ranked JOIN wts USING (r) LEFT JOIN g USING (doc_id)),
+ideal AS (
+  SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id) AS r
+  FROM g QUALIFY r <= {k}),
+idcg AS (SELECT coalesce(sum(ideal.gain * wts.w), 0) AS v
+         FROM ideal JOIN wts USING (r))
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(dcg.v AS BIGINT) AS dcg_q,
+       CAST(idcg.v AS BIGINT) AS idcg_q,
+       CAST(CASE WHEN idcg.v > 0 THEN dcg.v * 1000000 // idcg.v ELSE 0 END
+            AS BIGINT) AS ndcg_ppm
+FROM dcg, idcg
+"""
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap between the classifier ranking and the length ranking
+# ---------------------------------------------------------------------------
+
+_RBO_DEPTH = 50
+_RBO_P_NUM = 9  # p = 0.9 encoded as a rational so weights derive exactly
+# per-depth weights (1-p)*p^(d-1), pre-quantized to 1e9 in Python and
+# embedded as literals in BOTH engines — no query-time float
+_RBO_W = [round(1e9 * 0.1 * 0.9 ** (d - 1)) for d in range(1, _RBO_DEPTH + 1)]
+
+
+def ranking_overlap_rbo(sf_dir: str, *, depth: int = _RBO_DEPTH) -> pa.Table:
+    """Rank-biased overlap (Webber et al. 2010) between the learned
+    quality-classifier ranking and the raw document-LENGTH ranking, to
+    depth 50 — the top-weighted rank-correlation that answers "is the
+    classifier just reranking by length?" without requiring the two lists
+    to cover the same items (Kendall/Spearman cannot handle that).
+
+    Exactness: both rankings are deterministic int orders ((score DESC,
+    doc_id) / (n_chars DESC, doc_id)); overlap X_d at every depth is an
+    exact integer; the geometric weights are PRE-COMPUTED integer
+    literals, and each depth's term floor-divides (w_d * X_d) // d once.
+
+    Plan shape: two bounded top-``depth`` folds (classifier logits are an
+    embarrassingly-parallel map; the length ranking reads one column);
+    the 50x50 overlap walk happens on the driver.
+    """
+    from .webtext import classifier_quality_scores
+
+    a_rows = (
+        classifier_quality_scores(sf_dir)
+        .sort(["logit_e6", "doc_id"], descending=[True, False])
+        .limit(depth)
+        .take_all()
+    )
+    b_rows = (
+        read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(depth)
+        .take_all()
+    )
+    a_ids = [int(r["doc_id"]) for r in a_rows]
+    b_ids = [int(r["doc_id"]) for r in b_rows]
+    rbo_q = 0
+    overlap_at = {}
+    for d in range(1, depth + 1):
+        x_d = len(set(a_ids[:d]) & set(b_ids[:d]))
+        overlap_at[d] = x_d
+        rbo_q += _RBO_W[d - 1] * x_d // d
+    return pa.table(
+        {
+            "depth": pa.array([depth], pa.int64()),
+            "overlap_at_10": pa.array([overlap_at.get(10, 0)], pa.int64()),
+            "overlap_at_depth": pa.array([overlap_at[depth]], pa.int64()),
+            "rbo_q": pa.array([rbo_q], pa.int64()),
+        }
+    )
+
+
+def ranking_overlap_rbo_sql(depth: int = _RBO_DEPTH) -> str:
+    from .webtext import CLASSIFIER_QUALITY_SCORES_SQL
+
+    w_rows = ", ".join(f"({d}, {w})" for d, w in enumerate(_RBO_W[:depth], start=1))
+    cls = CLASSIFIER_QUALITY_SCORES_SQL.strip()
+    return f"""
+WITH a AS (
+  SELECT doc_id, row_number() OVER (ORDER BY logit_e6 DESC, doc_id) AS r
+  FROM ({cls}) QUALIFY r <= {depth}),
+b AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents QUALIFY r <= {depth}),
+ab AS (
+  SELECT a.r AS ra, b.r AS rb FROM a JOIN b USING (doc_id)),
+wts(d, w) AS (VALUES {w_rows}),
+x AS (
+  SELECT wts.d, wts.w,
+         (SELECT count(*) FROM ab WHERE ab.ra <= wts.d AND ab.rb <= wts.d) AS x_d
+  FROM wts)
+SELECT CAST({depth} AS BIGINT) AS depth,
+       (SELECT CAST(x_d AS BIGINT) FROM x WHERE d = 10) AS overlap_at_10,
+       (SELECT CAST(x_d AS BIGINT) FROM x WHERE d = {depth}) AS overlap_at_depth,
+       CAST((SELECT sum(w * x_d // d) FROM x) AS BIGINT) AS rbo_q
+"""

@@ -3170,6 +3170,213 @@ FROM f WHERE n_hits > 0 ORDER BY orderkey
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Lorenz-curve deciles of per-customer revenue (concentration profile)
+# ---------------------------------------------------------------------------
+
+
+def revenue_lorenz_deciles(sf_dir: str) -> pa.Table:
+    """Lorenz-curve decile table of per-customer revenue: customers sorted
+    ascending by spend, split into 10 equal-count deciles, each with its
+    revenue mass and the CUMULATIVE share — the concentration profile
+    ("the top decile is 38% of revenue") that the scalar Gini
+    (revenue_gini_by_nation) summarizes but cannot show.
+
+    Exactness: decile of the rank-r customer (0-based, ties broken by
+    custkey) is ``r * 10 // n`` — a pure integer expression; revenue
+    folds in int64 cents; cum_share_ppm floor-divides once per decile.
+    ``cum * 1e6`` overflows int64 at scale: PYTHON INTS / HUGEINT.
+
+    Plan shape: ONE custkey groupby-sum fold (customer-dimension-bounded),
+    driver rank/cumulate finish over those dimension rows.
+    """
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    part_schema = pa.schema([("custkey", pa.int64()), ("cents", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = pa.table(
+            {
+                "custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        return (
+            t.group_by("custkey").aggregate([("cents", "sum")]).rename_columns(part_schema.names)
+        )
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(Sum(on="cents", alias_name="cents"))
+        .take_all()  # bounded: one row per customer (a dimension)
+    )
+    rows.sort(key=lambda r: (int(r["cents"]), int(r["custkey"])))
+    n = len(rows)
+    total = sum(int(r["cents"]) for r in rows)
+    dec_rev = [0] * 10
+    dec_n = [0] * 10
+    for r_idx, r in enumerate(rows):
+        d = r_idx * 10 // n
+        dec_rev[d] += int(r["cents"])
+        dec_n[d] += 1
+    out = {"decile": [], "n_cust": [], "rev_cents": [], "cum_share_ppm": []}
+    cum = 0
+    for d in range(10):
+        cum += dec_rev[d]
+        out["decile"].append(d)
+        out["n_cust"].append(dec_n[d])
+        out["rev_cents"].append(dec_rev[d])
+        out["cum_share_ppm"].append(cum * 1_000_000 // total)
+    return pa.table(
+        {
+            "decile": pa.array(out["decile"], pa.int64()),
+            "n_cust": pa.array(out["n_cust"], pa.int64()),
+            "rev_cents": pa.array(out["rev_cents"], pa.int64()),
+            "cum_share_ppm": pa.array(out["cum_share_ppm"], pa.int64()),
+        }
+    )
+
+
+REVENUE_LORENZ_DECILES_SQL = """
+WITH cu AS (
+  SELECT o_custkey AS custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT cents,
+         (row_number() OVER (ORDER BY cents, custkey) - 1) AS rk,
+         count(*) OVER () AS n, sum(cents) OVER () AS total
+  FROM cu),
+d AS (
+  SELECT rk * 10 // n AS decile, count(*) AS n_cust,
+         sum(cents) AS rev_cents, max(total) AS total
+  FROM r GROUP BY 1)
+SELECT decile, CAST(n_cust AS BIGINT) AS n_cust,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(CAST(sum(rev_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 AS HUGEINT) * 1000000 // total AS BIGINT) AS cum_share_ppm
+FROM d ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# key-sequence gap audit (islands over the orderkey domain)
+# ---------------------------------------------------------------------------
+
+
+def orderkey_gap_audit(sf_dir: str, *, n_buckets: int = 64) -> pa.Table:
+    """Key-sequence completeness audit over the orderkey domain: how many
+    keys exist, the domain span, how many gap RUNS interrupt it and how
+    many keys are missing in total — the ingestion-loss / CDC-hole check
+    a warehouse runs after every backfill (TPC-H itself ships with a
+    deliberately gappy orderkey domain, so the result is non-trivial at
+    every scale).
+
+    Exactness: pure integer islands arithmetic.  Distributed gap
+    counting never ships the keys to the driver: RANGE buckets
+    (bucket = key // stride is monotone) fold per-bucket (n, min, max,
+    internal gap runs, internal missing) partials; the driver stitches
+    <=n_buckets summaries, adding the BOUNDARY gap between consecutive
+    non-empty buckets (prev.max -> next.min).
+
+    Oracle: LAG over the distinct-key sequence.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    mx = int(orders.aggregate(Max("o_orderkey"))["max(o_orderkey)"])
+    stride = mx // n_buckets + 1
+
+    part_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("okey", pa.int64()),
+        ]
+    )
+    sum_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n", pa.int64()),
+            ("kmin", pa.int64()),
+            ("kmax", pa.int64()),
+            ("runs", pa.int64()),
+            ("miss", pa.int64()),
+        ]
+    )
+
+    def rows_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        ok = pc.cast(batch["o_orderkey"], pa.int64())
+        return pa.table(
+            {"bucket": pc.divide(ok, pa.scalar(stride, pa.int64())), "okey": ok}
+        )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return sum_schema.empty_table()
+        ok = np.unique(np.asarray(group["okey"], np.int64))
+        gaps = np.diff(ok) - 1
+        return pa.table(
+            {
+                "bucket": pa.array([int(group["bucket"][0].as_py())], pa.int64()),
+                "n": pa.array([len(ok)], pa.int64()),
+                "kmin": pa.array([int(ok[0])], pa.int64()),
+                "kmax": pa.array([int(ok[-1])], pa.int64()),
+                "runs": pa.array([int((gaps > 0).sum())], pa.int64()),
+                "miss": pa.array([int(gaps.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        orders.map_batches(rows_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .take_all()  # bounded: one summary row per range bucket
+    )
+    parts.sort(key=lambda r: int(r["bucket"]))
+    n_keys = sum(int(r["n"]) for r in parts)
+    runs = sum(int(r["runs"]) for r in parts)
+    miss = sum(int(r["miss"]) for r in parts)
+    for prev, nxt in zip(parts, parts[1:]):
+        boundary = int(nxt["kmin"]) - int(prev["kmax"]) - 1
+        if boundary > 0:
+            runs += 1
+            miss += boundary
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "min_key": pa.array([int(parts[0]["kmin"]) if parts else 0], pa.int64()),
+            "max_key": pa.array([int(parts[-1]["kmax"]) if parts else 0], pa.int64()),
+            "n_gap_runs": pa.array([runs], pa.int64()),
+            "n_missing": pa.array([miss], pa.int64()),
+        }
+    )
+
+
+ORDERKEY_GAP_AUDIT_SQL = """
+WITH k AS (SELECT DISTINCT o_orderkey AS okey FROM orders),
+g AS (
+  SELECT okey, okey - lag(okey) OVER (ORDER BY okey) - 1 AS gap
+  FROM k)
+SELECT (SELECT count(*) FROM k) AS n_keys,
+       (SELECT min(okey) FROM k) AS min_key,
+       (SELECT max(okey) FROM k) AS max_key,
+       CAST(coalesce(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_gap_runs,
+       CAST(coalesce(sum(CASE WHEN gap > 0 THEN gap ELSE 0 END), 0) AS BIGINT)
+         AS n_missing
+FROM g
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -3194,4 +3401,6 @@ WAREHOUSE_QUERIES = {
     "functional_dependency_report": (functional_dependency_report, FUNCTIONAL_DEPENDENCY_SQL),
     "order_band_transitions": (order_band_transitions, ORDER_BAND_TRANSITIONS_SQL),
     "pps_sample_orders": (pps_sample_orders, PPS_SAMPLE_ORDERS_SQL),
+    "revenue_lorenz_deciles": (revenue_lorenz_deciles, REVENUE_LORENZ_DECILES_SQL),
+    "orderkey_gap_audit": (orderkey_gap_audit, ORDERKEY_GAP_AUDIT_SQL),
 }

@@ -353,6 +353,10 @@ SQL_BACKED = [
     "ab_median_uplift",
     "source_token_apportionment",
     "markup_balance_docs",
+    "revenue_lorenz_deciles",
+    "orderkey_gap_audit",
+    "search_ndcg_report",
+    "ranking_overlap_rbo",
 ]
 
 
