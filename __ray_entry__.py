@@ -1261,6 +1261,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ranking_overlap_rbo(sf_dir)
 
     q["ranking_overlap_rbo"] = _ranking_overlap_rbo
+
+    def _substring_search_indexed(sf_dir: str):
+        from docling_jobkit_ray.functions.trigram_index import substring_search_indexed
+
+        return substring_search_indexed(sf_dir)
+
+    q["substring_search_indexed"] = _substring_search_indexed
     return q
 
 
@@ -1639,6 +1646,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["search_ndcg_report"] = search_ndcg_report_sql()
     sql["ranking_overlap_rbo"] = ranking_overlap_rbo_sql()
+    from docling_jobkit_ray.functions.trigram_index import (
+        substring_search_indexed_sql,
+    )
+
+    sql["substring_search_indexed"] = substring_search_indexed_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -357,6 +357,7 @@ SQL_BACKED = [
     "orderkey_gap_audit",
     "search_ndcg_report",
     "ranking_overlap_rbo",
+    "substring_search_indexed",
 ]
 
 
