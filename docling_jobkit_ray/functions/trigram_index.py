@@ -180,15 +180,23 @@ def search_trigram_index(
         )
         .to_pandas()  # bounded: <= len(codes) rows
     )
-    if len(rows) < len(codes):
+    # appends add NEW posting rows per code (never rewrite) — merge the
+    # per-code rows (union postings, summed df) before rarest-k selection
+    merged: dict[int, np.ndarray] = {}
+    if rows.empty:
+        rows = rows.reindex(columns=["code", "df", "postings"])
+    for code, grp in rows.groupby("code"):
+        lists = [np.asarray(lst, np.int64) for lst in grp["postings"]]
+        merged[int(code)] = (
+            lists[0] if len(lists) == 1 else np.unique(np.concatenate(lists))
+        )
+    if len(merged) < len(codes):
         cand = np.array([], np.int64)  # a trigram absent => no match anywhere
     else:
-        rows = rows.sort_values("df").head(max_probe_grams)
-        cand = None
-        for lst in rows["postings"]:
-            arr = np.asarray(lst, np.int64)
-            cand = arr if cand is None else np.intersect1d(cand, arr, assume_unique=True)
-        cand = cand if cand is not None else np.array([], np.int64)
+        probe = sorted(merged.values(), key=len)[:max_probe_grams]
+        cand = probe[0]
+        for arr in probe[1:]:
+            cand = np.intersect1d(cand, arr, assume_unique=True)
 
     cand_arr = pa.array(cand, pa.int64())
     out_schema = pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
@@ -260,3 +268,80 @@ SELECT doc_id, CAST(len(regexp_extract_all(norm, '{pattern}')) AS BIGINT) AS n_h
 FROM n WHERE norm LIKE '%{pattern}%'
 ORDER BY doc_id
 """
+
+
+def append_trigram_index(out_dir: str, new_docs: ray.data.Dataset) -> dict:
+    """Incrementally add documents to a persisted trigram index — the
+    substring-search member of the incremental-index family (bloom /
+    minhash / IVF / trigram share the protocol): bucket count comes FROM
+    the existing ``_meta.json`` (an append can never drift the partition
+    hash), and the new posting rows land in the same ``bucket=N``
+    partitions as extra files (never rewrites — a crashed append leaves
+    the prior index readable).  The search path merges per-code rows, so
+    old + new postings answer queries uniformly; re-running a crashed
+    append merely duplicates doc ids inside a union, which the merge
+    dedups."""
+    meta_path = os.path.join(out_dir, _META)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"no {_META} in {out_dir} — build_trigram_index first")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+
+    pair_schema = pa.schema(
+        [("bucket", pa.int64()), ("code", pa.int64()), ("doc_id", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("code", pa.int64()),
+            ("df", pa.int64()),
+            ("postings", pa.list_(pa.int64())),
+        ]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        docs_np, codes = _doc_code_pairs(
+            _normalize(batch["text"]),
+            pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(codes % n_buckets, pa.int64()),
+                "code": pa.array(codes, pa.int64()),
+                "doc_id": pa.array(docs_np, pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        g = (
+            group.select(pair_schema.names)
+            .cast(pair_schema)
+            .group_by(["bucket", "code", "doc_id"])
+            .aggregate([])
+            .sort_by([("code", "ascending"), ("doc_id", "ascending")])
+        )
+        agg = g.group_by("code", use_threads=False).aggregate(
+            [("doc_id", "list"), ("doc_id", "count")]
+        )
+        t = agg.rename_columns(["code", "postings", "df"])
+        n = t.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array([group["bucket"][0].as_py()] * n, pa.int64()),
+                "code": t["code"],
+                "df": pc.cast(t["df"], pa.int64()),
+                "postings": t["postings"],
+            }
+        )
+
+    new_docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "bucket"
+    ).map_groups(fold, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return dict(meta, path=out_dir)

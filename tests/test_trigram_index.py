@@ -98,3 +98,49 @@ def test_candidate_superset_and_verification_tightens(index_dir):
     docs = read_table(SF, "documents", columns=["doc_id", "text"])
     got = search_trigram_index(index_dir, docs, pattern).to_pandas()
     assert set(got["doc_id"]) == _scan_truth(pattern)
+
+
+def test_append_equals_rebuild(ray_session, tmp_path):
+    """Incremental protocol: build on the even half, append the odd half —
+    every search must equal the full-rebuild index's answer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docling_jobkit_ray.functions.trigram_index import (
+        append_trigram_index,
+        build_trigram_index,
+        search_trigram_index,
+    )
+    from docling_jobkit_ray.sources.pages import read_table
+
+    def half(parity):
+        return read_table(SF, "documents", columns=["doc_id", "text"]).map_batches(
+            lambda b, p=parity: b.filter(
+                pc.equal(pc.bit_wise_and(b["doc_id"], pa.scalar(1, pa.int64())), p)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_trigram_index(half(0), inc)
+    append_trigram_index(inc, half(1))
+    docs = read_table(SF, "documents", columns=["doc_id", "text"])
+    build_trigram_index(docs, full)
+    for pattern in ("data table", "spark window"):
+        a = search_trigram_index(inc, docs, pattern).to_pandas()
+        b = search_trigram_index(full, docs, pattern).to_pandas()
+        assert a.values.tolist() == b.values.tolist()
+        assert set(a["doc_id"]) == _scan_truth(pattern)
+
+
+def test_append_requires_meta(ray_session, tmp_path):
+    from docling_jobkit_ray.functions.trigram_index import append_trigram_index
+    from docling_jobkit_ray.sources.pages import read_table
+
+    with pytest.raises(FileNotFoundError):
+        append_trigram_index(
+            str(tmp_path / "nowhere"),
+            read_table(SF, "documents", columns=["doc_id", "text"]),
+        )
