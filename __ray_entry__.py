@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_median_uplift",
         "revenue_lorenz_deciles",
         "orderkey_gap_audit",
+        "decayed_customer_value",
+        "revenue_max_drawdown",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1127,6 +1129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_median_uplift",
         "revenue_lorenz_deciles",
         "orderkey_gap_audit",
+        "decayed_customer_value",
+        "revenue_max_drawdown",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
@@ -1268,6 +1272,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return substring_search_indexed(sf_dir)
 
     q["substring_search_indexed"] = _substring_search_indexed
+
+    def _percolate_routes(sf_dir: str):
+        from docling_jobkit_ray.functions.index import percolate_routes
+
+        return percolate_routes(sf_dir)
+
+    q["percolate_routes"] = _percolate_routes
+    q["term_drift_halves"] = textstats.term_drift_halves
     return q
 
 
@@ -1651,6 +1663,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["substring_search_indexed"] = substring_search_indexed_sql()
+    from docling_jobkit_ray.functions.index import percolate_routes_sql
+    from docling_jobkit_ray.functions.textstats import term_drift_halves_sql
+
+    sql["percolate_routes"] = percolate_routes_sql()
+    sql["term_drift_halves"] = term_drift_halves_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

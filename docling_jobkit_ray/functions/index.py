@@ -1088,3 +1088,96 @@ SELECT CAST({depth} AS BIGINT) AS depth,
        (SELECT CAST(x_d AS BIGINT) FROM x WHERE d = {depth}) AS overlap_at_depth,
        CAST((SELECT sum(w * x_d // d) FROM x) AS BIGINT) AS rbo_q
 """
+
+
+# ---------------------------------------------------------------------------
+# percolation / reverse search: route documents to stored queries
+# ---------------------------------------------------------------------------
+
+_PERCOLATE_QUERIES: tuple[tuple[str, ...], ...] = (
+    ("table", "scan"),
+    ("spark", "window"),
+    ("hash", "join"),
+    ("merge", "sort", "stream"),
+)
+
+
+def percolate_routes(
+    sf_dir: str, queries: tuple[tuple[str, ...], ...] = _PERCOLATE_QUERIES
+) -> ray.data.Dataset:
+    """Percolation (reverse search, the Elasticsearch percolator shape):
+    the QUERIES are stored and every incoming document routes to the
+    queries it satisfies (here: conjunctive term sets — the doc must
+    contain ALL of a query's terms).  This is the alerting/routing fan-out
+    a streaming ingest runs per document — the transpose of retrieval,
+    which no forward search query expresses.
+
+    Plan shape: a pure map — the stored queries broadcast via closure
+    (a saved-search table is small by definition); per batch, ONE token
+    pass builds the per-doc membership bits for the union of all query
+    terms, then each query is an AND over its term bits.  No exchange.
+    Output: (doc_id, query_id) pairs, one per match.
+    """
+    all_terms = sorted({t for q in queries for t in q})
+    term_idx = {t: i for i, t in enumerate(all_terms)}
+    q_masks = [
+        sum(1 << term_idx[t] for t in q) for q in queries
+    ]
+    want_arr = pa.array(all_terms, pa.string())
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("query_id", pa.int64())])
+
+    def route(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # index_in yields null for misses — fill to -1 before numpy
+        pos = pc.fill_null(pc.index_in(flat, value_set=want_arr), -1).to_numpy(
+            zero_copy_only=False
+        )
+        hit = pos >= 0
+        masks = np.zeros(len(lens), np.int64)
+        np.bitwise_or.at(masks, doc_idx[hit], np.int64(1) << pos[hit])
+        doc_ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        out_d, out_q = [], []
+        for qid, qm in enumerate(q_masks):
+            m = (masks & qm) == qm
+            out_d.append(doc_ids[m])
+            out_q.append(np.full(int(m.sum()), qid, np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["doc_id", "query_id"]
+    )
+
+
+def percolate_routes_sql(
+    queries: tuple[tuple[str, ...], ...] = _PERCOLATE_QUERIES
+) -> str:
+    # DuckDB list literal: build VALUES of (query_id, terms LIST)
+    vals = ", ".join(
+        "({}, [{}])".format(qid, ", ".join(f"'{t}'" for t in sorted(set(q))))
+        for qid, q in enumerate(queries)
+    )
+    return f"""
+WITH q(query_id, terms) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, list(DISTINCT w) AS words FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents) GROUP BY doc_id)
+SELECT tok.doc_id, CAST(q.query_id AS BIGINT) AS query_id
+FROM tok CROSS JOIN q
+WHERE list_has_all(tok.words, q.terms)
+ORDER BY doc_id, query_id
+"""

@@ -1736,3 +1736,123 @@ SELECT CAST(n AS BIGINT) AS n_terms,
             AS BIGINT) AS intercept_e6
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary drift between corpus halves (temporal vocabulary shift)
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOP_K = 100
+
+
+def term_drift_halves(sf_dir: str, *, k: int = _DRIFT_TOP_K) -> ray.data.Dataset:
+    """Vocabulary drift report: for the top-k corpus terms, their counts
+    in the LOW-doc_id half vs the HIGH half (doc ids are ingestion order
+    in this corpus) and the late-half share — terms drifting toward
+    0 or 1e6 ppm entered or left the crawl mid-corpus, the vocabulary
+    shift check run before mixing corpus generations.
+
+    Exactness: the split threshold derives from the data
+    ((min+max)//2 over doc_id — identical integer expression in both
+    engines); counts are exact int64 and share_ppm floor-divides once per
+    term.
+
+    Plan shape: a tiny min/max fold pins the threshold; ONE (word, half)
+    count fold (per-batch combiner) and a bounded top-k finish.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    agg = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    threshold = (int(agg["min(doc_id)"]) + int(agg["max(doc_id)"])) // 2
+
+    part_schema = pa.schema(
+        [("word", pa.string()), ("c_lo", pa.int64()), ("c_hi", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        hi = (
+            pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            > threshold
+        )[doc_idx]
+        t = pa.table(
+            {
+                "word": flat,
+                "c_lo": pa.array((~hi).astype(np.int64), pa.int64()),
+                "c_hi": pa.array(hi.astype(np.int64), pa.int64()),
+            }
+        ).filter(pc.not_equal(flat, ""))
+        return (
+            t.group_by("word")
+            .aggregate([("c_lo", "sum"), ("c_hi", "sum")])
+            .rename_columns(part_schema.names)
+        )
+
+    out_schema = pa.schema(
+        [
+            ("word", pa.string()),
+            ("c_lo", pa.int64()),
+            ("c_hi", pa.int64()),
+            ("hi_share_ppm", pa.int64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        lo = pc.cast(batch["c_lo"], pa.int64()).to_numpy(zero_copy_only=False)
+        hi = pc.cast(batch["c_hi"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "word": batch["word"],
+                "c_lo": pa.array(lo, pa.int64()),
+                "c_hi": pa.array(hi, pa.int64()),
+                "hi_share_ppm": pa.array(hi * 1_000_000 // (lo + hi), pa.int64()),
+            }
+        )
+
+    def add_total(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                list(zip(part_schema.names, [f.type for f in part_schema]))
+                + [("total", pa.int64())]
+            ).empty_table()
+        return batch.append_column(
+            "total",
+            pc.add(pc.cast(batch["c_lo"], pa.int64()), pc.cast(batch["c_hi"], pa.int64())),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("c_lo", alias_name="c_lo"), Sum("c_hi", alias_name="c_hi"))
+        .map_batches(add_total, batch_format="pyarrow")
+        .sort(["total", "word"], descending=[True, False])
+        .limit(k)
+        .map_batches(finish, batch_format="pyarrow")
+        .select_columns(["word", "c_lo", "c_hi", "hi_share_ppm"])
+    )
+
+
+def term_drift_halves_sql(k: int = _DRIFT_TOP_K) -> str:
+    return f"""
+WITH thr AS (
+  SELECT (min(doc_id) + max(doc_id)) // 2 AS t FROM documents),
+tok AS (
+  SELECT CAST(doc_id > thr.t AS BIGINT) AS hi,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents, thr),
+c AS (
+  SELECT word, sum(1 - hi) AS c_lo, sum(hi) AS c_hi FROM tok GROUP BY word
+  ORDER BY c_lo + c_hi DESC, word LIMIT {k})
+SELECT word, CAST(c_lo AS BIGINT) AS c_lo, CAST(c_hi AS BIGINT) AS c_hi,
+       CAST(c_hi * 1000000 // (c_lo + c_hi) AS BIGINT) AS hi_share_ppm
+FROM c ORDER BY c_lo + c_hi DESC, word
+"""

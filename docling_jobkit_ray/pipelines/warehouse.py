@@ -3377,6 +3377,158 @@ FROM g
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# time-decayed customer value (integer-exact half-life weighting)
+# ---------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_DAYS = 180
+
+
+def decayed_customer_value(
+    sf_dir: str, *, halflife_days: int = _DECAY_HALFLIFE_DAYS
+) -> ray.data.Dataset:
+    """Recency-weighted customer value: every order contributes its cents
+    HALVED once per elapsed half-life (age measured back from the
+    corpus's max order date) — the exponential-decay LTV signal scoring
+    recent spend above ancient spend, kept EXACT by decaying in whole
+    half-life steps (``cents >> (age_days // H)``): a bit shift is the
+    one exponential both engines compute identically, where a float
+    ``pow(0.5, age/H)`` would be hash-hazardous.
+
+    Plan shape: a tiny Max fold pins the anchor date; then per-batch
+    vectorized shift + ONE custkey groupby-sum (customer-dim-bounded).
+    Shifts clamp at 62 (the value is 0 long before that).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    mx = orders.aggregate(Max("o_orderdate"))["max(o_orderdate)"]
+    import pandas as pd
+
+    anchor_day = int(pd.Timestamp(mx).value // 1000) // _US_PER_DAY
+
+    part_schema = pa.schema([("custkey", pa.int64()), ("decayed", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        day = date_us.to_numpy(zero_copy_only=False) // _US_PER_DAY
+        k = np.minimum((anchor_day - day) // halflife_days, 62)
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "decayed": pa.array(cents >> k, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("custkey").aggregate([("decayed", "sum")]).rename_columns(part_schema.names)
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(Sum(on="decayed", alias_name="decayed_cents"))
+        .sort("custkey")
+    )
+
+
+DECAYED_CUSTOMER_VALUE_SQL = f"""
+WITH a AS (
+  SELECT epoch_us(CAST(max(o_orderdate) AS TIMESTAMP)) // {_US_PER_DAY} AS anchor
+  FROM orders),
+o AS (
+  SELECT o_custkey AS custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         least((a.anchor - epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                // {_US_PER_DAY}) // {_DECAY_HALFLIFE_DAYS}, 62) AS k
+  FROM orders, a)
+SELECT custkey,
+       CAST(sum(cents // (1::BIGINT << k)) AS BIGINT) AS decayed_cents
+FROM o GROUP BY custkey ORDER BY custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# maximum drawdown of the daily-revenue series
+# ---------------------------------------------------------------------------
+
+
+def revenue_max_drawdown(sf_dir: str) -> pa.Table:
+    """Maximum drawdown of daily order revenue: the deepest fall from a
+    running peak across the day series — the risk-profile statistic
+    (finance's peak-to-trough) a revenue monitor pairs with the trend
+    tests; exact integers throughout.
+
+    Plan shape: the bounded day-grain fold shared with the Mann-Kendall /
+    runs tests, then a vectorized running-max pass on the driver over
+    the k daily points.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema([("day", pa.int64()), ("rev", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        t = pa.table(
+            {
+                "day": pc.divide(date_us, pa.scalar(_US_PER_DAY, pa.int64())),
+                "rev": _cents(batch["o_totalprice"]),
+            }
+        )
+        return (
+            t.group_by("day").aggregate([("rev", "sum")]).rename_columns(["day", "rev"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+        .take_all()  # bounded: one row per calendar day
+    )
+    rows.sort(key=lambda r: int(r["day"]))
+    rev = np.array([int(r["rev"]) for r in rows], np.int64)
+    runmax = np.maximum.accumulate(rev)
+    dd = runmax - rev
+    i = int(np.argmax(dd)) if len(dd) else 0
+    return pa.table(
+        {
+            "n_days": pa.array([len(rev)], pa.int64()),
+            "peak_cents": pa.array([int(runmax[i]) if len(rev) else 0], pa.int64()),
+            "trough_cents": pa.array([int(rev[i]) if len(rev) else 0], pa.int64()),
+            "max_drawdown_cents": pa.array([int(dd[i]) if len(rev) else 0], pa.int64()),
+        }
+    )
+
+
+REVENUE_MAX_DRAWDOWN_SQL = f"""
+WITH d AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT day, rev,
+         max(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM d),
+w AS (
+  SELECT day, rev, runmax, runmax - rev AS dd,
+         row_number() OVER (ORDER BY runmax - rev DESC, day) AS rk
+  FROM r)
+SELECT (SELECT count(*) FROM d) AS n_days,
+       CAST(runmax AS BIGINT) AS peak_cents,
+       CAST(rev AS BIGINT) AS trough_cents,
+       CAST(dd AS BIGINT) AS max_drawdown_cents
+FROM w WHERE rk = 1
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -3403,4 +3555,6 @@ WAREHOUSE_QUERIES = {
     "pps_sample_orders": (pps_sample_orders, PPS_SAMPLE_ORDERS_SQL),
     "revenue_lorenz_deciles": (revenue_lorenz_deciles, REVENUE_LORENZ_DECILES_SQL),
     "orderkey_gap_audit": (orderkey_gap_audit, ORDERKEY_GAP_AUDIT_SQL),
+    "decayed_customer_value": (decayed_customer_value, DECAYED_CUSTOMER_VALUE_SQL),
+    "revenue_max_drawdown": (revenue_max_drawdown, REVENUE_MAX_DRAWDOWN_SQL),
 }

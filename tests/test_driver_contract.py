@@ -358,6 +358,10 @@ SQL_BACKED = [
     "search_ndcg_report",
     "ranking_overlap_rbo",
     "substring_search_indexed",
+    "percolate_routes",
+    "term_drift_halves",
+    "decayed_customer_value",
+    "revenue_max_drawdown",
 ]
 
 
