@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkey_gap_audit",
         "decayed_customer_value",
         "revenue_max_drawdown",
+        "holt_revenue_forecast",
+        "customer_top2_share",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1131,6 +1133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkey_gap_audit",
         "decayed_customer_value",
         "revenue_max_drawdown",
+        "holt_revenue_forecast",
+        "customer_top2_share",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
@@ -1280,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["percolate_routes"] = _percolate_routes
     q["term_drift_halves"] = textstats.term_drift_halves
+    q["head_dup_rate_by_source"] = webtext.head_dup_rate_by_source
     return q
 
 
@@ -1668,6 +1673,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["percolate_routes"] = percolate_routes_sql()
     sql["term_drift_halves"] = term_drift_halves_sql()
+    from docling_jobkit_ray.functions.webtext import head_dup_rate_by_source_sql
+
+    sql["head_dup_rate_by_source"] = head_dup_rate_by_source_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -4913,3 +4913,155 @@ SELECT doc_id,
             AND len(regexp_extract_all(text, '"')) % 2 = 0 AS BIGINT) AS balanced
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source boilerplate-head duplication rate
+# ---------------------------------------------------------------------------
+
+
+def head_dup_rate_by_source(
+    sf_dir: str, *, head_words: int = _HEAD_WORDS, n_buckets: int | None = None
+) -> pa.Table:
+    """Per-source boilerplate rate: documents vs DISTINCT head fingerprints
+    per source, and the duplication rate in ppm — the marginal of
+    ``head_dup_matrix`` that ranks feeds by how templated their pages
+    are (the first cut a curator makes before spending minhash compute).
+
+    Plan shape: distinct (head, source) pairs need global dedup, so they
+    ride ONE head-hash-bucketed exchange (a head's rows land in one
+    bucket, so per-bucket distinct counts sum to exact global counts);
+    per-source doc counts are a separate bounded fold.  The driver joins
+    |sources| rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+    from ..sources.pages import read_table
+
+    est = estimate_rows(sf_dir, "documents")
+    n_b = n_buckets or bucket_count(est)
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    hs_schema = pa.schema(
+        [("bucket", pa.int64()), ("head", pa.string()), ("source", pa.string())]
+    )
+    cnt_schema = pa.schema([("source", pa.string()), ("n_heads", pa.int64())])
+
+    def heads_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return hs_schema.empty_table()
+        # reuse the head-fingerprint kernel from head_dup_matrix via a
+        # local import-free closure: the same vectorized first-k-words path
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat_f = flat.filter(pa.array(nonempty))
+        doc_f = doc_idx[nonempty]
+        new_seg = (
+            np.concatenate([[True], doc_f[1:] != doc_f[:-1]])
+            if len(doc_f)
+            else np.array([], bool)
+        )
+        seg_start = (
+            np.maximum.accumulate(np.where(new_seg, np.arange(len(doc_f)), 0))
+            if len(doc_f)
+            else np.array([], np.int64)
+        )
+        rank = np.arange(len(doc_f)) - seg_start
+        keep = rank < head_words
+        flat_k = flat_f.filter(pa.array(keep))
+        doc_k = doc_f[keep]
+        per_doc = np.bincount(doc_k, minlength=len(lens)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(per_doc)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat_k.combine_chunks() if isinstance(flat_k, pa.ChunkedArray) else flat_k,
+        )
+        heads = pc.binary_join(lst, " ")
+        t = (
+            pa.table({"head": heads, "source": batch["source"]})
+            .group_by(["head", "source"])
+            .aggregate([])
+        )
+        b = pd.util.hash_array(t["head"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        ) % n_b
+        return pa.table(
+            {"bucket": pa.array(b, pa.int64()), "head": t["head"], "source": t["source"]}
+        )
+
+    def distinct_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return cnt_schema.empty_table()
+        group = group.select(hs_schema.names).cast(hs_schema)
+        g = group.select(["head", "source"]).group_by(["head", "source"]).aggregate([])
+        return (
+            g.group_by("source")
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "n_heads"])
+        )
+
+    heads = (
+        ds.map_batches(heads_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(distinct_bucket, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum(on="n_heads", alias_name="n_heads"))
+        .take_all()  # bounded: one row per source
+    )
+    n_heads = {r["source"]: int(r["n_heads"]) for r in heads}
+
+    doc_schema = pa.schema([("source", pa.string()), ("n", pa.int64())])
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return doc_schema.empty_table()
+        return (
+            batch.select(["source"])
+            .group_by("source")
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "n"])
+        )
+
+    docs = (
+        ds.map_batches(doc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()  # bounded: one row per source
+    )
+    out = {"source": [], "n_docs": [], "n_heads": [], "dup_ppm": []}
+    for r in sorted(docs, key=lambda r: r["source"]):
+        s, n = r["source"], int(r["n"])
+        h = n_heads.get(s, 0)
+        out["source"].append(s)
+        out["n_docs"].append(n)
+        out["n_heads"].append(h)
+        out["dup_ppm"].append((n - h) * 1_000_000 // n)
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "n_heads": pa.array(out["n_heads"], pa.int64()),
+            "dup_ppm": pa.array(out["dup_ppm"], pa.int64()),
+        }
+    )
+
+
+def head_dup_rate_by_source_sql(head_words: int = _HEAD_WORDS) -> str:
+    return f"""
+WITH d AS (
+  SELECT source,
+         array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z]+'),
+                                    1, {head_words}), ' ') AS head
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT head) AS n_heads,
+       CAST((count(*) - count(DISTINCT head)) * 1000000 // count(*) AS BIGINT)
+         AS dup_ppm
+FROM d GROUP BY source ORDER BY source
+"""

@@ -2526,10 +2526,12 @@ def customer_order_regularity(
         n_cust = int(seg_id[-1]) + 1 if len(seg_id) else 0
         n_orders = np.bincount(seg_id, minlength=n_cust)
         g = np.where(gap_ok, gaps, 0)
-        s_per = np.bincount(seg_id[1:], weights=g, minlength=n_cust).astype(np.int64)
-        gg_per = np.bincount(seg_id[1:], weights=g * g, minlength=n_cust).astype(
-            np.int64
-        )
+        # int64 accumulation via add.at — bincount weights are float64 and
+        # drift past 2^53 (CLAUDE.md)
+        s_per = np.zeros(n_cust, np.int64)
+        np.add.at(s_per, seg_id[1:], g)
+        gg_per = np.zeros(n_cust, np.int64)
+        np.add.at(gg_per, seg_id[1:], g * g)
         keys = ck[new_seg]
         keep = (n_orders >= min_orders) & (s_per > 0)
         keys, n_o, s, gg = keys[keep], n_orders[keep], s_per[keep], gg_per[keep]
@@ -3529,6 +3531,216 @@ FROM w WHERE rk = 1
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential forecast of daily revenue (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def holt_revenue_forecast(sf_dir: str) -> pa.Table:
+    """Holt linear (double-exponential) smoothing over the daily-revenue
+    series with alpha = beta = 1/4, kept EXACT cross-engine by
+    integer-truncating every step (the events_ewma discipline, plus a
+    trend term):
+
+        l_1 = y_1,  b_1 = 0
+        l_t = trunc((y_t + 3*(l_{t-1} + b_{t-1})) / 4)
+        b_t = trunc(((l_t - l_{t-1}) + 3*b_{t-1}) / 4)
+
+    and the one-step-ahead forecast is l_t + b_t.  The trend can go
+    NEGATIVE, so the division must truncate toward zero in both engines
+    (DuckDB ``//`` truncates; ``_trunc_div`` mirrors) — a floor here
+    would silently diverge on every declining stretch.
+
+    Plan shape: ONE bounded day-grain fold (the Mann-Kendall fold), then
+    the inherently-sequential recursion runs on the driver over the
+    calendar-bounded day series; the oracle is the equivalent recursive
+    CTE (depth = day count — calendar-bounded at any corpus scale).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema([("day", pa.int64()), ("rev", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        t = pa.table(
+            {
+                "day": pc.divide(date_us, pa.scalar(_US_PER_DAY, pa.int64())),
+                "rev": _cents(batch["o_totalprice"]),
+            }
+        )
+        return (
+            t.group_by("day").aggregate([("rev", "sum")]).rename_columns(["day", "rev"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+        .take_all()  # bounded: one row per calendar day
+    )
+    rows.sort(key=lambda r: int(r["day"]))
+    out = {"day": [], "rev": [], "level": [], "trend": [], "forecast_next": []}
+    level = trend = 0
+    for i, r in enumerate(rows):
+        day, rev = int(r["day"]), int(r["rev"])
+        if i == 0:
+            level, trend = rev, 0
+        else:
+            prev = level
+            level = _trunc_div(rev + 3 * (level + trend), 4)
+            trend = _trunc_div((level - prev) + 3 * trend, 4)
+        out["day"].append(day)
+        out["rev"].append(rev)
+        out["level"].append(level)
+        out["trend"].append(trend)
+        out["forecast_next"].append(level + trend)
+    return pa.table(
+        {
+            "day": pa.array(out["day"], pa.int64()),
+            "rev": pa.array(out["rev"], pa.int64()),
+            "level": pa.array(out["level"], pa.int64()),
+            "trend": pa.array(out["trend"], pa.int64()),
+            "forecast_next": pa.array(out["forecast_next"], pa.int64()),
+        }
+    )
+
+
+HOLT_REVENUE_FORECAST_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+s AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS seq FROM d),
+h AS (
+  SELECT day, rev, seq, rev AS level, CAST(0 AS BIGINT) AS trend
+  FROM s WHERE seq = 1
+  UNION ALL
+  SELECT s.day, s.rev, s.seq,
+         (s.rev + 3 * (h.level + h.trend)) // 4,
+         (((s.rev + 3 * (h.level + h.trend)) // 4 - h.level) + 3 * h.trend) // 4
+  FROM s JOIN h ON s.seq = h.seq + 1)
+SELECT day, rev, level, trend, level + trend AS forecast_next
+FROM h ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# whale dependence: share of each customer's total in their top-2 orders
+# ---------------------------------------------------------------------------
+
+
+def customer_top2_share(sf_dir: str, *, n_buckets: int | None = None) -> ray.data.Dataset:
+    """Whale-order dependence per customer: the share of lifetime revenue
+    concentrated in the customer's TWO largest orders — the grouped
+    top-k SUM window (sum over rank <= 2, not the top-k rows themselves)
+    that flags accounts whose value is one-off spikes rather than a
+    run rate.
+
+    Exactness: the top-2 SUM is a multiset statistic, invariant under
+    equal-value tie order; share_ppm floor-divides once per customer
+    (all positive).
+
+    Plan shape: ONE custkey-bucketed exchange; in-bucket lexsort
+    (custkey, cents desc) + segment-rank mask — vectorized, no Python
+    per customer.
+    """
+    from ..scale import bucket_count, estimate_rows
+
+    est = estimate_rows(sf_dir, "orders")
+    n_b = n_buckets or bucket_count(est)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    row_schema = pa.schema(
+        [("bucket", pa.int64()), ("custkey", pa.int64()), ("cents", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("top2_cents", pa.int64()),
+            ("top2_share_ppm", pa.int64()),
+        ]
+    )
+
+    def rows_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return row_schema.empty_table()
+        ck = pc.cast(batch["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(ck, mask),
+                "custkey": ck,
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(row_schema.names).cast(row_schema)
+        ck = np.asarray(group["custkey"], np.int64)
+        cents = np.asarray(group["cents"], np.int64)
+        order = np.lexsort((-cents, ck))
+        ck, cents = ck[order], cents[order]
+        new_seg = np.concatenate([[True], ck[1:] != ck[:-1]])
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(len(ck)), 0))
+        rank = np.arange(len(ck)) - seg_start
+        n_cust = int(seg_id[-1]) + 1 if len(seg_id) else 0
+        n_orders = np.bincount(seg_id, minlength=n_cust).astype(np.int64)
+        # int64 accumulation via add.at — bincount weights are float64 and
+        # drift past 2^53 (CLAUDE.md)
+        total = np.zeros(n_cust, np.int64)
+        np.add.at(total, seg_id, cents)
+        top2 = np.zeros(n_cust, np.int64)
+        np.add.at(top2, seg_id[rank < 2], cents[rank < 2])
+        keys = ck[new_seg]
+        share = top2 * 1_000_000 // total
+        return pa.table(
+            {
+                "custkey": pa.array(keys, pa.int64()),
+                "n_orders": pa.array(n_orders, pa.int64()),
+                "total_cents": pa.array(total, pa.int64()),
+                "top2_cents": pa.array(top2, pa.int64()),
+                "top2_share_ppm": pa.array(share, pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(rows_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .sort("custkey")
+    )
+
+
+CUSTOMER_TOP2_SHARE_SQL = """
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+r AS (
+  SELECT custkey, cents,
+         row_number() OVER (PARTITION BY custkey ORDER BY cents DESC) AS rk
+  FROM o)
+SELECT custkey, count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(cents) FILTER (WHERE rk <= 2) AS BIGINT) AS top2_cents,
+       CAST(sum(cents) FILTER (WHERE rk <= 2) * 1000000 // sum(cents)
+            AS BIGINT) AS top2_share_ppm
+FROM r GROUP BY custkey ORDER BY custkey
+"""
+
+
 WAREHOUSE_QUERIES = {
     "lineitem_status_pit": (lineitem_status_pit, LINEITEM_STATUS_PIT_SQL),
     "revenue_time_rollup": (revenue_time_rollup, REVENUE_TIME_ROLLUP_SQL),
@@ -3557,4 +3769,6 @@ WAREHOUSE_QUERIES = {
     "orderkey_gap_audit": (orderkey_gap_audit, ORDERKEY_GAP_AUDIT_SQL),
     "decayed_customer_value": (decayed_customer_value, DECAYED_CUSTOMER_VALUE_SQL),
     "revenue_max_drawdown": (revenue_max_drawdown, REVENUE_MAX_DRAWDOWN_SQL),
+    "holt_revenue_forecast": (holt_revenue_forecast, HOLT_REVENUE_FORECAST_SQL),
+    "customer_top2_share": (customer_top2_share, CUSTOMER_TOP2_SHARE_SQL),
 }

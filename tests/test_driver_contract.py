@@ -362,6 +362,9 @@ SQL_BACKED = [
     "term_drift_halves",
     "decayed_customer_value",
     "revenue_max_drawdown",
+    "holt_revenue_forecast",
+    "customer_top2_share",
+    "head_dup_rate_by_source",
 ]
 
 
