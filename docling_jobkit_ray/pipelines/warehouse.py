@@ -3614,7 +3614,7 @@ def holt_revenue_forecast(sf_dir: str) -> pa.Table:
 HOLT_REVENUE_FORECAST_SQL = f"""
 WITH RECURSIVE d AS (
   SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS day,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
   FROM orders GROUP BY 1),
 s AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS seq FROM d),
 h AS (
@@ -3625,7 +3625,9 @@ h AS (
          (s.rev + 3 * (h.level + h.trend)) // 4,
          (((s.rev + 3 * (h.level + h.trend)) // 4 - h.level) + 3 * h.trend) // 4
   FROM s JOIN h ON s.seq = h.seq + 1)
-SELECT day, rev, level, trend, level + trend AS forecast_next
+SELECT day, CAST(rev AS BIGINT) AS rev, CAST(level AS BIGINT) AS level,
+       CAST(trend AS BIGINT) AS trend,
+       CAST(level + trend AS BIGINT) AS forecast_next
 FROM h ORDER BY day
 """
 
