@@ -385,6 +385,20 @@ def run_bench() -> dict:
             "bitmap_doc_query",  # build + conjunctive query from the artifact
             lambda sf: __import__("__ray_entry__").queries()["bitmap_doc_query"](sf),
         ),
+        # final-session families: trigram index round trip (build + pruned
+        # search), exchange-heavy head-dup matrix, LTV cohort exchange,
+        # pair-emission Adamic-Adar, pure-map percolation routing
+        (
+            "substring_search_indexed",
+            lambda sf: __import__("__ray_entry__").queries()["substring_search_indexed"](sf),
+        ),
+        ("head_dup_matrix", _round4_op("webtext", "head_dup_matrix")),
+        (
+            "customer_ltv_triangle",
+            lambda sf: __import__("__ray_entry__").queries()["customer_ltv_triangle"](sf),
+        ),
+        ("adamic_adar_part_pairs", _round4_op("graph", "adamic_adar_part_pairs")),
+        ("percolate_routes", _round4_op("index", "percolate_routes")),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

@@ -1515,7 +1515,6 @@ def adamic_adar_part_pairs(
     degree, never per corpus — the same bound as triangle counting
     (graph.py part_triangle_counts).
     """
-    from ray.data.aggregate import Sum
 
     from ..scale import bucket_count, estimate_rows
     from ..sources.pages import read_table
@@ -1555,26 +1554,64 @@ def adamic_adar_part_pairs(
         if group.num_rows == 0 or group.num_columns == 0:
             return pair_schema.empty_table()
         group = group.select(edge_schema.names).cast(edge_schema)
-        df = group.select(["s", "p"]).to_pandas().drop_duplicates()
-        deg = df.groupby("s")["p"].transform("size").to_numpy(np.int64)
-        df = df[deg >= 2]
-        if not len(df):
-            return pair_schema.empty_table()
-        degs = df.groupby("s")["p"].size()
-        w_of = np.round(1_000_000 / np.log(degs.to_numpy(np.float64))).astype(
-            np.int64
+        # global-distinct edges via ONE combined int64 key (batch-local
+        # distinct is not global distinct), sorted so segment members are
+        # ascending by part — pair keys come out a<b for free
+        ek = np.unique(
+            (np.asarray(group["s"], np.int64) << 32)
+            + np.asarray(group["p"], np.int64)
         )
-        w_map = dict(zip(degs.index.to_numpy(np.int64), w_of))
-        m = df.merge(df, on="s")
-        m = m[m["p_x"] < m["p_y"]]
-        key = (m["p_x"].to_numpy(np.int64) << 32) + m["p_y"].to_numpy(np.int64)
-        w = np.array([w_map[s] for s in m["s"].to_numpy(np.int64)], np.int64)
+        s = ek >> 32
+        p = ek & 0xFFFFFFFF
+        new_seg = np.concatenate([[True], s[1:] != s[:-1]])
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(len(s)), 0))
+        seg_id = np.cumsum(new_seg) - 1
+        deg = np.bincount(seg_id).astype(np.int64)
+        w_seg = np.where(
+            deg >= 2, np.round(1_000_000 / np.log(np.maximum(deg, 2))), 0
+        ).astype(np.int64)
+        # upper-triangle emission, fully vectorized: row i at position r in
+        # a segment of size d pairs with the d-1-r parts after it
+        r = np.arange(len(s)) - seg_start
+        counts = deg[seg_id] - 1 - r
+        total = int(counts.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        out_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(total) - np.repeat(out_start, counts)
+        left_rows = np.repeat(np.arange(len(s)), counts)
+        right_rows = left_rows + 1 + pos
+        key = (p[left_rows] << 32) + p[right_rows]
+        w = w_seg[seg_id[left_rows]]
         order = np.argsort(key, kind="stable")
         key, w = key[order], w[order]
         uk, start = np.unique(key, return_index=True)
         sums = np.add.reduceat(w, start)
         return pa.table(
-            {"key": pa.array(uk, pa.int64()), "w": pa.array(sums, pa.int64())}
+            {
+                "pbucket": pa.array(uk % n_b, pa.int64()),
+                "key": pa.array(uk, pa.int64()),
+                "w": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def topk_pair_bucket(group: pa.Table) -> pa.Table:
+        # a pair's partials all hash to this bucket, so in-bucket sums are
+        # GLOBAL sums and the bucket's local top-k provably contains every
+        # global-top-k member — never groupby() a ~|parts|^2-cardinality
+        # pair key directly (Ray's sort-aggregate cost scales with distinct
+        # keys: measured 16s at 2M keys vs 3s at 1k on 2.6M rows)
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pair_schema.empty_table()
+        key = np.asarray(group["key"], np.int64)
+        w = np.asarray(group["w"], np.int64)
+        order = np.argsort(key, kind="stable")
+        key, w = key[order], w[order]
+        uk, start = np.unique(key, return_index=True)
+        sums = np.add.reduceat(w, start)
+        top = np.lexsort((uk, -sums))[:k]
+        return pa.table(
+            {"key": pa.array(uk[top], pa.int64()), "w": pa.array(sums[top], pa.int64())}
         )
 
     out_schema = pa.schema(
@@ -1597,8 +1634,9 @@ def adamic_adar_part_pairs(
         li.map_batches(edge_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(pair_bucket, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Sum(on="w", alias_name="w"))
+        .groupby("pbucket")
+        .map_groups(topk_pair_bucket, batch_format="pyarrow")
+        # bounded: <= n_buckets x k candidate rows survive to this sort
         .sort(["w", "key"], descending=[True, False])
         .limit(k)
         .map_batches(decode, batch_format="pyarrow")
