@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_max_drawdown",
         "holt_revenue_forecast",
         "customer_top2_share",
+        "events_asof_next_purchase",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1135,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_max_drawdown",
         "holt_revenue_forecast",
         "customer_top2_share",
+        "events_asof_next_purchase",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
@@ -1285,6 +1287,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["percolate_routes"] = _percolate_routes
     q["term_drift_halves"] = textstats.term_drift_halves
     q["head_dup_rate_by_source"] = webtext.head_dup_rate_by_source
+
+    def _events_hourly_harmonic(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import events_hourly_harmonic
+
+        return events_hourly_harmonic(sf_dir)
+
+    q["events_hourly_harmonic"] = _events_hourly_harmonic
     return q
 
 
@@ -1676,6 +1685,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import head_dup_rate_by_source_sql
 
     sql["head_dup_rate_by_source"] = head_dup_rate_by_source_sql()
+    from docling_jobkit_ray.functions.stats_tests import events_hourly_harmonic_sql
+
+    sql["events_hourly_harmonic"] = events_hourly_harmonic_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -811,3 +811,128 @@ SELECT g.event_type, CAST(g.n AS BIGINT) AS n_events,
        pk.peak_hour
 FROM g JOIN pk USING (event_type) ORDER BY g.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# harmonic regression of hourly event volume (seasonality fit)
+# ---------------------------------------------------------------------------
+
+# sin/cos basis quantized ONCE in Python and embedded as integer literals in
+# BOTH engines (the NDCG-weights trick) — no query-time trigonometry
+_HARM_SIN = [round(np.sin(2 * np.pi * h / 24) * 1000) for h in range(24)]
+_HARM_COS = [round(np.cos(2 * np.pi * h / 24) * 1000) for h in range(24)]
+
+
+def events_hourly_harmonic(sf_dir: str) -> pa.Table:
+    """Harmonic (single-frequency Fourier) regression of hourly event
+    volume: fit ``count_h ~ a + b*sin(2*pi*h/24) + c*cos(2*pi*h/24)`` —
+    the parametric seasonality model behind "traffic peaks around hour
+    X with amplitude Y" (atan2(b,c) gives the phase, downstream).
+
+    Exactness: the basis is PRE-QUANTIZED to the 1e-3 grid and embedded
+    as integer literals in both engines, so the normal equations are
+    pure integer sums and the 3x3 Cramer solve runs in PYTHON BIG INTS
+    (dets reach ~1e22 — HUGEINT in the oracle); each coefficient
+    quantizes once by truncating division (dets can be negative:
+    ``_trunc_div`` mirrors DuckDB ``//``).  b and c come out in count
+    units x 1e3 (the basis scale) — reported as *_e3-grid ppk of a unit
+    basis via one more scale factor kept integer end-to-end.
+
+    Plan shape: ONE 24-row hourly count fold, driver 3x3 solve.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    part_schema = pa.schema([("hour", pa.int64()), ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        t = pa.table({"hour": pc.cast(pc.hour(batch["ts"]), pa.int64())})
+        return (
+            t.group_by("hour").aggregate([([], "count_all")]).rename_columns(["hour", "c"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded: 24 rows
+    )
+    y_of = {int(r["hour"]): int(r["c"]) for r in rows}
+    hours = sorted(y_of)
+    y = [y_of[h] for h in hours]
+    s = [_HARM_SIN[h] for h in hours]
+    c = [_HARM_COS[h] for h in hours]
+    n = len(hours)
+    Ss, Sc = sum(s), sum(c)
+    Sss = sum(v * v for v in s)
+    Scc = sum(v * v for v in c)
+    Ssc = sum(a * b for a, b in zip(s, c))
+    Sy = sum(y)
+    Ssy = sum(a * b for a, b in zip(s, y))
+    Scy = sum(a * b for a, b in zip(c, y))
+
+    def det3(m):
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    M = [[n, Ss, Sc], [Ss, Sss, Ssc], [Sc, Ssc, Scc]]
+    rhs = [Sy, Ssy, Scy]
+    D = det3(M)
+    Da = det3([[rhs[0], Ss, Sc], [rhs[1], Sss, Ssc], [rhs[2], Ssc, Scc]])
+    Db = det3([[n, rhs[0], Sc], [Ss, rhs[1], Ssc], [Sc, rhs[2], Scc]])
+    Dc = det3([[n, Ss, rhs[0]], [Ss, Sss, rhs[1]], [Sc, Ssc, rhs[2]]])
+    # a is in count units; b, c multiply the 1e-3-grid basis, so scale by
+    # 1e3 to report them in count units too — one quantization each
+    return pa.table(
+        {
+            "n_hours": pa.array([n], pa.int64()),
+            "a_e6": pa.array([_trunc_div(Da * 1_000_000, D)], pa.int64()),
+            "b_e6": pa.array([_trunc_div(Db * 1_000_000_000, D)], pa.int64()),
+            "c_e6": pa.array([_trunc_div(Dc * 1_000_000_000, D)], pa.int64()),
+        }
+    )
+
+
+def events_hourly_harmonic_sql() -> str:
+    basis = ", ".join(
+        f"({h}, {_HARM_SIN[h]}, {_HARM_COS[h]})" for h in range(24)
+    )
+    return f"""
+WITH b(h, s, c) AS (VALUES {basis}),
+hc AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS h, count(*) AS y FROM events GROUP BY 1),
+j AS (SELECT hc.h, hc.y, b.s, b.c FROM hc JOIN b USING (h)),
+m AS (
+  SELECT count(*) AS n,
+         sum(s) AS ss, sum(c) AS sc,
+         sum(CAST(s AS HUGEINT) * s) AS sss,
+         sum(CAST(c AS HUGEINT) * c) AS scc,
+         sum(CAST(s AS HUGEINT) * c) AS ssc,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(s AS HUGEINT) * y) AS ssy,
+         sum(CAST(c AS HUGEINT) * y) AS scy
+  FROM j),
+d AS (
+  SELECT n, ss, sc, sss, scc, ssc, sy, ssy, scy,
+         n * (sss * scc - ssc * ssc)
+       - ss * (ss * scc - ssc * sc)
+       + sc * (ss * ssc - sss * sc) AS det
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_hours,
+       CAST((sy * (sss * scc - ssc * ssc)
+           - ss * (ssy * scc - ssc * scy)
+           + sc * (ssy * ssc - sss * scy)) * 1000000 // det AS BIGINT) AS a_e6,
+       CAST((n * (ssy * scc - ssc * scy)
+           - sy * (ss * scc - ssc * sc)
+           + sc * (ss * scy - ssy * sc)) * 1000000000 // det AS BIGINT) AS b_e6,
+       CAST((n * (sss * scy - ssy * ssc)
+           - ss * (ss * scy - ssy * sc)
+           + sy * (ss * ssc - sss * sc)) * 1000000000 // det AS BIGINT) AS c_e6
+FROM d
+"""

@@ -3892,3 +3892,151 @@ BEHAVIOR_QUERIES.update(
         "ab_median_uplift": (ab_median_uplift, AB_MEDIAN_UPLIFT_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of: each click's time-to-NEXT-purchase
+# ---------------------------------------------------------------------------
+
+
+def events_asof_next_purchase(
+    sf_dir: str, *, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """FORWARD as-of join: each click matched to the same user's NEXT
+    purchase strictly after it in the (ts, event_id) total order — the
+    time-to-conversion lookup that the backward as-of
+    (events_asof_last_click) cannot express, and the missing direction of
+    the temporal-join family.
+
+    Determinism: "next" means the first purchase in the (ts, event_id)
+    order after the click's own position — tied timestamps resolve by the
+    unique event id on BOTH sides, so no tie collapse is needed (unlike
+    the backward asof, whose engine picks an arbitrary tie row).  Clicks
+    with no later purchase drop (inner semantics).
+
+    Plan shape: ONE user-bucketed tagged-union exchange; in-bucket
+    vectorized reverse scan — sort by (user, ts, event_id), then a
+    backward running-minimum of "position of the next purchase row"
+    assigns every click its successor in O(n) with no Python per event.
+    Output wait_us is an exact int64 difference.
+    """
+    rel = _rel()
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    n_b = rel._user_buckets(sf_dir, n_buckets)
+    bmask = pa.scalar(n_b - 1, pa.int64())
+
+    row_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("event_id", pa.int64()),
+            ("is_click", pa.int64()),
+            ("is_purchase", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("purchase_event_id", pa.int64()),
+            ("wait_us", pa.int64()),
+        ]
+    )
+
+    def rows_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return row_schema.empty_table()
+        et = batch["event_type"]
+        is_c = pc.cast(pc.equal(et, "click"), pa.int64())
+        is_p = pc.cast(pc.equal(et, "purchase"), pa.int64())
+        keep = pc.or_(pc.equal(is_c, 1), pc.equal(is_p, 1))
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "is_click": is_c,
+                "is_purchase": is_p,
+            }
+        ).filter(keep)
+        return t.append_column("bucket", pc.bit_wise_and(t["user_id"], bmask)).select(
+            row_schema.names
+        )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(row_schema.names).cast(row_schema)
+        uid = np.asarray(group["user_id"], np.int64)
+        ts = np.asarray(group["ts_us"], np.int64)
+        eid = np.asarray(group["event_id"], np.int64)
+        is_c = np.asarray(group["is_click"], np.int64).astype(bool)
+        is_p = np.asarray(group["is_purchase"], np.int64).astype(bool)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        is_c, is_p = is_c[order], is_p[order]
+        n = len(uid)
+        # backward pass: next-purchase ROW index after each position,
+        # reset at user boundaries (sentinel n)
+        idx = np.arange(n)
+        cand = np.where(is_p, idx, n)
+        # process per segment in one reversed accumulate: flip, mark
+        # segment starts (flipped user boundaries), np.minimum.accumulate
+        # with resets via a trick: offset each segment by a large stride
+        seg_id = np.cumsum(np.concatenate([[True], uid[1:] != uid[:-1]])) - 1
+        stride = np.int64(n + 1)
+        keyed = cand + seg_id * stride  # still monotone-in-segment sentinel-safe
+        rev_min = np.minimum.accumulate((keyed)[::-1])[::-1]
+        nxt = rev_min - seg_id * stride
+        valid = is_c & (nxt > idx) & (nxt < n)
+        # strictly AFTER the click: a purchase at the same position never
+        # coincides (a row is one event); nxt == idx only when the click IS
+        # a purchase row, excluded by construction
+        src = idx[valid]
+        dst = nxt[valid]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[src], pa.int64()),
+                "user_id": pa.array(uid[src], pa.int64()),
+                "purchase_event_id": pa.array(eid[dst], pa.int64()),
+                "wait_us": pa.array(ts[dst] - ts[src], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(rows_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+EVENTS_ASOF_NEXT_PURCHASE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')),
+w AS (
+  SELECT event_id, user_id, ts, event_type,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM e)
+SELECT event_id, user_id,
+       CAST(nxt % 1000000000 AS BIGINT) AS purchase_event_id,
+       CAST(nxt // 1000000000 - epoch_us(ts) AS BIGINT) AS wait_us
+FROM w
+WHERE event_type = 'click' AND nxt IS NOT NULL
+ORDER BY event_id
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_asof_next_purchase": (
+            events_asof_next_purchase,
+            EVENTS_ASOF_NEXT_PURCHASE_SQL,
+        ),
+    }
+)

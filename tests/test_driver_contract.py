@@ -365,6 +365,8 @@ SQL_BACKED = [
     "holt_revenue_forecast",
     "customer_top2_share",
     "head_dup_rate_by_source",
+    "events_asof_next_purchase",
+    "events_hourly_harmonic",
 ]
 
 
