@@ -64,11 +64,17 @@ def build_bitmap_index(
     a batch), ONE word-bucketed exchange folds them, and the artifact is
     written per bucket — the build is a pre-aggregated all-to-all over
     rows 64x smaller than the input keys."""
+    # the 64-bit word crosses the exchange as TWO 32-bit halves: Ray's
+    # shuffle can round-trip blocks through pandas and coerce int64 to
+    # float64 at wide splits (CLAUDE.md 2^53 hazard) — a full word loses
+    # its low bits (measured: low ~11 bits zeroed at the 8x-block tier),
+    # while each half is < 2^32 and survives float64 exactly
     part_schema = pa.schema(
         [
             ("attr", pa.string()),
             ("word", pa.int64()),
-            ("bits", pa.int64()),
+            ("bits_lo", pa.int64()),
+            ("bits_hi", pa.int64()),
             ("bucket", pa.int64()),
         ]
     )
@@ -94,7 +100,8 @@ def build_bitmap_index(
             {
                 "attr": pa.array(uniq.take(a_c), pa.string()),
                 "word": pa.array(w_c, pa.int64()),
-                "bits": pa.array(b_c, pa.int64()),
+                "bits_lo": pa.array(b_c & 0xFFFFFFFF, pa.int64()),
+                "bits_hi": pa.array((b_c >> 32) & 0xFFFFFFFF, pa.int64()),
                 "bucket": pa.array(w_c % n_buckets, pa.int64()),
             }
         )
@@ -109,10 +116,12 @@ def build_bitmap_index(
         group = group.select(part_schema.names).cast(part_schema)
         attr = group["attr"].to_pandas().to_numpy()
         codes, uniq = pd.factorize(attr)
+        lo = group["bits_lo"].to_numpy(zero_copy_only=False)
+        hi = group["bits_hi"].to_numpy(zero_copy_only=False)
         a_c, w_c, b_c = _or_fold(
             codes.astype(np.int64),
             group["word"].to_numpy(zero_copy_only=False),
-            group["bits"].to_numpy(zero_copy_only=False),
+            (hi << 32) | lo,  # reassemble the word (wrap == bit pattern)
         )
         t = pa.table(
             {
@@ -222,27 +231,30 @@ def bitmap_query_keys(
         # OR-fold duplicate (attr, word) rows first: increments write their
         # own files, so a word's bits can arrive split across several rows
         codes, uniq = pd.factorize(group["attr"].to_numpy())
+        lo = group["bits_lo"].to_numpy(np.int64)
+        hi = group["bits_hi"].to_numpy(np.int64)
         a_c, w_c, b_c = _or_fold(
             codes.astype(np.int64),
             group["word"].to_numpy(np.int64),
-            group["bits"].to_numpy(np.int64),
+            (hi << 32) | lo,
         )
-        group = pd.DataFrame(
-            {"attr": uniq.take(a_c), "word": w_c, "bits": b_c}
-        )
-        pv = group.pivot_table(
-            index="word", columns="attr", values="bits", aggfunc="first"
-        )
-        words = pv.index.to_numpy(np.int64)
+        # NEVER pivot bits through pandas: pivot_table fills absent
+        # (word, attr) cells with NaN, which silently coerces the whole
+        # bits column to float64 and shreds the low bits of any word above
+        # 2^53 (measured: 6 keys vanished from one word at the 8x-block
+        # tier).  Dense per-attr arrays via numpy scatter keep int64.
+        attr_names = uniq.take(a_c)
+        words = np.unique(w_c)
 
         def col(a: str) -> np.ndarray:
-            if a in pv.columns:
-                return pv[a].fillna(0).to_numpy(np.int64)
-            return np.zeros(len(pv), np.int64)
+            sel = attr_names == a
+            arr = np.zeros(len(words), np.int64)
+            arr[np.searchsorted(words, w_c[sel])] = b_c[sel]
+            return arr
 
         acc = None
         for gattrs in require:
-            g = np.zeros(len(pv), np.int64)
+            g = np.zeros(len(words), np.int64)
             for a in gattrs:
                 g |= col(a)
             acc = g if acc is None else (acc & g)
@@ -259,17 +271,24 @@ def bitmap_query_keys(
 
     def add_bucket(b: pa.Table) -> pa.Table:
         # re-derive the bucket column (hive partition may or may not be
-        # materialized as a column depending on the reader)
+        # materialized as a column depending on the reader), and split the
+        # word into float64-exact halves for the exchange (2^53 hazard)
+        bits = b["bits"].to_numpy(zero_copy_only=False)
+        cols = {
+            "attr": b["attr"],
+            "word": b["word"],
+            "bits_lo": pa.array(bits & 0xFFFFFFFF, pa.int64()),
+            "bits_hi": pa.array((bits >> 32) & 0xFFFFFFFF, pa.int64()),
+        }
         if "bucket" in b.column_names:
-            return b
-        meta = json.load(open(f"{index_dir}/_meta.json"))
-        return b.append_column(
-            "bucket",
-            pa.array(
+            cols["bucket"] = b["bucket"]
+        else:
+            meta = json.load(open(f"{index_dir}/_meta.json"))
+            cols["bucket"] = pa.array(
                 b["word"].to_numpy(zero_copy_only=False) % meta["n_buckets"],
                 pa.int64(),
-            ),
-        )
+            )
+        return pa.table(cols)
 
     return (
         _read_index(index_dir, attrs)
@@ -303,14 +322,24 @@ def bitmap_index_stats(index_dir: str) -> ray.data.Dataset:
     def add_bucket(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or b.num_columns == 0:
             return pa.schema(
-                [("attr", pa.string()), ("word", pa.int64()), ("bits", pa.int64()), ("bucket", pa.int64())]
+                [("attr", pa.string()), ("word", pa.int64()),
+                 ("bits_lo", pa.int64()), ("bits_hi", pa.int64()),
+                 ("bucket", pa.int64())]
             ).empty_table()
+        bits = b["bits"].to_numpy(zero_copy_only=False)
+        cols = {
+            "attr": b["attr"],
+            "word": b["word"],
+            "bits_lo": pa.array(bits & 0xFFFFFFFF, pa.int64()),
+            "bits_hi": pa.array((bits >> 32) & 0xFFFFFFFF, pa.int64()),
+        }
         if "bucket" in b.column_names:
-            return b
-        return b.append_column(
-            "bucket",
-            pa.array(b["word"].to_numpy(zero_copy_only=False) % n_buckets, pa.int64()),
-        )
+            cols["bucket"] = b["bucket"]
+        else:
+            cols["bucket"] = pa.array(
+                b["word"].to_numpy(zero_copy_only=False) % n_buckets, pa.int64()
+            )
+        return pa.table(cols)
 
     def fold(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
@@ -318,10 +347,12 @@ def bitmap_index_stats(index_dir: str) -> ray.data.Dataset:
                 {"attr": pd.Series([], dtype=object), "n_keys": pd.Series([], dtype="int64")}
             )
         codes, uniq = pd.factorize(group["attr"].to_numpy())
+        lo = group["bits_lo"].to_numpy(np.int64)
+        hi = group["bits_hi"].to_numpy(np.int64)
         a_c, _w_c, b_c = _or_fold(
             codes.astype(np.int64),
             group["word"].to_numpy(np.int64),
-            group["bits"].to_numpy(np.int64),
+            (hi << 32) | lo,
         )
         u8 = b_c.astype("<u8").view(np.uint8).reshape(-1, 8)
         pop = np.unpackbits(u8, axis=1, bitorder="little").sum(axis=1).astype(np.int64)

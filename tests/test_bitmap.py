@@ -166,3 +166,42 @@ def test_compact_absorbs_increments_identically(ray_session):
     assert n_files_after == len(glob.glob(f"{tmp}/bucket=*")) if False else True
     pd.testing.assert_frame_equal(before_q, after_q)
     pd.testing.assert_frame_equal(before_s, after_s)
+
+
+def test_high_bit_words_survive_wide_splits(ray_session, tmp_path):
+    """Regression: a word whose bit pattern exceeds 2^53 must survive the
+    build AND query exchanges bit-exactly even when the input splits into
+    many tiny blocks.  The original build/query shipped the full int64
+    word through Ray's shuffle, where a pandas round-trip (build) and a
+    pivot_table NaN fill (query) coerced it to float64 and zeroed the low
+    bits — 6 keys vanished from one word at the 8x-block sweep tier."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_jobkit_ray.functions.bitmap import (
+        bitmap_query_keys,
+        build_bitmap_index,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 512  # 8 words, every word dense enough to exceed 2^53
+    doc_id = np.arange(n, dtype=np.int64)
+    langs = rng.choice(["de", "fr", "en"], size=n)
+    srcs = rng.choice(["s1", "s2"], size=n)
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_id),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "source": pa.array(srcs.tolist(), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(32)  # tiny blocks: words span them
+    out = str(tmp_path / "idx")
+    build_bitmap_index(ds, out)
+    got = set(
+        bitmap_query_keys(out, require=[["lang=de", "lang=fr"]], exclude=["source=s2"])
+        .to_pandas()["key"]
+    )
+    want = set(doc_id[np.isin(langs, ["de", "fr"]) & (srcs != "s2")].tolist())
+    assert got == want
