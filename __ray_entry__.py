@@ -1294,6 +1294,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events_hourly_harmonic(sf_dir)
 
     q["events_hourly_harmonic"] = _events_hourly_harmonic
+
+    def _sssp_cost_part_supplier(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import sssp_cost_part_supplier
+
+        return sssp_cost_part_supplier(sf_dir)
+
+    q["sssp_cost_part_supplier"] = _sssp_cost_part_supplier
+
+    def _kcore_part_supplier(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import kcore_part_supplier
+
+        return kcore_part_supplier(sf_dir)
+
+    q["kcore_part_supplier"] = _kcore_part_supplier
     return q
 
 
@@ -1688,6 +1702,13 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.stats_tests import events_hourly_harmonic_sql
 
     sql["events_hourly_harmonic"] = events_hourly_harmonic_sql()
+    from docling_jobkit_ray.functions.graph import (
+        kcore_part_supplier_sql,
+        sssp_cost_part_supplier_sql,
+    )
+
+    sql["sssp_cost_part_supplier"] = sssp_cost_part_supplier_sql()
+    sql["kcore_part_supplier"] = kcore_part_supplier_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,
