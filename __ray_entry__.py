@@ -274,6 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_revenue_forecast",
         "customer_top2_share",
         "events_asof_next_purchase",
+        # round-5 continuation: non-associative clamped scan (bounded
+        # driver finish); windows/scan families hold their cap slots
+        "inventory_balance_by_type",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1137,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_revenue_forecast",
         "customer_top2_share",
         "events_asof_next_purchase",
+        "inventory_balance_by_type",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang
@@ -1308,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kcore_part_supplier(sf_dir)
 
     q["kcore_part_supplier"] = _kcore_part_supplier
+    q["light_stem_vocab_by_lang"] = textstats.light_stem_vocab_by_lang
     return q
 
 
@@ -1709,6 +1714,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["sssp_cost_part_supplier"] = sssp_cost_part_supplier_sql()
     sql["kcore_part_supplier"] = kcore_part_supplier_sql()
+    from docling_jobkit_ray.functions.textstats import LIGHT_STEM_VOCAB_SQL
+
+    sql["light_stem_vocab_by_lang"] = LIGHT_STEM_VOCAB_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1856,3 +1856,249 @@ SELECT word, CAST(c_lo AS BIGINT) AS c_lo, CAST(c_hi AS BIGINT) AS c_hi,
        CAST(c_hi * 1000000 // (c_lo + c_hi) AS BIGINT) AS hi_share_ppm
 FROM c ORDER BY c_lo + c_hi DESC, word
 """
+
+
+# ---------------------------------------------------------------------------
+# light stemmer (S-stemmer + gerund strip) vocabulary-reduction profile —
+# the normalization step retrieval/tokenizer pipelines run before counting
+# ---------------------------------------------------------------------------
+
+
+def _light_stem(words: pa.Array) -> pa.Array:
+    """Vectorized light stemmer over ascii [a-z]+ tokens: FIRST matching
+    rule wins (a single-pass S-stemmer extended with gerund/past strips,
+    Harman 1991 shape) —
+
+        1. -sses -> -ss          4. -s -> ''    (len > 3, not -ss)
+        2. -ies  -> -i           5. -ing -> ''  (len > 5)
+        3. -ss   -> keep         6. -ed  -> ''  (len > 4)
+
+    Per-element variable-length slicing doesn't exist in pyarrow compute,
+    so every variant is computed by an anchored regex replace (unchanged
+    where the suffix doesn't match) and an if_else chain on masks over
+    the ORIGINAL word picks the first applicable rule.  The oracle
+    mirrors the identical CASE/substr chain."""
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    ln = pc.utf8_length(words)
+    v_sses = pc.replace_substring_regex(words, pattern="sses$", replacement="ss")
+    v_ies = pc.replace_substring_regex(words, pattern="ies$", replacement="i")
+    v_s = pc.replace_substring_regex(words, pattern="s$", replacement="")
+    v_ing = pc.replace_substring_regex(words, pattern="ing$", replacement="")
+    v_ed = pc.replace_substring_regex(words, pattern="ed$", replacement="")
+    return pc.if_else(
+        pc.ends_with(words, pattern="sses"),
+        v_sses,
+        pc.if_else(
+            pc.ends_with(words, pattern="ies"),
+            v_ies,
+            pc.if_else(
+                pc.ends_with(words, pattern="ss"),
+                words,
+                pc.if_else(
+                    pc.and_(
+                        pc.ends_with(words, pattern="s"),
+                        pc.greater(ln, pa.scalar(3, pa.int32())),
+                    ),
+                    v_s,
+                    pc.if_else(
+                        pc.and_(
+                            pc.ends_with(words, pattern="ing"),
+                            pc.greater(ln, pa.scalar(5, pa.int32())),
+                        ),
+                        v_ing,
+                        pc.if_else(
+                            pc.and_(
+                                pc.ends_with(words, pattern="ed"),
+                                pc.greater(ln, pa.scalar(4, pa.int32())),
+                            ),
+                            v_ed,
+                            words,
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+
+
+def light_stem_vocab_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-lang vocabulary-reduction profile of the light stemmer: token
+    count, raw vocabulary, stemmed vocabulary, and the collapse rate
+    reduction_ppm = (vocab_raw - vocab_stem) * 1e6 // vocab_raw — the
+    normalization-gain report run before sizing a tokenizer or an
+    inverted index.
+
+    Exact global distincts without a string-keyed Ray groupby: per-batch
+    distinct (lang, word, stem, n) partials -> hash(STEM) int-bucket
+    exchange — all words sharing a stem co-locate, so BOTH the raw-word
+    and the stem distincts are exact in-bucket -> tiny per-bucket
+    (lang, vocab, stems, tokens) partials -> one final lang fold.
+    """
+    import pandas as pd
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "documents") * 60, min_buckets=64)
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    pair_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("lang", pa.string()),
+            ("word", pa.string()),
+            ("stem", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = pc.filter(flat, keep)
+        parent = pc.filter(parent, keep)
+        if len(flat) == 0:
+            return pair_schema.empty_table()
+        lang = pc.take(batch["lang"].combine_chunks(), parent)
+        t = (
+            pa.table({"lang": lang, "word": flat})
+            .group_by(["lang", "word"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "word", "n"])
+        )
+        stem = _light_stem(t["word"])
+        h = pd.util.hash_array(
+            stem.to_numpy(zero_copy_only=False)
+            if isinstance(stem, pa.Array)
+            else np.asarray(stem)
+        )
+        b = pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        return pa.table(
+            {"bucket": b, "lang": t["lang"], "word": t["word"], "stem": stem, "n": t["n"]}
+        ).cast(pair_schema)
+
+    fold_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("vocab_raw", pa.int64()),
+            ("vocab_stem", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return fold_schema.empty_table()
+        group = group.select(pair_schema.names).cast(pair_schema)
+        # global per-(lang, word) rows (same (lang, word) partials from
+        # different batches meet here because bucket = hash(stem))
+        words = (
+            pa.table(
+                {"lang": group["lang"], "word": group["word"], "stem": group["stem"], "n": group["n"]}
+            )
+            .group_by(["lang", "word", "stem"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "word", "stem", "n"])
+        )
+        stems = (
+            pa.table({"lang": words["lang"], "stem": words["stem"]})
+            .group_by(["lang", "stem"])
+            .aggregate([([], "count_all")])
+        )
+        per_lang_words = (
+            pa.table({"lang": words["lang"], "n": words["n"]})
+            .group_by("lang")
+            .aggregate([([], "count_all"), ("n", "sum")])
+            .rename_columns(["lang", "vocab_raw", "n_tokens"])
+        )
+        per_lang_stems = (
+            pa.table({"lang": stems["lang"]})
+            .group_by("lang")
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "vocab_stem"])
+        )
+        joined = per_lang_words.join(per_lang_stems, keys="lang", join_type="inner")
+        return joined.select(fold_schema.names).cast(fold_schema)
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("vocab_raw", pa.int64()),
+            ("vocab_stem", pa.int64()),
+            ("reduction_ppm", pa.int64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        t = (
+            batch.group_by("lang")
+            .aggregate([("vocab_raw", "sum"), ("vocab_stem", "sum"), ("n_tokens", "sum")])
+            .rename_columns(["lang", "vocab_raw", "vocab_stem", "n_tokens"])
+        )
+        red = pc.divide(
+            pc.multiply(
+                pc.subtract(t["vocab_raw"], t["vocab_stem"]),
+                pa.scalar(1_000_000, pa.int64()),
+            ),
+            t["vocab_raw"],
+        )
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "vocab_raw": pc.cast(t["vocab_raw"], pa.int64()),
+                "vocab_stem": pc.cast(t["vocab_stem"], pa.int64()),
+                "reduction_ppm": pc.cast(red, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("vocab_raw", alias_name="vocab_raw"),
+            Sum("vocab_stem", alias_name="vocab_stem"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("lang")
+    )
+
+
+_STEM_CASE = """CASE
+  WHEN word LIKE '%sses' THEN substr(word, 1, length(word) - 2)
+  WHEN word LIKE '%ies' THEN substr(word, 1, length(word) - 2)
+  WHEN word LIKE '%ss' THEN word
+  WHEN word LIKE '%s' AND length(word) > 3 THEN substr(word, 1, length(word) - 1)
+  WHEN word LIKE '%ing' AND length(word) > 5 THEN substr(word, 1, length(word) - 3)
+  WHEN word LIKE '%ed' AND length(word) > 4 THEN substr(word, 1, length(word) - 2)
+  ELSE word END"""
+
+LIGHT_STEM_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+  FROM documents
+),
+w AS (SELECT lang, word, count(*) AS n FROM toks WHERE word != '' GROUP BY 1, 2),
+s AS (SELECT lang, word, n, {_STEM_CASE} AS stem FROM w)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_raw,
+       CAST(count(DISTINCT stem) AS BIGINT) AS vocab_stem,
+       CAST((count(*) - count(DISTINCT stem)) * 1000000 // count(*) AS BIGINT)
+         AS reduction_ppm
+FROM s GROUP BY lang ORDER BY lang
+"""

@@ -3774,3 +3774,125 @@ WAREHOUSE_QUERIES = {
     "holt_revenue_forecast": (holt_revenue_forecast, HOLT_REVENUE_FORECAST_SQL),
     "customer_top2_share": (customer_top2_share, CUSTOMER_TOP2_SHARE_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# clamped running balance (inventory scan): the canonical NON-associative
+# prefix scan — balance floors at zero, so no prefix-sum trick applies
+# ---------------------------------------------------------------------------
+
+
+def inventory_balance_by_type(sf_dir: str) -> pa.Table:
+    """Daily clamped running balance per event type: even event_ids are
+    receipts (+cents), odd are issues (-cents); the balance starts at 0
+    and is floored at 0 every day —
+
+        bal_0 = 0 ;  bal_i = max(0, bal_{i-1} + net_i)
+
+    the inventory / cash-register scan.  Clamping makes the scan
+    genuinely NON-associative (no segment-sum decomposition exists), so
+    the scale plan is the bounded-domain driver finish: per-batch
+    (type, day, net) integer partials -> one day-keyed fold (day
+    cardinality is calendar-bounded, types are a small enum; the scan
+    input is <= types x days rows at ANY corpus size) -> a pure-Python
+    int scan per type.  The oracle runs the identical recurrence as a
+    recursive CTE over the per-type day rank."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_id", "event_type", "value"])
+
+    part_schema = pa.schema(
+        [("day", pa.int64()), ("event_type", pa.string()), ("net", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(ts_us, pa.scalar(_US_PER_DAY, pa.int64()))
+        cents = pc.cast(_cents(batch["value"]), pa.int64())
+        signed = pc.if_else(
+            pc.equal(pc.bit_wise_and(batch["event_id"], 1), 0),
+            cents,
+            pc.negate_checked(cents),
+        )
+        t = pa.table({"day": day, "event_type": batch["event_type"], "net": signed})
+        return (
+            t.group_by(["day", "event_type"])
+            .aggregate([("net", "sum")])
+            .rename_columns(["day", "event_type", "net"])
+        )
+
+    def day_fold(group: pa.Table) -> pa.Table:
+        # partials for one day from many blocks: sum per type (strings are
+        # group PAYLOAD here, never a Ray groupby key)
+        if group.num_rows == 0 or group.num_columns == 0:
+            return part_schema.empty_table()
+        group = group.select(part_schema.names).cast(part_schema)
+        return (
+            group.group_by(["day", "event_type"])
+            .aggregate([("net", "sum")])
+            .rename_columns(["day", "event_type", "net"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .map_groups(day_fold, batch_format="pyarrow")
+        .take_all()  # bounded: <= n_event_types x n_calendar_days rows
+    )
+    rows.sort(key=lambda r: (r["event_type"], int(r["day"])))
+    out_type: list[str] = []
+    out_day: list[int] = []
+    out_net: list[int] = []
+    out_bal: list[int] = []
+    bal = 0
+    prev = None
+    for r in rows:
+        if r["event_type"] != prev:
+            bal = 0
+            prev = r["event_type"]
+        bal = max(0, bal + int(r["net"]))  # exact Python ints
+        out_type.append(r["event_type"])
+        out_day.append(int(r["day"]))
+        out_net.append(int(r["net"]))
+        out_bal.append(bal)
+    return pa.table(
+        {
+            "event_type": pa.array(out_type, pa.string()),
+            "day_idx": pa.array(out_day, pa.int64()),
+            "net_cents": pa.array(out_net, pa.int64()),
+            "balance_cents": pa.array(out_bal, pa.int64()),
+        }
+    )
+
+
+INVENTORY_BALANCE_SQL = """
+WITH RECURSIVE
+d AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+         sum(CASE WHEN event_id % 2 = 0
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END) AS net,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+b(event_type, rn, day_idx, net, bal) AS (
+  SELECT event_type, rn, day_idx, net, greatest(0, net)
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn, d.day_idx, d.net, greatest(0, b.bal + d.net)
+  FROM b JOIN d ON d.event_type = b.event_type AND d.rn = b.rn + 1
+)
+SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx,
+       CAST(net AS BIGINT) AS net_cents,
+       CAST(bal AS BIGINT) AS balance_cents
+FROM b ORDER BY event_type, day_idx
+"""
+
+WAREHOUSE_QUERIES["inventory_balance_by_type"] = (
+    inventory_balance_by_type,
+    INVENTORY_BALANCE_SQL,
+)

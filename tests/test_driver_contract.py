@@ -367,6 +367,10 @@ SQL_BACKED = [
     "head_dup_rate_by_source",
     "events_asof_next_purchase",
     "events_hourly_harmonic",
+    "sssp_cost_part_supplier",
+    "kcore_part_supplier",
+    "inventory_balance_by_type",
+    "light_stem_vocab_by_lang",
 ]
 
 
