@@ -1313,6 +1313,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kcore_part_supplier"] = _kcore_part_supplier
     q["light_stem_vocab_by_lang"] = textstats.light_stem_vocab_by_lang
+
+    def _cluster_silhouette_report(sf_dir: str):
+        from docling_jobkit_ray.functions.similarity import cluster_silhouette_report
+
+        return cluster_silhouette_report(sf_dir)
+
+    q["cluster_silhouette_report"] = _cluster_silhouette_report
+
+    def _more_like_this_tfidf(sf_dir: str):
+        from docling_jobkit_ray.functions.index import more_like_this_tfidf
+
+        return more_like_this_tfidf(sf_dir)
+
+    q["more_like_this_tfidf"] = _more_like_this_tfidf
     return q
 
 
@@ -1717,6 +1731,11 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.textstats import LIGHT_STEM_VOCAB_SQL
 
     sql["light_stem_vocab_by_lang"] = LIGHT_STEM_VOCAB_SQL
+    from docling_jobkit_ray.functions.index import more_like_this_tfidf_sql
+    from docling_jobkit_ray.functions.similarity import cluster_silhouette_report_sql
+
+    sql["cluster_silhouette_report"] = cluster_silhouette_report_sql()
+    sql["more_like_this_tfidf"] = more_like_this_tfidf_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

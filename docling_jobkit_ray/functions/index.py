@@ -1181,3 +1181,170 @@ FROM tok CROSS JOIN q
 WHERE list_has_all(tok.words, q.terms)
 ORDER BY doc_id, query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# more-like-this: TF-IDF similarity retrieval seeded by a CORPUS DOCUMENT
+# (the "find documents like this one" query — bm25_search's sibling where
+# the query is a document's own term vector, not a user term list)
+# ---------------------------------------------------------------------------
+
+
+def more_like_this_tfidf(
+    sf_dir: str, *, query_doc_id: int = 0, k: int = 20
+) -> ray.data.Dataset:
+    """Top-k documents most similar to ``query_doc_id`` by unnormalized
+    TF-IDF dot product (the Lucene MoreLikeThis shape):
+
+        score(d) = sum over t in q of  tf_d(t) * tf_q(t) * idf_e3(t)^2
+        idf_e3(t) = round(ln(N / df(t)) * 1000)
+
+    idf is quantized ONCE per term at the 1e-3 grid — coarse enough that
+    idf_e3^2 * tf products stay far inside int64 even at corpus N ~ 1e9
+    (ln(1e9)*1e3 ~ 2.1e4, squared 4.3e8), so per-doc scores are exact
+    integer sums on both engines; common-to-every-doc terms get idf 0 and
+    drop out.
+
+    Scale shape (the bm25 two-pass recipe): pass 0 pulls the ONE query
+    document's term vector (bounded, broadcast); pass A folds per-term df
+    + the corpus doc count from per-batch partials (bounded by the query
+    vocabulary); pass B scores each batch embarrassingly parallel —
+    documents never split across batches, so per-doc scores are complete
+    batch-locally and only per-batch top-k candidate rows reach the final
+    sort."""
+    from ray.data.aggregate import Sum
+
+    from .dsir import _tokens
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # pass 0: the query document's term vector (ONE row crosses)
+    def pick_query(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("text", pa.string())]).empty_table()
+        hit = batch.filter(pc.equal(batch["doc_id"], pa.scalar(query_doc_id, pa.int64())))
+        return pa.table({"text": hit["text"]})
+
+    qrows = ds.map_batches(
+        pick_query, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not qrows:
+        raise ValueError(f"query_doc_id {query_doc_id} not found in documents")
+    qflat, _qidx, _ = _tokens(pa.array([qrows[0]["text"]], pa.string()))
+    qwords, qtf = np.unique(
+        np.asarray(qflat.to_pylist(), dtype=object), return_counts=True
+    )
+    want_arr = pa.array([str(w) for w in qwords], pa.string())
+    n_terms = len(qwords)
+
+    stat_schema = pa.schema([("key", pa.int64()), ("n", pa.int64())])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        # key -1: doc count; key i >= 0: df partial of query term i
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return stat_schema.empty_table()
+        flat, doc_idx, _ = _tokens(batch["text"])
+        idx = pc.index_in(flat, value_set=want_arr)
+        hit = idx.is_valid().to_numpy(zero_copy_only=False)
+        ti = idx.drop_null().to_numpy(zero_copy_only=False)
+        di = doc_idx[hit]
+        pair = np.unique(di * n_terms + ti)  # distinct (doc, term) in batch
+        df_part = np.bincount(pair % n_terms, minlength=n_terms).astype(np.int64)
+        keys = np.concatenate([[-1], np.arange(n_terms, dtype=np.int64)])
+        ns = np.concatenate([[batch.num_rows], df_part])
+        return pa.table({"key": pa.array(keys, pa.int64()), "n": pa.array(ns, pa.int64())})
+
+    folded = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: query vocabulary + 1 rows
+    )
+    n_docs = 0
+    df = np.zeros(n_terms, np.int64)
+    for r in folded:
+        if r["key"] == -1:
+            n_docs = int(r["n"])
+        else:
+            df[r["key"]] = int(r["n"])
+    safe_df = np.maximum(df, 1)
+    idf_e3 = np.round(np.log(np.float64(n_docs) / safe_df) * 1000.0).astype(np.int64)
+    w = qtf.astype(np.int64) * idf_e3 * idf_e3  # per-term weight, exact int
+
+    cand_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64())])
+
+    def score_batch(batch: pa.Table, ww=w) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return cand_schema.empty_table()
+        flat, doc_idx, _ = _tokens(batch["text"])
+        idx = pc.index_in(flat, value_set=want_arr)
+        hit = idx.is_valid().to_numpy(zero_copy_only=False)
+        ti = idx.drop_null().to_numpy(zero_copy_only=False)
+        di = doc_idx[hit]
+        scores = np.zeros(batch.num_rows, np.int64)
+        np.add.at(scores, di, ww[ti])  # sum tf_d(t)*w(t): each token adds w
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (scores > 0) & (ids != query_doc_id)
+        if not keep.any():
+            return cand_schema.empty_table()
+        s, d = scores[keep], ids[keep]
+        top = np.lexsort((d, -s))[: k]  # per-batch candidate top-k
+        return pa.table(
+            {"doc_id": pa.array(d[top], pa.int64()), "score": pa.array(s[top], pa.int64())}
+        )
+
+    cands = (
+        ds.map_batches(score_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .take_all()  # bounded: k rows
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(cands) + 1, dtype=np.int64)),
+                "doc_id": pa.array([int(r["doc_id"]) for r in cands], pa.int64()),
+                "score": pa.array([int(r["score"]) for r in cands], pa.int64()),
+            }
+        )
+    )
+
+
+def more_like_this_tfidf_sql(query_doc_id: int = 0, k: int = 20) -> str:
+    return f"""
+WITH qt AS (
+  SELECT word, count(*) AS tfq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents WHERE doc_id = {query_doc_id}
+  ) WHERE word != '' GROUP BY word
+),
+nn AS (SELECT count(*) AS n FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tfd FROM toks
+  WHERE word IN (SELECT word FROM qt) GROUP BY doc_id, word
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+w AS (
+  SELECT qt.word,
+         qt.tfq * CAST(round(ln(CAST(nn.n AS DOUBLE) / df.df) * 1000) AS BIGINT)
+                * CAST(round(ln(CAST(nn.n AS DOUBLE) / df.df) * 1000) AS BIGINT)
+           AS w
+  FROM qt JOIN df USING (word), nn
+),
+sc AS (
+  SELECT tf.doc_id, CAST(sum(tf.tfd * w.w) AS BIGINT) AS score
+  FROM tf JOIN w USING (word)
+  WHERE tf.doc_id != {query_doc_id}
+  GROUP BY tf.doc_id HAVING sum(tf.tfd * w.w) > 0
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT rank, doc_id, score FROM r WHERE rank <= {k} ORDER BY rank
+"""

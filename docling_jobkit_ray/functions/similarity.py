@@ -819,3 +819,118 @@ def ann_recall_report(
             "recall_ppm": pa.array(rows["recall_ppm"], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette: the cluster-quality evaluation of the embedding
+# family (Voronoi seeds = the non-iterative, hence SQL-expressible,
+# centroids shared with embedding_assign_seeds)
+# ---------------------------------------------------------------------------
+
+
+def cluster_silhouette_report(
+    sf_dir: str, *, n_seeds: int = 8
+) -> ray.data.Dataset:
+    """Per-cluster simplified silhouette over the deterministic seed
+    assignment (the centroid-based silhouette of Hruschka et al. — a(x) =
+    cosine distance to the OWN centroid, b(x) = distance to the nearest
+    OTHER centroid, s = (b - a) / max(a, b)) — the fitness report run
+    after any clustering step; O(n x n_seeds), never the O(n^2) exact
+    silhouette.
+
+    Hash parity via the knn_exact_ranks recipe: one identically-ordered
+    float64 expression per row on both engines —
+
+        s = ((1 - b) - (1 - a)) / max(1 - a, 1 - b)
+
+    (a, b = top-1 / top-2 seed cosine; the subtraction order is part of
+    the contract: (1-b)-(1-a) is NOT bit-equal to a-b in fp), quantized
+    ONCE to 1e-6 per row, then exact integer sums.  Output keeps the sum
+    (sum_sil_e6, n_members) rather than a mean: a mean would floor-divide
+    a possibly-NEGATIVE sum, where numpy floors and DuckDB truncates.
+
+    One broadcast + one matmul per batch + a tiny groupby — no shuffle
+    carries vectors."""
+    from ray.data.aggregate import Count, Sum
+
+    seeds, seed_ids = _query_matrix_f64(sf_dir, n_seeds)
+    sid_arr = np.asarray(seed_ids, dtype=np.int64)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    part_schema = pa.schema([("seed_id", pa.int64()), ("s_e6", pa.int64())])
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        vecs = list_column_to_matrix(batch.column("embedding"))
+        sims = _cosine_f64(vecs, seeds)  # (n, n_seeds), seed ids ascending
+        best = np.argmax(sims, axis=1)  # first max = smallest seed id
+        a = sims[np.arange(len(best)), best]
+        masked = sims.copy()
+        masked[np.arange(len(best)), best] = -np.inf
+        b = masked.max(axis=1)
+        num = (1.0 - b) - (1.0 - a)  # EXACT oracle expression order
+        den = np.maximum(1.0 - a, 1.0 - b)
+        s = np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den))
+        return pa.table(
+            {
+                "seed_id": pa.array(sid_arr[best], pa.int64()),
+                "s_e6": pa.array(np.round(s * 1e6).astype(np.int64)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("seed_id", pa.int64()), ("n_members", pa.int64()), ("sum_sil_e6", pa.int64())]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "seed_id": batch["seed_id"],
+                "n_members": pc_cast_i64(batch["n"]),
+                "sum_sil_e6": pc_cast_i64(batch["s"]),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("seed_id")
+        .aggregate(Count(alias_name="n"), Sum("s_e6", alias_name="s"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("seed_id")
+    )
+
+
+def cluster_silhouette_report_sql(n_seeds: int = 8) -> str:
+    return f"""
+WITH s AS (
+    SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS se
+    FROM embeddings ORDER BY vec_id LIMIT {n_seeds}
+), scored AS (
+    SELECT e.vec_id, s.seed_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.se) AS cos,
+           row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.se) DESC,
+               s.seed_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN s
+), pivoted AS (
+    SELECT vec_id,
+           max(CASE WHEN rn = 1 THEN seed_id END) AS seed_id,
+           max(CASE WHEN rn = 1 THEN cos END) AS a,
+           max(CASE WHEN rn = 2 THEN cos END) AS b
+    FROM scored GROUP BY vec_id
+), srow AS (
+    SELECT seed_id,
+           CASE WHEN greatest(1 - a, 1 - b) = 0 THEN 0
+                ELSE CAST(round(((1 - b) - (1 - a)) / greatest(1 - a, 1 - b)
+                                * 1000000) AS BIGINT) END AS s_e6
+    FROM pivoted
+)
+SELECT seed_id, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(s_e6) AS BIGINT) AS sum_sil_e6
+FROM srow GROUP BY seed_id ORDER BY seed_id
+"""

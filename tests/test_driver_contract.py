@@ -371,6 +371,8 @@ SQL_BACKED = [
     "kcore_part_supplier",
     "inventory_balance_by_type",
     "light_stem_vocab_by_lang",
+    "cluster_silhouette_report",
+    "more_like_this_tfidf",
 ]
 
 
