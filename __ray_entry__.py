@@ -1327,6 +1327,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return more_like_this_tfidf(sf_dir)
 
     q["more_like_this_tfidf"] = _more_like_this_tfidf
+
+    def _orders_daily_acf(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import orders_daily_acf
+
+        return orders_daily_acf(sf_dir)
+
+    q["orders_daily_acf"] = _orders_daily_acf
     return q
 
 
@@ -1736,6 +1743,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["cluster_silhouette_report"] = cluster_silhouette_report_sql()
     sql["more_like_this_tfidf"] = more_like_this_tfidf_sql()
+    from docling_jobkit_ray.functions.stats_tests import ORDERS_DAILY_ACF_SQL
+
+    sql["orders_daily_acf"] = ORDERS_DAILY_ACF_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

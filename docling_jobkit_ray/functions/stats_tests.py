@@ -936,3 +936,100 @@ SELECT CAST(n AS BIGINT) AS n_hours,
            + sy * (ss * ssc - sss * sc)) * 1000000000 // det AS BIGINT) AS c_e6
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function (lags 1..7) of daily order revenue — the serial-
+# dependence profile next to Mann-Kendall (trend) and runs (randomness)
+# ---------------------------------------------------------------------------
+
+
+def orders_daily_acf(sf_dir: str, *, max_lag: int = 7) -> pa.Table:
+    """Sample autocorrelation of the daily order-revenue series at lags
+    1..``max_lag``: acf(k) = sum_t (x_t - m)(x_{t+k} - m) / sum_t (x_t - m)^2
+    with m the full-series mean — the seasonality/persistence fingerprint
+    a forecaster reads before picking a model (weekly cadence shows as a
+    lag-7 spike).
+
+    Exactness: clear the rational mean by scaling residuals to
+    e_t = n*x_t - S (exact ints); numerator and denominator are then pure
+    integer sums of e_t products — Python big ints here (products reach
+    ~1e25, past int64), HUGEINT in the oracle — and the single division
+    happens once per lag on the ppm grid, truncating toward zero in both
+    engines (revenue correlations can be negative: ``_trunc_div``).
+
+    Plan shape: the Mann-Kendall recipe — ONE bounded day-grain fold,
+    then an O(n_days x max_lag) driver finish over the k daily points."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema([("day", pa.int64()), ("rev", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        date_us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64())
+        t = pa.table(
+            {
+                "day": pc.divide(date_us, pa.scalar(_US_PER_DAY_MK, pa.int64())),
+                "rev": pc.cast(
+                    pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+        return (
+            t.group_by("day").aggregate([("rev", "sum")]).rename_columns(["day", "rev"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .take_all()  # bounded: one row per calendar day
+    )
+    rows.sort(key=lambda r: int(r["day"]))
+    rev = [int(r["rev"]) for r in rows]
+    n = len(rev)
+    s = sum(rev)
+    e = [n * x - s for x in rev]  # exact Python ints
+    den = sum(v * v for v in e)
+    out_lag: list[int] = []
+    out_acf: list[int] = []
+    for lag in range(1, max_lag + 1):
+        if n <= lag or den == 0:
+            continue
+        num = sum(e[t] * e[t + lag] for t in range(n - lag))
+        out_lag.append(lag)
+        out_acf.append(_trunc_div(num * 1_000_000, den))
+    return pa.table(
+        {
+            "lag": pa.array(out_lag, pa.int64()),
+            "acf_ppm": pa.array(out_acf, pa.int64()),
+        }
+    )
+
+
+ORDERS_DAILY_ACF_SQL = f"""
+WITH d AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY_MK} AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+r AS (SELECT row_number() OVER (ORDER BY day) AS rn, rev FROM d),
+st AS (SELECT count(*) AS n, sum(rev) AS s FROM r),
+e AS (SELECT rn, CAST(st.n AS HUGEINT) * rev - st.s AS e FROM r, st),
+den AS (SELECT sum(e * e) AS den FROM e),
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+num AS (
+  SELECT l.lag, sum(a.e * b.e) AS num
+  FROM lags l
+  JOIN e a ON true
+  JOIN e b ON b.rn = a.rn + l.lag
+  GROUP BY l.lag
+)
+SELECT num.lag AS lag,
+       CAST(num.num * 1000000 // den.den AS BIGINT) AS acf_ppm
+FROM num, den WHERE den.den != 0
+ORDER BY lag
+"""
