@@ -1334,6 +1334,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return orders_daily_acf(sf_dir)
 
     q["orders_daily_acf"] = _orders_daily_acf
+
+    def _events_daily_ccf(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import events_daily_ccf
+
+        return events_daily_ccf(sf_dir)
+
+    q["events_daily_ccf"] = _events_daily_ccf
     return q
 
 
@@ -1743,9 +1750,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["cluster_silhouette_report"] = cluster_silhouette_report_sql()
     sql["more_like_this_tfidf"] = more_like_this_tfidf_sql()
-    from docling_jobkit_ray.functions.stats_tests import ORDERS_DAILY_ACF_SQL
+    from docling_jobkit_ray.functions.stats_tests import (
+        EVENTS_DAILY_CCF_SQL,
+        ORDERS_DAILY_ACF_SQL,
+    )
 
     sql["orders_daily_acf"] = ORDERS_DAILY_ACF_SQL
+    sql["events_daily_ccf"] = EVENTS_DAILY_CCF_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1033,3 +1033,144 @@ SELECT num.lag AS lag,
 FROM num, den WHERE den.den != 0
 ORDER BY lag
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-correlogram of two event-type daily series (lead-lag analysis) —
+# the bivariate completion of the serial-dependence family: ACF answers
+# "does revenue remember itself", CCF answers "does purchase follow click"
+# ---------------------------------------------------------------------------
+
+
+def events_daily_ccf(
+    sf_dir: str, *, x_type: str = "click", y_type: str = "purchase", max_lag: int = 7
+) -> pa.Table:
+    """Cross-correlogram between the daily count series of two event types
+    at lags -max_lag..+max_lag: lag k > 0 correlates x_t (``x_type``)
+    against y_{t+k} (``y_type``), so a positive peak at k=+2 reads
+    "purchases follow clicks by two days".  Both series are ZERO-FILLED
+    over the joint calendar span [min_day, max_day] of the two types —
+    absent days change every moment and must count.
+
+    Exactness: the sqrt in Pearson's r is a cross-engine float hazard, so
+    the output is the SIGNED SQUARED correlation on the ppm grid,
+    r2s_ppm = sign(num) * num^2 * 1e6 // (dx * dy) with
+    num = sum(ex_t * ey_{t+k}) over the overlap window and
+    dx, dy the full-series sums of squares of e = n*x - S residuals
+    (the mean cleared by scaling, as in :func:`orders_daily_acf`) — a
+    monotone, sign-preserving transform of r computed entirely in Python
+    big ints / HUGEINT, quantized exactly once per lag (``_trunc_div``:
+    cross products go negative).
+
+    Plan shape: ONE bounded (event_type, day) count fold filtered to the
+    two types at the read; the O(n_days x lags) finish runs on the driver
+    from |calendar| rows.  Complements
+    :func:`..pipelines.behavior.events_leadlag_xcorr` (hourly grain, raw
+    co-moment numerators over jointly-defined hours): this is the
+    NORMALIZED daily correlogram over the zero-filled full calendar —
+    the form a seasonality analyst actually plots."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        keep = pc.is_in(batch["event_type"], pa.array([x_type, y_type]))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        day = pc.divide(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            pa.scalar(_US_PER_DAY_MK, pa.int64()),
+        )
+        t = pa.table({"event_type": batch["event_type"], "day": day})
+        return (
+            t.group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "day", "c"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded: 2 x calendar days
+    )
+    if not rows:
+        return pa.table(
+            {"lag": pa.array([], pa.int64()), "r2s_ppm": pa.array([], pa.int64())}
+        )
+    lo = min(int(r["day"]) for r in rows)
+    hi = max(int(r["day"]) for r in rows)
+    n = hi - lo + 1
+    x = [0] * n
+    y = [0] * n
+    for r in rows:
+        if r["event_type"] == x_type:
+            x[int(r["day"]) - lo] = int(r["c"])
+        else:
+            y[int(r["day"]) - lo] = int(r["c"])
+    sx, sy = sum(x), sum(y)
+    ex = [n * v - sx for v in x]
+    ey = [n * v - sy for v in y]
+    dx = sum(v * v for v in ex)
+    dy = sum(v * v for v in ey)
+    out_lag: list[int] = []
+    out_r: list[int] = []
+    for lag in range(-max_lag, max_lag + 1):
+        if n <= abs(lag) or dx == 0 or dy == 0:
+            continue
+        if lag >= 0:
+            num = sum(ex[t] * ey[t + lag] for t in range(n - lag))
+        else:
+            num = sum(ex[t - lag] * ey[t] for t in range(n + lag))
+        out_lag.append(lag)
+        out_r.append(_trunc_div((1 if num >= 0 else -1) * num * num * 1_000_000, dx * dy))
+    return pa.table(
+        {
+            "lag": pa.array(out_lag, pa.int64()),
+            "r2s_ppm": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+EVENTS_DAILY_CCF_SQL = f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_DAY_MK} AS day, count(*) AS c
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+cal0 AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+cal AS (SELECT day, row_number() OVER (ORDER BY day) AS rn FROM cal0),
+s AS (
+  SELECT cal.rn,
+         CAST(coalesce(max(CASE WHEN b.event_type = 'click' THEN b.c END), 0)
+              AS HUGEINT) AS x,
+         CAST(coalesce(max(CASE WHEN b.event_type = 'purchase' THEN b.c END), 0)
+              AS HUGEINT) AS y
+  FROM cal LEFT JOIN b ON b.day = cal.day GROUP BY cal.rn),
+st AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM s),
+e AS (
+  SELECT rn, CAST(st.n AS HUGEINT) * x - st.sx AS ex,
+         CAST(st.n AS HUGEINT) * y - st.sy AS ey
+  FROM s, st),
+den AS (SELECT sum(ex * ex) AS dx, sum(ey * ey) AS dy FROM e),
+lags AS (SELECT unnest([-7, -6, -5, -4, -3, -2, -1, 0, 1, 2, 3, 4, 5, 6, 7]) AS lag),
+num AS (
+  SELECT l.lag, sum(a.ex * b.ey) AS num
+  FROM lags l
+  JOIN e a ON true
+  JOIN e b ON b.rn = a.rn + l.lag
+  GROUP BY l.lag
+)
+SELECT num.lag AS lag,
+       CAST((CASE WHEN num.num >= 0 THEN 1 ELSE -1 END)
+            * ((num.num * num.num * 1000000) // (den.dx * den.dy))
+            AS BIGINT) AS r2s_ppm
+FROM num, den WHERE den.dx != 0 AND den.dy != 0
+ORDER BY lag
+"""
