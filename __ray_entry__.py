@@ -1341,6 +1341,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return events_daily_ccf(sf_dir)
 
     q["events_daily_ccf"] = _events_daily_ccf
+
+    def _kmeans_lloyd_embeddings(sf_dir: str):
+        from docling_jobkit_ray.functions.similarity import kmeans_lloyd_embeddings
+
+        return kmeans_lloyd_embeddings(sf_dir)
+
+    q["kmeans_lloyd_embeddings"] = _kmeans_lloyd_embeddings
     return q
 
 
@@ -1757,6 +1764,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["orders_daily_acf"] = ORDERS_DAILY_ACF_SQL
     sql["events_daily_ccf"] = EVENTS_DAILY_CCF_SQL
+    from docling_jobkit_ray.functions.similarity import kmeans_lloyd_embeddings_sql
+
+    sql["kmeans_lloyd_embeddings"] = kmeans_lloyd_embeddings_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

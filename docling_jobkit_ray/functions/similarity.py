@@ -934,3 +934,213 @@ SELECT seed_id, CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(s_e6) AS BIGINT) AS sum_sil_e6
 FROM srow GROUP BY seed_id ORDER BY seed_id
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means over the quantized-integer embedding grid —
+# the ITERATIVE completion of the clustering family (embedding_assign_seeds
+# is the non-iterative assignment step; _pq_codebooks trains on a driver
+# sample).  This is full Lloyd over the WHOLE table, and it is hash-exact:
+# every distance, assignment and centroid update happens in integers.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_lloyd_embeddings(
+    sf_dir: str, *, k: int = 8, iters: int = 2
+) -> pa.Table:
+    """Lloyd k-means over the embeddings table with ``iters`` full centroid
+    updates, made cross-engine hash-exact by working on the 1e-6 integer
+    grid: components quantize ONCE at the read (round(x * 1e6) -> int64),
+    squared-L2 distances are exact integer sums, assignment ties break to
+    the smallest cluster index (numpy first-argmin == SQL ``ORDER BY d2,
+    c``), and the centroid update is the TRUNCATING integer division
+    sum // n (DuckDB ``//`` semantics, mirrored by a vectorized trunc-div
+    — components go negative, so floor-vs-trunc is load-bearing, the Holt
+    lesson).  A cluster that loses every member keeps its previous
+    centroid in both engines.  Output: (vec_id, cluster, dist2) under the
+    final centroids — per-row, so the value hash certifies the whole
+    iteration trajectory, not just a summary.
+
+    Plan shape: quantize + materialize() ONCE (iterative consumers branch
+    — the documented re-execution hazard); each Lloyd round is one
+    map_batches pass emitting per-block (cluster, n, component-sum)
+    partials — k x (dim+1) ints per block, order-independent integer
+    sums, so the bounded take_all fold is safe — against closure-broadcast
+    centroids (k x dim ints; at 10^12 rows the pass streams and only
+    k x dim x blocks integers ever move).  Seeds are the k smallest
+    vec_ids' vectors (the embedding_assign_seeds convention)."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        m = list_column_to_matrix(batch.column("embedding"), dtype=np.float64)
+        qm = np.round(m * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(qm.reshape(-1), pa.int64()), qm.shape[1]
+                ),
+            }
+        )
+
+    qds = ds.map_batches(
+        quant, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # seeds: k smallest vec_ids (partial top-k per batch, tiny driver merge)
+    def local_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, "vec_id")
+
+    small = (
+        qds.map_batches(local_min, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(k, "vec_id")
+        .sort_values("vec_id")
+    )
+    cent = np.vstack(small["q"].to_numpy()).astype(np.int64)  # (k, dim)
+    dim = cent.shape[1]
+
+    def _d2(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # exact int64: |q| <= ~1e6+, products <= ~4e12, dim-sums <= ~3e14
+        return (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)
+        )
+
+    for _ in range(iters):
+        c_now = cent  # bind per-iteration (closure ships k x dim ints)
+
+        def partial(batch: pa.Table, c_now=c_now) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            x = list_column_to_matrix(batch.column("q"), dtype=np.int64)
+            best = np.argmin(_d2(x, c_now), axis=1)
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, best, x)  # int64: exact, order-independent
+            counts = np.bincount(best, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "s": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.reshape(-1), pa.int64()), dim
+                    ),
+                }
+            )
+
+        parts = qds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # bounded: k rows per block
+        tot_n = np.zeros(k, np.int64)
+        tot_s = np.zeros((k, dim), np.int64)
+        for r in parts:
+            tot_n[int(r["cluster"])] += int(r["n"])
+            tot_s[int(r["cluster"])] += np.asarray(r["s"], dtype=np.int64)
+        new_cent = cent.copy()
+        live = tot_n > 0
+        # truncating integer division (DuckDB // semantics; sums go negative)
+        nn = tot_n[live][:, None]
+        new_cent[live] = np.sign(tot_s[live]) * (np.abs(tot_s[live]) // nn)
+        cent = new_cent
+
+    c_fin = cent
+
+    def finalize(batch: pa.Table, c_fin=c_fin) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.int64()),
+                }
+            )
+        x = list_column_to_matrix(batch.column("q"), dtype=np.int64)
+        d2 = _d2(x, c_fin)
+        best = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(best.astype(np.int64)),
+                "dist2": pa.array(d2[np.arange(len(best)), best].astype(np.int64)),
+            }
+        )
+
+    out = (
+        qds.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("vec_id")
+        .take_all()
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array([int(r["vec_id"]) for r in out], pa.int64()),
+            "cluster": pa.array([int(r["cluster"]) for r in out], pa.int64()),
+            "dist2": pa.array([int(r["dist2"]) for r in out], pa.int64()),
+        }
+    )
+
+
+def kmeans_lloyd_embeddings_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as chained CTEs: assignment (first-min
+    tie to the smallest cluster), truncating-division centroid update with
+    the dead-cluster carry-forward, then the final per-row assignment."""
+    parts = [
+        f"""
+WITH q AS (
+  SELECT e.vec_id, g.i AS dim,
+         CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings e CROSS JOIN generate_series(1, {dim}) g(i)),
+seed_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.c, q.dim, q.v AS cv FROM seed_ids s JOIN q ON q.vec_id = s.vec_id)"""
+    ]
+    for t in range(1, iters + 1):
+        p = f"c{t - 1}"
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT q.vec_id, {p}.c, sum((q.v - {p}.cv) * (q.v - {p}.cv)) AS d2
+  FROM q JOIN {p} ON {p}.dim = q.dim GROUP BY 1, 2),
+m{t} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM a{t}) WHERE rn = 1),
+u{t} AS (
+  SELECT m{t}.c, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS cv
+  FROM m{t} JOIN q ON q.vec_id = m{t}.vec_id GROUP BY 1, 2),
+c{t} AS (
+  SELECT * FROM u{t}
+  UNION ALL
+  SELECT p.c, p.dim, p.cv FROM c{t - 1} p
+  WHERE p.c NOT IN (SELECT DISTINCT c FROM u{t}))"""
+        )
+    parts.append(
+        f""",
+af AS (
+  SELECT q.vec_id, c{iters}.c, sum((q.v - c{iters}.cv) * (q.v - c{iters}.cv)) AS d2
+  FROM q JOIN c{iters} ON c{iters}.dim = q.dim GROUP BY 1, 2)
+SELECT vec_id, CAST(c AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+FROM (
+  SELECT vec_id, c, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+  FROM af) WHERE rn = 1
+ORDER BY vec_id"""
+    )
+    return "".join(parts)

@@ -373,6 +373,9 @@ SQL_BACKED = [
     "light_stem_vocab_by_lang",
     "cluster_silhouette_report",
     "more_like_this_tfidf",
+    "orders_daily_acf",
+    "events_daily_ccf",
+    "kmeans_lloyd_embeddings",
 ]
 
 
