@@ -1348,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kmeans_lloyd_embeddings(sf_dir)
 
     q["kmeans_lloyd_embeddings"] = _kmeans_lloyd_embeddings
+    q["doc_novelty_scores"] = textstats.doc_novelty_scores
     return q
 
 
@@ -1767,6 +1768,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.similarity import kmeans_lloyd_embeddings_sql
 
     sql["kmeans_lloyd_embeddings"] = kmeans_lloyd_embeddings_sql()
+    from docling_jobkit_ray.functions.textstats import DOC_NOVELTY_SCORES_SQL
+
+    sql["doc_novelty_scores"] = DOC_NOVELTY_SCORES_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -2102,3 +2102,181 @@ SELECT lang,
          AS reduction_ppm
 FROM s GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# per-document corpus-novelty score: what fraction of a doc's vocabulary
+# is FIRST seen in that doc — the curriculum/data-ordering signal
+# (vocab_growth_curve aggregates the same first-appearance exchange into
+# the Heaps curve; this is its per-document attribution)
+# ---------------------------------------------------------------------------
+
+
+def doc_novelty_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-document novelty: of the doc's DISTINCT ``[a-z]+`` words, how
+    many have their global first appearance (min doc_id) in this doc, and
+    novelty_ppm = new_words * 1e6 // n_distinct (0 for empty docs).  Early
+    docs score high by construction; a late doc that still scores high is
+    the slice a curriculum keeps.
+
+    Plan: per-batch (word, min doc_id) partials -> hash(word) int-BUCKET
+    exchange (never a string-keyed Ray groupby) -> in-bucket global min
+    per word, counted per first-doc -> one int-keyed doc_id sum; distinct
+    totals are per-row batch-local (each doc lives in one row); the two
+    doc-keyed sides meet in a bucketed left-outer join."""
+    import pandas as pd
+
+    from ..pipelines.joins import bucketed_join
+    from ..scale import bucket_count, estimate_rows
+    from ray.data.aggregate import Sum
+
+    n_docs = estimate_rows(sf_dir, "documents")
+    n_buckets = bucket_count(n_docs * 60, min_buckets=64)
+
+    pair_schema = pa.schema(
+        [("bucket", pa.int64()), ("word", pa.string()), ("fd", pa.int64())]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        word, ids = _word_explode(batch)
+        if len(word) == 0:
+            return pair_schema.empty_table()
+        t = (
+            pa.table({"word": word, "fd": ids})
+            .group_by("word")
+            .aggregate([("fd", "min")])
+            .rename_columns(["word", "fd"])
+        )
+        h = pd.util.hash_array(t["word"].to_numpy(zero_copy_only=False))
+        b = pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        return pa.table({"bucket": b, "word": t["word"], "fd": t["fd"]}).cast(
+            pair_schema
+        )
+
+    novel_schema = pa.schema([("nv_id", pa.int64()), ("nw", pa.int64())])
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return novel_schema.empty_table()
+        group = group.select(pair_schema.names).cast(pair_schema)
+        fw = (
+            pa.table({"word": group["word"], "fd": group["fd"]})
+            .group_by("word")
+            .aggregate([("fd", "min")])
+        )
+        out = (
+            pa.table({"nv_id": fw["fd_min"]})
+            .group_by("nv_id")
+            .aggregate([([], "count_all")])
+            .rename_columns(["nv_id", "nw"])
+        )
+        return out.cast(novel_schema)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    novel = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby("nv_id")
+        .aggregate(Sum("nw", alias_name="nw"))
+    )
+
+    tot_schema = pa.schema([("doc_id", pa.int64()), ("n_distinct", pa.int64())])
+
+    def totals(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return tot_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        words = (
+            words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        )
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat, parent = pc.filter(flat, keep), pc.filter(parent, keep)
+        n = np.zeros(batch.num_rows, np.int64)
+        if len(flat):
+            uniq = (
+                pa.table({"p": parent, "w": flat})
+                .group_by(["p", "w"])
+                .aggregate([])
+            )
+            cnt = uniq.group_by("p").aggregate([([], "count_all")])
+            n[cnt["p"].to_numpy(zero_copy_only=False)] = cnt[
+                "count_all"
+            ].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_distinct": pa.array(n, pa.int64()),
+            }
+        )
+
+    tot = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        totals, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    joined = bucketed_join(
+        tot,
+        novel,
+        on="doc_id",
+        right_on="nv_id",
+        left_schema=tot_schema,
+        right_schema=novel_schema,
+        join_type="left outer",
+        est_rows=n_docs,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("new_words", pa.int64()),
+            ("novelty_ppm", pa.int64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        nd = batch["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = np.nan_to_num(
+            batch["nw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        ppm = np.where(nd > 0, nw * 1_000_000 // np.maximum(nd, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_distinct": pa.array(nd, pa.int64()),
+                "new_words": pa.array(nw, pa.int64()),
+                "novelty_ppm": pa.array(ppm, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+DOC_NOVELTY_SCORES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+fw AS (SELECT word, min(doc_id) AS fd FROM pairs GROUP BY word),
+nv AS (SELECT fd AS doc_id, count(*) AS new_words FROM fw GROUP BY fd),
+tot AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+              AS BIGINT) AS n_distinct
+  FROM documents)
+SELECT t.doc_id, t.n_distinct,
+       CAST(coalesce(nv.new_words, 0) AS BIGINT) AS new_words,
+       CAST(CASE WHEN t.n_distinct > 0
+                 THEN coalesce(nv.new_words, 0) * 1000000 // t.n_distinct
+                 ELSE 0 END AS BIGINT) AS novelty_ppm
+FROM tot t LEFT JOIN nv ON nv.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""

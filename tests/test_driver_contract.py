@@ -376,6 +376,7 @@ SQL_BACKED = [
     "orders_daily_acf",
     "events_daily_ccf",
     "kmeans_lloyd_embeddings",
+    "doc_novelty_scores",
 ]
 
 
