@@ -1349,6 +1349,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kmeans_lloyd_embeddings"] = _kmeans_lloyd_embeddings
     q["doc_novelty_scores"] = textstats.doc_novelty_scores
+
+    def _degree_assortativity_ps(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import degree_assortativity_ps
+
+        return degree_assortativity_ps(sf_dir)
+
+    q["degree_assortativity_ps"] = _degree_assortativity_ps
     return q
 
 
@@ -1771,6 +1778,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.textstats import DOC_NOVELTY_SCORES_SQL
 
     sql["doc_novelty_scores"] = DOC_NOVELTY_SCORES_SQL
+    from docling_jobkit_ray.functions.graph import DEGREE_ASSORTATIVITY_PS_SQL
+
+    sql["degree_assortativity_ps"] = DEGREE_ASSORTATIVITY_PS_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -2237,3 +2237,170 @@ GROUP BY a.src
 ORDER BY node_type, key
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the part-supplier bipartite graph — do
+# high-degree parts connect to high-degree suppliers?  The one-number
+# topology fingerprint (Newman 2002) next to the local structure ops
+# (triangles, clustering coefficient, Adamic-Adar).
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity_ps(sf_dir: str) -> pa.Table:
+    """Degree-degree Pearson correlation over the DISTINCT (supplier,
+    part) edges: x = deg(part) (distinct suppliers), y = deg(supplier)
+    (distinct parts).  Negative assortativity = hub suppliers serve
+    niche parts (dis-assortative, the usual supply-chain shape).
+
+    Exactness: the sqrt in Pearson's r is a float hazard, so the output
+    is the SIGNED SQUARED correlation on the ppm grid (the
+    events_daily_ccf convention): with exact integer sums n, Sx, Sy,
+    Sxy, Sxx, Syy over edges, num = n*Sxy - Sx*Sy, dx = n*Sxx - Sx^2,
+    dy = n*Syy - Sy^2, r2s_ppm = sign(num) * num^2 * 1e6 // (dx*dy) —
+    Python big ints here, HUGEINT in the oracle.
+
+    Plan shape: batch-local distinct edge partials -> ONE suppkey-bucketed
+    exchange (global edge dedup + deg(s) in-bucket, every edge of s
+    co-located) -> ONE partkey-bucketed exchange (deg(p) in-bucket,
+    emitting only the six per-bucket integer partial sums) -> driver
+    finish from |buckets| rows.  No per-edge row ever reaches the driver
+    and no degree table is ever broadcast."""
+    from ..scale import bucket_count, estimate_rows
+    from ..sources.pages import read_table
+
+    est = estimate_rows(sf_dir, "lineitem")
+    n_b = bucket_count(est)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    edge_schema = pa.schema(
+        [("s", pa.int64()), ("p", pa.int64()), ("bucket", pa.int64())]
+    )
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return edge_schema.empty_table()
+        t = (
+            pa.table(
+                {
+                    "s": pc.cast(batch["l_suppkey"], pa.int64()),
+                    "p": pc.cast(batch["l_partkey"], pa.int64()),
+                }
+            )
+            .group_by(["s", "p"])
+            .aggregate([])
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["s"], mask))
+
+    mid_schema = pa.schema(
+        [("p", pa.int64()), ("degs", pa.int64()), ("bucket", pa.int64())]
+    )
+
+    def supp_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return mid_schema.empty_table()
+        group = group.select(edge_schema.names).cast(edge_schema)
+        ek = np.unique(
+            (np.asarray(group["s"], np.int64) << 32)
+            + np.asarray(group["p"], np.int64)
+        )
+        s = ek >> 32
+        p = ek & 0xFFFFFFFF
+        # run-length degree per supplier (ek sorted => s grouped ascending)
+        new_seg = np.concatenate([[True], s[1:] != s[:-1]])
+        seg_id = np.cumsum(new_seg) - 1
+        degs = np.bincount(seg_id)[seg_id].astype(np.int64)
+        return pa.table(
+            {
+                "p": pa.array(p, pa.int64()),
+                "degs": pa.array(degs, pa.int64()),
+                "bucket": pa.array(p & (n_b - 1), pa.int64()),
+            }
+        )
+
+    sums_schema = pa.schema(
+        [
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("sxy", pa.int64()),
+            ("sxx", pa.int64()),
+            ("syy", pa.int64()),
+        ]
+    )
+
+    def part_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return sums_schema.empty_table()
+        group = group.select(mid_schema.names).cast(mid_schema)
+        p = np.asarray(group["p"], np.int64)
+        y = np.asarray(group["degs"], np.int64)
+        order = np.argsort(p, kind="stable")
+        p, y = p[order], y[order]
+        new_seg = np.concatenate([[True], p[1:] != p[:-1]])
+        seg_id = np.cumsum(new_seg) - 1
+        x = np.bincount(seg_id)[seg_id].astype(np.int64)  # deg(part)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        li.map_batches(edge_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(supp_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(part_bucket, batch_format="pyarrow")
+        .take_all()  # bounded: one 6-int row per bucket
+    )
+    n = sx = sy = sxy = sxx = syy = 0
+    for r in parts:
+        n += int(r["n"])
+        sx += int(r["sx"])
+        sy += int(r["sy"])
+        sxy += int(r["sxy"])
+        sxx += int(r["sxx"])
+        syy += int(r["syy"])
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    if dx == 0 or dy == 0:
+        r2s = 0
+    else:
+        q = (num * num * 1_000_000) // (dx * dy)
+        r2s = q if num >= 0 else -q
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "assort_r2s_ppm": pa.array([r2s], pa.int64()),
+        }
+    )
+
+
+DEGREE_ASSORTATIVITY_PS_SQL = """
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+ds AS (SELECT s, count(*) AS degs FROM e GROUP BY s),
+dp AS (SELECT p, count(*) AS degp FROM e GROUP BY p),
+j AS (
+  SELECT CAST(dp.degp AS HUGEINT) AS x, CAST(ds.degs AS HUGEINT) AS y
+  FROM e JOIN ds ON ds.s = e.s JOIN dp ON dp.p = e.p),
+t AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN 0
+                 ELSE (CASE WHEN (n * sxy - sx * sy) >= 0 THEN 1 ELSE -1 END)
+                      * (((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
+                         // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            END AS BIGINT) AS assort_r2s_ppm
+FROM t
+"""

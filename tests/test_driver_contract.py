@@ -377,6 +377,7 @@ SQL_BACKED = [
     "events_daily_ccf",
     "kmeans_lloyd_embeddings",
     "doc_novelty_scores",
+    "degree_assortativity_ps",
 ]
 
 
