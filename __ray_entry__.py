@@ -1356,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return degree_assortativity_ps(sf_dir)
 
     q["degree_assortativity_ps"] = _degree_assortativity_ps
+    q["naive_bayes_lang_scores"] = textstats.naive_bayes_lang_scores
     return q
 
 
@@ -1781,6 +1782,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.graph import DEGREE_ASSORTATIVITY_PS_SQL
 
     sql["degree_assortativity_ps"] = DEGREE_ASSORTATIVITY_PS_SQL
+    from docling_jobkit_ray.functions.textstats import NAIVE_BAYES_LANG_SQL
+
+    sql["naive_bayes_lang_scores"] = NAIVE_BAYES_LANG_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -2280,3 +2280,377 @@ SELECT t.doc_id, t.n_distinct,
 FROM tot t LEFT JOIN nv ON nv.doc_id = t.doc_id
 ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes language scorer — the GENERATIVE counterpart of
+# webtext's linear quality classifier: train per-lang word likelihoods on
+# the corpus's own labels, score every doc, report the argmax.  The whole
+# train-and-score plan is two bucketed exchanges; every model cell
+# quantizes ONCE so scores are exact integer sums.
+# ---------------------------------------------------------------------------
+
+
+def naive_bayes_lang_scores(sf_dir: str) -> ray.data.Dataset:
+    """Multinomial Naive Bayes with Laplace smoothing over the corpus-wide
+    ``[a-z]+`` token contract: P(w|l) = (c_lw + 1) / (c_l + V), prior
+    P(l) = n_l / N; per doc, score(l) = lp_l + ntok * dflt_l +
+    sum_w tf * (lw - dflt_l) over words the lang HAS seen, where every
+    log quantizes ONCE to the 1e-6 grid (lw = round(ln((c+1)/(c_l+V)) *
+    1e6); exact .5 after an irrational ln is measure-zero — the DSIR/PMI
+    convention) and the per-doc accumulation is exact int64.  Prediction
+    ties break to the lexicographically smallest lang (np first-argmax ==
+    SQL ORDER BY score DESC, cand).
+
+    Plan shape: a tiny prior fold; ONE word-hash-bucket exchange folding
+    (lang token totals c_l, global vocab V) — the model DENOMINATORS must
+    exist before any cell quantizes; then ONE word-bucket scoring
+    exchange carrying within-doc-distinct (doc, lang, word, tf) triples
+    where the in-bucket kernel derives the (lang, word) counts (a word
+    lives in exactly one bucket, so in-bucket sums are global), expands
+    each triple to its nonzero-count candidate langs by segment
+    arithmetic, and emits (doc, cand) integer partials; a doc-bucket fold
+    merges partials with per-doc metadata rows (docs with zero tokens
+    still score: argmax of the priors).  No vocabulary is ever broadcast
+    or collected."""
+    import pandas as pd
+
+    from ..scale import bucket_count, estimate_rows
+
+    # --- priors -----------------------------------------------------------
+    lang_rows = (
+        read_table(sf_dir, "documents", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .take_all()
+    )
+    langs = sorted(r["lang"] for r in lang_rows)
+    lcode = {l: i for i, l in enumerate(langs)}
+    L = len(langs)
+    nl = np.array([next(r["count()"] for r in lang_rows if r["lang"] == l)
+                   for l in langs], np.int64)
+    N = int(nl.sum())
+
+    n_docs = estimate_rows(sf_dir, "documents")
+    wb = bucket_count(n_docs * 60, min_buckets=64)
+    db = bucket_count(n_docs, min_buckets=32)
+
+    def _explode(batch: pa.Table):
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        words = (
+            words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        )
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        return pc.filter(flat, keep), pc.filter(parent, keep)
+
+    def _lang_codes(col) -> np.ndarray:
+        vals = col.to_pylist()
+        return np.array([lcode[v] for v in vals], np.int64)
+
+    # --- pass 1: model denominators (c_l, V) ------------------------------
+    stat_schema = pa.schema(
+        [("bucket", pa.int64()), ("li", pa.int64()), ("w", pa.string()),
+         ("tf", pa.int64())]
+    )
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return stat_schema.empty_table()
+        flat, parent = _explode(batch)
+        if len(flat) == 0:
+            return stat_schema.empty_table()
+        li = _lang_codes(batch["lang"].combine_chunks())[
+            parent.to_numpy(zero_copy_only=False)
+        ]
+        t = (
+            pa.table({"li": pa.array(li, pa.int64()), "w": flat})
+            .group_by(["li", "w"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["li", "w", "tf"])
+        )
+        h = pd.util.hash_array(t["w"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array((h & np.uint64(wb - 1)).astype(np.int64)),
+                "li": t["li"],
+                "w": t["w"],
+                "tf": pc.cast(t["tf"], pa.int64()),
+            }
+        ).cast(stat_schema)
+
+    den_schema = pa.schema([("li", pa.int64()), ("toks", pa.int64()),
+                            ("vocab", pa.int64())])
+
+    def stat_fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return den_schema.empty_table()
+        group = group.select(stat_schema.names).cast(stat_schema)
+        per_lang = (
+            pa.table({"li": group["li"], "tf": group["tf"]})
+            .group_by("li")
+            .aggregate([("tf", "sum")])
+        )
+        n_words = len(pc.unique(group["w"]))
+        return pa.table(
+            {
+                "li": pa.concat_arrays(
+                    [per_lang["li"].combine_chunks(), pa.array([-1], pa.int64())]
+                ),
+                "toks": pa.concat_arrays(
+                    [
+                        pc.cast(per_lang["tf_sum"], pa.int64()).combine_chunks(),
+                        pa.array([0], pa.int64()),
+                    ]
+                ),
+                "vocab": pa.array([0] * len(per_lang) + [n_words], pa.int64()),
+            }
+        ).cast(den_schema)
+
+    stat_rows = (
+        read_table(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(stat_fold, batch_format="pyarrow")
+        .take_all()  # bounded: (L + 1) rows per word bucket
+    )
+    cl = np.zeros(L, np.int64)
+    V = 0
+    for r in stat_rows:
+        if int(r["li"]) >= 0:
+            cl[int(r["li"])] += int(r["toks"])
+        V += int(r["vocab"])
+    denom = (cl + V).astype(np.float64)  # c_l + V per lang
+    dflt = np.round(np.log(1.0 / denom) * 1e6).astype(np.int64)
+    lp = np.round(
+        np.log(nl.astype(np.float64) / np.float64(N)) * 1e6
+    ).astype(np.int64)
+
+    # --- pass 2: scoring exchange -----------------------------------------
+    trip_schema = pa.schema(
+        [("bucket", pa.int64()), ("doc", pa.int64()), ("li", pa.int64()),
+         ("w", pa.string()), ("tf", pa.int64())]
+    )
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return trip_schema.empty_table()
+        flat, parent = _explode(batch)
+        if len(flat) == 0:
+            return trip_schema.empty_table()
+        pn = parent.to_numpy(zero_copy_only=False)
+        ids = pc.take(batch["doc_id"].combine_chunks(), parent)
+        li = _lang_codes(batch["lang"].combine_chunks())[pn]
+        t = (
+            pa.table(
+                {"doc": pc.cast(ids, pa.int64()), "li": pa.array(li, pa.int64()),
+                 "w": flat}
+            )
+            .group_by(["doc", "li", "w"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc", "li", "w", "tf"])
+        )
+        h = pd.util.hash_array(t["w"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array((h & np.uint64(wb - 1)).astype(np.int64)),
+                "doc": t["doc"],
+                "li": t["li"],
+                "w": t["w"],
+                "tf": pc.cast(t["tf"], pa.int64()),
+            }
+        ).cast(trip_schema)
+
+    part_schema = pa.schema(
+        [("dbucket", pa.int64()), ("doc", pa.int64()), ("cand", pa.int64()),
+         ("val", pa.int64())]
+    )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return part_schema.empty_table()
+        group = group.select(trip_schema.names).cast(trip_schema)
+        uw = pc.unique(group["w"])
+        wc = pc.index_in(group["w"], value_set=uw).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        li = np.asarray(group["li"], np.int64)
+        tf = np.asarray(group["tf"], np.int64)
+        doc = np.asarray(group["doc"], np.int64)
+        nw = len(uw)
+        # global (word, lang) counts: a word lives in exactly this bucket
+        cell = np.zeros(nw * L, np.int64)
+        np.add.at(cell, wc * L + li, tf)  # int64-exact accumulation
+        nz = np.nonzero(cell)[0]
+        c = cell[nz]
+        lang_of = (nz % L).astype(np.int64)
+        wc_of = nz // L
+        lw = np.round(
+            np.log((c.astype(np.float64) + 1.0) / denom[lang_of]) * 1e6
+        ).astype(np.int64)
+        adjw = lw - dflt[lang_of]
+        # expand each triple to its word's nonzero-count candidate langs
+        k_w = np.bincount(wc_of, minlength=nw)
+        cum = np.concatenate([[0], np.cumsum(k_w)])
+        k_i = k_w[wc]
+        total = int(k_i.sum())
+        rep_doc = np.repeat(doc, k_i)
+        rep_tf = np.repeat(tf, k_i)
+        starts = np.repeat(cum[wc], k_i)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(k_i)[:-1]]), k_i
+        )
+        idxs = starts + within
+        cand = lang_of[idxs]
+        contrib = rep_tf * adjw[idxs]
+        adj = (
+            pa.table(
+                {
+                    "key": pa.array(rep_doc * L + cand, pa.int64()),
+                    "val": pa.array(contrib, pa.int64()),
+                }
+            )
+            .group_by("key")
+            .aggregate([("val", "sum")])
+        )
+        akey = np.asarray(adj["key"], np.int64)
+        # ntok partials per doc ride as cand = -1 rows
+        nt = (
+            pa.table({"doc": pa.array(doc), "tf": pa.array(tf)})
+            .group_by("doc")
+            .aggregate([("tf", "sum")])
+        )
+        ndoc = np.asarray(nt["doc"], np.int64)
+        out_doc = np.concatenate([akey // L, ndoc])
+        out_cand = np.concatenate(
+            [akey % L, np.full(len(ndoc), -1, np.int64)]
+        )
+        out_val = np.concatenate(
+            [
+                np.asarray(adj["val_sum"], np.int64),
+                np.asarray(nt["tf_sum"], np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "dbucket": pa.array(out_doc & (db - 1), pa.int64()),
+                "doc": pa.array(out_doc, pa.int64()),
+                "cand": pa.array(out_cand, pa.int64()),
+                "val": pa.array(out_val, pa.int64()),
+            }
+        ).cast(part_schema)
+
+    def meta_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        doc = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        li = _lang_codes(batch["lang"].combine_chunks())
+        return pa.table(
+            {
+                "dbucket": pa.array(doc & (db - 1), pa.int64()),
+                "doc": pa.array(doc, pa.int64()),
+                "cand": pa.array(np.full(len(doc), -2, np.int64)),
+                "val": pa.array(li, pa.int64()),
+            }
+        ).cast(part_schema)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("nb_pred", pa.string()),
+            ("nb_score_e6", pa.int64()),
+        ]
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(part_schema.names).cast(part_schema)
+        doc = np.asarray(group["doc"], np.int64)
+        cand = np.asarray(group["cand"], np.int64)
+        val = np.asarray(group["val"], np.int64)
+        meta = cand == -2
+        udoc = np.sort(np.unique(doc[meta]))
+        row = np.searchsorted(udoc, doc)
+        true_li = np.zeros(len(udoc), np.int64)
+        true_li[row[meta]] = val[meta]
+        M = np.zeros((len(udoc), L), np.int64)
+        am = cand >= 0
+        np.add.at(M, (row[am], cand[am]), val[am])
+        ntok = np.zeros(len(udoc), np.int64)
+        ntv = cand == -1
+        np.add.at(ntok, row[ntv], val[ntv])
+        scores = lp[None, :] + ntok[:, None] * dflt[None, :] + M
+        best = np.argmax(scores, axis=1)  # first max = smallest lang code
+        lang_arr = np.array(langs)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "lang": pa.array(lang_arr[true_li]),
+                "nb_pred": pa.array(lang_arr[best]),
+                "nb_score_e6": pa.array(
+                    scores[np.arange(len(best)), best], pa.int64()
+                ),
+            }
+        ).cast(out_schema)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    partials = docs.map_batches(
+        score_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").map_groups(score_bucket, batch_format="pyarrow")
+    meta = read_table(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        meta_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        partials.union(meta)
+        .groupby("dbucket")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+NAIVE_BAYES_LANG_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+cnt AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY lang, w),
+cl AS (SELECT lang, count(*) AS cl FROM toks GROUP BY lang),
+vv AS (SELECT count(DISTINCT w) AS v FROM toks),
+pr AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+nn AS (SELECT count(*) AS n FROM documents),
+const AS (
+  SELECT pr.lang,
+         CAST(round(ln(CAST(pr.nl AS DOUBLE) / nn.n) * 1000000) AS BIGINT) AS lp,
+         CAST(round(ln(1.0 / (coalesce(cl.cl, 0) + vv.v)) * 1000000)
+              AS BIGINT) AS dflt,
+         coalesce(cl.cl, 0) + vv.v AS denom
+  FROM pr LEFT JOIN cl ON cl.lang = pr.lang, vv, nn),
+cellw AS (
+  SELECT c.lang, c.w,
+         CAST(round(ln((c.c + 1.0) / k.denom) * 1000000) AS BIGINT) AS lw,
+         k.dflt
+  FROM cnt c JOIN const k ON k.lang = c.lang),
+adj AS (
+  SELECT t.doc_id, cw.lang, sum(t.tf * (cw.lw - cw.dflt)) AS adj
+  FROM tf t JOIN cellw cw ON cw.w = t.w GROUP BY t.doc_id, cw.lang),
+ntok AS (SELECT doc_id, sum(tf) AS nt FROM tf GROUP BY doc_id),
+scores AS (
+  SELECT d.doc_id, d.lang, k.lang AS cand,
+         k.lp + coalesce(nt.nt, 0) * k.dflt + coalesce(a.adj, 0) AS sc
+  FROM documents d
+  CROSS JOIN const k
+  LEFT JOIN ntok nt ON nt.doc_id = d.doc_id
+  LEFT JOIN adj a ON a.doc_id = d.doc_id AND a.lang = k.lang)
+SELECT doc_id, lang, cand AS nb_pred, CAST(sc AS BIGINT) AS nb_score_e6
+FROM (
+  SELECT doc_id, lang, cand, sc,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, cand) AS rn
+  FROM scores) WHERE rn = 1
+ORDER BY doc_id
+"""

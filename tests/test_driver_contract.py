@@ -378,6 +378,7 @@ SQL_BACKED = [
     "kmeans_lloyd_embeddings",
     "doc_novelty_scores",
     "degree_assortativity_ps",
+    "naive_bayes_lang_scores",
 ]
 
 
