@@ -1357,6 +1357,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["degree_assortativity_ps"] = _degree_assortativity_ps
     q["naive_bayes_lang_scores"] = textstats.naive_bayes_lang_scores
+    q["simpson_diversity_by_lang"] = textstats.simpson_diversity_by_lang
+
+    def _lang_source_mutual_info(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import lang_source_mutual_info
+
+        return lang_source_mutual_info(sf_dir)
+
+    q["lang_source_mutual_info"] = _lang_source_mutual_info
     return q
 
 
@@ -1785,6 +1793,11 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.textstats import NAIVE_BAYES_LANG_SQL
 
     sql["naive_bayes_lang_scores"] = NAIVE_BAYES_LANG_SQL
+    from docling_jobkit_ray.functions.stats_tests import LANG_SOURCE_MUTUAL_INFO_SQL
+    from docling_jobkit_ray.functions.textstats import SIMPSON_DIVERSITY_SQL
+
+    sql["simpson_diversity_by_lang"] = SIMPSON_DIVERSITY_SQL
+    sql["lang_source_mutual_info"] = LANG_SOURCE_MUTUAL_INFO_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1174,3 +1174,100 @@ SELECT num.lag AS lag,
 FROM num, den WHERE den.dx != 0 AND den.dy != 0
 ORDER BY lag
 """
+
+
+# ---------------------------------------------------------------------------
+# mutual information of (lang, source) — the information-theoretic sibling
+# of lang_source_chisq off the SAME bounded cell fold: how many nats one
+# label tells you about the other (the corpus-mixing diagnostic a sampler
+# reads before stratifying on both)
+# ---------------------------------------------------------------------------
+
+
+def lang_source_mutual_info(sf_dir: str) -> pa.Table:
+    """Per-cell mutual-information contributions for the (lang, source)
+    grid: contrib_e6 = round(o * ln((o*N)/(r*c)) * 1e6) for observed
+    cells (absent cells contribute exactly 0 and are omitted — unlike
+    chi-square, MI needs no expected term for empty cells), so
+    sum(contrib_e6) / (N * 1e6) is I(lang; source) in nats.
+
+    Exactness: the log argument is formed as (double(o) * double(N)) /
+    (double(r) * double(c)) — the SAME IEEE op order in numpy and DuckDB
+    (never o*N in integers first: past 2^53 the int product and the
+    double product diverge) — then one quantization per cell; the
+    measure-zero exact-.5-after-ln risk is the DSIR/PMI convention.
+
+    Plan shape: identical to lang_source_chisq — one bounded categorical
+    cell fold, driver finish."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        return (
+            batch.select(["lang", "source"])
+            .group_by(["lang", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: |langs| x |sources|
+    )
+    obs = {(r["lang"], r["source"]): int(r["n"]) for r in cells}
+    langs = sorted({k[0] for k in obs})
+    sources = sorted({k[1] for k in obs})
+    row_tot = {l: sum(obs.get((l, s), 0) for s in sources) for l in langs}
+    col_tot = {s: sum(obs.get((l, s), 0) for l in langs) for s in sources}
+    n_total = sum(row_tot.values())
+
+    out = {"lang": [], "source": [], "n_docs": [], "mi_contrib_e6": []}
+    for l in langs:
+        for s in sources:
+            o = obs.get((l, s), 0)
+            if o == 0:
+                continue
+            ratio = (float(o) * float(n_total)) / (
+                float(row_tot[l]) * float(col_tot[s])
+            )
+            out["lang"].append(l)
+            out["source"].append(s)
+            out["n_docs"].append(o)
+            out["mi_contrib_e6"].append(
+                int(np.round(float(o) * np.log(ratio) * 1e6))
+            )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "mi_contrib_e6": pa.array(out["mi_contrib_e6"], pa.int64()),
+        }
+    )
+
+
+LANG_SOURCE_MUTUAL_INFO_SQL = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(o) AS rn FROM cells GROUP BY lang),
+c AS (SELECT source, sum(o) AS cn FROM cells GROUP BY source),
+tot AS (SELECT sum(o) AS n FROM cells)
+SELECT cells.lang, cells.source, CAST(o AS BIGINT) AS n_docs,
+       CAST(round(CAST(o AS DOUBLE)
+                  * ln((CAST(o AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                       / (CAST(r.rn AS DOUBLE) * CAST(c.cn AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS mi_contrib_e6
+FROM cells
+JOIN r ON r.lang = cells.lang
+JOIN c ON c.source = cells.source, tot
+ORDER BY cells.lang, cells.source
+"""

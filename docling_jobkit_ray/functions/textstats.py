@@ -2654,3 +2654,155 @@ FROM (
   FROM scores) WHERE rn = 1
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Simpson lexical concentration per language — the LOG-FREE diversity
+# number next to entropy (char_entropy_docs) and TTR
+# (lexical_diversity_by_lang): probability two random tokens are the same
+# word, an exact rational of integer counts
+# ---------------------------------------------------------------------------
+
+
+def simpson_diversity_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-lang Simpson concentration on the corpus ``[a-z]+`` token
+    contract: simpson_ppm = sum_w c_w*(c_w-1) * 1e6 // (T*(T-1)) — the
+    probability an unordered random token pair repeats a word.  High =
+    boilerplate-heavy vocabulary; 1/simpson is the "effective vocabulary
+    size" a tokenizer effectively sees.  Pure integers end to end — the
+    one diversity index with NO quantized log anywhere.
+
+    Plan: the hapax_rate_by_lang exchange — per-batch (lang, word) count
+    partials -> hash(word) int-bucket exchange -> in-bucket global counts
+    fold to per-(bucket, lang) sum of c*(c-1) partials -> one final lang
+    fold.  Overflow: in-bucket c^2 partial sums stay int64 below ~3e9
+    occurrences of a single word; the driver-side total is Python-int /
+    HUGEINT."""
+    import pandas as pd
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "documents") * 60, min_buckets=64)
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    pair_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("lang", pa.string()),
+            ("word", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        words = (
+            words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        )
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = pc.filter(flat, keep)
+        parent = pc.filter(parent, keep)
+        if len(flat) == 0:
+            return pair_schema.empty_table()
+        lang = pc.take(batch["lang"].combine_chunks(), parent)
+        t = (
+            pa.table({"lang": lang, "word": flat})
+            .group_by(["lang", "word"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "word", "n"])
+        )
+        h = pd.util.hash_array(t["word"].to_numpy(zero_copy_only=False))
+        b = pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        return pa.table(
+            {"bucket": b, "lang": t["lang"], "word": t["word"], "n": t["n"]}
+        ).cast(pair_schema)
+
+    fold_schema = pa.schema(
+        [("lang", pa.string()), ("vocab", pa.int64()), ("n_tokens", pa.int64()),
+         ("rep2", pa.int64())]
+    )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return fold_schema.empty_table()
+        group = group.select(pair_schema.names).cast(pair_schema)
+        tot = (
+            pa.table({"lang": group["lang"], "word": group["word"], "n": group["n"]})
+            .group_by(["lang", "word"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "word", "n"])
+        )
+        c = tot["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = (
+            pa.table(
+                {
+                    "lang": tot["lang"],
+                    "one": pa.array(np.ones(len(c), np.int64)),
+                    "n": tot["n"],
+                    "r2": pa.array(c * (c - 1)),
+                }
+            )
+            .group_by("lang")
+            .aggregate([("one", "sum"), ("n", "sum"), ("r2", "sum")])
+            .rename_columns(["lang", "vocab", "n_tokens", "rep2"])
+        )
+        return out.select(fold_schema.names).cast(fold_schema)
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("vocab", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("simpson_ppm", pa.int64()),
+        ]
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(fold_schema.names).cast(fold_schema)
+        vocab = int(pc.sum(group["vocab"]).as_py())
+        toks = int(pc.sum(group["n_tokens"]).as_py())
+        rep2 = int(pc.sum(group["rep2"]).as_py())
+        ppm = rep2 * 1_000_000 // (toks * (toks - 1)) if toks > 1 else 0
+        return pa.table(
+            {
+                "lang": [group["lang"][0].as_py()],
+                "vocab": pa.array([vocab], pa.int64()),
+                "n_tokens": pa.array([toks], pa.int64()),
+                "simpson_ppm": pa.array([ppm], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort("lang")
+    )
+
+
+SIMPSON_DIVERSITY_SQL = """
+WITH wc AS (
+  SELECT lang, word, count(*) AS n FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  GROUP BY lang, word),
+g AS (
+  SELECT lang, count(*) AS vocab, sum(n) AS toks,
+         sum(CAST(n AS HUGEINT) * (n - 1)) AS rep2
+  FROM wc GROUP BY lang)
+SELECT lang, CAST(vocab AS BIGINT) AS vocab, CAST(toks AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN toks > 1
+                 THEN rep2 * 1000000 // (CAST(toks AS HUGEINT) * (toks - 1))
+                 ELSE 0 END AS BIGINT) AS simpson_ppm
+FROM g ORDER BY lang
+"""

@@ -379,6 +379,8 @@ SQL_BACKED = [
     "doc_novelty_scores",
     "degree_assortativity_ps",
     "naive_bayes_lang_scores",
+    "simpson_diversity_by_lang",
+    "lang_source_mutual_info",
 ]
 
 
