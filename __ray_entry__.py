@@ -1365,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lang_source_mutual_info(sf_dir)
 
     q["lang_source_mutual_info"] = _lang_source_mutual_info
+    q["epoch_shuffle_autocorr"] = webtext.epoch_shuffle_autocorr
     return q
 
 
@@ -1798,6 +1799,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["simpson_diversity_by_lang"] = SIMPSON_DIVERSITY_SQL
     sql["lang_source_mutual_info"] = LANG_SOURCE_MUTUAL_INFO_SQL
+    from docling_jobkit_ray.functions.webtext import EPOCH_SHUFFLE_AUTOCORR_SQL
+
+    sql["epoch_shuffle_autocorr"] = EPOCH_SHUFFLE_AUTOCORR_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -5065,3 +5065,148 @@ SELECT source, count(*) AS n_docs,
          AS dup_ppm
 FROM d GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# shuffle-quality diagnostic: serial label correlation along the epoch
+# training order — did the deterministic shuffle actually break up
+# same-language runs, or will the model see language-clumped batches?
+# ---------------------------------------------------------------------------
+
+
+def epoch_shuffle_autocorr(sf_dir: str) -> pa.Table:
+    """Adjacent-pair label agreement along the ``epoch_shuffle_order``
+    sequence (the SAME Lehmer-hash order, so this certifies the real
+    training order, not a stand-in): of the N-1 consecutive pairs, how
+    many share ``lang`` (obs_ppm = same * 1e6 // (N-1)), against the
+    exact expectation under a uniform random permutation
+    (exp_ppm = sum_l n_l*(n_l-1) * 1e6 // (N*(N-1))).  obs >> exp means
+    the shuffle is leaking source order into training batches.
+
+    Plan shape: the epoch order is range-partitioned by the hash key, so
+    within-bucket adjacency is one local sort and the ONLY cross-bucket
+    information is each bucket's first/last label — per-bucket partials
+    (n, same_within, first_lang, last_lang) stitch on the driver over
+    <= nb rows; expectation margins come from a column-pruned lang fold.
+    No global sort, no window function, nothing quadratic."""
+    from ..scale import bucket_count, estimate_rows
+
+    n_est = estimate_rows(sf_dir, "documents")
+    nb = bucket_count(n_est, min_buckets=32)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    key_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("h", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+        ]
+    )
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return key_schema.empty_table()
+        ids = batch["doc_id"].to_numpy()
+        h = ((ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        return pa.table(
+            {
+                "bucket": pa.array((h * nb) // _LEHMER_M, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+            }
+        ).cast(key_schema)
+
+    part_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n", pa.int64()),
+            ("same_within", pa.int64()),
+            ("first_lang", pa.string()),
+            ("last_lang", pa.string()),
+        ]
+    )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return part_schema.empty_table()
+        group = group.select(key_schema.names).cast(key_schema)
+        g = group.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        langs = g["lang"].to_numpy(zero_copy_only=False)
+        same = int((langs[1:] == langs[:-1]).sum()) if len(langs) > 1 else 0
+        return pa.table(
+            {
+                "bucket": pa.array([g["bucket"][0].as_py()], pa.int64()),
+                "n": pa.array([g.num_rows], pa.int64()),
+                "same_within": pa.array([same], pa.int64()),
+                "first_lang": pa.array([str(langs[0])], pa.string()),
+                "last_lang": pa.array([str(langs[-1])], pa.string()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .take_all()  # bounded: one row per nonempty bucket
+    )
+    parts.sort(key=lambda r: int(r["bucket"]))
+    n_total = sum(int(r["n"]) for r in parts)
+    same = sum(int(r["same_within"]) for r in parts)
+    for prev, nxt in zip(parts, parts[1:]):
+        if prev["last_lang"] == nxt["first_lang"]:
+            same += 1
+
+    lang_rows = (
+        read_table(sf_dir, "documents", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .take_all()
+    )
+    rep = sum(int(r["count()"]) * (int(r["count()"]) - 1) for r in lang_rows)
+    n_pairs = n_total - 1
+    return pa.table(
+        {
+            "n_docs": pa.array([n_total], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "same_adjacent": pa.array([same], pa.int64()),
+            "obs_ppm": pa.array(
+                [same * 1_000_000 // n_pairs if n_pairs > 0 else 0], pa.int64()
+            ),
+            "exp_ppm": pa.array(
+                [
+                    rep * 1_000_000 // (n_total * n_pairs)
+                    if n_pairs > 0
+                    else 0
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+EPOCH_SHUFFLE_AUTOCORR_SQL = f"""
+WITH o AS (
+  SELECT lang,
+         row_number() OVER (
+             ORDER BY ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M},
+                      doc_id) AS rn
+  FROM documents),
+adj AS (
+  SELECT count(*) AS n,
+         coalesce(sum(CASE WHEN lang = pl THEN 1 ELSE 0 END), 0) AS same
+  FROM (SELECT lang, lag(lang) OVER (ORDER BY rn) AS pl FROM o)),
+m AS (SELECT sum(CAST(c AS HUGEINT) * (c - 1)) AS rep
+      FROM (SELECT count(*) AS c FROM documents GROUP BY lang))
+SELECT CAST(adj.n AS BIGINT) AS n_docs,
+       CAST(adj.n - 1 AS BIGINT) AS n_pairs,
+       CAST(adj.same AS BIGINT) AS same_adjacent,
+       CAST(CASE WHEN adj.n > 1 THEN adj.same * 1000000 // (adj.n - 1)
+                 ELSE 0 END AS BIGINT) AS obs_ppm,
+       CAST(CASE WHEN adj.n > 1
+                 THEN m.rep * 1000000 // (CAST(adj.n AS HUGEINT) * (adj.n - 1))
+                 ELSE 0 END AS BIGINT) AS exp_ppm
+FROM adj, m
+"""

@@ -381,6 +381,7 @@ SQL_BACKED = [
     "naive_bayes_lang_scores",
     "simpson_diversity_by_lang",
     "lang_source_mutual_info",
+    "epoch_shuffle_autocorr",
 ]
 
 
