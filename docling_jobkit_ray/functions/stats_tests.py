@@ -1115,6 +1115,8 @@ def events_daily_ccf(
             x[int(r["day"]) - lo] = int(r["c"])
         else:
             y[int(r["day"]) - lo] = int(r["c"])
+    if x_type == y_type:
+        y = list(x)  # self-correlation: ccf(x, x) IS the acf
     sx, sy = sum(x), sum(y)
     ex = [n * v - sx for v in x]
     ey = [n * v - sy for v in y]
