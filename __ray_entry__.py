@@ -277,6 +277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 continuation: non-associative clamped scan (bounded
         # driver finish); windows/scan families hold their cap slots
         "inventory_balance_by_type",
+        # round-5 close: conditional entropy rides the transitions cells;
+        # the information-theory family already holds its cap slots
+        "events_transition_entropy",
     )
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         if name not in _demoted_sql:
@@ -1141,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_top2_share",
         "events_asof_next_purchase",
         "inventory_balance_by_type",
+        "events_transition_entropy",
     ):
         q[name] = RELATIONAL_QUERIES[name][0]
     q["weighted_median_doclen_by_lang"] = textstats.weighted_median_doclen_by_lang

@@ -4040,3 +4040,83 @@ BEHAVIOR_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# conditional entropy of the event-type chain — how predictable is the NEXT
+# action given the current one?  Completes the information-theory family:
+# events_hourly_entropy (marginal), lang_source_mutual_info (two labels),
+# this (Markov-1 conditional, off the events_transitions cells)
+# ---------------------------------------------------------------------------
+
+
+def events_transition_entropy(sf_dir: str) -> pa.Table:
+    """Per-from-type conditional entropy H(next | from) over the
+    (ts, event_id)-tiebroken transition cells: for each from-type with
+    outgoing count N and cells n_i, cond_entropy_e6 =
+    (sum_i round(n_i * ln(N / n_i) * 1e6)) // N — each cell quantizes ONCE
+    (the DSIR/PMI discipline: the log argument is double(N)/double(n),
+    identical IEEE op order both engines), the cell terms sum exactly, and
+    ONE final floor division lands on the 1e-6-nat grid.  0 = a from-type
+    that deterministically forces the next event (cron-like), ln(|types|)
+    = anybody's guess.
+
+    Plan shape: the whole computation is a driver finish over the
+    |types|^2 bounded cells of :func:`events_transitions` — the exchange
+    cost is that operator's one user-bucket pass."""
+    cells = events_transitions(sf_dir).take_all()  # bounded: |types|^2 rows
+    by_from: dict[str, list[int]] = {}
+    for r in cells:
+        by_from.setdefault(r["from_type"], []).append(int(r["n_transitions"]))
+    out = {"from_type": [], "n_out": [], "cond_entropy_e6": []}
+    for ft in sorted(by_from):
+        ns = by_from[ft]
+        total = sum(ns)
+        terms = sum(
+            int(np.round(float(n) * np.log(float(total) / float(n)) * 1e6))
+            for n in ns
+        )
+        out["from_type"].append(ft)
+        out["n_out"].append(total)
+        out["cond_entropy_e6"].append(terms // total)
+    return pa.table(
+        {
+            "from_type": pa.array(out["from_type"], pa.string()),
+            "n_out": pa.array(out["n_out"], pa.int64()),
+            "cond_entropy_e6": pa.array(out["cond_entropy_e6"], pa.int64()),
+        }
+    )
+
+
+EVENTS_TRANSITION_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+cells AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n) AS total FROM cells GROUP BY 1),
+terms AS (
+  SELECT c.from_type,
+         sum(CAST(round(CAST(c.n AS DOUBLE)
+                        * ln(CAST(t.total AS DOUBLE) / CAST(c.n AS DOUBLE))
+                        * 1000000) AS BIGINT)) AS s,
+         max(t.total) AS total
+  FROM cells c JOIN tot t ON t.from_type = c.from_type
+  GROUP BY c.from_type)
+SELECT from_type, CAST(total AS BIGINT) AS n_out,
+       CAST(s // total AS BIGINT) AS cond_entropy_e6
+FROM terms ORDER BY from_type
+"""
+
+
+BEHAVIOR_QUERIES.update(
+    {
+        "events_transition_entropy": (
+            events_transition_entropy,
+            EVENTS_TRANSITION_ENTROPY_SQL,
+        ),
+    }
+)

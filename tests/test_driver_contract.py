@@ -382,6 +382,7 @@ SQL_BACKED = [
     "simpson_diversity_by_lang",
     "lang_source_mutual_info",
     "epoch_shuffle_autocorr",
+    "events_transition_entropy",
 ]
 
 
