@@ -1370,6 +1370,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lang_source_mutual_info"] = _lang_source_mutual_info
     q["epoch_shuffle_autocorr"] = webtext.epoch_shuffle_autocorr
+
+    def _customer_recommendations(sf_dir: str):
+        from docling_jobkit_ray.functions.basket import customer_recommendations
+
+        return customer_recommendations(sf_dir)
+
+    q["customer_recommendations"] = _customer_recommendations
     return q
 
 
@@ -1806,6 +1813,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import EPOCH_SHUFFLE_AUTOCORR_SQL
 
     sql["epoch_shuffle_autocorr"] = EPOCH_SHUFFLE_AUTOCORR_SQL
+    from docling_jobkit_ray.functions.basket import customer_recommendations_sql
+
+    sql["customer_recommendations"] = customer_recommendations_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

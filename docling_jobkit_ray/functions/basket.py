@@ -367,3 +367,270 @@ rk AS (SELECT *, row_number() OVER
 SELECT item, nbr, CAST(cooc AS BIGINT) AS cooc, sim2_ppm, rank
 FROM rk WHERE rank <= {k} ORDER BY item, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# per-customer top-N recommendations — the user-facing layer above the
+# item-item table: score candidate parts by summed co-occurrence strength
+# of the customer's own items, candidates bounded by the global top-K
+# association pairs (the production pattern: serve from a small model)
+# ---------------------------------------------------------------------------
+
+
+def customer_recommendations(
+    sf_dir: str,
+    *,
+    top_pairs: int = 200,
+    top_n: int = 3,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """"Customers who bought X also bought Y", materialized: for every
+    customer, the ``top_n`` parts they do NOT own with the highest summed
+    co-occurrence weight over the parts they DO own, where the model is
+    the exact global top-``top_pairs`` directed pairs by
+    (cooc DESC, a, b).  Bounding candidates to a fixed-size pair model is
+    what keeps the op linear at any scale (an unbounded item-item join
+    multiplies per-customer work by item degree — quadratic on replicated
+    tiers); it is also how a serving system actually works.
+
+    Exactness: scores are integer sums of integer co-occurrence counts;
+    per-customer ranking ties break to the smaller part key; the top-K
+    model boundary tie-breaks on (cooc DESC, a, b) strictly.
+
+    Plan shape: the rules' order-bucketed pair-count exchange -> exact
+    global top-K via per-block partial top-K (counts are final after the
+    fold, so local winners contain the global winners) -> ONE
+    okey-bucketed tagged co-shuffle resolves lineitem parts to custkeys ->
+    ONE cust-bucketed fold dedups ownership globally (a customer lives in
+    one bucket), scores candidates against the BROADCAST pair model by
+    searchsorted segment expansion, masks owned parts, and keeps top_n
+    per customer vectorized."""
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+    from ..sources.pages import read_table
+
+    est = estimate_rows(sf_dir, "lineitem")
+    n_b = n_buckets or bucket_count(est)
+    mask = pa.scalar(n_b - 1, pa.int64())
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def basket_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _BASKET_SCHEMA.empty_table()
+        t = (
+            pa.table({"okey": batch["l_orderkey"], "part": batch["l_partkey"]})
+            .group_by(["okey", "part"])
+            .aggregate([])
+        )
+        return t.append_column("bucket", pc.bit_wise_and(t["okey"], mask))
+
+    def pair_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _COUNT_SCHEMA.empty_table()
+        group = group.select(_BASKET_SCHEMA.names).cast(_BASKET_SCHEMA)
+        df = group.select(["okey", "part"]).to_pandas().drop_duplicates()
+        m = df.merge(df, on="okey")
+        m = m[m["part_x"] != m["part_y"]]
+        pair_key = ((m["part_x"].to_numpy() + 1) << 32) + m["part_y"].to_numpy()
+        pk, pn = np.unique(pair_key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(pk, pa.int64()), "n": pa.array(pn, pa.int64())}
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return _COUNT_SCHEMA.empty_table()
+        k = np.asarray(batch["key"], np.int64)
+        n = np.asarray(batch["n"], np.int64)
+        order = np.lexsort((k, -n))[:top_pairs]
+        return pa.table(
+            {"key": pa.array(k[order], pa.int64()), "n": pa.array(n[order], pa.int64())}
+        )
+
+    pair_rows = (
+        li.map_batches(basket_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(pair_bucket, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()  # bounded: <= top_pairs rows per block
+    )
+    pk = np.array([int(r["key"]) for r in pair_rows], np.int64)
+    pn = np.array([int(r["n"]) for r in pair_rows], np.int64)
+    order = np.lexsort((pk, -pn))[:top_pairs]
+    pk, pn = pk[order], pn[order]
+    left = (pk >> 32) - 1  # model: a -> (b, w)
+    nbr = pk & 0xFFFFFFFF
+    srt = np.argsort(left, kind="stable")
+    left, nbr, wts = left[srt], nbr[srt], pn[srt]
+
+    # --- resolve parts to customers (okey co-shuffle), then score --------
+    n_ob = bucket_count(estimate_rows(sf_dir, "orders"), min_buckets=32)
+    cmask = pa.scalar(n_ob - 1, pa.int64())
+    tag_schema = pa.schema(
+        [("bucket", pa.int64()), ("okey", pa.int64()), ("val", pa.int64()),
+         ("tag", pa.int64())]
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return tag_schema.empty_table()
+        t = (
+            pa.table({"okey": batch["l_orderkey"], "val": batch["l_partkey"]})
+            .group_by(["okey", "val"])
+            .aggregate([])
+        )
+        ok = pc.cast(t["okey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(ok, cmask),
+                "okey": ok,
+                "val": pc.cast(t["val"], pa.int64()),
+                "tag": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        ).cast(tag_schema)
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return tag_schema.empty_table()
+        ok = pc.cast(batch["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.bit_wise_and(ok, cmask),
+                "okey": ok,
+                "val": pc.cast(batch["o_custkey"], pa.int64()),
+                "tag": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        ).cast(tag_schema)
+
+    n_cb = bucket_count(estimate_rows(sf_dir, "customer"), min_buckets=32)
+    ci_schema = pa.schema(
+        [("cbucket", pa.int64()), ("cust", pa.int64()), ("part", pa.int64())]
+    )
+
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return ci_schema.empty_table()
+        group = group.select(tag_schema.names).cast(tag_schema)
+        tag = np.asarray(group["tag"], np.int64)
+        ok = np.asarray(group["okey"], np.int64)
+        val = np.asarray(group["val"], np.int64)
+        o_keys = ok[tag == 1]
+        o_cust = val[tag == 1]
+        srt_o = np.argsort(o_keys, kind="stable")
+        o_keys, o_cust = o_keys[srt_o], o_cust[srt_o]
+        l_keys = ok[tag == 0]
+        l_part = val[tag == 0]
+        pos = np.searchsorted(o_keys, l_keys)
+        ok_mask = (pos < len(o_keys)) & (o_keys[np.minimum(pos, len(o_keys) - 1)] == l_keys)
+        cust = o_cust[pos[ok_mask]]
+        part = l_part[ok_mask]
+        return pa.table(
+            {
+                "cbucket": pa.array(cust & (n_cb - 1), pa.int64()),
+                "cust": pa.array(cust, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("rec_partkey", pa.int64()),
+         ("score", pa.int64())]
+    )
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(ci_schema.names).cast(ci_schema)
+        ck = np.unique(
+            (np.asarray(group["cust"], np.int64) << 32)
+            + np.asarray(group["part"], np.int64)
+        )  # global-distinct ownership: a customer lives in one bucket
+        cust = ck >> 32
+        part = ck & 0xFFFFFFFF
+        # expand each owned item to its model pairs (left sorted)
+        lo = np.searchsorted(left, part, side="left")
+        hi = np.searchsorted(left, part, side="right")
+        k_i = hi - lo
+        total = int(k_i.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        rep_cust = np.repeat(cust, k_i)
+        starts = np.repeat(lo, k_i)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(k_i)[:-1]]), k_i
+        )
+        idx = starts + within
+        cand = nbr[idx]
+        w = wts[idx]
+        skey = (rep_cust << 32) + cand
+        # fold scores per (cust, candidate)
+        uk, inv = np.unique(skey, return_inverse=True)
+        sc = np.zeros(len(uk), np.int64)
+        np.add.at(sc, inv, w)
+        # mask candidates the customer already owns
+        owned = np.isin(uk, ck)
+        uk, sc = uk[~owned], sc[~owned]
+        if len(uk) == 0:
+            return out_schema.empty_table()
+        c = uk >> 32
+        p = uk & 0xFFFFFFFF
+        # top_n per customer by (score desc, part asc)
+        order = np.lexsort((p, -sc, c))
+        c, p, sc = c[order], p[order], sc[order]
+        new_seg = np.concatenate([[True], c[1:] != c[:-1]])
+        seg_start = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
+        rank = np.arange(len(c), dtype=np.int64) - seg_start[seg_id]
+        keep = rank < top_n
+        return pa.table(
+            {
+                "c_custkey": pa.array(c[keep], pa.int64()),
+                "rec_partkey": pa.array(p[keep], pa.int64()),
+                "score": pa.array(sc[keep], pa.int64()),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    tagged = li.map_batches(
+        li_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(ord_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return (
+        tagged.groupby("bucket")
+        .map_groups(resolve_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+        .sort(["c_custkey", "rec_partkey"])
+    )
+
+
+def customer_recommendations_sql(top_pairs: int = 200, top_n: int = 3) -> str:
+    return f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+ab AS (SELECT x.p AS a, y.p AS nbr, count(*) AS w
+       FROM b x JOIN b y ON x.o = y.o AND x.p <> y.p
+       GROUP BY x.p, y.p),
+model AS (
+  SELECT a, nbr, w FROM (
+    SELECT a, nbr, w, row_number() OVER (ORDER BY w DESC, a, nbr) AS rn
+    FROM ab) WHERE rn <= {top_pairs}),
+ci AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+sc AS (
+  SELECT ci.cust, m.nbr, sum(m.w) AS score
+  FROM ci JOIN model m ON m.a = ci.part
+  WHERE NOT EXISTS (SELECT 1 FROM ci o2
+                    WHERE o2.cust = ci.cust AND o2.part = m.nbr)
+  GROUP BY ci.cust, m.nbr)
+SELECT cust AS c_custkey, nbr AS rec_partkey, CAST(score AS BIGINT) AS score
+FROM (
+  SELECT cust, nbr, score,
+         row_number() OVER (PARTITION BY cust ORDER BY score DESC, nbr) AS rn
+  FROM sc) WHERE rn <= {top_n}
+ORDER BY c_custkey, rec_partkey
+"""

@@ -383,6 +383,7 @@ SQL_BACKED = [
     "lang_source_mutual_info",
     "epoch_shuffle_autocorr",
     "events_transition_entropy",
+    "customer_recommendations",
 ]
 
 
