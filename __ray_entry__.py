@@ -1377,6 +1377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return customer_recommendations(sf_dir)
 
     q["customer_recommendations"] = _customer_recommendations
+    q["source_vocab_ablation"] = textstats.source_vocab_ablation
+    q["interleaved_curriculum"] = webtext.interleaved_curriculum
     return q
 
 
@@ -1816,6 +1818,11 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.basket import customer_recommendations_sql
 
     sql["customer_recommendations"] = customer_recommendations_sql()
+    from docling_jobkit_ray.functions.textstats import SOURCE_VOCAB_ABLATION_SQL
+    from docling_jobkit_ray.functions.webtext import INTERLEAVED_CURRICULUM_SQL
+
+    sql["source_vocab_ablation"] = SOURCE_VOCAB_ABLATION_SQL
+    sql["interleaved_curriculum"] = INTERLEAVED_CURRICULUM_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -2806,3 +2806,145 @@ SELECT lang, CAST(vocab AS BIGINT) AS vocab, CAST(toks AS BIGINT) AS n_tokens,
                  ELSE 0 END AS BIGINT) AS simpson_ppm
 FROM g ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source vocabulary ablation — the leave-one-out data-valuation number
+# for corpus planning: how many words would the vocabulary LOSE if a
+# source were dropped?  (the vocabulary-side complement of
+# source_token_apportionment's budget split)
+# ---------------------------------------------------------------------------
+
+
+def source_vocab_ablation(sf_dir: str) -> ray.data.Dataset:
+    """Per source: the corpus vocabulary words EXCLUSIVE to it (words
+    appearing in no other source — exactly the loss of ablating the
+    source), its total distinct vocabulary, and exclusive_ppm =
+    exclusive * 1e6 // vocab.  A source whose vocabulary is entirely
+    shared is redundant for coverage; a high-exclusive source is
+    irreplaceable (or noise — cross-check hapax_rate_by_lang).
+
+    Plan: ONE hash(word) int-bucket exchange of per-batch distinct
+    (source, word) pairs; in-bucket, a word's full source set is present,
+    so exclusive/vocab partials per source are exact; a tiny source fold
+    finishes.  The shuffle carries one row per distinct (source, word)
+    per batch — never a token."""
+    import pandas as pd
+
+    from ..scale import bucket_count, estimate_rows
+
+    n_buckets = bucket_count(estimate_rows(sf_dir, "documents") * 60, min_buckets=64)
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    pair_schema = pa.schema(
+        [("bucket", pa.int64()), ("source", pa.string()), ("word", pa.string())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern="[^a-z]+")
+        words = (
+            words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        )
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat, parent = pc.filter(flat, keep), pc.filter(parent, keep)
+        if len(flat) == 0:
+            return pair_schema.empty_table()
+        src = pc.take(batch["source"].combine_chunks(), parent)
+        t = (
+            pa.table({"source": src, "word": flat})
+            .group_by(["source", "word"])
+            .aggregate([])
+        )
+        h = pd.util.hash_array(t["word"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+                "source": t["source"],
+                "word": t["word"],
+            }
+        ).cast(pair_schema)
+
+    fold_schema = pa.schema(
+        [("source", pa.string()), ("vocab", pa.int64()), ("exclusive", pa.int64())]
+    )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return fold_schema.empty_table()
+        group = group.select(pair_schema.names).cast(pair_schema)
+        pairs = (
+            pa.table({"source": group["source"], "word": group["word"]})
+            .group_by(["source", "word"])
+            .aggregate([])
+        )
+        # sources per word (the word's source set is COMPLETE in-bucket)
+        nsrc = pairs.group_by("word").aggregate([([], "count_all")])
+        idx = pc.index_in(pairs["word"], value_set=nsrc["word"].combine_chunks())
+        k = pc.take(nsrc["count_all"].combine_chunks(), idx)
+        excl = pc.cast(pc.equal(k, pa.scalar(1, pa.int64())), pa.int64())
+        out = (
+            pa.table({"source": pairs["source"], "one": excl})
+            .group_by("source")
+            .aggregate([([], "count_all"), ("one", "sum")])
+            .rename_columns(["source", "vocab", "exclusive"])
+        )
+        return out.select(fold_schema.names).cast(fold_schema)
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("vocab", pa.int64()),
+            ("exclusive", pa.int64()),
+            ("exclusive_ppm", pa.int64()),
+        ]
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(fold_schema.names).cast(fold_schema)
+        vocab = int(pc.sum(group["vocab"]).as_py())
+        excl = int(pc.sum(group["exclusive"]).as_py())
+        return pa.table(
+            {
+                "source": [group["source"][0].as_py()],
+                "vocab": pa.array([vocab], pa.int64()),
+                "exclusive": pa.array([excl], pa.int64()),
+                "exclusive_ppm": pa.array(
+                    [excl * 1_000_000 // vocab if vocab else 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort("source")
+    )
+
+
+SOURCE_VOCAB_ABLATION_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+ns AS (SELECT word, count(*) AS k FROM pairs GROUP BY word),
+g AS (
+  SELECT p.source, count(*) AS vocab,
+         sum(CASE WHEN ns.k = 1 THEN 1 ELSE 0 END) AS exclusive
+  FROM pairs p JOIN ns ON ns.word = p.word
+  GROUP BY p.source)
+SELECT source, CAST(vocab AS BIGINT) AS vocab,
+       CAST(exclusive AS BIGINT) AS exclusive,
+       CAST(CASE WHEN vocab > 0 THEN exclusive * 1000000 // vocab
+                 ELSE 0 END AS BIGINT) AS exclusive_ppm
+FROM g ORDER BY source
+"""

@@ -5210,3 +5210,151 @@ SELECT CAST(adj.n AS BIGINT) AS n_docs,
                  ELSE 0 END AS BIGINT) AS exp_ppm
 FROM adj, m
 """
+
+
+# ---------------------------------------------------------------------------
+# language-interleaved curriculum order — the stratified fix for what
+# epoch_shuffle_autocorr measures: round-robin languages along the
+# training order so no batch is language-clumped, deterministically
+# ---------------------------------------------------------------------------
+
+
+def interleaved_curriculum(sf_dir: str) -> ray.data.Dataset:
+    """A global training-order KEY that interleaves languages round-robin:
+    within each lang, docs take their deterministic Lehmer shuffle rank
+    r = 0,1,2,...; the global key is ``order_key = r * L + lang_idx``
+    (L = language count, lang_idx = the lang's position in sorted order).
+    Sorting by order_key yields lang0,lang1,...,langL-1,lang0,... until a
+    language exhausts — maximal language dispersion with zero coordination
+    (contrast: epoch_shuffle_order is uniform but language-blind).
+
+    Plan shape: the epoch_shuffle_order rank EXCHANGE run per (lang,
+    hash-range) stratum — a cheap ids+lang pre-pass folds exact
+    (lang, bucket) counts (<= L x nb rows to the driver), the real
+    exchange assigns in-stratum ranks with one vectorized sort, and the
+    key is pure arithmetic.  Nothing global sorts; the index is bit-stable
+    across resharding (every term is a function of doc_id and lang)."""
+    from ..scale import bucket_count, estimate_rows
+
+    n = estimate_rows(sf_dir, "documents")
+    nb = bucket_count(n, min_buckets=32)
+
+    lang_rows = (
+        read_table(sf_dir, "documents", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .take_all()
+    )
+    langs = sorted(r["lang"] for r in lang_rows)
+    lcode = {l: i for i, l in enumerate(langs)}
+    L = len(langs)
+
+    def _hb(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = ((ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        return h, (h * nb) // _LEHMER_M
+
+    # pre-pass: exact (lang, bucket) histogram from a column-pruned scan
+    def count_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("key", pa.int64()), ("cnt", pa.int64())]
+            ).empty_table()
+        _, bucket = _hb(batch["doc_id"].to_numpy())
+        li = np.array(
+            [lcode[v] for v in batch["lang"].to_pylist()], np.int64
+        )
+        key = li * nb + bucket
+        nz = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(nz[0], pa.int64()),
+             "cnt": pa.array(nz[1].astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(count_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded: <= L x nb rows
+    )
+    cnt = np.zeros(L * nb, np.int64)
+    for r in hist:
+        cnt[int(r["key"])] = int(r["cnt"])
+    # per-lang EXCLUSIVE prefix sums: base rank of each (lang, bucket)
+    # stratum within its own language (never crossing a lang boundary)
+    offsets = np.zeros(L * nb, np.int64)
+    for li in range(L):
+        seg = cnt[li * nb : (li + 1) * nb]
+        offsets[li * nb : (li + 1) * nb] = np.concatenate(
+            [[0], np.cumsum(seg)[:-1]]
+        )
+
+    key_schema = pa.schema(
+        [("skey", pa.int64()), ("h", pa.int64()), ("doc_id", pa.int64()),
+         ("lang", pa.string())]
+    )
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return key_schema.empty_table()
+        ids = batch["doc_id"].to_numpy()
+        h, bucket = _hb(ids)
+        li = np.array([lcode[v] for v in batch["lang"].to_pylist()], np.int64)
+        return pa.table(
+            {
+                "skey": pa.array(li * nb + bucket, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+            }
+        ).cast(key_schema)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("order_key", pa.int64())]
+    )
+
+    def rank_stratum(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(key_schema.names).cast(key_schema)
+        g = group.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        skey = g["skey"][0].as_py()
+        li = skey // nb
+        base = offsets[skey]  # in-lang rank offset of this stratum
+        rank = base + np.arange(g.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "lang": g["lang"],
+                "order_key": pa.array(rank * L + li, pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("skey")
+        .map_groups(rank_stratum, batch_format="pyarrow")
+        .sort("order_key")
+    )
+
+
+INTERLEAVED_CURRICULUM_SQL = f"""
+WITH li AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS lang_idx,
+         count(*) OVER () AS l
+  FROM (SELECT DISTINCT lang FROM documents)),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M},
+                      doc_id) - 1 AS rank
+  FROM documents)
+SELECT r.doc_id, r.lang,
+       CAST(r.rank * li.l + li.lang_idx AS BIGINT) AS order_key
+FROM r JOIN li ON li.lang = r.lang
+ORDER BY order_key
+"""

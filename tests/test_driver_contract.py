@@ -384,6 +384,8 @@ SQL_BACKED = [
     "epoch_shuffle_autocorr",
     "events_transition_entropy",
     "customer_recommendations",
+    "source_vocab_ablation",
+    "interleaved_curriculum",
 ]
 
 
