@@ -120,3 +120,62 @@ def test_shuffle_autocorr_near_expectation(ray_session):
     p = exp / 1e6
     sigma_ppm = 5 * 1e6 * np.sqrt(p * (1 - p) / n_pairs)
     assert abs(obs - exp) <= sigma_ppm
+
+
+def test_transition_entropy_bounded_by_log_types(ray_session):
+    from docling_jobkit_ray.pipelines.behavior import events_transition_entropy
+
+    t = events_transition_entropy(SF)
+    n_types = t.num_rows
+    cap = int(np.log(5) * 1e6) + 1  # 5 event types in the corpus
+    for v in t["cond_entropy_e6"].to_pylist():
+        assert 0 <= v <= cap
+
+
+def test_recommendations_never_owned_and_capped(ray_session):
+    import duckdb
+
+    from docling_jobkit_ray.functions.basket import customer_recommendations
+
+    df = customer_recommendations(SF).to_pandas()
+    assert (df.groupby("c_custkey").size() <= 3).all()
+    owned = duckdb.sql(
+        f"""SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/orders.parquet') o
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchdf()
+    owned_keys = set(zip(owned["c"], owned["p"]))
+    hits = set(zip(df["c_custkey"], df["rec_partkey"]))
+    assert not (hits & owned_keys)  # never recommend what they already buy
+
+
+def test_vocab_ablation_partition(ray_session):
+    import duckdb
+
+    from docling_jobkit_ray.functions.textstats import source_vocab_ablation
+
+    df = source_vocab_ablation(SF).to_pandas()
+    assert (df["exclusive"] <= df["vocab"]).all()
+    total_vocab = duckdb.sql(
+        f"""SELECT count(DISTINCT w) FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM read_parquet('{SF}/documents.parquet'))"""
+    ).fetchone()[0]
+    # exclusive sets are disjoint subsets of the corpus vocabulary
+    assert df["exclusive"].sum() <= total_vocab
+
+
+def test_interleaved_curriculum_disperses_languages(ray_session):
+    from docling_jobkit_ray.functions.webtext import interleaved_curriculum
+
+    df = interleaved_curriculum(SF).to_pandas()
+    assert df["order_key"].is_monotonic_increasing
+    assert df["order_key"].is_unique
+    # in the interleaved prefix (all langs still live), adjacent docs
+    # NEVER share a language — that is the whole construction
+    n_min = df.groupby("lang").size().min()
+    L = df["lang"].nunique()
+    head = df.iloc[: n_min * L]
+    same_adj = (head["lang"].values[1:] == head["lang"].values[:-1]).mean()
+    assert same_adj == 0.0
