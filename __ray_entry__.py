@@ -1379,6 +1379,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_recommendations"] = _customer_recommendations
     q["source_vocab_ablation"] = textstats.source_vocab_ablation
     q["interleaved_curriculum"] = webtext.interleaved_curriculum
+
+    def _dedup_keep_best_docs(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import dedup_keep_best_docs
+
+        return dedup_keep_best_docs(sf_dir)
+
+    q["dedup_keep_best_docs"] = _dedup_keep_best_docs
     return q
 
 
@@ -1823,6 +1830,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["source_vocab_ablation"] = SOURCE_VOCAB_ABLATION_SQL
     sql["interleaved_curriculum"] = INTERLEAVED_CURRICULUM_SQL
+    from docling_jobkit_ray.functions.graph import dedup_keep_best_docs_sql
+
+    sql["dedup_keep_best_docs"] = dedup_keep_best_docs_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -2404,3 +2404,119 @@ SELECT CAST(n AS BIGINT) AS n_edges,
             END AS BIGINT) AS assort_r2s_ppm
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# keep-BEST cluster dedup — the policy-variant of dedup_cluster_docs: a
+# production dedup keeps the highest-quality member of each near-dup
+# cluster, not the accidental min id
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best_docs(sf_dir: str, *, threshold: float = 0.6) -> ray.data.Dataset:
+    """Materialized near-dup dedup keeping each cluster's BEST member:
+    representative = argmax by (n_chars DESC, doc_id ASC) — the longest
+    member wins (truncated crawls lose to their full originals), ties
+    break deterministically to the smaller id.  Exactly
+    ``dedup_cluster_docs`` with the keep policy swapped from min-id to
+    quality-argmax — the two outputs differ precisely on clusters whose
+    longest member is not the smallest id.
+
+    Plan shape: the component labels join their n_chars through one
+    bucketed exchange (ids + one int — texts stay out), a component-
+    bucketed vectorized argmax picks winners, and the survivors come from
+    the same ids-only ANTI join; texts cross the shuffle exactly once."""
+    from ..pipelines.joins import bucketed_join
+    from ..scale import bucket_count, estimate_rows
+    from ..sources.pages import read_table
+
+    n_docs = estimate_rows(sf_dir, "documents")
+    comp = dup_components(sf_dir, threshold=threshold)
+
+    chars = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    labeled = bucketed_join(
+        comp,
+        chars.map_batches(
+            lambda b: pa.table(
+                {
+                    "ch_id": pc.cast(b["doc_id"], pa.int64()),
+                    "n_chars": pc.cast(b["n_chars"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on="doc_id",
+        right_on="ch_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("component", pa.int64())]),
+        right_schema=pa.schema([("ch_id", pa.int64()), ("n_chars", pa.int64())]),
+        join_type="inner",
+        est_rows=n_docs,
+    )
+
+    n_cb = bucket_count(n_docs, min_buckets=32)
+    lab_schema = pa.schema(
+        [("doc_id", pa.int64()), ("component", pa.int64()), ("n_chars", pa.int64())]
+    )
+    drop_schema = pa.schema([("drop_doc_id", pa.int64())])
+
+    def add_cbucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [*lab_schema, ("cb", pa.int64())]
+            ).empty_table()
+        batch = batch.select(lab_schema.names).cast(lab_schema)
+        return batch.append_column(
+            "cb", pc.bit_wise_and(batch["component"], pa.scalar(n_cb - 1, pa.int64()))
+        )
+
+    def pick_losers(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return drop_schema.empty_table()
+        group = group.select([*lab_schema.names, "cb"]).cast(
+            pa.schema([*lab_schema, ("cb", pa.int64())])
+        )
+        comp_k = np.asarray(group["component"], np.int64)
+        ids = np.asarray(group["doc_id"], np.int64)
+        ch = np.asarray(group["n_chars"], np.int64)
+        order = np.lexsort((ids, -ch, comp_k))
+        comp_s = comp_k[order]
+        keep_first = np.concatenate([[True], comp_s[1:] != comp_s[:-1]])
+        losers = ids[order][~keep_first]
+        return pa.table({"drop_doc_id": pa.array(losers, pa.int64())})
+
+    drop = (
+        labeled.map_batches(add_cbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cb")
+        .map_groups(pick_losers, batch_format="pyarrow")
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bucketed_join(
+        docs,
+        drop,
+        on="doc_id",
+        right_on="drop_doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=drop_schema,
+        join_type="left anti",
+        est_rows=n_docs,
+    )
+    return out.sort("doc_id")
+
+
+def dedup_keep_best_docs_sql(threshold: float = 0.6, shingle_k: int = 3) -> str:
+    comp_sql = dup_components_sql(threshold=threshold, shingle_k=shingle_k)
+    return f"""
+SELECT doc_id, text FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id) AS rn
+    FROM ({comp_sql}) c JOIN documents d ON d.doc_id = c.doc_id
+  ) WHERE rn > 1
+)
+ORDER BY doc_id
+"""

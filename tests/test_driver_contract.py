@@ -386,6 +386,7 @@ SQL_BACKED = [
     "customer_recommendations",
     "source_vocab_ablation",
     "interleaved_curriculum",
+    "dedup_keep_best_docs",
 ]
 
 
