@@ -400,3 +400,63 @@ FROM so JOIN sl ON sl.l_orderkey = so.o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def auto_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    join_type: str = "inner",
+    est_right_rows: int | None = None,
+    broadcast_threshold: int = 200_000,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Size-adaptive join: when the RIGHT side is provably small
+    (``est_right_rows`` <= ``broadcast_threshold`` — pass a parquet-footer
+    count from ``scale.estimate_table_rows``, free and exact), collect it
+    ONCE and run a per-batch Arrow (Acero) hash join inside ``map_batches``
+    — the broadcast plan, zero exchange, the left side streams untouched.
+    Otherwise fall back to :func:`bucketed_join` (one all-to-all).
+
+    This is the planner decision every distributed engine makes at the
+    dimension/fact boundary; here it is explicit and testable — both paths
+    produce identical row SETS (order differs: order-sensitive callers
+    sort, as every SQL-checked pipeline here already does).
+
+    The broadcast side is shipped via closure -> Ray object store once per
+    actor/task, never per batch; duplicate right keys, all join types and
+    arbitrary column types ride Acero's own semantics, so the two paths
+    cannot drift."""
+    if est_right_rows is not None and est_right_rows <= broadcast_threshold:
+        rt = pa.Table.from_pylist(right.take_all(), schema=right_schema)
+        if rt.num_rows > max(broadcast_threshold, 1) * 2:
+            raise ValueError(
+                f"auto_join: right side materialized {rt.num_rows} rows, far "
+                f"past the estimate {est_right_rows} — refusing to broadcast"
+            )
+
+        def bjoin(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                # preserve the joined schema for empty blocks
+                return left_schema.empty_table().join(
+                    rt, keys=on, right_keys=right_on, join_type=join_type
+                )
+            return batch.select(left_schema.names).cast(left_schema).join(
+                rt, keys=on, right_keys=right_on, join_type=join_type
+            )
+
+        return left.map_batches(bjoin, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_join(
+        left,
+        right,
+        on=on,
+        right_on=right_on,
+        left_schema=left_schema,
+        right_schema=right_schema,
+        join_type=join_type,
+        est_rows=est_rows,
+    )

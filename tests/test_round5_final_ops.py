@@ -179,3 +179,53 @@ def test_interleaved_curriculum_disperses_languages(ray_session):
     head = df.iloc[: n_min * L]
     same_adj = (head["lang"].values[1:] == head["lang"].values[:-1]).mean()
     assert same_adj == 0.0
+
+
+def test_auto_join_paths_agree(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from docling_jobkit_ray.pipelines.joins import auto_join, bucketed_join
+
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("rk", pa.int64()), ("rv", pa.int64())])
+    left = ray.data.from_arrow(
+        pa.table({"k": list(range(200)) * 2, "lv": list(range(400))})
+    )
+    # duplicate right keys + misses on both sides
+    right = ray.data.from_arrow(
+        pa.table({"rk": [5, 5, 7, 300], "rv": [50, 51, 70, 999]})
+    )
+
+    def rows(ds):
+        return sorted(
+            (r["k"], r["lv"], r.get("rv")) for r in ds.take_all()
+        )
+
+    for jt in ("inner", "left outer", "left semi", "left anti"):
+        a = auto_join(
+            left, right, on="k", right_on="rk", left_schema=ls,
+            right_schema=rs, join_type=jt, est_right_rows=4,  # broadcast path
+        )
+        b = bucketed_join(
+            left, right, on="k", right_on="rk", left_schema=ls,
+            right_schema=rs, join_type=jt, num_buckets=64,
+        )
+        assert rows(a) == rows(b), jt
+
+
+def test_auto_join_refuses_lying_estimate(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from docling_jobkit_ray.pipelines.joins import auto_join
+
+    ls = pa.schema([("k", pa.int64())])
+    rs = pa.schema([("rk", pa.int64())])
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3]}))
+    right = ray.data.from_arrow(pa.table({"rk": list(range(50))}))
+    with pytest.raises(ValueError, match="refusing to broadcast"):
+        auto_join(
+            left, right, on="k", right_on="rk", left_schema=ls,
+            right_schema=rs, est_right_rows=1, broadcast_threshold=10,
+        )
