@@ -2346,9 +2346,12 @@ def naive_bayes_lang_scores(sf_dir: str) -> ray.data.Dataset:
         keep = pc.greater(pc.utf8_length(flat), 0)
         return pc.filter(flat, keep), pc.filter(parent, keep)
 
+    lang_set = pa.array(langs, pa.string())
+
     def _lang_codes(col) -> np.ndarray:
-        vals = col.to_pylist()
-        return np.array([lcode[v] for v in vals], np.int64)
+        # vectorized dictionary-encode (never a per-row Python loop)
+        idx = pc.index_in(col, value_set=lang_set)
+        return idx.to_numpy(zero_copy_only=False).astype(np.int64)
 
     # --- pass 1: model denominators (c_l, V) ------------------------------
     stat_schema = pa.schema(

@@ -5246,7 +5246,6 @@ def interleaved_curriculum(sf_dir: str) -> ray.data.Dataset:
         .take_all()
     )
     langs = sorted(r["lang"] for r in lang_rows)
-    lcode = {l: i for i, l in enumerate(langs)}
     L = len(langs)
 
     def _hb(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -5260,8 +5259,10 @@ def interleaved_curriculum(sf_dir: str) -> ray.data.Dataset:
                 [("key", pa.int64()), ("cnt", pa.int64())]
             ).empty_table()
         _, bucket = _hb(batch["doc_id"].to_numpy())
-        li = np.array(
-            [lcode[v] for v in batch["lang"].to_pylist()], np.int64
+        li = (
+            pc.index_in(batch["lang"], value_set=pa.array(langs, pa.string()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         key = li * nb + bucket
         nz = np.unique(key, return_counts=True)
@@ -5301,7 +5302,11 @@ def interleaved_curriculum(sf_dir: str) -> ray.data.Dataset:
             return key_schema.empty_table()
         ids = batch["doc_id"].to_numpy()
         h, bucket = _hb(ids)
-        li = np.array([lcode[v] for v in batch["lang"].to_pylist()], np.int64)
+        li = (
+            pc.index_in(batch["lang"], value_set=pa.array(langs, pa.string()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         return pa.table(
             {
                 "skey": pa.array(li * nb + bucket, pa.int64()),
