@@ -399,6 +399,25 @@ def run_bench() -> dict:
         ),
         ("adamic_adar_part_pairs", _round4_op("graph", "adamic_adar_part_pairs")),
         ("percolate_routes", _round4_op("index", "percolate_routes")),
+        # round-5-close families: iterative integer Lloyd, two-exchange
+        # Naive Bayes train-and-score, model-bounded recommendations,
+        # stratified rank-exchange curriculum
+        (
+            "kmeans_lloyd_embeddings",
+            _round4_op("similarity", "kmeans_lloyd_embeddings"),
+        ),
+        (
+            "naive_bayes_lang_scores",
+            _round4_op("textstats", "naive_bayes_lang_scores"),
+        ),
+        (
+            "customer_recommendations",
+            _round4_op("basket", "customer_recommendations"),
+        ),
+        (
+            "interleaved_curriculum",
+            _round4_op("webtext", "interleaved_curriculum"),
+        ),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);
