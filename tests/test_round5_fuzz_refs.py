@@ -190,3 +190,78 @@ def test_naive_bayes_matches_reference(ray_session, tmp_path, seed):
     for doc_id, (pred, score) in zip(rows["doc_id"], ref):
         assert got.loc[doc_id, "nb_pred"] == pred
         assert int(got.loc[doc_id, "nb_score_e6"]) == score
+
+
+def _write_baskets(tmp: str, n_orders: int, n_parts: int, n_cust: int, seed: int):
+    rng = np.random.RandomState(seed)
+    li_o, li_p, o_k, o_c = [], [], [], []
+    for ok in range(1, n_orders + 1):
+        o_k.append(ok)
+        o_c.append(int(rng.randint(1, n_cust + 1)))
+        for _ in range(rng.randint(1, 6)):
+            li_o.append(ok)
+            li_p.append(int(rng.randint(0, n_parts)))  # incl. partkey 0
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {"l_orderkey": pa.array(li_o, pa.int64()),
+             "l_partkey": pa.array(li_p, pa.int64())}
+        ),
+        f"{tmp}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array(o_k, pa.int64()),
+             "o_custkey": pa.array(o_c, pa.int64())}
+        ),
+        f"{tmp}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(list(range(1, n_cust + 1)), pa.int64())}),
+        f"{tmp}/customer.parquet",
+    )
+    return li_o, li_p, o_k, o_c
+
+
+def _ref_recs(li_o, li_p, o_k, o_c, top_pairs, top_n):
+    baskets: dict[int, set[int]] = {}
+    for o, p in zip(li_o, li_p):
+        baskets.setdefault(o, set()).add(p)
+    pair_w: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    pair_w[(a, b)] = pair_w.get((a, b), 0) + 1
+    model = sorted(pair_w.items(), key=lambda kv: (-kv[1], kv[0]))[:top_pairs]
+    cust_of = dict(zip(o_k, o_c))
+    owned: dict[int, set[int]] = {}
+    for o, p in zip(li_o, li_p):
+        owned.setdefault(cust_of[o], set()).add(p)
+    out = []
+    for cust, items in owned.items():
+        scores: dict[int, int] = {}
+        for (a, b), w in model:
+            if a in items and b not in items:
+                scores[b] = scores.get(b, 0) + w
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+        for p, s in ranked:
+            out.append((cust, p, s))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_recommendations_match_reference(ray_session, tmp_path, seed):
+    # tiny top_pairs stresses the model-boundary tie rule; partkey 0 in
+    # play stresses the +1 pair-key domain shift
+    from docling_jobkit_ray.functions.basket import customer_recommendations
+
+    d = str(tmp_path / f"rec{seed}")
+    li_o, li_p, o_k, o_c = _write_baskets(
+        d, n_orders=120, n_parts=15, n_cust=12, seed=seed
+    )
+    got = customer_recommendations(d, top_pairs=10, top_n=2).take_all()
+    got_rows = sorted(
+        (r["c_custkey"], r["rec_partkey"], r["score"]) for r in got
+    )
+    assert got_rows == _ref_recs(li_o, li_p, o_k, o_c, top_pairs=10, top_n=2)
