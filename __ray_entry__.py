@@ -1386,6 +1386,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_keep_best_docs(sf_dir)
 
     q["dedup_keep_best_docs"] = _dedup_keep_best_docs
+
+    def _split_leakage_report(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import split_leakage_report
+
+        return split_leakage_report(sf_dir)
+
+    q["split_leakage_report"] = _split_leakage_report
     return q
 
 
@@ -1833,6 +1840,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.graph import dedup_keep_best_docs_sql
 
     sql["dedup_keep_best_docs"] = dedup_keep_best_docs_sql()
+    from docling_jobkit_ray.functions.graph import split_leakage_report_sql
+
+    sql["split_leakage_report"] = split_leakage_report_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -2520,3 +2520,122 @@ WHERE doc_id NOT IN (
 )
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# split-leakage audit — do near-duplicate clusters straddle the
+# train/val/test boundary?  The eval-contamination check every training
+# pipeline needs: a deterministic split is not leak-free if two near-dups
+# land on opposite sides.
+# ---------------------------------------------------------------------------
+
+
+def split_leakage_report(
+    sf_dir: str, *, threshold: float = 0.6, train: float = 0.8, val: float = 0.1
+) -> ray.data.Dataset:
+    """Per near-dup cluster (``dup_components`` over the exact Jaccard
+    pair graph): member count, the number of DISTINCT train/val/test
+    splits its members land in under the corpus's own deterministic
+    Lehmer split (webtext.train_val_test_split thresholds), and the split
+    bitmask (train=1, val=2, test=4).  n_splits > 1 is eval leakage — the
+    cluster's test member is a near-copy of a training doc.  The fix is
+    cluster-level splitting (assign by min doc_id); this op is the audit
+    that says whether you need it.
+
+    Plan shape: split assignment is PURE ARITHMETIC on doc_id (no join
+    ever); one component-bucketed fold ORs the per-member bitmasks and
+    counts, vectorized by segment boundaries."""
+    from ..scale import bucket_count, estimate_rows
+    from .webtext import _LEHMER_A, _LEHMER_M
+
+    t1 = int(train * _LEHMER_M)
+    t2 = int((train + val) * _LEHMER_M)
+    n_cb = bucket_count(estimate_rows(sf_dir, "documents"), min_buckets=32)
+
+    comp = dup_components(sf_dir, threshold=threshold)
+
+    lab_schema = pa.schema(
+        [("cb", pa.int64()), ("component", pa.int64()), ("m", pa.int64())]
+    )
+
+    def add_split(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return lab_schema.empty_table()
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        h = ((ids % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        m = np.where(h < t1, 1, np.where(h < t2, 2, 4)).astype(np.int64)
+        compk = batch["component"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "cb": pa.array(compk & (n_cb - 1), pa.int64()),
+                "component": pa.array(compk, pa.int64()),
+                "m": pa.array(m, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("component", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_splits", pa.int64()),
+            ("split_mask", pa.int64()),
+        ]
+    )
+    _POP = np.array([bin(i).count("1") for i in range(8)], np.int64)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return out_schema.empty_table()
+        group = group.select(lab_schema.names).cast(lab_schema)
+        c = np.asarray(group["component"], np.int64)
+        m = np.asarray(group["m"], np.int64)
+        order = np.argsort(c, kind="stable")
+        c, m = c[order], m[order]
+        new_seg = np.concatenate([[True], c[1:] != c[:-1]])
+        seg_id = np.cumsum(new_seg) - 1
+        n = np.bincount(seg_id).astype(np.int64)
+        mask = np.zeros(len(n), np.int64)
+        np.bitwise_or.at(mask, seg_id, m)
+        return pa.table(
+            {
+                "component": pa.array(c[new_seg], pa.int64()),
+                "n_docs": pa.array(n, pa.int64()),
+                "n_splits": pa.array(_POP[mask], pa.int64()),
+                "split_mask": pa.array(mask, pa.int64()),
+            }
+        )
+
+    return (
+        comp.map_batches(add_split, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cb")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("component")
+    )
+
+
+def split_leakage_report_sql(
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> str:
+    from .webtext import _LEHMER_A, _LEHMER_M
+
+    t1 = int(train * _LEHMER_M)
+    t2 = int((train + val) * _LEHMER_M)
+    comp_sql = dup_components_sql(threshold=threshold, shingle_k=shingle_k)
+    return f"""
+WITH comp AS ({comp_sql}),
+lab AS (
+  SELECT component,
+         CASE WHEN ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} < {t1}
+                THEN 1
+              WHEN ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M} < {t2}
+                THEN 2
+              ELSE 4 END AS m
+  FROM comp)
+SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT m) AS BIGINT) AS n_splits,
+       CAST(bit_or(m) AS BIGINT) AS split_mask
+FROM lab GROUP BY component ORDER BY component
+"""

@@ -387,6 +387,7 @@ SQL_BACKED = [
     "source_vocab_ablation",
     "interleaved_curriculum",
     "dedup_keep_best_docs",
+    "split_leakage_report",
 ]
 
 
