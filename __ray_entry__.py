@@ -1393,6 +1393,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return split_leakage_report(sf_dir)
 
     q["split_leakage_report"] = _split_leakage_report
+
+    def _phrase_search_indexed(sf_dir: str):
+        from docling_jobkit_ray.functions.positional_index import phrase_search_indexed
+
+        return phrase_search_indexed(sf_dir)
+
+    q["phrase_search_indexed"] = _phrase_search_indexed
+
+    def _proximity_search_indexed(sf_dir: str):
+        from docling_jobkit_ray.functions.positional_index import (
+            proximity_search_indexed,
+        )
+
+        return proximity_search_indexed(sf_dir)
+
+    q["proximity_search_indexed"] = _proximity_search_indexed
     return q
 
 
@@ -1843,6 +1859,13 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.graph import split_leakage_report_sql
 
     sql["split_leakage_report"] = split_leakage_report_sql()
+    from docling_jobkit_ray.functions.positional_index import (
+        phrase_search_indexed_sql,
+        proximity_search_indexed_sql,
+    )
+
+    sql["phrase_search_indexed"] = phrase_search_indexed_sql()
+    sql["proximity_search_indexed"] = proximity_search_indexed_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -388,6 +388,8 @@ SQL_BACKED = [
     "interleaved_curriculum",
     "dedup_keep_best_docs",
     "split_leakage_report",
+    "phrase_search_indexed",
+    "proximity_search_indexed",
 ]
 
 
