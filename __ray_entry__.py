@@ -1409,6 +1409,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return proximity_search_indexed(sf_dir)
 
     q["proximity_search_indexed"] = _proximity_search_indexed
+
+    def _kcenter_coreset(sf_dir: str):
+        from docling_jobkit_ray.functions.similarity import kcenter_coreset_embeddings
+
+        return kcenter_coreset_embeddings(sf_dir)
+
+    q["kcenter_coreset"] = _kcenter_coreset
+
+    def _contrastive_pairs_mining(sf_dir: str):
+        from docling_jobkit_ray.functions.similarity import contrastive_pairs_mining
+
+        return contrastive_pairs_mining(sf_dir)
+
+    q["contrastive_pairs_mining"] = _contrastive_pairs_mining
+
+    def _sq8_knn_ranks(sf_dir: str):
+        from docling_jobkit_ray.functions.similarity import sq8_knn_ranks
+
+        return sq8_knn_ranks(sf_dir)
+
+    q["sq8_knn_ranks"] = _sq8_knn_ranks
+
+    def _padding_waste_report(sf_dir: str):
+        from docling_jobkit_ray.functions.packing import padding_waste_report
+
+        return padding_waste_report(sf_dir)
+
+    q["padding_waste_report"] = _padding_waste_report
     return q
 
 
@@ -1866,6 +1894,17 @@ def oracle_sql() -> dict[str, str]:
 
     sql["phrase_search_indexed"] = phrase_search_indexed_sql()
     sql["proximity_search_indexed"] = proximity_search_indexed_sql()
+    from docling_jobkit_ray.functions.packing import padding_waste_report_sql
+    from docling_jobkit_ray.functions.similarity import (
+        contrastive_pairs_mining_sql,
+        kcenter_coreset_embeddings_sql,
+        sq8_knn_ranks_sql,
+    )
+
+    sql["kcenter_coreset"] = kcenter_coreset_embeddings_sql()
+    sql["contrastive_pairs_mining"] = contrastive_pairs_mining_sql()
+    sql["sq8_knn_ranks"] = sq8_knn_ranks_sql()
+    sql["padding_waste_report"] = padding_waste_report_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1144,3 +1144,485 @@ FROM (
 ORDER BY vec_id"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez farthest-point) — diversity selection
+# ---------------------------------------------------------------------------
+
+
+def kcenter_coreset_embeddings(
+    sf_dir: str, *, k: int = 6
+) -> pa.Table:
+    """Greedy k-center coreset over the embeddings table (Gonzalez 1985
+    farthest-point traversal, the 2-approximation): start from the
+    smallest vec_id, then repeatedly select the point FARTHEST from the
+    selected set — the diversity-selection primitive data-pruning
+    pipelines use to pick maximally-spread representatives (coreset
+    selection; see also "Beyond neural scaling laws"' prototypicality
+    sampling).  Output: per row (vec_id, center_rank of its nearest
+    selected center, d2) under the final k-center set, so the value hash
+    certifies the whole selection trajectory.
+
+    Cross-engine exactness: the kmeans_lloyd discipline — components
+    quantize ONCE to the 1e-6 int grid, squared-L2 distances are exact
+    int64 sums, the farthest pick breaks ties to the SMALLEST vec_id
+    (numpy fold == SQL ``ORDER BY mind DESC, vec_id``), and the final
+    assignment breaks distance ties to the EARLIEST-selected center.
+
+    Plan shape: quantize + materialize() once (k-1 selection passes
+    branch); each pass is one map_batches emitting a SINGLE partial row
+    (block max of min-dist-to-selected, argmax vec_id, and that row's
+    vector, so the driver never re-reads data) against closure-broadcast
+    centers; the driver folds <= n_blocks rows per pass.  At 10^12 rows
+    each pass streams; only k x dim ints ever move to the driver."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        m = list_column_to_matrix(batch.column("embedding"), dtype=np.float64)
+        qm = np.round(m * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(qm.reshape(-1), pa.int64()), qm.shape[1]
+                ),
+            }
+        )
+
+    qds = ds.map_batches(
+        quant, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # seed: the smallest vec_id's vector (partial min per block)
+    def local_min1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(1, "vec_id")
+
+    seed = (
+        qds.map_batches(local_min1, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(1, "vec_id")
+    )
+    centers = np.vstack(seed["q"].to_numpy()).astype(np.int64)  # (1, dim)
+    center_ids = [int(seed["vec_id"].iloc[0])]
+    dim = centers.shape[1]
+
+    def _d2(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+        return (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)
+        )
+
+    part_schema = pa.schema(
+        [
+            ("mind", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("q", pa.list_(pa.int64())),
+        ]
+    )
+
+    for _ in range(1, k):
+        c_now = centers  # bind per-pass
+
+        def farthest_partial(batch: pa.Table, c_now=c_now) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return part_schema.empty_table()
+            x = list_column_to_matrix(batch.column("q"), dtype=np.int64)
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mind = _d2(x, c_now).min(axis=1)
+            # block argmax with the smallest-vec_id tie rule
+            order = np.lexsort((vids, -mind))
+            b = order[0]
+            return pa.table(
+                {
+                    "mind": pa.array([int(mind[b])], pa.int64()),
+                    "vec_id": pa.array([int(vids[b])], pa.int64()),
+                    "q": pa.array([x[b].tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        parts = qds.map_batches(
+            farthest_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # bounded: one row per block
+        best = max(parts, key=lambda r: (int(r["mind"]), -int(r["vec_id"])))
+        centers = np.vstack([centers, np.asarray(best["q"], np.int64)])
+        center_ids.append(int(best["vec_id"]))
+
+    c_fin = centers
+
+    def assign(batch: pa.Table, c_fin=c_fin) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "center_rank": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.int64()),
+                }
+            )
+        x = list_column_to_matrix(batch.column("q"), dtype=np.int64)
+        d2 = _d2(x, c_fin)
+        best = np.argmin(d2, axis=1)  # first min == earliest-selected center
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "center_rank": pa.array(best.astype(np.int64)),
+                "d2": pa.array(d2[np.arange(len(best)), best].astype(np.int64)),
+            }
+        )
+
+    out = (
+        qds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("vec_id")
+        .take_all()
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array([int(r["vec_id"]) for r in out], pa.int64()),
+            "center_rank": pa.array([int(r["center_rank"]) for r in out], pa.int64()),
+            "d2": pa.array([int(r["d2"]) for r in out], pa.int64()),
+        }
+    )
+
+
+def kcenter_coreset_embeddings_sql(k: int = 6, dim: int = 64) -> str:
+    """Unrolled farthest-point selection as chained CTEs: each stage joins
+    points against the selected set, takes the per-point min distance, and
+    picks the global argmax (mind DESC, vec_id) as the next center."""
+    parts = [
+        f"""
+WITH q AS (
+  SELECT e.vec_id, g.i AS dim,
+         CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings e CROSS JOIN generate_series(1, {dim}) g(i)),
+s0 AS (
+  SELECT vec_id AS cid, 0 AS r
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1))"""
+    ]
+    for t in range(1, k):
+        p = f"s{t - 1}"
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT p.vec_id, s.r, sum((p.v - c.v) * (p.v - c.v)) AS d2
+  FROM q p JOIN {p} s ON TRUE JOIN q c ON c.vec_id = s.cid AND c.dim = p.dim
+  GROUP BY 1, 2),
+m{t} AS (SELECT vec_id, min(d2) AS mind FROM a{t} GROUP BY 1),
+n{t} AS (SELECT vec_id FROM m{t} ORDER BY mind DESC, vec_id LIMIT 1),
+s{t} AS (SELECT cid, r FROM {p} UNION ALL SELECT vec_id, {t} FROM n{t})"""
+        )
+    parts.append(
+        f""",
+af AS (
+  SELECT p.vec_id, s.r, sum((p.v - c.v) * (p.v - c.v)) AS d2
+  FROM q p JOIN s{k - 1} s ON TRUE JOIN q c ON c.vec_id = s.cid AND c.dim = p.dim
+  GROUP BY 1, 2)
+SELECT vec_id, CAST(r AS BIGINT) AS center_rank, CAST(d2 AS BIGINT) AS d2
+FROM (
+  SELECT vec_id, r, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, r) AS rn
+  FROM af) WHERE rn = 1
+ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-pair mining — hard negatives for embedding training
+# ---------------------------------------------------------------------------
+
+
+def contrastive_pairs_mining(
+    sf_dir: str, *, k: int = 5, n_queries: int = 4
+) -> ray.data.Dataset:
+    """Mine contrastive training pairs for each query vector (the
+    ``n_queries`` smallest vec_ids): the top-k most-similar vectors
+    sharing the query's ``label`` (positives, self excluded) and the
+    top-k most-similar vectors with a DIFFERENT label (hard negatives) —
+    the standard mining step for contrastive embedding training (in-batch
+    negatives are easy; the valuable negatives are the nearest
+    wrong-label neighbors).
+
+    Output: (query_id, role 0=positive/1=negative, rank, vec_id,
+    cosine_e6), rank from float64 cosine desc with vec_id-asc ties —
+    the knn_exact_ranks contract per (query, role) slice.
+
+    Scale shape: one broadcast of the query matrix + labels; each batch
+    emits per-(query, role) LOCAL top-k partials (raw float64 cosine so
+    ranking happens once at the bounded final merge); the exchange carries
+    O(batches x queries x 2k) rows at any corpus size."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def local_minq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(n_queries, "vec_id")
+
+    small = (
+        ds.map_batches(local_minq, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(n_queries, "vec_id")
+        .sort_values("vec_id")
+    )
+    queries = np.vstack(small["embedding"].to_numpy()).astype(np.float64)
+    qids = small["vec_id"].astype("int64").tolist()
+    qlabels = small["label"].astype("int64").to_numpy()
+
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("role", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("cosine", pa.float64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        vecs = list_column_to_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = pc.cast(batch.column("label"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sims = _cosine_f64(vecs, queries)  # (n, nq)
+        out_q, out_r, out_v, out_s = [], [], [], []
+        for qi, qid in enumerate(qids):
+            same = (labels == qlabels[qi]) & (vec_ids != qid)
+            for role, mask in ((0, same), (1, labels != qlabels[qi])):
+                idx = np.flatnonzero(mask)
+                if len(idx) == 0:
+                    continue
+                s = sims[idx, qi]
+                top = idx[np.argsort(-s, kind="stable")[: min(k, len(idx))]]
+                out_q.extend([qid] * len(top))
+                out_r.extend([role] * len(top))
+                out_v.extend(vec_ids[top].tolist())
+                out_s.extend(sims[top, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "role": pa.array(out_r, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nsmallest(
+            k, group.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id)
+        )
+        df = pd.DataFrame(top, columns=group.columns)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["cosine_e6"] = np.round(df["cosine"].to_numpy() * 1e6).astype(np.int64)
+        return df[["query_id", "role", "rank", "vec_id", "cosine_e6"]]
+
+    return (
+        partials.groupby(["query_id", "role"])
+        .map_groups(final_topk, batch_format="pandas")
+        .sort(["query_id", "role", "rank"])
+    )
+
+
+def contrastive_pairs_mining_sql(k: int = 5, n_queries: int = 4) -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(label AS BIGINT) AS qlabel,
+           CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           CASE WHEN CAST(e.label AS BIGINT) = q.qlabel THEN 0 ELSE 1 END AS role,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE NOT (CAST(e.label AS BIGINT) = q.qlabel AND e.vec_id = q.query_id)
+), ranked AS (
+    SELECT query_id, role, vec_id,
+           row_number() OVER (
+               PARTITION BY query_id, role ORDER BY cos DESC, vec_id
+           ) AS rank,
+           CAST(round(cos * 1000000) AS BIGINT) AS cosine_e6
+    FROM scored
+)
+SELECT query_id, role, rank, vec_id, cosine_e6 FROM ranked WHERE rank <= {k}
+ORDER BY query_id, role, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the simplest vector-compression path
+# ---------------------------------------------------------------------------
+
+
+def sq8_knn_ranks(
+    sf_dir: str, *, k: int = 5, n_queries: int = 4
+) -> ray.data.Dataset:
+    """Top-k nearest neighbours through 8-bit SCALAR quantization — the
+    industry-standard 4x vector compression (FAISS SQ8 / Lucene int8
+    KNN) that PQ refines: per dimension, the corpus min/max define 256
+    uniform levels; each component stores one byte; queries stay
+    full-precision and score against DECODED levels (asymmetric ADC).
+
+    Exact-integer contract (hence SQL-checkable, unlike float SQ):
+    components quantize once to the 1e-6 grid; ``code = (v - vmin) * 255
+    // (vmax - vmin)`` and ``decoded = vmin + code * (vmax - vmin) //
+    255`` are all-int64 floor divisions on non-negative numerators
+    (floor == trunc, identical in DuckDB); d2 = exact int64 sum; ranks
+    break ties (d2, vec_id).
+
+    Plan shape: per-dim min/max from one pass of dim-vector block
+    partials (driver folds <= 2 x dim ints per block); codes + distances
+    are a second streaming pass against the broadcast query matrix with
+    per-batch local top-k partials — the knn family's combiner shape."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        m = list_column_to_matrix(batch.column("embedding"), dtype=np.float64)
+        qm = np.round(m * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "q": pa.FixedSizeListArray.from_arrays(
+                    pa.array(qm.reshape(-1), pa.int64()), qm.shape[1]
+                ),
+            }
+        )
+
+    qds = ds.map_batches(
+        quant, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # three consumers branch (stats, queries, scoring)
+
+    # pass 1: per-dim min/max partials (one row per block)
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.list_(pa.int64())),
+                    "hi": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        x = list_column_to_matrix(batch.column("q"), dtype=np.int64)
+        return pa.table(
+            {
+                "lo": pa.array([x.min(axis=0).tolist()], pa.list_(pa.int64())),
+                "hi": pa.array([x.max(axis=0).tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = qds.map_batches(
+        minmax_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: one row per block
+    vmin = np.min(np.vstack([np.asarray(r["lo"], np.int64) for r in parts]), axis=0)
+    vmax = np.max(np.vstack([np.asarray(r["hi"], np.int64) for r in parts]), axis=0)
+    span = np.maximum(vmax - vmin, 1)  # degenerate dims code to 0 anyway
+
+    # queries: n_queries smallest vec_ids, full-precision grid values
+    def local_minq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(n_queries, "vec_id")
+
+    small = (
+        qds.map_batches(local_minq, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(n_queries, "vec_id")
+        .sort_values("vec_id")
+    )
+    qmat = np.vstack(small["q"].to_numpy()).astype(np.int64)  # (nq, dim)
+    qids = small["vec_id"].astype("int64").tolist()
+
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("d2", pa.int64())]
+    )
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        x = list_column_to_matrix(batch.column("q"), dtype=np.int64)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = (x - vmin) * 255 // span  # non-negative // : floor == trunc
+        dec = vmin + codes * (vmax - vmin) // 255
+        out_q, out_v, out_d = [], [], []
+        for qi, qid in enumerate(qids):
+            diff = dec - qmat[qi]
+            d2 = (diff * diff).sum(axis=1)
+            kk = min(k, len(vids))
+            top = np.lexsort((vids, d2))[:kk]
+            out_q.extend([qid] * kk)
+            out_v.extend(vids[top].tolist())
+            out_d.extend(d2[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "d2": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    partials = qds.map_batches(
+        score_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nsmallest(
+            k, group.itertuples(index=False), key=lambda r: (r.d2, r.vec_id)
+        )
+        df = pd.DataFrame(top, columns=group.columns)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "rank", "vec_id", "d2"]]
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+def sq8_knn_ranks_sql(k: int = 5, n_queries: int = 4, dim: int = 64) -> str:
+    return f"""
+WITH q AS (
+  SELECT e.vec_id, g.i AS dim,
+         CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings e CROSS JOIN generate_series(1, {dim}) g(i)),
+stats AS (
+  SELECT dim, min(v) AS vmin, max(v) AS vmax,
+         greatest(max(v) - min(v), 1) AS span
+  FROM q GROUP BY 1),
+dec AS (
+  SELECT q.vec_id, q.dim,
+         s.vmin + ((q.v - s.vmin) * 255 // s.span) * (s.vmax - s.vmin) // 255
+           AS d
+  FROM q JOIN stats s ON s.dim = q.dim),
+qq AS (
+  SELECT q.vec_id AS query_id, q.dim, q.v
+  FROM q WHERE q.vec_id IN (
+    SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_queries})),
+scored AS (
+  SELECT qq.query_id, dec.vec_id, sum((dec.d - qq.v) * (dec.d - qq.v)) AS d2
+  FROM dec JOIN qq ON qq.dim = dec.dim
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank
+  FROM scored)
+SELECT query_id, rank, vec_id, d2 FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -390,6 +390,10 @@ SQL_BACKED = [
     "split_leakage_report",
     "phrase_search_indexed",
     "proximity_search_indexed",
+    "kcenter_coreset",
+    "contrastive_pairs_mining",
+    "sq8_knn_ranks",
+    "padding_waste_report",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Semantic invariants + single-process brute-force references for the
+second-continuation batch: k-center coreset, contrastive mining, SQ8 ANN,
+padding-waste report.  (SQL parity runs in test_driver_contract.py; these
+pin the ALGORITHMIC contract against straight-line numpy.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vecs():
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    q = np.round(m * 1e6).astype(np.int64)
+    order = np.argsort(ids)
+    return ids[order], q[order]
+
+
+def _d2(x, c):
+    return (x * x).sum(1, keepdims=True) - 2 * (x @ c.T) + (c * c).sum(1)
+
+
+def test_kcenter_matches_brute_force_gonzalez(ray_session):
+    from docling_jobkit_ray.functions.similarity import kcenter_coreset_embeddings
+
+    ids, q = _vecs()
+    # straight-line Gonzalez on the same integer grid
+    k = 6
+    centers = [0]  # index of smallest vec_id (ids sorted)
+    for _ in range(1, k):
+        mind = _d2(q, q[centers]).min(axis=1)
+        order = np.lexsort((ids, -mind))
+        centers.append(int(order[0]))
+    d2 = _d2(q, q[centers])
+    best = np.argmin(d2, axis=1)
+    want = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "center_rank": best.astype(np.int64),
+            "d2": d2[np.arange(len(ids)), best].astype(np.int64),
+        }
+    )
+    got = kcenter_coreset_embeddings(SF).to_pandas()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # Gonzalez invariants: each selected center is its own nearest (d2=0),
+    # and the selection radius sequence is non-increasing
+    sel = got[got["d2"] == 0]
+    assert len(sel) >= k
+
+
+def test_kcenter_radius_monotone(ray_session):
+    """The farthest-point distance sequence must be non-increasing in k —
+    the property the 2-approximation proof rests on."""
+    ids, q = _vecs()
+    centers = [0]
+    radii = []
+    for _ in range(1, 8):
+        mind = _d2(q, q[centers]).min(axis=1)
+        order = np.lexsort((ids, -mind))
+        radii.append(int(mind[order[0]]))
+        centers.append(int(order[0]))
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_contrastive_roles_and_exclusions(ray_session):
+    from docling_jobkit_ray.functions.similarity import contrastive_pairs_mining
+
+    got = contrastive_pairs_mining(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    lab = dict(zip(t["vec_id"].astype(int), t["label"].astype(int)))
+    for r in got.itertuples(index=False):
+        same = lab[int(r.vec_id)] == lab[int(r.query_id)]
+        assert same == (r.role == 0)
+        if r.role == 0:
+            assert int(r.vec_id) != int(r.query_id)  # self excluded
+    # both roles present for every query, ranks contiguous from 1
+    for (_qid, _role), grp in got.groupby(["query_id", "role"]):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_sq8_recall_against_exact(ray_session):
+    """SQ8 is lossy but 8 bits/dim keeps recall@5 high; and its top-1 must
+    be the query itself (a vector's decoded form is nearest to itself
+    under any per-dim uniform quantizer on this data)."""
+    from docling_jobkit_ray.functions.similarity import sq8_knn_ranks
+
+    got = sq8_knn_ranks(SF).to_pandas()
+    ids, q = _vecs()
+    recalls = []
+    for qid, grp in got.groupby("query_id"):
+        qi = int(np.searchsorted(ids, qid))
+        exact = _d2(q, q[[qi]])[:, 0]
+        top_exact = set(ids[np.lexsort((ids, exact))[:5]].tolist())
+        recalls.append(len(set(grp["vec_id"]) & top_exact) / 5)
+        assert int(grp.iloc[0]["vec_id"]) == int(qid)
+    assert np.mean(recalls) >= 0.6
+
+
+def test_padding_waste_totals(ray_session):
+    from docling_jobkit_ray.functions.packing import padding_waste_report
+
+    got = padding_waste_report(SF).to_pandas()
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert int(got["n_docs"].sum()) == n_docs
+    assert (got["pad_tokens"] + got["real_tokens"] == got["padded_slots"]).all()
+    assert (got["waste_ppm"] >= 0).all() and (got["waste_ppm"] < 1_000_000).all()
+    # caps ascending, every bucket non-empty on this corpus
+    assert list(got["cap"]) == sorted(got["cap"])
+    assert (got["n_docs"] > 0).all()
+
+
+def test_padding_waste_custom_caps(ray_session):
+    from docling_jobkit_ray.functions.packing import padding_waste_report
+
+    got = padding_waste_report(SF, caps=(1024,)).to_pandas()
+    # one giant cap: nothing truncates, waste is pure padding
+    assert len(got) == 1
+    assert int(got["overflow_tokens"].iloc[0]) == 0
