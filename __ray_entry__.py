@@ -1437,6 +1437,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return padding_waste_report(sf_dir)
 
     q["padding_waste_report"] = _padding_waste_report
+
+    def _k_anonymize_generalize(sf_dir: str):
+        from docling_jobkit_ray.functions.quality_checks import k_anonymize_generalize
+
+        return k_anonymize_generalize(sf_dir)
+
+    q["k_anonymize_generalize"] = _k_anonymize_generalize
+
+    def _stratified_kfold_assign(sf_dir: str):
+        from docling_jobkit_ray.functions.webtext import stratified_kfold_assign
+
+        return stratified_kfold_assign(sf_dir)
+
+    q["stratified_kfold_assign"] = _stratified_kfold_assign
+
+    def _query_expansion_search(sf_dir: str):
+        from docling_jobkit_ray.functions.index import query_expansion_search
+
+        return query_expansion_search(sf_dir)
+
+    q["query_expansion_search"] = _query_expansion_search
     return q
 
 
@@ -1905,6 +1926,15 @@ def oracle_sql() -> dict[str, str]:
     sql["contrastive_pairs_mining"] = contrastive_pairs_mining_sql()
     sql["sq8_knn_ranks"] = sq8_knn_ranks_sql()
     sql["padding_waste_report"] = padding_waste_report_sql()
+    from docling_jobkit_ray.functions.index import query_expansion_search_sql
+    from docling_jobkit_ray.functions.quality_checks import (
+        k_anonymize_generalize_sql,
+    )
+    from docling_jobkit_ray.functions.webtext import stratified_kfold_assign_sql
+
+    sql["k_anonymize_generalize"] = k_anonymize_generalize_sql()
+    sql["stratified_kfold_assign"] = stratified_kfold_assign_sql()
+    sql["query_expansion_search"] = query_expansion_search_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

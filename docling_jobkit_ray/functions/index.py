@@ -1348,3 +1348,101 @@ r AS (
 )
 SELECT rank, doc_id, score FROM r WHERE rank <= {k} ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# query expansion — data-driven term expansion composed with ranked search
+# ---------------------------------------------------------------------------
+
+_EXPAND_SEED = "vector"
+_EXPAND_N = 2
+
+
+def query_expansion_search(
+    sf_dir: str, *, seed: str = _EXPAND_SEED, n_expand: int = _EXPAND_N, k: int = 20
+) -> ray.data.Dataset:
+    """Pseudo-relevance-style query expansion composed END-TO-END with
+    ranked retrieval: the seed term's top-``n_expand`` adjacency
+    collocates (most-frequent [a-z]+ bigram partners, ties to the
+    lexicographically smaller word) join the query, and the expanded term
+    set runs through ``search_corpus``'s exact-integer ranking.  The whole
+    composition — expansion mined FROM the corpus, then searched AGAINST
+    it — is one SQL statement for the oracle, so the hash certifies both
+    stages and the handoff.
+
+    Plan shape: pass 1 folds (partner, count) partials whose rows are
+    pre-filtered to bigrams containing the seed (bounded by the seed's
+    own adjacency degree, never the corpus bigram domain); the top-k pull
+    is n_expand rows; pass 2 is the search_corpus plan verbatim."""
+    from ray.data.aggregate import Sum
+
+    seed = seed.lower()
+    part_schema = pa.schema([("p", pa.string()), ("n", pa.int64())])
+
+    def partner_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        lower = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(lower, pattern=_TOKEN_PATTERN)
+        flat = pc.list_flatten(words).combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(nonempty))
+        d = doc_idx[nonempty]
+        if len(d) < 2:
+            return part_schema.empty_table()
+        is_seed = pc.equal(toks, seed).to_numpy(zero_copy_only=False)
+        same = d[:-1] == d[1:]
+        tarr = toks.to_numpy(zero_copy_only=False)
+        # partner = the other side of every adjacent pair containing seed
+        left = same & is_seed[:-1]   # (seed, x): partner x = right word
+        right = same & is_seed[1:]   # (x, seed): partner x = left word
+        partners = np.concatenate([tarr[1:][left], tarr[:-1][right]])
+        if len(partners) == 0:
+            return part_schema.empty_table()
+        uniq, cnt = np.unique(partners, return_counts=True)
+        return pa.table(
+            {"p": pa.array(uniq.tolist(), pa.string()),
+             "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    top = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(partner_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: the seed's adjacency vocabulary
+    )
+    top = top[top["p"] != seed]
+    top = top.sort_values(["n", "p"], ascending=[False, True]).head(n_expand)
+    terms = sorted({seed, *top["p"].tolist()})
+    return search_corpus(sf_dir, terms, k=k)
+
+
+def query_expansion_search_sql(
+    seed: str = _EXPAND_SEED, n_expand: int = _EXPAND_N, k: int = 20
+) -> str:
+    seed = seed.lower()
+    return f"""
+WITH wrds AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+              FROM documents),
+adj AS (SELECT w[i] AS a, w[i + 1] AS b
+        FROM wrds, unnest(range(1, len(w))) AS t(i)),
+pp AS (SELECT CASE WHEN a = '{seed}' THEN b ELSE a END AS p, count(*) AS n
+       FROM adj WHERE a = '{seed}' OR b = '{seed}' GROUP BY 1),
+topn AS (
+  SELECT '{seed}' AS w
+  UNION
+  SELECT p FROM (SELECT p FROM pp WHERE p <> '{seed}'
+                 ORDER BY n DESC, p LIMIT {n_expand})),
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents),
+td AS (SELECT DISTINCT doc_id, w FROM tok WHERE w IN (SELECT w FROM topn)),
+df AS (SELECT w, count(*) AS df FROM td GROUP BY w)
+SELECT td.doc_id, count(*) AS n_hits, CAST(sum(df.df) AS BIGINT) AS sum_df
+FROM td JOIN df USING (w)
+GROUP BY td.doc_id
+ORDER BY n_hits DESC, sum_df ASC, doc_id ASC
+LIMIT {k}
+"""

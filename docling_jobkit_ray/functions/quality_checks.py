@@ -744,3 +744,154 @@ SELECT CAST({n_buckets} AS BIGINT) AS n_buckets,
        CAST(max(c) * {n_buckets} * 1000000 // sum(c) AS BIGINT) AS skew_ppm
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder (Samarati) — how coarse must we go?
+# ---------------------------------------------------------------------------
+
+_KGEN_BASE = 64  # finest length-bucket width
+_KGEN_LEVELS = 9  # widths 64 << 0 .. 64 << 8
+
+
+def k_anonymize_generalize(
+    sf_dir: str, *, k: int = 10, levels: int = _KGEN_LEVELS
+) -> pa.Table:
+    """The decision table behind k-anonymity REPAIR (Samarati's
+    generalization ladder): for each generalization level L of the numeric
+    quasi-identifier (length bucket width = 64 * 2^L; lang/source stay),
+    the class count, smallest class, violating-class count and rows at
+    risk — and a ``chosen`` flag on the MINIMAL level that satisfies
+    k-anonymity.  Beyond the length ladder the lattice continues the way
+    Samarati's does: level ``levels`` suppresses length entirely
+    (classes = lang x source), ``levels+1`` also suppresses source,
+    ``levels+2`` suppresses everything (one class = the corpus), so a
+    satisfying level always exists once the corpus itself has >= k rows.
+
+    Exactness trick: widths are a geometric ladder over the finest width,
+    so every level derives from the LEVEL-0 class histogram by integer
+    shifts (``(n // 64) >> L == n // (64 << L)`` — floor-of-floor
+    composition); ONE exchange of per-batch class partials feeds all
+    levels, and the finish runs on the bounded class table (|langs| x
+    |sources| x max_chars/64 rows, never the corpus)."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("b0", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        b0 = pc.divide(
+            pc.cast(batch["n_chars"], pa.int64()), pa.scalar(_KGEN_BASE, pa.int64())
+        )
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "b0": pc.cast(b0, pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return (
+            t.group_by(["lang", "source", "b0"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lang", "source", "b0", "n"])
+        )
+
+    classes = (
+        read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source", "b0"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: the finest class domain, not the corpus
+    )
+    ls = np.array(
+        [f"{r['lang']}\x00{r['source']}" for r in classes], dtype=object
+    )
+    _, code = np.unique(ls, return_inverse=True)
+    b0 = np.array([int(r["b0"]) for r in classes], np.int64)
+    n = np.array([int(r["n"]) for r in classes], np.int64)
+
+    lang_only = np.array([str(r["lang"]) for r in classes], dtype=object)
+    _, lcode = np.unique(lang_only, return_inverse=True)
+
+    rows = {
+        "level": [], "width": [], "n_classes": [], "min_class_size": [],
+        "n_violating": [], "rows_at_risk": [],
+    }
+
+    def add_level(lv: int, width: int, key: np.ndarray) -> None:
+        kk, inv = np.unique(key, return_inverse=True)
+        cn = np.zeros(len(kk), np.int64)
+        np.add.at(cn, inv, n)
+        viol = cn < k
+        rows["level"].append(lv)
+        rows["width"].append(width)
+        rows["n_classes"].append(len(kk))
+        rows["min_class_size"].append(int(cn.min()) if len(cn) else 0)
+        rows["n_violating"].append(int(viol.sum()))
+        rows["rows_at_risk"].append(int(cn[viol].sum()))
+
+    for lv in range(levels):
+        add_level(lv, _KGEN_BASE << lv, code.astype(np.int64) * (1 << 40) + (b0 >> lv))
+    # lattice tail: suppress length, then source, then everything
+    add_level(levels, 0, code.astype(np.int64))
+    add_level(levels + 1, 0, lcode.astype(np.int64))
+    add_level(levels + 2, 0, np.zeros(len(n), np.int64))
+    ok = [lv for lv, v in zip(rows["level"], rows["n_violating"]) if v == 0]
+    chosen = min(ok) if ok else -1
+    return pa.table(
+        {
+            "level": pa.array(rows["level"], pa.int64()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "n_classes": pa.array(rows["n_classes"], pa.int64()),
+            "min_class_size": pa.array(rows["min_class_size"], pa.int64()),
+            "n_violating": pa.array(rows["n_violating"], pa.int64()),
+            "rows_at_risk": pa.array(rows["rows_at_risk"], pa.int64()),
+            "chosen": pa.array(
+                [int(lv == chosen) for lv in rows["level"]], pa.int64()
+            ),
+        }
+    )
+
+
+def k_anonymize_generalize_sql(k: int = 10, levels: int = _KGEN_LEVELS) -> str:
+    return f"""
+WITH c0 AS (
+  SELECT lang, source, n_chars // {_KGEN_BASE} AS b0, count(*) AS n
+  FROM documents GROUP BY 1, 2, 3),
+lv AS (SELECT unnest(generate_series(0, {levels - 1})) AS l),
+cl AS (
+  SELECT lv.l, c0.lang, c0.source, c0.b0 >> lv.l AS b, sum(c0.n) AS cn
+  FROM c0 CROSS JOIN lv GROUP BY 1, 2, 3, 4),
+tail AS (
+  SELECT {levels} AS l, lang, source, 0 AS b, sum(n) AS cn
+  FROM c0 GROUP BY 2, 3
+  UNION ALL
+  SELECT {levels + 1}, lang, '*', 0, sum(n) FROM c0 GROUP BY 2
+  UNION ALL
+  SELECT {levels + 2}, '*', '*', 0, sum(n) FROM c0),
+allcl AS (SELECT l, cn FROM cl UNION ALL SELECT l, cn FROM tail),
+agg AS (
+  SELECT l AS level,
+         CASE WHEN l < {levels} THEN {_KGEN_BASE} * (1 << l) ELSE 0 END AS width,
+         count(*) AS n_classes, min(cn) AS min_class_size,
+         sum(CASE WHEN cn < {k} THEN 1 ELSE 0 END) AS n_violating,
+         sum(CASE WHEN cn < {k} THEN cn ELSE 0 END) AS rows_at_risk
+  FROM allcl GROUP BY l),
+ch AS (SELECT min(level) AS lmin FROM agg WHERE n_violating = 0)
+SELECT level, CAST(width AS BIGINT) AS width,
+       CAST(n_classes AS BIGINT) AS n_classes,
+       CAST(min_class_size AS BIGINT) AS min_class_size,
+       CAST(n_violating AS BIGINT) AS n_violating,
+       CAST(rows_at_risk AS BIGINT) AS rows_at_risk,
+       CAST(level = coalesce((SELECT lmin FROM ch), -1) AS BIGINT) AS chosen
+FROM agg ORDER BY level
+"""

@@ -5363,3 +5363,74 @@ SELECT r.doc_id, r.lang,
 FROM r JOIN li ON li.lang = r.lang
 ORDER BY order_key
 """
+
+
+# ---------------------------------------------------------------------------
+# stratified k-fold assignment — exact per-(lang, fold) balance
+# ---------------------------------------------------------------------------
+
+
+def stratified_kfold_assign(sf_dir: str, *, n_folds: int = 5) -> ray.data.Dataset:
+    """Deterministic stratified k-fold cross-validation assignment:
+    within each language, docs take their Lehmer-shuffle rank and
+    ``fold = rank % n_folds`` — so per-(lang, fold) counts are EXACTLY
+    balanced (they differ by at most one), which threshold-hash splits
+    (``train_val_test_split``) cannot guarantee.  Completes the split
+    family: thresholds give proportions, ranks give exact balance.
+
+    Plan shape: rides the interleaved_curriculum rank exchange verbatim
+    (per-(lang, hash-range) strata with exclusive prefix offsets — no
+    global sort); the fold is pure arithmetic on the in-lang rank
+    recovered from the order key."""
+    lang_rows = (
+        read_table(sf_dir, "documents", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .take_all()
+    )
+    n_langs = max(1, len(lang_rows))
+
+    base = interleaved_curriculum(sf_dir)  # (doc_id, lang, order_key)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("fold", pa.int64())]
+    )
+
+    def to_fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        # order_key = rank * n_langs + lang_idx, so rank = key // n_langs;
+        # both non-negative, so integer divide == floor and % is exact
+        rank = pc.divide(batch["order_key"], pa.scalar(n_langs, pa.int64()))
+        fold = pc.subtract(
+            rank,
+            pc.multiply(
+                pc.divide(rank, pa.scalar(n_folds, pa.int64())),
+                pa.scalar(n_folds, pa.int64()),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang": batch["lang"],
+                "fold": pc.cast(fold, pa.int64()),
+            }
+        )
+
+    return base.map_batches(
+        to_fold, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+def stratified_kfold_assign_sql(n_folds: int = 5) -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY ((doc_id % {_LEHMER_M}) * {_LEHMER_A}) % {_LEHMER_M},
+                      doc_id) - 1 AS rank
+  FROM documents)
+SELECT doc_id, lang, CAST(rank % {n_folds} AS BIGINT) AS fold
+FROM r ORDER BY doc_id
+"""

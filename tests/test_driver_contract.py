@@ -394,6 +394,9 @@ SQL_BACKED = [
     "contrastive_pairs_mining",
     "sq8_knn_ranks",
     "padding_waste_report",
+    "k_anonymize_generalize",
+    "stratified_kfold_assign",
+    "query_expansion_search",
 ]
 
 

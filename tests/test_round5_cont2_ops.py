@@ -122,3 +122,63 @@ def test_padding_waste_custom_caps(ray_session):
     # one giant cap: nothing truncates, waste is pure padding
     assert len(got) == 1
     assert int(got["overflow_tokens"].iloc[0]) == 0
+
+
+def test_kfold_exact_balance(ray_session):
+    """Per-(lang, fold) counts differ by at most one — the guarantee
+    threshold splits cannot give."""
+    from docling_jobkit_ray.functions.webtext import stratified_kfold_assign
+
+    got = stratified_kfold_assign(SF).to_pandas()
+    for _lang, grp in got.groupby("lang"):
+        sizes = grp.groupby("fold").size()
+        assert len(sizes) == min(5, len(grp))
+        assert sizes.max() - sizes.min() <= 1
+    # every doc assigned exactly once
+    assert got["doc_id"].is_unique
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert len(got) == n_docs
+
+
+def test_kfold_reshard_invariant(ray_session):
+    """The assignment is a pure function of (doc_id, lang) — rerunning
+    must be bit-identical (the Lehmer-rank contract)."""
+    from docling_jobkit_ray.functions.webtext import stratified_kfold_assign
+
+    a = stratified_kfold_assign(SF).to_pandas()
+    b = stratified_kfold_assign(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_query_expansion_superset_of_seed_search(ray_session):
+    """Expanding the query can only ADD matching documents: every doc the
+    seed alone matches stays matched (n_hits can only grow)."""
+    from docling_jobkit_ray.functions.index import (
+        query_expansion_search,
+        search_corpus,
+    )
+
+    seed_only = search_corpus(SF, ["vector"], k=10_000).to_pandas()
+    expanded = query_expansion_search(SF, k=10_000).to_pandas()
+    assert set(seed_only["doc_id"]) <= set(expanded["doc_id"])
+    merged = seed_only.merge(expanded, on="doc_id", suffixes=("_s", "_e"))
+    assert (merged["n_hits_e"] >= merged["n_hits_s"]).all()
+
+
+def test_k_anonymize_ladder_monotone(ray_session):
+    """Coarser levels can only merge classes: class count is
+    non-increasing and the smallest class non-decreasing along the length
+    ladder; the chosen level has zero violations and all earlier levels
+    have some."""
+    from docling_jobkit_ray.functions.quality_checks import k_anonymize_generalize
+
+    got = k_anonymize_generalize(SF).to_pandas().sort_values("level")
+    nc = got["n_classes"].to_numpy()
+    assert (nc[1:] <= nc[:-1]).all()
+    mn = got["min_class_size"].to_numpy()
+    assert (mn[1:] >= mn[:-1]).all()
+    chosen = got[got["chosen"] == 1]
+    assert len(chosen) == 1
+    lv = int(chosen["level"].iloc[0])
+    assert int(chosen["n_violating"].iloc[0]) == 0
+    assert (got[got["level"] < lv]["n_violating"] > 0).all()
