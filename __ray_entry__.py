@@ -1458,6 +1458,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return query_expansion_search(sf_dir)
 
     q["query_expansion_search"] = _query_expansion_search
+
+    def _word_dropout_augment(sf_dir: str):
+        from docling_jobkit_ray.functions.webtext import word_dropout_augment
+
+        return word_dropout_augment(sf_dir)
+
+    q["word_dropout_augment"] = _word_dropout_augment
     return q
 
 
@@ -1935,6 +1942,9 @@ def oracle_sql() -> dict[str, str]:
     sql["k_anonymize_generalize"] = k_anonymize_generalize_sql()
     sql["stratified_kfold_assign"] = stratified_kfold_assign_sql()
     sql["query_expansion_search"] = query_expansion_search_sql()
+    from docling_jobkit_ray.functions.webtext import WORD_DROPOUT_AUGMENT_SQL
+
+    sql["word_dropout_augment"] = WORD_DROPOUT_AUGMENT_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -418,6 +418,16 @@ def run_bench() -> dict:
             "interleaved_curriculum",
             _round4_op("webtext", "interleaved_curriculum"),
         ),
+        # round-5 continuation: positional index (build + 3-word phrase
+        # through the artifact), diversity coreset, SQ8 ANN, expansion
+        (
+            "phrase_search_indexed",
+            lambda sf: __import__("__ray_entry__").queries()["phrase_search_indexed"](sf),
+        ),
+        ("kcenter_coreset", _round4_op("similarity", "kcenter_coreset_embeddings")),
+        ("sq8_knn_ranks", _round4_op("similarity", "sq8_knn_ranks")),
+        ("query_expansion_search", _round4_op("index", "query_expansion_search")),
+        ("stratified_kfold_assign", _round4_op("webtext", "stratified_kfold_assign")),
     ]:
         # best-of-2: one-shot numbers on this shared VM swing 2-6x with
         # neighbor load (q3 measured 1.5s warm vs 9s under a load spike);

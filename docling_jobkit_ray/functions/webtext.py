@@ -5434,3 +5434,97 @@ WITH r AS (
 SELECT doc_id, lang, CAST(rank % {n_folds} AS BIGINT) AS fold
 FROM r ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# word-dropout augmentation — deterministic, reshard-invariant
+# ---------------------------------------------------------------------------
+
+_DROPOUT_DEN = 8  # drop 1/8 of positions
+_DROPOUT_POS_BITS = 20  # positions pack below doc_id in the hash key
+
+
+def word_dropout_augment(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic word-dropout augmentation (the text-side counterpart
+    of feature dropout): position (doc_id, i) drops iff
+    ``lehmer(doc_id * 2^20 + i) % 8 == 0`` — a pure function of identity
+    and position, so the augmentation is reshard-invariant and replayable
+    (the property a training pipeline needs to regenerate the same
+    augmented epoch).  Tokens are the corpus' space-separated words (the
+    PMI/kwic contract).  Output: (doc_id, text_aug, n_kept, n_dropped).
+
+    Pure map at any scale: tokenize, hash, and REBUILD the string entirely
+    inside Arrow (mask -> filtered flat array -> ListArray.from_arrays
+    with recomputed offsets -> binary_join) — no Python strings, no
+    exchange."""
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_aug", pa.string()),
+            ("n_kept", pa.int64()),
+            ("n_dropped", pa.int64()),
+        ]
+    )
+
+    def augment(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        words = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.list_flatten(words).combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = np.repeat(doc_ids, lens)
+        if len(d):
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(len(d), dtype=np.int64) - np.repeat(starts, lens)
+        else:
+            pos = np.empty(0, np.int64)
+        key = d * (1 << _DROPOUT_POS_BITS) + pos
+        h = ((key % _LEHMER_M) * _LEHMER_A) % _LEHMER_M
+        keep = (h % _DROPOUT_DEN) != 0
+        kept_flat = flat.filter(pa.array(keep))
+        kept_per_doc = np.zeros(len(lens), np.int64)
+        if len(d):
+            # lens-segment sums of the keep mask, vectorized
+            csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+            ends = np.cumsum(lens)
+            starts_i = ends - lens
+            kept_per_doc = csum[ends] - csum[starts_i]
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_flat),
+            " ",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text_aug": rebuilt,
+                "n_kept": pa.array(kept_per_doc, pa.int64()),
+                "n_dropped": pa.array(lens.astype(np.int64) - kept_per_doc),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+WORD_DROPOUT_AUGMENT_SQL = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, i, w[i] AS wd,
+         ((((doc_id * {1 << _DROPOUT_POS_BITS} + i - 1) % {_LEHMER_M})
+           * {_LEHMER_A}) % {_LEHMER_M}) % {_DROPOUT_DEN} <> 0 AS kept
+  FROM words, unnest(range(1, len(w) + 1)) AS t(i))
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN kept THEN wd END, ' ' ORDER BY i), '')
+         AS text_aug,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM tok GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -397,6 +397,7 @@ SQL_BACKED = [
     "k_anonymize_generalize",
     "stratified_kfold_assign",
     "query_expansion_search",
+    "word_dropout_augment",
 ]
 
 

@@ -182,3 +182,27 @@ def test_k_anonymize_ladder_monotone(ray_session):
     lv = int(chosen["level"].iloc[0])
     assert int(chosen["n_violating"].iloc[0]) == 0
     assert (got[got["level"] < lv]["n_violating"] > 0).all()
+
+
+def test_word_dropout_subsequence_and_determinism(ray_session):
+    """Augmented text is a SUBSEQUENCE of the original word stream (order
+    preserved, nothing invented), the drop share sits near 1/8, and the
+    mask replays bit-identically (pure function of doc_id x position)."""
+    from docling_jobkit_ray.functions.webtext import word_dropout_augment
+
+    a = word_dropout_augment(SF).to_pandas()
+    b = word_dropout_augment(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    orig = dict(zip(docs["doc_id"].astype(int), docs["text"]))
+    for r in a.head(50).itertuples(index=False):
+        ow = orig[int(r.doc_id)].split(" ")
+        aw = r.text_aug.split(" ") if r.text_aug else []
+        assert len(aw) == r.n_kept
+        assert r.n_kept + r.n_dropped == len(ow)
+        # subsequence check
+        it = iter(ow)
+        assert all(w in it for w in aw)
+    share = a["n_dropped"].sum() / (a["n_kept"].sum() + a["n_dropped"].sum())
+    assert 0.09 < share < 0.16
