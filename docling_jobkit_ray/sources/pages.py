@@ -44,3 +44,71 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwarg
     if "override_num_blocks" not in kwargs and name in _SPLIT_TABLES:
         kwargs["override_num_blocks"] = _SPLIT_TABLES[name]
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)
+
+
+def latest_snapshot_per_url(
+    pages: ray.data.Dataset, *, n_buckets: int | None = None
+) -> ray.data.Dataset:
+    """Re-crawl dedup for Common-Crawl-style inputs: keep ONE row per url —
+    the newest ``warc_ts`` snapshot (ties break to the longer, then
+    lexicographically larger ``html`` payload, so the rule is total and
+    deterministic).  This is the standard pre-extraction step when shards
+    span multiple crawls of the same sites; running it FIRST means the
+    expensive extract stage never converts a superseded snapshot.
+
+    Scale shape: urls are high-cardinality strings — a direct string-keyed
+    groupby sorts every key through the shuffle (CLAUDE.md: 2.4x slower at
+    238k keys), so rows exchange on ``hash(url) % n_buckets`` (scale-derived
+    count) and the per-bucket fold is ONE vectorized lexsort + first-per-url
+    take.  Full rows ride the exchange exactly once (the html payload has
+    to move to wherever its url group lands — that is inherent to any
+    exact snapshot dedup)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..scale import bucket_count
+
+    if n_buckets is None:
+        # count() on a fresh read_parquet Dataset is a metadata fast path;
+        # for a TRANSFORMED input pass n_buckets explicitly (count() would
+        # execute the upstream plan and the dedup would re-execute it — the
+        # documented branch-re-execution hazard)
+        est = pages.count()
+        n_buckets = bucket_count(est, min_buckets=32)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return batch
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        b = (
+            pd.util.hash_array(np.asarray(urls, dtype=object))
+            & np.uint64(n_buckets - 1)
+        ).astype(np.int64)
+        return batch.append_column("ubucket", pa.array(b, pa.int64()))
+
+    def keep_latest(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return group
+        cols = [c for c in group.column_names if c != "ubucket"]
+        g = group.select(cols)
+        ts = pc.cast(pc.cast(g["warc_ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hlen = pc.binary_length(g["html"]).to_numpy(zero_copy_only=False)
+        urls = g["url"].to_numpy(zero_copy_only=False)
+        html_np = g["html"].to_numpy(zero_copy_only=False)
+        _, html_rank = np.unique(html_np, return_inverse=True)  # asc rank
+        # first row per url under (ts desc, len desc, html desc): lexsort is
+        # stable and sorts by LAST key primary
+        order = np.lexsort((-html_rank, -hlen, -ts, urls))
+        u_sorted = urls[order]
+        first = np.concatenate([[True], u_sorted[1:] != u_sorted[:-1]])
+        return g.take(pa.array(order[first], pa.int64()))
+
+    return (
+        pages.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ubucket")
+        .map_groups(keep_latest, batch_format="pyarrow")
+    )
