@@ -180,3 +180,58 @@ def test_append_requires_meta(ray_session, tmp_path):
     docs = read_table(SF, "documents", columns=["doc_id", "text"])
     with pytest.raises(FileNotFoundError):
         append_positional_index(str(tmp_path / "nope"), docs)
+
+
+def test_phrase_fuzz_vs_brute_force(ray_session, tmp_path):
+    """Seeded random corpora: indexed phrase counts must equal a naive
+    single-process scan for random 2-4 word phrases (boundary positions,
+    repeated words, absent words all arise naturally)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_jobkit_ray.functions.positional_index import (
+        build_positional_index,
+        search_phrase_index,
+    )
+
+    rng = random.Random(77)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(120)
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        f"{src}/documents.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    build_positional_index(src, idx)
+
+    def brute(phrase):
+        out = {}
+        for did, t in enumerate(texts):
+            w = t.split() if t else []
+            c = sum(
+                1
+                for i in range(len(w) - len(phrase) + 1)
+                if w[i : i + len(phrase)] == list(phrase)
+            )
+            if c:
+                out[did] = c
+        return out
+
+    for _ in range(15):
+        m = rng.randint(2, 4)
+        phrase = [rng.choice(vocab) for _ in range(m)]
+        got = search_phrase_index(idx, phrase).to_pandas()
+        want = brute(phrase)
+        assert dict(zip(got["doc_id"], got["n_matches"])) == want, phrase
