@@ -1465,6 +1465,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return word_dropout_augment(sf_dir)
 
     q["word_dropout_augment"] = _word_dropout_augment
+
+    def _ngram_vocab_sizes(sf_dir: str):
+        from docling_jobkit_ray.functions.webtext import ngram_vocab_sizes
+
+        return ngram_vocab_sizes(sf_dir)
+
+    q["ngram_vocab_sizes"] = _ngram_vocab_sizes
+
+    def _dedup_threshold_profile(sf_dir: str):
+        from docling_jobkit_ray.functions.graph import dedup_threshold_profile
+
+        return dedup_threshold_profile(sf_dir)
+
+    q["dedup_threshold_profile"] = _dedup_threshold_profile
     return q
 
 
@@ -1945,6 +1959,11 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import WORD_DROPOUT_AUGMENT_SQL
 
     sql["word_dropout_augment"] = WORD_DROPOUT_AUGMENT_SQL
+    from docling_jobkit_ray.functions.graph import dedup_threshold_profile_sql
+    from docling_jobkit_ray.functions.webtext import ngram_vocab_sizes_sql
+
+    sql["ngram_vocab_sizes"] = ngram_vocab_sizes_sql()
+    sql["dedup_threshold_profile"] = dedup_threshold_profile_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

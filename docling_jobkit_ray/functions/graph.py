@@ -2639,3 +2639,100 @@ SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(bit_or(m) AS BIGINT) AS split_mask
 FROM lab GROUP BY component ORDER BY component
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold ladder — how threshold choice reshapes the cluster graph
+# ---------------------------------------------------------------------------
+
+_PROFILE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_profile(
+    sf_dir: str, *, thresholds: tuple[float, ...] = _PROFILE_THRESHOLDS
+) -> pa.Table:
+    """Single-link dendrogram profile of the near-dup graph: for each
+    Jaccard threshold, the pair count, component count, clustered-doc
+    count and largest cluster — the table a dedup operator reads to pick
+    the threshold (too low: giant components chain unrelated docs; too
+    high: misses near-dups).  Filtering a higher threshold from the SAME
+    pair set is exactly hierarchical single-link clustering cut at
+    different heights.
+
+    Plan shape: the exact pair join runs ONCE at min(thresholds) and
+    materializes (five consumers branch — the re-execution hazard);
+    each rung filters edges (the c/union double is the identical
+    exactly-rounded division in both engines, so >= t agrees) and runs
+    connected components; only per-component counts reach the driver."""
+    from .dedup import ngram_jaccard_pairs
+
+    ts = sorted(thresholds)
+    edges_all = ngram_jaccard_pairs(sf_dir, threshold=ts[0]).materialize()
+
+    rows = {
+        "threshold_ppm": [], "n_pairs": [], "n_components": [],
+        "n_clustered_docs": [], "largest_cluster": [],
+    }
+    for t in ts:
+        sel = edges_all.map_batches(
+            lambda b, t=t: b.filter(
+                pc.greater_equal(b["jaccard"], pa.scalar(float(t), pa.float64()))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        n_pairs = sel.count()
+        comp = connected_components(
+            sel.map_batches(
+                lambda b: b.select(["doc_a", "doc_b"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            src="doc_a",
+            dst="doc_b",
+            est_edges=max(1, n_pairs),
+        )
+        sizes = (
+            comp.groupby("component").count().take_all()
+        )  # bounded: one row per cluster
+        counts = np.array([int(r["count()"]) for r in sizes], np.int64)
+        rows["threshold_ppm"].append(int(round(t * 1_000_000)))
+        rows["n_pairs"].append(int(n_pairs))
+        rows["n_components"].append(len(counts))
+        rows["n_clustered_docs"].append(int(counts.sum()) if len(counts) else 0)
+        rows["largest_cluster"].append(int(counts.max()) if len(counts) else 0)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+def dedup_threshold_profile_sql(
+    thresholds: tuple[float, ...] = _PROFILE_THRESHOLDS, shingle_k: int = 3
+) -> str:
+    from .dedup import ngram_jaccard_sql
+
+    blocks = []
+    for t in sorted(thresholds):
+        pair_sql = ngram_jaccard_sql(threshold=t, shingle_k=shingle_k)
+        blocks.append(
+            f"""
+SELECT * FROM (
+  WITH RECURSIVE
+  pairs AS (SELECT doc_a, doc_b FROM ({pair_sql}) p),
+  edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+  nodes AS (SELECT DISTINCT a AS v FROM edges),
+  walk(v, lbl) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.v),
+  comp AS (SELECT v, min(lbl) AS c FROM walk GROUP BY v),
+  sizes AS (SELECT c, count(*) AS n FROM comp GROUP BY c)
+  SELECT CAST({int(round(t * 1_000_000))} AS BIGINT) AS threshold_ppm,
+         CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs,
+         CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_components,
+         CAST((SELECT coalesce(sum(n), 0) FROM sizes) AS BIGINT)
+           AS n_clustered_docs,
+         CAST((SELECT coalesce(max(n), 0) FROM sizes) AS BIGINT)
+           AS largest_cluster
+)"""
+        )
+    return " UNION ALL ".join(blocks) + " ORDER BY threshold_ppm"

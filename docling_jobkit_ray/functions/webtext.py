@@ -5528,3 +5528,132 @@ SELECT doc_id,
 FROM tok GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram vocabulary sizes — the LM-table planning numbers
+# ---------------------------------------------------------------------------
+
+
+def ngram_vocab_sizes(sf_dir: str, *, max_n: int = 3) -> pa.Table:
+    """Distinct and total n-gram counts for n = 1..max_n — the numbers
+    that size an n-gram LM table / count-based filter before building it
+    (the Heaps-curve endpoint per order).  Grams are the space-separated
+    word contract (``_gram_frame``), so the oracle is
+    ``count(DISTINCT gram)`` per order.
+
+    Scale shape: batch-local DISTINCT (n, gram) pairs ride ONE gram-hash
+    bucket exchange (a gram's occurrences co-locate, so the per-bucket
+    distinct count is globally correct); totals are scalar integer sums.
+    Only <= buckets x max_n count rows reach the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..scale import bucket_count, estimate_rows
+
+    nb = bucket_count(estimate_rows(sf_dir, "documents") * 150, min_buckets=64)
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    pair_schema = pa.schema(
+        [("bucket", pa.int64()), ("n", pa.int64()), ("g", pa.string())]
+    )
+    tot_schema = pa.schema([("n", pa.int64()), ("total", pa.int64())])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pair_schema.empty_table()
+        outs = []
+        for n in range(1, max_n + 1):
+            _, grams = _gram_frame(batch["text"], n)
+            if len(grams) == 0:
+                continue
+            t = (
+                pa.table({"g": grams})
+                .group_by("g")
+                .aggregate([])  # batch-local distinct
+            )
+            gs = (
+                t["g"].combine_chunks()
+                if isinstance(t["g"], pa.ChunkedArray)
+                else t["g"]
+            )
+            b = (
+                pd.util.hash_array(np.asarray(gs.to_numpy(zero_copy_only=False), dtype=object))
+                & np.uint64(nb - 1)
+            ).astype(np.int64)
+            outs.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(b),
+                        "n": pa.array(np.full(len(b), n, np.int64)),
+                        "g": gs,
+                    }
+                )
+            )
+        if not outs:
+            return pair_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return tot_schema.empty_table()
+        rows_n, rows_t = [], []
+        for n in range(1, max_n + 1):
+            doc_idx, _g = _gram_frame(batch["text"], n)
+            rows_n.append(n)
+            rows_t.append(len(doc_idx))
+        return pa.table(
+            {"n": pa.array(rows_n, pa.int64()), "total": pa.array(rows_t, pa.int64())}
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return pa.schema(
+                [("n", pa.int64()), ("cnt", pa.int64())]
+            ).empty_table()
+        g = group.select(pair_schema.names).cast(pair_schema)
+        d = g.group_by(["n", "g"]).aggregate([])  # global distinct in-bucket
+        agg = d.group_by("n").aggregate([([], "count_all")])
+        return pa.table(
+            {"n": pc.cast(agg["n"], pa.int64()),
+             "cnt": pc.cast(agg["count_all"], pa.int64())}
+        )
+
+    distinct_rows = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .groupby("n")
+        .aggregate(Sum("cnt", alias_name="distinct_grams"))
+        .take_all()  # bounded: max_n rows
+    )
+    total_rows = (
+        ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n")
+        .aggregate(Sum("total", alias_name="total_grams"))
+        .take_all()  # bounded: max_n rows
+    )
+    dmap = {int(r["n"]): int(r["distinct_grams"]) for r in distinct_rows}
+    tmap = {int(r["n"]): int(r["total_grams"]) for r in total_rows}
+    ns = sorted(set(dmap) | set(tmap))
+    return pa.table(
+        {
+            "n": pa.array(ns, pa.int64()),
+            "distinct_grams": pa.array([dmap.get(n, 0) for n in ns], pa.int64()),
+            "total_grams": pa.array([tmap.get(n, 0) for n in ns], pa.int64()),
+        }
+    )
+
+
+def ngram_vocab_sizes_sql(max_n: int = 3) -> str:
+    parts = []
+    for n in range(1, max_n + 1):
+        parts.append(
+            f"""
+SELECT {n} AS n, count(DISTINCT g) AS distinct_grams,
+       CAST(count(*) AS BIGINT) AS total_grams
+FROM (
+  SELECT array_to_string(w[i:i + {n - 1}], ' ') AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) - {n - 2})) AS t(i))"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY n"

@@ -398,6 +398,8 @@ SQL_BACKED = [
     "stratified_kfold_assign",
     "query_expansion_search",
     "word_dropout_augment",
+    "ngram_vocab_sizes",
+    "dedup_threshold_profile",
 ]
 
 
