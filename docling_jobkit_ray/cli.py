@@ -134,6 +134,14 @@ def main(argv: list[str] | None = None) -> int:
         metavar="LO:HI",
         help="extract only this 1-based inclusive page range of binary docs",
     )
+    p.add_argument(
+        "--dedup-snapshots",
+        action="store_true",
+        help="pre-pass: keep only the newest warc_ts snapshot per url "
+        "(re-crawl dedup) in a staged corpus, then extract from it — the "
+        "extract plan itself stays fused; re-running resumes from the "
+        "committed staging dir",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -180,12 +188,30 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as exc:  # boundary validation (e.g. page_range 0:5)
             p.error(str(exc))
     concurrency = (1, args.concurrency) if args.concurrency else None
+    input_path = args.input
     try:
+        if args.dedup_snapshots:
+            # phase 1: snapshot dedup into a committed staging corpus
+            # (_SUCCESS marker => a re-run resumes straight into extract)
+            import os
+
+            import ray.data as rd
+
+            staging = os.path.join(args.output, "_snapshot_dedup")
+            marker = os.path.join(staging, "_SUCCESS")
+            if not os.path.exists(marker):
+                from .sources.pages import latest_snapshot_per_url
+
+                pages = rd.read_parquet(args.input)
+                latest_snapshot_per_url(pages).write_parquet(staging)
+                with open(marker, "w") as f:
+                    f.write("ok")
+            input_path = staging
         if args.no_checkpoint:
             from .pipelines.extract import extract_pipeline
 
             ds = extract_pipeline(
-                args.input,
+                input_path,
                 options=options,
                 mode=args.mode,
                 pipeline=args.pipeline,
@@ -198,7 +224,7 @@ def main(argv: list[str] | None = None) -> int:
             from .state.checkpoint import run_extract_checkpointed
 
             totals = run_extract_checkpointed(
-                args.input,
+                input_path,
                 args.output,
                 options=options,
                 mode=args.mode,

@@ -79,3 +79,57 @@ def test_cli_query_runs_pipeline(ray_session, capsys):
     out = capsys.readouterr().out
     assert '"query": "revenue_by_nation"' in out
     assert ray.is_initialized()  # the CLI must not tear down the caller's session
+
+
+def test_cli_dedup_snapshots_two_phase(tmp_path):
+    """--dedup-snapshots stages a newest-per-url corpus, extracts from it
+    (one output row per url), and a re-run resumes from the committed
+    staging dir instead of re-deduping."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from docling_jobkit_ray.fixtures.corpus import write_corpus
+
+    src = str(tmp_path / "src")
+    write_corpus(src, n_rows=60, seed=13, n_shards=2)
+    tables = [pq.read_table(f) for f in sorted(glob.glob(f"{src}/*.parquet"))]
+    t = pa.concat_tables(tables).combine_chunks()
+    df = t.to_pandas()
+    dup = df.iloc[:30].copy()
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(days=3)
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([df, dup], ignore_index=True), preserve_index=False,
+            schema=t.schema,
+        ),
+        f"{dup_dir}/pages.parquet",
+    )
+
+    out = str(tmp_path / "out")
+    _run_cli(
+        "--input", dup_dir, "--output", out,
+        "--dedup-snapshots", "--no-checkpoint", "--num-cpus", "4",
+    )
+    staged = sorted(glob.glob(f"{out}/_snapshot_dedup/*.parquet"))
+    assert staged and os.path.exists(f"{out}/_snapshot_dedup/_SUCCESS")
+    staged_urls = pa.concat_tables([pq.read_table(f, columns=["url"]) for f in staged])
+    assert staged_urls.num_rows == df["url"].nunique()
+
+    out_files = [
+        f for f in glob.glob(f"{out}/*.parquet")
+    ]
+    rows = pa.concat_tables([pq.read_table(f, columns=["url"]) for f in out_files])
+    assert rows.num_rows == df["url"].nunique()
+
+    # resume: poison the staging marker mtime check by re-running — the
+    # committed staging dir must be reused as-is (same file list)
+    before = staged
+    _run_cli(
+        "--input", dup_dir, "--output", str(tmp_path / "out2"),
+        "--dedup-snapshots", "--no-checkpoint", "--num-cpus", "4",
+    )
+    assert sorted(glob.glob(f"{out}/_snapshot_dedup/*.parquet")) == before
