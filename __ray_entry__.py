@@ -1479,6 +1479,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_threshold_profile(sf_dir)
 
     q["dedup_threshold_profile"] = _dedup_threshold_profile
+
+    def _token_budget_select(sf_dir: str):
+        from docling_jobkit_ray.functions.webtext import token_budget_select
+
+        return token_budget_select(sf_dir)
+
+    q["token_budget_select"] = _token_budget_select
     return q
 
 
@@ -1964,6 +1971,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ngram_vocab_sizes"] = ngram_vocab_sizes_sql()
     sql["dedup_threshold_profile"] = dedup_threshold_profile_sql()
+    from docling_jobkit_ray.functions.webtext import token_budget_select_sql
+
+    sql["token_budget_select"] = token_budget_select_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

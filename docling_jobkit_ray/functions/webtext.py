@@ -5657,3 +5657,210 @@ FROM (
        unnest(range(1, len(w) - {n - 2})) AS t(i))"""
         )
     return " UNION ALL ".join(parts) + " ORDER BY n"
+
+
+# ---------------------------------------------------------------------------
+# token-budget data selection — quality-per-token knapsack-greedy, exact
+# ---------------------------------------------------------------------------
+
+_BUDGET_PPM = 250_000
+_RATIO_SCALE = 1024
+
+
+def token_budget_select(
+    sf_dir: str, *, budget_ppm: int = _BUDGET_PPM
+) -> ray.data.Dataset:
+    """Exact quality-per-token data selection under a token budget: rank
+    documents by ``ratio = trunc(logit_e6 * 1024 / tokens)`` (the learned
+    classifier's score per token — knapsack-greedy, the shape every
+    "best data under N tokens" selection runs) and keep the maximal
+    prefix of the (ratio DESC, doc_id ASC) order whose running token sum
+    stays within ``budget = total_tokens * budget_ppm // 1e6``.
+
+    EXACT at any scale without a global sort: the per-doc (ratio, tokens)
+    map materializes once; an iterative token-WEIGHTED histogram refine
+    (1024 bins/pass over the ratio range, the bounded-quantile-refine
+    discipline) locates the cut ratio r* and the exact token mass above
+    it in O(log_1024(range)) streaming passes; only the TIE GROUP at r*
+    (documents sharing one exact integer ratio — no mass tie group exists
+    unless the corpus is ratio-degenerate) reaches the driver for the
+    doc_id-ordered remainder fill.  Output: selected (doc_id, ratio,
+    n_tokens) sorted by doc_id.
+
+    Truncating division mirrors DuckDB ``//`` (negative logits make
+    floor-vs-trunc load-bearing — the Holt lesson)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    m_schema = pa.schema(
+        [("doc_id", pa.int64()), ("ratio", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return m_schema.empty_table()
+        ze6 = _classifier_ze6(batch["text"])
+        tk = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=r"[^\s]+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        tk = np.maximum(tk, 1)
+        num = ze6 * _RATIO_SCALE
+        ratio = np.sign(num) * (np.abs(num) // tk)  # trunc toward zero
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "ratio": pa.array(ratio.astype(np.int64)),
+                "n_tokens": pa.array(tk),
+            }
+        )
+
+    m = ds.map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # several bounded consumers branch below
+
+    # pass 0: totals + ratio range (one bounded partial row per block)
+    def range_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("lo", pa.int64()), ("hi", pa.int64()), ("tok", pa.int64())]
+            ).empty_table()
+        r = batch["ratio"].to_numpy(zero_copy_only=False)
+        t = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array([int(r.min())], pa.int64()),
+                "hi": pa.array([int(r.max())], pa.int64()),
+                "tok": pa.array([int(t.sum())], pa.int64()),
+            }
+        )
+
+    parts = m.map_batches(
+        range_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not parts:
+        return ray.data.from_arrow(m_schema.empty_table())
+    lo = min(int(r["lo"]) for r in parts)
+    hi = max(int(r["hi"]) for r in parts)
+    total = sum(int(r["tok"]) for r in parts)
+    budget = total * budget_ppm // 1_000_000
+
+    # refine: find r* = smallest ratio whose strictly-above token mass
+    # fits the budget, tracking that mass exactly
+    nbins = 1024
+    tokens_above = 0  # token mass at ratios strictly above [lo, hi]
+    while lo < hi:
+        span = hi - lo + 1
+        cur_lo, cur_hi = lo, hi
+
+        def hist_partial(batch: pa.Table, cur_lo=cur_lo, span=span) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return pa.schema(
+                    [("bin", pa.int64()), ("tok", pa.int64())]
+                ).empty_table()
+            r = batch["ratio"].to_numpy(zero_copy_only=False)
+            t = batch["n_tokens"].to_numpy(zero_copy_only=False)
+            sel = (r >= cur_lo) & (r <= cur_lo + span - 1)
+            if not sel.any():
+                return pa.schema(
+                    [("bin", pa.int64()), ("tok", pa.int64())]
+                ).empty_table()
+            b = (r[sel] - cur_lo) * nbins // span
+            sums = np.zeros(nbins, np.int64)
+            np.add.at(sums, b, t[sel])
+            nz = np.flatnonzero(sums)
+            return pa.table(
+                {"bin": pa.array(nz.astype(np.int64)),
+                 "tok": pa.array(sums[nz])}
+            )
+
+        rows = (
+            m.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bin")
+            .aggregate(Sum("tok", alias_name="tok"))
+            .take_all()  # bounded: <= nbins rows
+        )
+        bins = np.zeros(nbins, np.int64)
+        for r in rows:
+            bins[int(r["bin"])] = int(r["tok"])
+        # walk bins from the TOP: the cut bin is the first where the
+        # cumulative from above exceeds the remaining budget
+        cut_bin = 0
+        for k in range(nbins - 1, -1, -1):
+            if tokens_above + bins[k] > budget:
+                cut_bin = k
+                break
+            tokens_above += bins[k]
+        else:
+            # everything fits: cut below the range
+            cut_bin = -1
+        if cut_bin < 0:
+            lo = hi = cur_lo - 1  # sentinel: all of [lo, hi] selected
+            break
+        # new range = the cut bin's value interval
+        new_lo = cur_lo + (cut_bin * span + nbins - 1) // nbins  # ceil
+        new_hi = cur_lo + ((cut_bin + 1) * span) // nbins - 1
+        # bins above cut_bin were consumed into tokens_above already
+        lo, hi = new_lo, min(new_hi, cur_hi)
+        if lo >= hi:
+            lo = hi = max(lo, min(hi, cur_hi))
+            break
+    rstar = lo  # docs with ratio > rstar are all selected
+
+    # tie fill: docs AT rstar in doc_id order until the budget is spent
+    remaining = budget - tokens_above
+    tie_rows = (
+        m.map_batches(
+            lambda b: b.filter(pc.equal(b["ratio"], pa.scalar(rstar, pa.int64()))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()  # bounded: one exact integer ratio's documents
+    )
+    tie_rows.sort(key=lambda r: int(r["doc_id"]))
+    tie_keep = []
+    acc = 0
+    for r in tie_rows:
+        if acc + int(r["n_tokens"]) > remaining:
+            break
+        acc += int(r["n_tokens"])
+        tie_keep.append(int(r["doc_id"]))
+    tie_arr = pa.array(tie_keep, pa.int64())
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return m_schema.empty_table()
+        keep = pc.or_(
+            pc.greater(batch["ratio"], pa.scalar(rstar, pa.int64())),
+            pc.is_in(batch["doc_id"], value_set=tie_arr),
+        )
+        return batch.filter(keep)
+
+    return m.map_batches(
+        final_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+def token_budget_select_sql(budget_ppm: int = _BUDGET_PPM) -> str:
+    inner = (
+        CLASSIFIER_QUALITY_SCORES_SQL.strip().rstrip().removesuffix("ORDER BY doc_id").rstrip()
+    )
+    return f"""
+WITH q AS ({inner}),
+d AS (
+  SELECT q.doc_id, q.logit_e6,
+         greatest(len(regexp_extract_all(t.text, '[^\\s]+')), 1) AS tk
+  FROM q JOIN documents t USING (doc_id)),
+r AS (
+  SELECT doc_id, tk,
+         CAST((logit_e6 * {_RATIO_SCALE}) // tk AS BIGINT) AS ratio
+  FROM d),
+w AS (
+  SELECT doc_id, ratio, tk,
+         sum(tk) OVER (ORDER BY ratio DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r),
+b AS (SELECT CAST(sum(tk) AS BIGINT) * {budget_ppm} // 1000000 AS bb FROM r)
+SELECT doc_id, ratio, CAST(tk AS BIGINT) AS n_tokens
+FROM w, b WHERE cum <= bb
+ORDER BY doc_id
+"""

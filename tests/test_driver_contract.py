@@ -400,6 +400,7 @@ SQL_BACKED = [
     "word_dropout_augment",
     "ngram_vocab_sizes",
     "dedup_threshold_profile",
+    "token_budget_select",
 ]
 
 

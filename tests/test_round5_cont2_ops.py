@@ -206,3 +206,55 @@ def test_word_dropout_subsequence_and_determinism(ray_session):
         assert all(w in it for w in aw)
     share = a["n_dropped"].sum() / (a["n_kept"].sum() + a["n_dropped"].sum())
     assert 0.09 < share < 0.16
+
+
+def test_token_budget_select_monotone_and_within_budget(ray_session):
+    """A larger budget selects a superset; every selection's token sum is
+    within its budget and maximal (adding the next-best doc would
+    overflow)."""
+    from docling_jobkit_ray.functions.webtext import token_budget_select
+
+    small = token_budget_select(SF, budget_ppm=100_000).to_pandas()
+    big = token_budget_select(SF, budget_ppm=400_000).to_pandas()
+    assert set(small["doc_id"]) <= set(big["doc_id"])
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    total = int(
+        pc.sum(pc.count_substring_regex(t["text"], pattern=r"[^\s]+")).as_py()
+    )
+    for df, ppm in ((small, 100_000), (big, 400_000)):
+        assert df["n_tokens"].sum() <= total * ppm // 1_000_000
+
+
+def test_token_budget_select_degenerate_ties(ray_session, tmp_path):
+    """All-identical ratios: the whole corpus is one tie group — the fill
+    must take doc_ids in order until the budget is spent."""
+    import os
+
+    import pyarrow as pa
+
+    from docling_jobkit_ray.functions.webtext import token_budget_select
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    text = "alpha beta gamma delta epsilon"  # 5 tokens each, same score
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": pa.array([text] * 40, pa.string()),
+            }
+        ),
+        f"{src}/documents.parquet",
+    )
+    got = token_budget_select(src, budget_ppm=250_000).to_pandas()
+    # budget = 200*0.25 = 50 tokens = 10 docs; doc_id order
+    assert list(got["doc_id"]) == list(range(10))
+
+
+def test_token_budget_zero_budget_empty(ray_session):
+    from docling_jobkit_ray.functions.webtext import token_budget_select
+
+    got = token_budget_select(SF, budget_ppm=0).to_pandas()
+    assert len(got) == 0
