@@ -1486,6 +1486,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return token_budget_select(sf_dir)
 
     q["token_budget_select"] = _token_budget_select
+
+    def _ngram_containment_pairs(sf_dir: str):
+        from docling_jobkit_ray.functions.dedup import ngram_containment_pairs
+
+        return ngram_containment_pairs(sf_dir)
+
+    q["ngram_containment_pairs"] = _ngram_containment_pairs
     return q
 
 
@@ -1974,6 +1981,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.webtext import token_budget_select_sql
 
     sql["token_budget_select"] = token_budget_select_sql()
+    from docling_jobkit_ray.functions.dedup import ngram_containment_sql
+
+    sql["ngram_containment_pairs"] = ngram_containment_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

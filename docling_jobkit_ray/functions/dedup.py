@@ -1667,3 +1667,177 @@ ORDER BY p.doc_a
 
 
 LABELED_PAIR_SAMPLE_SQL = labeled_pair_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment join — subset duplication jaccard cannot see
+# ---------------------------------------------------------------------------
+
+
+def string_shingle_containment(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact containment C(A -> B) = |Sa ∩ Sb| / |Sa| over string shingle
+    sets — both cardinalities exact ints, so the double equals DuckDB's
+    ``c::DOUBLE / sa`` bit-for-bit."""
+    a, b = _string_shingles(text_a, k), _string_shingles(text_b, k)
+    if not a:
+        return 0.0
+    return len(a & b) / len(a)
+
+
+def ngram_containment_pairs(
+    sf_dir: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    broadcast_pair_limit: int = 200_000,
+    broadcast_byte_limit: int = 256 * 1024 * 1024,
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram CONTAINMENT join: every ORDERED pair
+    (doc_a != doc_b) with ``|Sa ∩ Sb| / |Sa| >= threshold`` — the
+    asymmetric near-dup relation Jaccard cannot see (a document quoted or
+    embedded inside a larger one scores high containment but low Jaccard;
+    Broder's "inclusion" companion to resemblance).
+
+    Completeness: the prefix lemma holds ONE-SIDED — overlap must reach
+    ``ceil(t * |Sa|)``, so if none of A's first ``|Sa| - ceil(t*|Sa|) + 1``
+    shingles (global (hash, string) order) hits ``Sb``, the remaining
+    suffix is too short to supply the overlap.  A-side emits prefixes,
+    B-side emits FULL shingle sets (inherent to containment — the
+    containing side has no size bound), candidates = prefix x full hash
+    matches per bucket, and the shared hybrid verify scores exact string
+    containment.
+
+    Scale note: the full-side emission makes a stopword-ish shingle
+    concentrate candidates harder than in the symmetric join; the df-
+    ascending shingle reorder is the standard mitigation when candidate
+    volume dominates (same note as ngram_jaccard_pairs)."""
+    import math
+    import zlib as _z
+
+    import pyarrow.compute as pc
+
+    from ..scale import bucket_count, estimate_rows
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"ngram_containment_pairs: threshold must be in (0, 1], got {threshold}"
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def emit_rows(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_h: list[int] = []
+        out_d: list[int] = []
+        out_r: list[int] = []
+        for d, t in zip(doc_ids, texts):
+            gs = _string_shingles(t, shingle_k)
+            n = len(gs)
+            if n == 0:
+                continue
+            ranked = sorted(
+                (((_z.crc32(g.encode("utf-8")) + 1) * 0x9E3779B97F4A7C15) & ((1 << 63) - 1), g)
+                for g in gs
+            )
+            p = min(n, n - math.ceil(threshold * n) + 1)
+            out_h.extend(h for h, _ in ranked[:p])
+            out_d.extend([d] * p)
+            out_r.extend([0] * p)  # A-side prefix
+            out_h.extend(h for h, _ in ranked)
+            out_d.extend([d] * n)
+            out_r.extend([1] * n)  # B-side full
+        return pa.table(
+            {
+                "sh": pa.array(out_h, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "role": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    n_docs = estimate_rows(sf_dir, "documents")
+    n_buckets = bucket_count(
+        n_docs * 256, target_rows_per_bucket=1_000_000, min_buckets=256
+    )
+    bucket_mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    rows = ds.map_batches(emit_rows, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = rows.map_batches(
+        lambda b: b.append_column("bucket", pc.bit_wise_and(b["sh"], bucket_mask)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def emit_pairs_bucket(group: pd.DataFrame) -> pa.Table:
+        a = group[group["role"] == 0][["sh", "doc_id"]]
+        b = group[group["role"] == 1][["sh", "doc_id"]]
+        if a.empty or b.empty:
+            return pa.table({"pairkey": pa.array([], pa.int64())})
+        m = a.merge(b, on="sh", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] != m["doc_id_b"]]
+        if m.empty:
+            return pa.table({"pairkey": pa.array([], pa.int64())})
+        key = m["doc_id_a"].to_numpy() * np.int64(2**32) + m["doc_id_b"].to_numpy()
+        return pa.table({"pairkey": pa.array(np.unique(key), pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    def decode_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+            ).empty_table()
+        a = pc.divide(batch["pairkey"], pa.scalar(2**32, pa.int64()))
+        return pa.table(
+            {
+                "doc_a": a,
+                "doc_b": pc.subtract(
+                    batch["pairkey"], pc.multiply(a, pa.scalar(2**32, pa.int64()))
+                ),
+            }
+        )
+
+    candidates = (
+        bucketed.groupby("bucket")
+        .map_groups(emit_pairs_bucket, batch_format="pandas")
+        .groupby("pairkey")
+        .aggregate(Count(alias_name="n_hits"))
+        .map_batches(decode_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    verified = _verify_pairs_hybrid(
+        candidates,
+        docs,
+        sf_dir,
+        lambda ta, tb: string_shingle_containment(ta, tb, shingle_k),
+        threshold,
+        broadcast_pair_limit=broadcast_pair_limit,
+        broadcast_byte_limit=broadcast_byte_limit,
+    )
+    return verified.map_batches(
+        lambda b: b.rename_columns(["doc_a", "doc_b", "containment"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def ngram_containment_sql(threshold: float = 0.8, shingle_k: int = 3) -> str:
+    """Brute-force quadratic oracle over the identical shingle definition,
+    ORDERED pairs (containment is asymmetric)."""
+    joins = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(shingle_k))
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {joins} AS g
+  FROM words, unnest(range(1, len(w) - {shingle_k - 2})) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON b.g = a.g AND b.doc_id <> a.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, c::DOUBLE / sa.n AS containment
+FROM ov
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE c::DOUBLE / sa.n >= {threshold}
+ORDER BY doc_a, doc_b
+"""

@@ -401,6 +401,7 @@ SQL_BACKED = [
     "ngram_vocab_sizes",
     "dedup_threshold_profile",
     "token_budget_select",
+    "ngram_containment_pairs",
 ]
 
 

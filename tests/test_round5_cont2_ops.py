@@ -258,3 +258,58 @@ def test_token_budget_zero_budget_empty(ray_session):
 
     got = token_budget_select(SF, budget_ppm=0).to_pandas()
     assert len(got) == 0
+
+
+def test_containment_finds_planted_subset(ray_session, tmp_path):
+    """A short doc embedded verbatim inside a long one: containment ~1.0
+    finds it; symmetric Jaccard at the same threshold cannot."""
+    import os
+
+    import pyarrow as pa
+
+    from docling_jobkit_ray.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng_words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    short = " ".join(rng_words[:8])
+    long_doc = " ".join(rng_words[8:]) + " " + short + " " + " ".join(reversed(rng_words))
+    filler = [" ".join(reversed(rng_words[i:] + rng_words[:i])) for i in range(2, 12)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(2 + len(filler)), pa.int64()),
+                "text": pa.array([short, long_doc, *filler], pa.string()),
+            }
+        ),
+        f"{src}/documents.parquet",
+    )
+    cont = ngram_containment_pairs(src, threshold=0.9).to_pandas()
+    hit = cont[(cont["doc_a"] == 0) & (cont["doc_b"] == 1)]
+    assert len(hit) == 1 and hit["containment"].iloc[0] >= 0.9
+    jac = ngram_jaccard_pairs(src, threshold=0.9).to_pandas()
+    if not jac.empty:  # all-empty Dataset drops columns (CLAUDE.md)
+        assert not (
+            ((jac["doc_a"] == 0) & (jac["doc_b"] == 1))
+            | ((jac["doc_a"] == 1) & (jac["doc_b"] == 0))
+        ).any()
+
+
+def test_containment_asymmetry(ray_session):
+    """C(short -> long) can hold while C(long -> short) fails — ordered
+    pairs must reflect the direction."""
+    from docling_jobkit_ray.functions.dedup import ngram_containment_pairs
+
+    got = ngram_containment_pairs(SF, threshold=0.8).to_pandas()
+    pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    assert len(got) > 0
+    # at least the planted exact near-dups appear in both directions;
+    # asymmetric subset relations appear once — ordered output is a
+    # superset of its symmetric core, never double-counted
+    assert len(pairs) == len(got)
