@@ -1493,6 +1493,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ngram_containment_pairs(sf_dir)
 
     q["ngram_containment_pairs"] = _ngram_containment_pairs
+
+    def _ab_sprt_decision(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import ab_sprt_decision
+
+        return ab_sprt_decision(sf_dir)
+
+    q["ab_sprt_decision"] = _ab_sprt_decision
     return q
 
 
@@ -1984,6 +1991,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.dedup import ngram_containment_sql
 
     sql["ngram_containment_pairs"] = ngram_containment_sql()
+    from docling_jobkit_ray.functions.stats_tests import AB_SPRT_DECISION_SQL
+
+    sql["ab_sprt_decision"] = AB_SPRT_DECISION_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

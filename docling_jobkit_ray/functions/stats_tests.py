@@ -1273,3 +1273,190 @@ JOIN r ON r.lang = cells.lang
 JOIN c ON c.source = cells.source, tot
 ORDER BY cells.lang, cells.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT — sequential early-stopping decision on the treatment arm
+# ---------------------------------------------------------------------------
+
+# integer log-likelihood-ratio constants, PRE-COMPUTED once and embedded as
+# literals in both engines (the NDCG/harmonic discipline: zero query-time
+# float transcendentals).  H0: p=0.20, H1: p=0.25, alpha=beta=0.05.
+_SPRT_L1 = 223144   # round(ln(0.25/0.20) * 1e6) — a conversion's LLR step
+_SPRT_L0 = -64539   # round(ln(0.75/0.80) * 1e6) — a non-conversion's step
+_SPRT_A = 2944439   # round(ln(0.95/0.05) * 1e6) — accept-H1 boundary
+_SPRT_B = -2944439  # accept-H0 boundary
+_SPRT_LEHMER_A = 630360016
+_SPRT_LEHMER_M = 2147483647
+_US_PER_DAY_SPRT = 86_400_000_000
+
+
+def ab_sprt_decision(sf_dir: str) -> pa.Table:
+    """Wald's Sequential Probability Ratio Test over the treatment arm's
+    conversion stream — the early-stopping monitor a fixed-horizon A/B
+    readout (``ab_median_uplift``) lacks: walk events in (ts, event_id)
+    order, add the integer LLR step per event (conversion = 'purchase'),
+    and stop at the FIRST boundary crossing.  Output one row:
+    (decision 1/-1/0, n_seen, cum_llr, cross_event_id).
+
+    Exactness: arm = full-period Lehmer(user_id) % 2 (the repo's
+    reshard-invariant assignment); LLR steps and boundaries are
+    precomputed integer literals identical in both engines; the running
+    sum is an exact int64 over a TOTAL order (event_id breaks ts ties).
+
+    Plan shape (the first-crossing two-pass): pass 1 folds per-DAY
+    partials (total LLR + min/max in-day prefix over the day-sorted
+    events); the driver prefix-sums day offsets and locates the first
+    day whose [offset+min, offset+max] envelope touches a boundary —
+    the crossing day, found without ordering any event globally; pass 2
+    scans ONLY that day's treatment events for the exact crossing.
+    Nothing event-proportional reaches the driver beyond one day."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    part_schema = pa.schema(
+        [
+            ("day", pa.int64()),
+            ("tot", pa.int64()),
+            ("minp", pa.int64()),
+            ("maxp", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def _treatment(batch: pa.Table):
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        arm = (uid % _SPRT_LEHMER_M) * _SPRT_LEHMER_A % _SPRT_LEHMER_M % 2
+        return arm == 1
+
+    # per-block prefix envelopes are NOT mergeable across blocks of the
+    # same day (extremes depend on in-day order), so events group BY DAY
+    # and each day folds with one in-group sort — the day grain bounds
+    # the group at any corpus size.
+    ev_schema = pa.schema(
+        [("day", pa.int64()), ("ts", pa.int64()), ("eid", pa.int64()), ("llr", pa.int64())]
+    )
+
+    def ev_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return ev_schema.empty_table()
+        keep = _treatment(batch)
+        if not keep.any():
+            return ev_schema.empty_table()
+        b = batch.filter(pa.array(keep))
+        ts = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        is_conv = pc.equal(b["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(ts // _US_PER_DAY_SPRT, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "llr": pa.array(
+                    np.where(is_conv, _SPRT_L1, _SPRT_L0).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold_day(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return part_schema.empty_table()
+        g = group.select(ev_schema.names).cast(ev_schema)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        llr = g["llr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        pref = np.cumsum(llr[order])
+        return pa.table(
+            {
+                "day": pa.array([int(g["day"][0].as_py())], pa.int64()),
+                "tot": pa.array([int(pref[-1])], pa.int64()),
+                "minp": pa.array([int(pref.min())], pa.int64()),
+                "maxp": pa.array([int(pref.max())], pa.int64()),
+                "n": pa.array([len(pref)], pa.int64()),
+            }
+        )
+
+    evs = ds.map_batches(ev_rows, batch_format="pyarrow", zero_copy_batch=True)
+    days = (
+        evs.groupby("day")
+        .map_groups(fold_day, batch_format="pyarrow")
+        .take_all()  # bounded: one row per calendar day
+    )
+    days.sort(key=lambda r: int(r["day"]))
+    offset = 0
+    total_n = 0
+    cross_day = None
+    for r in days:
+        if (
+            offset + int(r["minp"]) <= _SPRT_B
+            or offset + int(r["maxp"]) >= _SPRT_A
+        ):
+            cross_day = int(r["day"])
+            break
+        offset += int(r["tot"])
+        total_n += int(r["n"])
+    if cross_day is None:
+        return pa.table(
+            {
+                "decision": pa.array([0], pa.int64()),
+                "n_seen": pa.array([total_n], pa.int64()),
+                "cum_llr": pa.array([offset], pa.int64()),
+                "cross_event_id": pa.array([-1], pa.int64()),
+            }
+        )
+
+    # pass 2: the crossing day's events only (bounded by one day)
+    day_rows = (
+        evs.map_batches(
+            lambda b: b.filter(pc.equal(b["day"], pa.scalar(cross_day, pa.int64()))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+    )
+    ts = np.array([int(r["ts"]) for r in day_rows], np.int64)
+    eid = np.array([int(r["eid"]) for r in day_rows], np.int64)
+    llr = np.array([int(r["llr"]) for r in day_rows], np.int64)
+    order = np.lexsort((eid, ts))
+    pref = offset + np.cumsum(llr[order])
+    crossing = np.flatnonzero((pref >= _SPRT_A) | (pref <= _SPRT_B))
+    i = int(crossing[0])
+    return pa.table(
+        {
+            "decision": pa.array(
+                [1 if pref[i] >= _SPRT_A else -1], pa.int64()
+            ),
+            "n_seen": pa.array([total_n + i + 1], pa.int64()),
+            "cum_llr": pa.array([int(pref[i])], pa.int64()),
+            "cross_event_id": pa.array([int(eid[order][i])], pa.int64()),
+        }
+    )
+
+
+AB_SPRT_DECISION_SQL = f"""
+WITH e AS (
+  SELECT event_id, ts,
+         CASE WHEN event_type = 'purchase' THEN {_SPRT_L1}
+              ELSE {_SPRT_L0} END AS llr
+  FROM events
+  WHERE ((user_id % {_SPRT_LEHMER_M}) * {_SPRT_LEHMER_A})
+        % {_SPRT_LEHMER_M} % 2 = 1),
+w AS (
+  SELECT event_id,
+         sum(llr) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+           AS cum,
+         row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM e),
+x AS (SELECT * FROM w WHERE cum >= {_SPRT_A} OR cum <= {_SPRT_B}
+      ORDER BY rn LIMIT 1)
+SELECT CAST(CASE WHEN (SELECT count(*) FROM x) = 0 THEN 0
+            WHEN (SELECT max(cum) FROM x) >= {_SPRT_A} THEN 1
+            ELSE -1 END AS BIGINT) AS decision,
+       CAST(coalesce((SELECT rn FROM x), (SELECT count(*) FROM w))
+            AS BIGINT) AS n_seen,
+       CAST(coalesce((SELECT cum FROM x),
+                     coalesce((SELECT cum FROM w ORDER BY rn DESC LIMIT 1), 0))
+            AS BIGINT) AS cum_llr,
+       CAST(coalesce((SELECT event_id FROM x), -1) AS BIGINT)
+         AS cross_event_id
+"""

@@ -402,6 +402,7 @@ SQL_BACKED = [
     "dedup_threshold_profile",
     "token_budget_select",
     "ngram_containment_pairs",
+    "ab_sprt_decision",
 ]
 
 

@@ -313,3 +313,68 @@ def test_containment_asymmetry(ray_session):
     # asymmetric subset relations appear once — ordered output is a
     # superset of its symmetric core, never double-counted
     assert len(pairs) == len(got)
+
+
+def test_sprt_decision_semantics(ray_session):
+    """Decision rules: a crossing row's cum_llr sits beyond the declared
+    boundary; a 0-decision's final cum sits strictly inside both."""
+    from docling_jobkit_ray.functions.stats_tests import (
+        _SPRT_A,
+        _SPRT_B,
+        ab_sprt_decision,
+    )
+
+    row = ab_sprt_decision(SF).to_pandas().iloc[0]
+    if row["decision"] == 1:
+        assert row["cum_llr"] >= _SPRT_A and row["cross_event_id"] >= 0
+    elif row["decision"] == -1:
+        assert row["cum_llr"] <= _SPRT_B and row["cross_event_id"] >= 0
+    else:
+        assert _SPRT_B < row["cum_llr"] < _SPRT_A
+        assert row["cross_event_id"] == -1
+    assert row["n_seen"] > 0
+
+
+def test_sprt_planted_conversion_burst(ray_session, tmp_path):
+    """A synthetic stream that is pure conversions must accept H1 after
+    exactly ceil(A / l1) events."""
+    import math
+    import os
+
+    import pyarrow as pa
+
+    from docling_jobkit_ray.functions.stats_tests import (
+        _SPRT_A,
+        _SPRT_L1,
+        _SPRT_LEHMER_A,
+        _SPRT_LEHMER_M,
+        ab_sprt_decision,
+    )
+
+    # pick user ids landing in the treatment arm
+    uids = [u for u in range(1000) if (u % _SPRT_LEHMER_M) * _SPRT_LEHMER_A % _SPRT_LEHMER_M % 2 == 1][:50]
+    n = 40
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i * 1_000_000 for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([uids[i % len(uids)] for i in range(n)], pa.int64()),
+                "event_type": pa.array(["purchase"] * n, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        f"{src}/events.parquet",
+    )
+    row = ab_sprt_decision(src).to_pandas().iloc[0]
+    want_n = math.ceil(_SPRT_A / _SPRT_L1)
+    assert row["decision"] == 1
+    assert row["n_seen"] == want_n
