@@ -162,6 +162,20 @@ def build_inverted_index(
 
     index = pairs.groupby("bucket").map_groups(fold, batch_format="pyarrow")
     index.write_parquet(out_dir, partition_cols=["bucket"])
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out_dir, "_meta.json"), "w") as f:
+        _json.dump(
+            {
+                "n_buckets": n_buckets,
+                "min_df": min_df,
+                "max_df_ratio": max_df_ratio,
+                "kind": "inverted",
+                "version": 1,
+            },
+            f,
+        )
     return {"n_buckets": n_buckets, "n_docs": n_docs, "path": out_dir}
 
 
@@ -194,8 +208,28 @@ def lookup_postings(out_dir: str, terms: list[str], *, n_buckets: int) -> pa.Tab
     )
     out = pa.Table.from_pandas(
         hit.to_pandas(), preserve_index=False
-    )  # bounded: <= len(terms) rows
-    return out.sort_by("term") if out.num_rows else out
+    )  # bounded: <= len(terms) rows per index generation
+    if out.num_rows == 0:
+        return out
+    # appends add NEW posting rows per term (never rewrite) — merge the
+    # per-term rows (union postings, df = |union|) so old + new answer
+    # queries uniformly, and a re-run of a crashed append stays idempotent
+    df = out.to_pandas()
+    if df["term"].duplicated().any():
+        merged_t, merged_p = [], []
+        for term, grp in df.groupby("term", sort=True):
+            lists = [np.asarray(lst, np.int64) for lst in grp["postings"]]
+            u = lists[0] if len(lists) == 1 else np.unique(np.concatenate(lists))
+            merged_t.append(term)
+            merged_p.append(u.tolist())
+        return pa.table(
+            {
+                "term": pa.array(merged_t, pa.string()),
+                "df": pa.array([len(p) for p in merged_p], pa.int64()),
+                "postings": pa.array(merged_p, pa.list_(pa.int64())),
+            }
+        )
+    return out.sort_by("term")
 
 
 def inverted_index_stats(
@@ -1446,3 +1480,79 @@ GROUP BY td.doc_id
 ORDER BY n_hits DESC, sum_df ASC, doc_id ASC
 LIMIT {k}
 """
+
+
+def append_inverted_index(out_dir: str, new_docs: ray.data.Dataset) -> dict:
+    """Incrementally add documents to a persisted inverted index — the
+    boolean-retrieval member of the incremental-index family (bloom /
+    minhash / IVF / trigram / positional / inverted share the protocol):
+    ``n_buckets`` comes from the existing ``_meta.json`` (the partition
+    hash can never drift), new posting rows land in the same ``bucket=N``
+    partitions as extra files (never rewrites), and the lookup path
+    merges per-term rows so old + new postings answer uniformly.
+
+    Only UNPRUNED indexes accept appends: a min_df/max_df-pruned build
+    drops terms per-generation, so append==rebuild would silently break
+    for terms crossing the threshold only in the union — refuse instead."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(out_dir, "_meta.json")
+    if not _os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no _meta.json in {out_dir} — build_inverted_index first"
+        )
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    if meta.get("min_df", 1) != 1 or meta.get("max_df_ratio", 1.0) != 1.0:
+        raise ValueError(
+            "append_inverted_index: only unpruned indexes (min_df=1, "
+            "max_df_ratio=1.0) can be appended — per-generation pruning "
+            "diverges from a rebuild"
+        )
+    n_buckets = int(meta["n_buckets"])
+
+    _PAIRS_SCHEMA = pa.schema(
+        [("bucket", pa.int64()), ("term", pa.string()), ("doc_id", pa.int64())]
+    )
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("postings", pa.list_(pa.int64())),
+        ]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return _OUT_SCHEMA.empty_table()
+        g = (
+            group.select(_PAIRS_SCHEMA.names)
+            .cast(_PAIRS_SCHEMA)
+            .group_by(["bucket", "term", "doc_id"])
+            .aggregate([])
+            .sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        )
+        agg = g.group_by("term", use_threads=False).aggregate(
+            [("doc_id", "list"), ("doc_id", "count")]
+        )
+        t = agg.rename_columns(["term", "postings", "df"])
+        n = t.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array([group["bucket"][0].as_py()] * n, pa.int64()),
+                "term": t["term"],
+                "df": pc.cast(t["df"], pa.int64()),
+                "postings": t["postings"],
+            }
+        )
+
+    new_docs.map_batches(
+        lambda b: term_doc_pairs(b, n_buckets=n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).groupby("bucket").map_groups(fold, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return {"n_buckets": n_buckets, "path": out_dir}

@@ -151,3 +151,75 @@ def test_bm25_search_matches_sql_and_ranks_sensibly(ray_session, tmp_path):
     assert 4 not in ranks  # no query terms
     assert ranks[0] < ranks[2]  # rare-term tf beats common-term tf
     assert ranks[0] < ranks[3]  # length normalization penalizes the long doc
+
+
+def test_append_equals_rebuild_and_idempotent(ray_session, tmp_path):
+    """Half build + half append must answer every query exactly like the
+    all-at-once build; re-appending the same half (crashed-append replay)
+    must change nothing (lookup-side union dedup)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    from docling_jobkit_ray.functions.index import (
+        append_inverted_index,
+        build_inverted_index,
+        lookup_postings,
+        search_postings,
+    )
+    from docling_jobkit_ray.sources.pages import read_table
+
+    full_dir = str(tmp_path / "full")
+    half_dir = str(tmp_path / "half")
+    meta_full = build_inverted_index(SF_DIR, full_dir)
+    assert os.path.exists(os.path.join(full_dir, "_meta.json"))
+
+    docs = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+    lo = docs.map_batches(
+        lambda b: b.filter(pc.less(pc.cast(b["doc_id"], "int64"), 250)),
+        batch_format="pyarrow",
+    )
+    hi = docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(pc.cast(b["doc_id"], "int64"), 250)),
+        batch_format="pyarrow",
+    )
+    half_src = str(tmp_path / "halfsrc")
+    os.makedirs(half_src)
+    _pq.write_table(
+        pa.Table.from_pandas(lo.to_pandas(), preserve_index=False),
+        f"{half_src}/documents.parquet",
+    )
+    build_inverted_index(half_src, half_dir, min_df=1, max_df_ratio=1.0)
+    # pin the bucket count so both artifacts share partitions for compare
+    append_inverted_index(half_dir, hi)
+
+    terms = ["table", "spark", "window", "hash"]
+    a = search_postings(full_dir, terms, n_buckets=meta_full["n_buckets"], k=50)
+    import json
+
+    nb_half = json.load(open(f"{half_dir}/_meta.json"))["n_buckets"]
+    b = search_postings(half_dir, terms, n_buckets=nb_half, k=50)
+    assert a.to_pydict() == b.to_pydict()
+
+    before = lookup_postings(half_dir, terms, n_buckets=nb_half).to_pydict()
+    append_inverted_index(half_dir, hi)  # replay
+    after = lookup_postings(half_dir, terms, n_buckets=nb_half).to_pydict()
+    assert before == after
+
+
+def test_append_refuses_pruned_index(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from docling_jobkit_ray.functions.index import (
+        append_inverted_index,
+        build_inverted_index,
+    )
+    from docling_jobkit_ray.sources.pages import read_table
+
+    out = str(tmp_path / "pruned")
+    build_inverted_index(SF_DIR, out, min_df=2)
+    docs = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+    with _pytest.raises(ValueError, match="unpruned"):
+        append_inverted_index(out, docs)
