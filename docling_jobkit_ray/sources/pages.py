@@ -112,3 +112,75 @@ def latest_snapshot_per_url(
         .groupby("ubucket")
         .map_groups(keep_latest, batch_format="pyarrow")
     )
+
+
+def page_metadata(path: str | ray.data.Dataset) -> ray.data.Dataset:
+    """WAT-style page metadata scan: (url, title, first_h1, n_links,
+    is_html) per page — the lightweight companion record Common Crawl
+    ships next to the WARC (CCF's WAT files carry exactly these header
+    fields), produced WITHOUT running the full extraction kernel.
+
+    Pure vectorized map: payloads route by a binary header sniff
+    (``<html`` prefix — the admission discipline of extract/record), only
+    the HTML minority casts to string, and title/h1 capture is one
+    ``pc.extract_regex`` each (RE2, first match); link counts are one
+    ``count_substring_regex``.  Non-HTML payloads keep their row with
+    null metadata, so the output is a full census of the corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = read_pages(path, columns=["url", "html"]) if isinstance(path, str) else path
+
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("title", pa.string()),
+            ("first_h1", pa.string()),
+            ("n_links", pa.int64()),
+            ("is_html", pa.int64()),
+        ]
+    )
+
+    def meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        html_bin = batch["html"]
+        head = pc.binary_slice(html_bin, 0, 8)
+        is_html = pc.starts_with(pc.cast(head, pa.string(), safe=False), "<html")
+        is_html_np = pc.fill_null(is_html, False).to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        n = batch.num_rows
+        titles = np.full(n, None, dtype=object)
+        h1s = np.full(n, None, dtype=object)
+        links = np.zeros(n, np.int64)
+        if is_html_np.any():
+            sel = pa.array(is_html_np)
+            html_str = pc.cast(html_bin.filter(sel), pa.string())
+            titles[is_html_np] = np.asarray(
+                pc.struct_field(
+                    pc.extract_regex(html_str, pattern=r"<title[^>]*>(?P<t>[^<]*)"),
+                    "t",
+                ).to_pylist(),
+                dtype=object,
+            )
+            h1s[is_html_np] = np.asarray(
+                pc.struct_field(
+                    pc.extract_regex(html_str, pattern=r"<h1[^>]*>(?P<h>[^<]*)"), "h"
+                ).to_pylist(),
+                dtype=object,
+            )
+            links[is_html_np] = pc.count_substring_regex(
+                html_str, pattern=r"<a\s"
+            ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "title": pa.array(titles.tolist(), pa.string()),
+                "first_h1": pa.array(h1s.tolist(), pa.string()),
+                "n_links": pa.array(links),
+                "is_html": pa.array(is_html_np.astype("int64")),
+            }
+        )
+
+    return ds.map_batches(meta, batch_format="pyarrow", zero_copy_batch=True)

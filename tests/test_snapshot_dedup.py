@@ -82,3 +82,28 @@ def test_extract_after_dedup_converts_each_url_once(dup_corpus):
     deduped = latest_snapshot_per_url(ds)
     urls = deduped.to_pandas()["url"]
     assert urls.is_unique and len(urls) == orig["url"].nunique()
+
+
+def test_page_metadata_census(dup_corpus, ray_session):
+    """Every page keeps a row; HTML rows carry the title the generator
+    embedded (cross-checked with an independent stdlib parse); binary
+    payloads survive with null metadata."""
+    import re
+
+    out, orig, _ = dup_corpus
+    from docling_jobkit_ray.sources.pages import page_metadata
+
+    got = page_metadata(ray.data.from_arrow(pa.Table.from_pandas(orig, preserve_index=False))).to_pandas()
+    assert len(got) == len(orig)
+    by_url = dict(zip(orig["url"], orig["html"]))
+    n_html = 0
+    for r in got.itertuples(index=False):
+        raw = by_url[r.url]
+        if r.is_html:
+            n_html += 1
+            m = re.search(rb"<title[^>]*>([^<]*)", raw)
+            assert m and m.group(1).decode() == r.title
+            assert r.n_links >= 1  # nav blocks always carry anchors
+        else:
+            assert r.title is None and r.n_links == 0
+    assert n_html > len(got) * 0.8  # binary/poison are a small minority
