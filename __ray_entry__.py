@@ -1500,6 +1500,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ab_sprt_decision(sf_dir)
 
     q["ab_sprt_decision"] = _ab_sprt_decision
+
+    def _mood_median_test(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import mood_median_test
+
+        return mood_median_test(sf_dir)
+
+    q["mood_median_test"] = _mood_median_test
     return q
 
 
@@ -1991,9 +1998,13 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.dedup import ngram_containment_sql
 
     sql["ngram_containment_pairs"] = ngram_containment_sql()
-    from docling_jobkit_ray.functions.stats_tests import AB_SPRT_DECISION_SQL
+    from docling_jobkit_ray.functions.stats_tests import (
+        AB_SPRT_DECISION_SQL,
+        MOOD_MEDIAN_TEST_SQL,
+    )
 
     sql["ab_sprt_decision"] = AB_SPRT_DECISION_SQL
+    sql["mood_median_test"] = MOOD_MEDIAN_TEST_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

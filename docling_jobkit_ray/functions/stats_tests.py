@@ -1460,3 +1460,142 @@ SELECT CAST(CASE WHEN (SELECT count(*) FROM x) = 0 THEN 0
        CAST(coalesce((SELECT event_id FROM x), -1) AS BIGINT)
          AS cross_event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test — the nonparametric 2xk location test
+# ---------------------------------------------------------------------------
+
+
+def mood_median_test(sf_dir: str) -> pa.Table:
+    """Mood's median test across event types: dichotomize every event
+    value at the GRAND median (above vs at-or-below, the tie convention),
+    then the 2 x k chi-square cell table — the coarser, outlier-immune
+    companion of Kruskal-Wallis (same fold, different statistic).  Output
+    one row per (event_type, side): observed n, expected_e6, contrib_e6
+    (one quantization per cell, chisq discipline).
+
+    Exactness: the grand cutoff is med2 = the SUM of the two middle order
+    statistics (the med2 trick — no division), a value is above iff
+    2*cents > med2 (exact ints); margins are exact, each cell quantizes
+    once.  Plan: ONE (type, cents) value-domain histogram exchange (the
+    Kruskal fold), driver finish on the bounded grid."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("cents", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        t = pa.table({"event_type": batch["event_type"], "cents": cents})
+        return (
+            t.group_by(["event_type", "cents"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "cents", "n"])
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # bounded: |types| x |price grid|
+    )
+    types = sorted({r["event_type"] for r in hist})
+    # grand med2 from the merged value histogram
+    val_counts: dict[int, int] = {}
+    for r in hist:
+        val_counts[int(r["cents"])] = val_counts.get(int(r["cents"]), 0) + int(r["n"])
+    vals = sorted(val_counts)
+    n_total = sum(val_counts.values())
+    k1, k2 = (n_total + 1) // 2, n_total // 2 + 1  # 1-based middle ranks
+    med2 = 0
+    seen = 0
+    for v in vals:
+        lo, hi = seen + 1, seen + val_counts[v]
+        if lo <= k1 <= hi:
+            med2 += v
+        if lo <= k2 <= hi:
+            med2 += v
+        seen = hi
+        if seen >= max(k1, k2):
+            break
+
+    above = {t: 0 for t in types}
+    below = {t: 0 for t in types}
+    for r in hist:
+        t = r["event_type"]
+        if 2 * int(r["cents"]) > med2:
+            above[t] += int(r["n"])
+        else:
+            below[t] += int(r["n"])
+    col_a = sum(above.values())
+    col_b = sum(below.values())
+
+    out = {"event_type": [], "side": [], "n_events": [], "expected_e6": [], "contrib_e6": []}
+    for t in types:
+        row = above[t] + below[t]
+        for side, o, col in ((0, below[t], col_b), (1, above[t], col_a)):
+            d = o * n_total - row * col
+            out["event_type"].append(t)
+            out["side"].append(side)
+            out["n_events"].append(o)
+            out["expected_e6"].append(row * col * 1_000_000 // n_total)
+            out["contrib_e6"].append(
+                d * d * 1_000_000 // (n_total * row * col) if row and col else 0
+            )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "side": pa.array(out["side"], pa.int64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "expected_e6": pa.array(out["expected_e6"], pa.int64()),
+            "contrib_e6": pa.array(out["contrib_e6"], pa.int64()),
+        }
+    )
+
+
+MOOD_MEDIAN_TEST_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+o AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM v),
+m AS (
+  SELECT sum(cents * (CAST(rn = (n + 1) // 2 AS INT)
+                      + CAST(rn = n // 2 + 1 AS INT))) AS med2
+  FROM o),
+s AS (
+  SELECT event_type,
+         CASE WHEN 2 * cents > (SELECT med2 FROM m) THEN 1 ELSE 0 END AS side
+  FROM v),
+cells AS (SELECT event_type, side, count(*) AS o FROM s GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM v),
+grid AS (
+  SELECT ty.event_type, sides.side, coalesce(cells.o, 0) AS o
+  FROM ty CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) sides
+  LEFT JOIN cells ON cells.event_type = ty.event_type
+                 AND cells.side = sides.side),
+r AS (SELECT event_type, sum(o) AS rn FROM grid GROUP BY 1),
+c AS (SELECT side, sum(o) AS cn FROM grid GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM grid)
+SELECT g.event_type, CAST(g.side AS BIGINT) AS side,
+       CAST(g.o AS BIGINT) AS n_events,
+       CAST(CAST(r.rn AS HUGEINT) * c.cn * 1000000 // tot.n AS BIGINT)
+         AS expected_e6,
+       CAST(CASE WHEN r.rn = 0 OR c.cn = 0 THEN 0 ELSE
+            (CAST(g.o AS HUGEINT) * tot.n - CAST(r.rn AS HUGEINT) * c.cn)
+            * (CAST(g.o AS HUGEINT) * tot.n - CAST(r.rn AS HUGEINT) * c.cn)
+            * 1000000 // (CAST(tot.n AS HUGEINT) * r.rn * c.cn) END AS BIGINT)
+         AS contrib_e6
+FROM grid g JOIN r ON r.event_type = g.event_type
+JOIN c ON c.side = g.side CROSS JOIN tot
+ORDER BY g.event_type, g.side
+"""

@@ -403,6 +403,7 @@ SQL_BACKED = [
     "token_budget_select",
     "ngram_containment_pairs",
     "ab_sprt_decision",
+    "mood_median_test",
 ]
 
 
