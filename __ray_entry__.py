@@ -1507,6 +1507,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return mood_median_test(sf_dir)
 
     q["mood_median_test"] = _mood_median_test
+
+    def _ab_cuped_uplift(sf_dir: str):
+        from docling_jobkit_ray.pipelines.behavior import ab_cuped_uplift
+
+        return ab_cuped_uplift(sf_dir)
+
+    q["ab_cuped_uplift"] = _ab_cuped_uplift
     return q
 
 
@@ -2005,6 +2012,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ab_sprt_decision"] = AB_SPRT_DECISION_SQL
     sql["mood_median_test"] = MOOD_MEDIAN_TEST_SQL
+    from docling_jobkit_ray.pipelines.behavior import AB_CUPED_UPLIFT_SQL
+
+    sql["ab_cuped_uplift"] = AB_CUPED_UPLIFT_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -4120,3 +4120,218 @@ BEHAVIOR_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B uplift (Deng et al. 2013, public literature)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY_CUPED = 86_400_000_000
+
+
+def ab_cuped_uplift(sf_dir: str) -> pa.Table:
+    """CUPED-adjusted A/B uplift of per-user spend: the pre-period
+    covariate (each user's spend BEFORE the calendar midpoint) absorbs
+    between-user variance from the outcome (spend AFTER it) via
+    ``y_adj = y - theta * x``, ``theta = cov(x, y) / var(x)`` pooled over
+    all users — the industry-standard variance-reduction every
+    experimentation platform applies before reading an uplift.
+
+    Integer contract: spends fold in exact cents; the calendar midpoint
+    is ``(min_day + max_day + 1) // 2`` (metadata-free, derived from the
+    data); theta quantizes ONCE to 1e-6 (trunc division — cov can be
+    negative); each arm's adjusted mean is ``(Sy * 1e6 - theta_e6 * Sx)
+    trunc-div n`` so only that single quantization ever compounds.
+    Output one row: (n_c, n_t, theta_e6, raw_uplift_e6, cuped_uplift_e6)
+    in 1e-6-cent units.
+
+    Plan shape: one user-bucket exchange folds per-user (x, y) pairs and
+    collapses each bucket to per-arm moment partials (n, Sx, Sy, Sxx,
+    Sxy) — five ints per arm per bucket; the driver finishes in PYTHON
+    INTS (Sxx/Sxy overflow int64 at extreme scale — the HUGEINT-finish
+    rule) and the SQL oracle mirrors in HUGEINT."""
+    from ray.data.aggregate import Max, Min
+
+    from ..scale import bucket_count, estimate_rows
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    # pass 0: calendar bounds (metadata-cheap aggregate)
+    def day_col(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("day", pa.int64())]).empty_table()
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {"day": pc.divide(us, pa.scalar(_US_PER_DAY_CUPED, pa.int64()))}
+        )
+
+    bounds = (
+        ds.map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Min("day"), Max("day"))
+    )
+    mid = (int(bounds["min(day)"]) + int(bounds["max(day)"]) + 1) // 2
+
+    nb = bucket_count(estimate_rows(sf_dir, "events"), min_buckets=32)
+    _AB_M, _AB_A = _AB_LEHMER_M, _AB_LEHMER_A
+
+    row_schema = pa.schema(
+        [
+            ("ubucket", pa.int64()),
+            ("user_id", pa.int64()),
+            ("x", pa.int64()),
+            ("y", pa.int64()),
+        ]
+    )
+
+    def user_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return row_schema.empty_table()
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = (
+            pc.cast(
+                pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        pre = (us // _US_PER_DAY_CUPED) < mid
+        uu, inv = np.unique(uid, return_inverse=True)
+        x = np.zeros(len(uu), np.int64)
+        y = np.zeros(len(uu), np.int64)
+        np.add.at(x, inv[pre], cents[pre])
+        np.add.at(y, inv[~pre], cents[~pre])
+        return pa.table(
+            {
+                "ubucket": pa.array((uu % nb).astype(np.int64)),
+                "user_id": pa.array(uu, pa.int64()),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    mom_schema = pa.schema(
+        [
+            ("arm", pa.int64()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("sxx", pa.int64()),
+            ("sxy", pa.int64()),
+        ]
+    )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or group.num_columns == 0:
+            return mom_schema.empty_table()
+        g = group.select(row_schema.names).cast(row_schema)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        # a user's partials may span blocks: re-fold per user in-bucket
+        uu, inv = np.unique(uid, return_inverse=True)
+        ux = np.zeros(len(uu), np.int64)
+        uy = np.zeros(len(uu), np.int64)
+        np.add.at(ux, inv, x)
+        np.add.at(uy, inv, y)
+        arm = (uu % _AB_M) * _AB_A % _AB_M % 2
+        rows = {k: [] for k in mom_schema.names}
+        for a in (0, 1):
+            m = arm == a
+            rows["arm"].append(a)
+            rows["n"].append(int(m.sum()))
+            rows["sx"].append(int(ux[m].sum()))
+            rows["sy"].append(int(uy[m].sum()))
+            rows["sxx"].append(int((ux[m] * ux[m]).sum()))
+            rows["sxy"].append(int((ux[m] * uy[m]).sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    parts = (
+        ds.map_batches(user_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ubucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .take_all()  # bounded: 2 rows per bucket
+    )
+    tot = {a: [0, 0, 0, 0, 0] for a in (0, 1)}  # n, sx, sy, sxx, sxy
+    for r in parts:
+        a = int(r["arm"])
+        tot[a][0] += int(r["n"])
+        tot[a][1] += int(r["sx"])
+        tot[a][2] += int(r["sy"])
+        tot[a][3] += int(r["sxx"])
+        tot[a][4] += int(r["sxy"])
+    n = tot[0][0] + tot[1][0]
+    sx = tot[0][1] + tot[1][1]
+    sy = tot[0][2] + tot[1][2]
+    sxx = tot[0][3] + tot[1][3]
+    sxy = tot[0][4] + tot[1][4]
+    cov_num = n * sxy - sx * sy  # python ints: never overflow
+    var_num = n * sxx - sx * sx
+    theta_e6 = (
+        0
+        if var_num == 0
+        else (abs(cov_num) * 1_000_000 // abs(var_num))
+        * (1 if (cov_num >= 0) == (var_num >= 0) else -1)
+    )
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    n_c, n_t = tot[0][0], tot[1][0]
+    raw = _tdiv(tot[1][2] * 1_000_000, n_t) - _tdiv(tot[0][2] * 1_000_000, n_c)
+    adj_t = _tdiv(tot[1][2] * 1_000_000 - theta_e6 * tot[1][1], n_t)
+    adj_c = _tdiv(tot[0][2] * 1_000_000 - theta_e6 * tot[0][1], n_c)
+    return pa.table(
+        {
+            "n_c": pa.array([n_c], pa.int64()),
+            "n_t": pa.array([n_t], pa.int64()),
+            "theta_e6": pa.array([theta_e6], pa.int64()),
+            "raw_uplift_e6": pa.array([raw], pa.int64()),
+            "cuped_uplift_e6": pa.array([adj_t - adj_c], pa.int64()),
+        }
+    )
+
+
+AB_CUPED_UPLIFT_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_US_PER_DAY_CUPED} AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+u AS (
+  SELECT user_id,
+         sum(CASE WHEN day < (SELECT mid FROM b) THEN cents ELSE 0 END) AS x,
+         sum(CASE WHEN day >= (SELECT mid FROM b) THEN cents ELSE 0 END) AS y,
+         ((user_id % {_AB_LEHMER_M}) * {_AB_LEHMER_A})
+           % {_AB_LEHMER_M} % 2 AS arm
+  FROM e GROUP BY user_id),
+mom AS (
+  SELECT count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM u),
+th AS (
+  SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0
+         ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) END
+           AS theta_e6
+  FROM mom),
+arms AS (
+  SELECT arm, count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy
+  FROM u GROUP BY arm)
+SELECT
+  CAST((SELECT n FROM arms WHERE arm = 0) AS BIGINT) AS n_c,
+  CAST((SELECT n FROM arms WHERE arm = 1) AS BIGINT) AS n_t,
+  CAST((SELECT theta_e6 FROM th) AS BIGINT) AS theta_e6,
+  CAST((SELECT sy * 1000000 // n FROM arms WHERE arm = 1)
+     - (SELECT sy * 1000000 // n FROM arms WHERE arm = 0) AS BIGINT)
+    AS raw_uplift_e6,
+  CAST((SELECT (sy * 1000000 - (SELECT theta_e6 FROM th) * sx) // n
+        FROM arms WHERE arm = 1)
+     - (SELECT (sy * 1000000 - (SELECT theta_e6 FROM th) * sx) // n
+        FROM arms WHERE arm = 0) AS BIGINT) AS cuped_uplift_e6
+"""

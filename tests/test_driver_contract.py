@@ -404,6 +404,7 @@ SQL_BACKED = [
     "ngram_containment_pairs",
     "ab_sprt_decision",
     "mood_median_test",
+    "ab_cuped_uplift",
 ]
 
 
