@@ -1514,6 +1514,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ab_cuped_uplift(sf_dir)
 
     q["ab_cuped_uplift"] = _ab_cuped_uplift
+
+    def _error_trend_by_dow(sf_dir: str):
+        from docling_jobkit_ray.functions.stats_tests import error_trend_by_dow
+
+        return error_trend_by_dow(sf_dir)
+
+    q["error_trend_by_dow"] = _error_trend_by_dow
     return q
 
 
@@ -2015,6 +2022,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.pipelines.behavior import AB_CUPED_UPLIFT_SQL
 
     sql["ab_cuped_uplift"] = AB_CUPED_UPLIFT_SQL
+    from docling_jobkit_ray.functions.stats_tests import ERROR_TREND_BY_DOW_SQL
+
+    sql["error_trend_by_dow"] = ERROR_TREND_BY_DOW_SQL
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -1599,3 +1599,102 @@ FROM grid g JOIN r ON r.event_type = g.event_type
 JOIN c ON c.side = g.side CROSS JOIN tot
 ORDER BY g.event_type, g.side
 """
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test — dose-response across ordered categories
+# ---------------------------------------------------------------------------
+
+
+def error_trend_by_dow(sf_dir: str) -> pa.Table:
+    """Cochran–Armitage trend of the error rate across the ordered
+    day-of-week doses (w = 0..6): the test chi-square cannot express —
+    "does the failure probability RISE through the week?" — the ops
+    counterpart of Mann-Kendall for categorical doses.
+
+    Exact integers end to end: per-dose (n_i, r_i) counts; the trend
+    numerator T' = N * Σw·r − R * Σw·n and the variance denominator
+    R(N−R)(N·Σw²n − (Σw·n)²) are Python big ints (T'² passes 2^63 —
+    the HUGEINT-finish rule, oracle mirrors in HUGEINT);
+    z2_e6 = N·T'²·1e6 // denom quantizes once.  Output one row with every
+    certifiable intermediate (sw_n, sw2_n, sw_r, t_num, z2_e6).
+
+    Plan: per-block 7-dose count partials -> one bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    part_schema = pa.schema(
+        [("dose", pa.int64()), ("n", pa.int64()), ("r", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return part_schema.empty_table()
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        dow = (us // 86_400_000_000) % 7
+        err = pc.equal(batch["event_type"], "error").to_numpy(zero_copy_only=False)
+        n = np.bincount(dow, minlength=7).astype(np.int64)
+        r = np.bincount(dow[err], minlength=7).astype(np.int64)
+        return pa.table(
+            {
+                "dose": pa.array(np.arange(7, dtype=np.int64)),
+                "n": pa.array(n),
+                "r": pa.array(r),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dose")
+        .aggregate(Sum("n", alias_name="n"), Sum("r", alias_name="r"))
+        .take_all()  # bounded: 7 rows
+    )
+    n_i = {int(x["dose"]): int(x["n"]) for x in rows}
+    r_i = {int(x["dose"]): int(x["r"]) for x in rows}
+    N = sum(n_i.values())
+    R = sum(r_i.values())
+    sw_n = sum(w * n_i.get(w, 0) for w in range(7))
+    sw2_n = sum(w * w * n_i.get(w, 0) for w in range(7))
+    sw_r = sum(w * r_i.get(w, 0) for w in range(7))
+    t_num = N * sw_r - R * sw_n  # python ints: exact at any N
+    denom = R * (N - R) * (N * sw2_n - sw_n * sw_n)
+    z2_e6 = 0 if denom == 0 else N * t_num * t_num * 1_000_000 // denom
+    return pa.table(
+        {
+            "n_total": pa.array([N], pa.int64()),
+            "r_total": pa.array([R], pa.int64()),
+            "sw_n": pa.array([sw_n], pa.int64()),
+            "sw2_n": pa.array([sw2_n], pa.int64()),
+            "sw_r": pa.array([sw_r], pa.int64()),
+            "t_num": pa.array([t_num], pa.int64()),
+            "z2_e6": pa.array([z2_e6], pa.int64()),
+        }
+    )
+
+
+ERROR_TREND_BY_DOW_SQL = """
+WITH e AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS dose,
+         CAST(event_type = 'error' AS INT) AS is_err
+  FROM events),
+d AS (SELECT dose, count(*) AS n, sum(is_err) AS r FROM e GROUP BY dose),
+s AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(r) AS HUGEINT) AS rr,
+         CAST(sum(dose * n) AS HUGEINT) AS sw_n,
+         CAST(sum(dose * dose * n) AS HUGEINT) AS sw2_n,
+         CAST(sum(dose * r) AS HUGEINT) AS sw_r
+  FROM d)
+SELECT CAST(nn AS BIGINT) AS n_total, CAST(rr AS BIGINT) AS r_total,
+       CAST(sw_n AS BIGINT) AS sw_n, CAST(sw2_n AS BIGINT) AS sw2_n,
+       CAST(sw_r AS BIGINT) AS sw_r,
+       CAST(nn * sw_r - rr * sw_n AS BIGINT) AS t_num,
+       CAST(CASE WHEN rr * (nn - rr) * (nn * sw2_n - sw_n * sw_n) = 0 THEN 0
+            ELSE nn * (nn * sw_r - rr * sw_n) * (nn * sw_r - rr * sw_n)
+                 * 1000000
+                 // (rr * (nn - rr) * (nn * sw2_n - sw_n * sw_n)) END
+            AS BIGINT) AS z2_e6
+FROM s
+"""

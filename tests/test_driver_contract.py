@@ -405,6 +405,7 @@ SQL_BACKED = [
     "ab_sprt_decision",
     "mood_median_test",
     "ab_cuped_uplift",
+    "error_trend_by_dow",
 ]
 
 
