@@ -1521,6 +1521,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return error_trend_by_dow(sf_dir)
 
     q["error_trend_by_dow"] = _error_trend_by_dow
+
+    def _fleiss_kappa_filters(sf_dir: str):
+        from docling_jobkit_ray.functions.webtext import fleiss_kappa_filters
+
+        return fleiss_kappa_filters(sf_dir)
+
+    q["fleiss_kappa_filters"] = _fleiss_kappa_filters
     return q
 
 
@@ -2025,6 +2032,9 @@ def oracle_sql() -> dict[str, str]:
     from docling_jobkit_ray.functions.stats_tests import ERROR_TREND_BY_DOW_SQL
 
     sql["error_trend_by_dow"] = ERROR_TREND_BY_DOW_SQL
+    from docling_jobkit_ray.functions.webtext import fleiss_kappa_filters_sql
+
+    sql["fleiss_kappa_filters"] = fleiss_kappa_filters_sql()
     # non-SQL-expressible ops intentionally omitted (rows-only check):
     # quality_scores, lang_id, fingerprints_rolling, minhash_dedup,
     # simhash_dup_groups, embedding_near_dup, knn_*, extract_*, chunks,

@@ -5864,3 +5864,71 @@ SELECT doc_id, ratio, CAST(tk AS BIGINT) AS n_tokens
 FROM w, b WHERE cum <= bb
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa over the three quality filters — multi-rater agreement
+# ---------------------------------------------------------------------------
+
+
+def fleiss_kappa_filters(sf_dir: str) -> pa.Table:
+    """Fleiss' kappa of the THREE quality raters (Gopher heuristic,
+    learned classifier, DSIR) — the chance-corrected multi-rater
+    agreement that completes the family Cohen's kappa (two raters)
+    started.  Consumes the <=8-row ``filter_agreement_matrix`` cells, so
+    the corpus-wide statistic costs nothing beyond the existing fold.
+
+    Exact rationals cleared to integers: with S = sum over docs of
+    6*P_i (pair-agreement weights w(k) = 6,2,2,6 for k keeps), K = total
+    keep votes, N docs:
+    kappa = (3N*S - 2*(K^2 + (3N-K)^2)) / (2*(9N^2 - K^2 - (3N-K)^2))
+    — Python big ints (N^2 terms pass 2^63 at corpus scale), quantized
+    ONCE to kappa_e6 with truncating division (kappa can be negative;
+    DuckDB // truncates)."""
+    cells = filter_agreement_matrix(sf_dir).take_all()  # bounded: <= 8 rows
+    n = 0
+    k = 0
+    sp = 0
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    for r in cells:
+        votes = int(r["gopher_keep"]) + int(r["classifier_keep"]) + int(r["dsir_keep"])
+        nd = int(r["n_docs"])
+        n += nd
+        k += nd * votes
+        sp += nd * w[votes]
+    num = 3 * n * sp - 2 * (k * k + (3 * n - k) * (3 * n - k))
+    den = 2 * (9 * n * n - k * k - (3 * n - k) * (3 * n - k))
+    if den == 0:
+        kappa_e6 = 0
+    else:
+        q = abs(num) * 1_000_000 // abs(den)
+        kappa_e6 = q if (num >= 0) == (den >= 0) else -q
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "keep_votes": pa.array([k], pa.int64()),
+            "sum_p6": pa.array([sp], pa.int64()),
+            "kappa_e6": pa.array([kappa_e6], pa.int64()),
+        }
+    )
+
+
+def fleiss_kappa_filters_sql() -> str:
+    inner = filter_agreement_matrix_sql().strip()
+    return f"""
+WITH m AS ({inner}),
+s AS (
+  SELECT CAST(sum(n_docs) AS HUGEINT) AS n,
+         CAST(sum(n_docs * (gopher_keep + classifier_keep + dsir_keep))
+              AS HUGEINT) AS k,
+         CAST(sum(n_docs * CASE gopher_keep + classifier_keep + dsir_keep
+                  WHEN 0 THEN 6 WHEN 3 THEN 6 ELSE 2 END) AS HUGEINT) AS sp
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS keep_votes,
+       CAST(sp AS BIGINT) AS sum_p6,
+       CAST(CASE WHEN 2 * (9*n*n - k*k - (3*n-k)*(3*n-k)) = 0 THEN 0
+            ELSE (3*n*sp - 2*(k*k + (3*n-k)*(3*n-k))) * 1000000
+                 // (2 * (9*n*n - k*k - (3*n-k)*(3*n-k))) END AS BIGINT)
+         AS kappa_e6
+FROM s
+"""

@@ -406,6 +406,7 @@ SQL_BACKED = [
     "mood_median_test",
     "ab_cuped_uplift",
     "error_trend_by_dow",
+    "fleiss_kappa_filters",
 ]
 
 
